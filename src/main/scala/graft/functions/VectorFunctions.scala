@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>`.
+  *
+  * The reference stores 384-dim float vectors in hnswlib and scores with L2
+  * (reference: vector_db.py:160 builds the matrix; talent_recommender.py:37-42
+  * queries with ChromaDB's default L2 space). Here vectors are ordinary array
+  * columns and distances are ordinary expressions, so Catalyst can pipeline
+  * them inside whole-stage codegen with the surrounding filter/top-k.
+  *
+  * Determinism contract (SURVEY.md §2.8): every element is cast to DOUBLE
+  * before arithmetic and folds run left-to-right (`aggregate` over a
+  * `zip_with`), so Spark and the DuckDB oracle compute bit-identical sums;
+  * query results additionally `round(_, 6)`.
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Squared L2 distance — the monotone stand-in for L2 in ranking. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean (L2) distance, as ChromaDB reports for the reference. */
+  def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
+
+  /** Dot product, left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity; 0-norm inputs yield NULL (division by zero → NULL
+    * in both Spark and DuckDB, so the oracle agrees). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine distance = 1 - cosine similarity. */
+  def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)
+}

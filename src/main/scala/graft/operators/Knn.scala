@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Exact k-nearest-neighbor search over an embedding column.
+  *
+  * Reference semantics: ChromaDB `collection.query` returns the top-N rows by
+  * L2 distance to one query vector, optionally restricted by a metadata
+  * pre-filter (`where=`), sorted by distance
+  * (reference: talent_recommender.py:26-59).
+  *
+  * Spark-first design (100 TB notes):
+  *  - The query vector is a literal, so it ships inside the serialized plan —
+  *    effectively a broadcast; no join, no shuffle.
+  *  - The pre-filter is applied *before* the distance computation so Catalyst
+  *    pushes it into the parquet scan (partition pruning + row-group skipping).
+  *  - `orderBy(dist).limit(k)` compiles to `TakeOrderedAndProject`: each
+  *    partition keeps a k-element heap, the driver merges `k × numPartitions`
+  *    rows — no global sort, no shuffle of the full data. This is the plan
+  *    that survives a 1000-executor scan; only `k × partitions` rows move.
+  *  - For sub-scan latency at scale use [[Ann.ivfTopK]] (partition-pruned
+  *    inverted file) — this operator is the exact baseline.
+  */
+object Knn {
+
+  /** Attach a rounded L2 distance column (deterministic; SURVEY §2.8 rule 3). */
+  def withL2Distance(df: DataFrame, vecCol: Column, query: Seq[Double],
+                     distName: String = "dist"): DataFrame =
+    df.withColumn(distName, round(l2(vecCol, typedlit(query)), 6))
+
+  /** Exact top-k by L2 distance with optional pre-filter.
+    * Ties broken by `tieBreak` for determinism (SURVEY §2.8 rule 1). */
+  def knnExact(df: DataFrame, vecCol: Column, query: Seq[Double], k: Int,
+               preFilter: Option[Column] = None,
+               tieBreak: String = "vec_id"): DataFrame = {
+    val filtered = preFilter.fold(df)(df.filter)
+    withL2Distance(filtered, vecCol, query)
+      .orderBy(col("dist").asc, col(tieBreak).asc)
+      .limit(k)
+  }
+
+  /** Exact top-k by cosine similarity (descending), optional pre-filter. */
+  def cosineTopK(df: DataFrame, vecCol: Column, query: Seq[Double], k: Int,
+                 preFilter: Option[Column] = None,
+                 tieBreak: String = "vec_id"): DataFrame = {
+    val filtered = preFilter.fold(df)(df.filter)
+    filtered
+      .withColumn("cos_sim", round(cosine(vecCol, typedlit(query)), 6))
+      .orderBy(col("cos_sim").desc, col(tieBreak).asc)
+      .limit(k)
+  }
+
+  /** Fetch one stored vector by key as a driver-side literal (the reference
+    * embeds the query text on the driver — talent_recommender.py:26; here the
+    * query vector is a 1-row lookup, pushed down to the scan). */
+  def vectorAt(df: DataFrame, keyCol: Column, key: Long,
+               vecCol: Column): Seq[Double] =
+    df.filter(keyCol === key).select(vecCol.cast("array<double>"))
+      .head().getSeq[Double](0)
+
+  /** Reference overfetch heuristic: `k*5 if k*5 > 10 else 20`
+    * (talent_recommender.py:28 — exact arithmetic preserved). */
+  def overfetch(k: Int): Int = if (k * 5 > 10) k * 5 else 20
+}
