@@ -1,14 +1,342 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
-  * reference parity: dedup family, similarity search, text analysis,
-  * relational aggregates/joins/windows, event-time windows, multimodal.
-  * Populated incrementally; every deterministic entry gets a DuckDB oracle.
+  * reference parity: relational aggregates/joins/windows (general engine
+  * capability), event-time windowing & sessionization, text analysis,
+  * dedup family, similarity search. Every entry here is deterministic and
+  * oracle-checked against DuckDB.
+  *
+  * 100 TB notes are on each query: what shuffles, what broadcasts, what
+  * prunes.
   */
 object ExtensionQueries {
+
   private type Q = (SparkSession, String) => DataFrame
-  val all: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Decimal-exact sum surfaced as DOUBLE (SURVEY §2.8 rule 2). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  private def queryVec(s: SparkSession, d: String): Seq[Double] =
+    Knn.vectorAt(Tables.embeddings(s, d), col("vec_id"), 0L, col("embedding"))
+
+  val all: Map[String, Q] = Map(
+    // ---- grouped aggregation (TPC-H Q1 shape). Map-side partial agg then
+    // one shuffle on (returnflag, linestatus) — 6 groups, trivially scalable.
+    "q_agg_tpch_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- 3-way join (TPC-H Q3 shape): filtered dim side broadcast; the
+    // orders⋈lineitem join shuffles on orderkey (co-partitioned by key at
+    // scale via bucketing). Revenue per orderkey is a small decimal sum.
+    "q_join_topk_orders" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- broadcast dim joins: region/nation are tiny at any scale —
+    // explicit broadcast() keeps the plan shuffle-free on the fact side
+    // except the final 5-group aggregation.
+    "q_join_broadcast_dims" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name")),
+
+    // ---- window rank: top-3 orders per customer. One shuffle on custkey;
+    // at scale, prefer operators.TopK.topKPerGroup (heap aggregator, no
+    // full per-group sort) — this is the windowed reference formulation.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- event-time tumbling window (batch form of the streaming agg in
+    // graft.streaming): hourly buckets over epoch-µs; one shuffle on
+    // (bucket, event_type). `ts` is epoch-nanos (nanosAsLong read).
+    "q_events_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("bucket_sec",
+          expr("(ts div 1000000000) div 3600") * 3600)
+        .groupBy(col("bucket_sec"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("bucket_sec", "event_type")),
+
+    // ---- sessionization: 30-min-gap sessions per user. Two windows over
+    // one shuffle on user_id (lag + running sum share the partitioning).
+    "q_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(ts_us) div 1000000").as("start_sec"),
+          expr("max(ts_us) div 1000000").as("end_sec"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // ---- text analysis ------------------------------------------------
+    "q_text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          tokenCountWs(col("text")).as("n_tokens_ws"),
+          tokenCountAlnum(col("text")).as("n_tokens_alnum"))
+        .orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- exact dedup: hash-groupBy on content digest. One shuffle on the
+    // digest (uniform — no skew); at 100 TB this is the canonical
+    // dedup-by-key pattern, digest computed map-side.
+    "q_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("keep_id")),
+
+    // ---- cosine top-k over embeddings (ANN baseline; scale path = IVF in
+    // operators.Ann). TakeOrderedAndProject — k×partitions rows move.
+    "q_cosine_topk" -> ((s, d) => {
+      val q = queryVec(s, d)
+      Knn.cosineTopK(Tables.embeddings(s, d), col("embedding"), q, k = 10)
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  /** DuckDB spelling of [[dsum]]. */
+  private def dsumSql(e: String): String =
+    s"sum(($e)::DECIMAL(18,4))::DOUBLE"
+
+  private def substrCountSql(text: String, m: String): String =
+    s"((len($text) - len(replace($text, '$m', ''))) // ${m.length})"
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map(m => substrCountSql("padded", m)).mkString("(", " + ", ")")
+
+  private val langIdSql: String = {
+    val scores = langMarkers.map { case (l, ms) =>
+      s"${langScoreSql(ms)} AS s_$l"
+    }.mkString(", ")
+    val best = langMarkers.map(l => s"s_${l._1}")
+      .reduce((a, b) => s"greatest($a, $b)")
+    val cascade = langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded
+       |  FROM documents),
+       |sc AS (SELECT doc_id, text, $scores FROM t),
+       |b AS (SELECT *, $best AS best FROM sc)
+       |SELECT doc_id,
+       |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
+       |       THEN 'zh' $cascade ELSE 'und' END AS pred_lang
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  private val stopSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private val qvCte =
+    "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_topk_orders" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         |  o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+         |GROUP BY l_orderkey, orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_join_broadcast_dims" ->
+      s"""SELECT r_name, count(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_events_window" ->
+      s"""SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS bucket_sec,
+         |  event_type, count(*) AS n, ${dsumSql("value")} AS sum_value,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |GROUP BY bucket_sec, event_type
+         |ORDER BY bucket_sec, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        |  SELECT *, ts_us - lag(ts_us) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_session FROM g),
+        |sn AS (
+        |  SELECT *, (sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts_us) // 1000000 AS start_sec,
+        |  max(ts_us) // 1000000 AS end_sec
+        |FROM sn GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_text_langid" -> langIdSql,
+
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x != '') AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, toks, len(toks) AS n,
+         |    least(len(text)::DOUBLE / 500.0, 1.0) AS len_score,
+         |    len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+         |      / greatest(len(text)::DOUBLE, 1.0) AS punct_ratio,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      len(list_filter(toks, t -> list_contains($stopSql, t)))::DOUBLE
+         |        / len(toks)::DOUBLE ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+         |        / len(toks)::DOUBLE ELSE 0.0 END AS avg_tok_len
+         |  FROM t)
+         |SELECT doc_id,
+         |  floor((len_score * 0.25
+         |    + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
+         |    + least(stop_ratio * 5.0, 1.0) * 0.25
+         |    + least(avg_tok_len / 10.0, 1.0)* 0.25) * 10000.0 + 0.5) / 10000.0
+         |    AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x != '')) AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens_alnum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+        |      tk -> (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 4, 1)) - 1)
+        |    ) AS hashes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, hashes::BIGINT[]),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""WITH $qvCte
+         |SELECT e.vec_id, e.label,
+         |  round(
+         |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |      i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |     * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         |  6) AS cos_sim
+         |FROM embeddings e, q
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  )
 }
