@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.Knn
+import graft.operators.{Ann, Dedup, Knn, Multimodal, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -161,7 +161,51 @@ object ExtensionQueries {
       val q = queryVec(s, d)
       Knn.cosineTopK(Tables.embeddings(s, d), col("embedding"), q, k = 10)
         .select(col("vec_id"), col("label"), col("cos_sim"))
-    })
+    }),
+
+    // ---- MinHash+LSH near-dup candidates: shingle→signature map-side,
+    // one shuffle of exploded (band, digest) rows, bucket self-join.
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
+          col("text"))
+        .orderBy("id1", "id2")),
+
+    // ---- SimHash fingerprints (near-identical token multisets ⇒ small
+    // Hamming distance). Pure map-side — no shuffle at all.
+    "q_dedup_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // ---- blocked n-gram Jaccard pairs (metadata blocking bounds the n²).
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+          blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)
+        .orderBy("id1", "id2")),
+
+    // ---- embedding-cosine near-dup pairs, label-blocked, 20% sample
+    // (full blocked variant is the operator; the sample keeps the oracle
+    // tractable).
+    "q_embed_neardup" -> ((s, d) =>
+      Dedup.cosineNearDupPairs(
+          Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"), col("label"), threshold = 0.25)
+        .orderBy("id1", "id2")),
+
+    // ---- top-k per group via bounded-buffer Aggregator (no per-group
+    // sort; shuffle carries ≤ k rows per group per task). Oracle = the
+    // window formulation — same result, different physical plan.
+    "q_topk_per_group" -> ((s, d) =>
+      TopK.topKPerGroup(s, Tables.orders(s, d),
+          "o_custkey", "o_orderkey", "o_totalprice", k = 3)
+        .orderBy("o_custkey", "rn")),
+
+    // ---- multimodal metadata extraction over binary payloads (decode
+    // kernel stubbed — container has no codecs; plumbing real).
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.metaColumns(
+          Multimodal.attachPayload(Tables.documents(s, d)))
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -337,6 +381,105 @@ object ExtensionQueries {
          |     * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
          |  6) AS cos_sim
          |FROM embeddings e, q
-         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [array_to_string(tk, ' ')] END AS sh FROM toks),
+         |sig AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
+         |    list_aggregate(list_transform(sh, s -> md5('s' || j || '|' || s)),
+         |      'min')) AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    md5(sig[b*2+1] || '|' || sig[b*2+2]) AS band_hash
+         |  FROM sig, generate_series(0, 3) t(b))
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         | AND a.doc_id < b.doc_id
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+        |      tk -> (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 4, 1)) - 1)
+        |    ) AS hashes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  coalesce(list_sum(list_transform(generate_series(0, 15), b ->
+        |    CASE WHEN list_sum(list_transform(hashes, h ->
+        |           CASE WHEN (floor(h / (2.0 ** b))::BIGINT % 2) = 1
+        |                THEN 1 ELSE -1 END)) > 0
+        |         THEN 2.0 ** b ELSE 0 END))::BIGINT, 0) AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x != '') AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang, source, list_distinct(
+         |    CASE WHEN len(tk) >= 3 THEN
+         |      list_transform(generate_series(1, len(tk) - 2),
+         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [array_to_string(tk, ' ')] END) AS sh FROM toks),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE AS inter,
+         |    (len(a.sh) + len(b.sh))::DOUBLE AS tot
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT id1, id2,
+         |    ${graft.functions.Rounding.floorRoundSql("inter / (tot - inter)", 6)}
+         |      AS jaccard
+         |  FROM pairs)
+         |SELECT id1, id2, jaccard FROM j
+         |WHERE jaccard >= 0.2 ORDER BY id1, id2""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |p AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    ${graft.functions.Rounding.floorRoundSql(
+               """list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                 |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                 |     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin, 6)}
+         |      AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, cos FROM p WHERE cos >= 0.25
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  ['png', 'jpg', 'wav'][(doc_id % 3 + 1)::INT] AS format,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+        |  ((octet_length(encode(text)) * 7) % 480 + 1)::BIGINT AS height,
+        |  (octet_length(encode(text)) % 24 + 1)::BIGINT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

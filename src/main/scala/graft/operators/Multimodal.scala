@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `BINARY` payloads with typed
+  * metadata, plus a batched decode/feature-extract pipeline shape.
+  *
+  * 100 TB design: payloads live in the table as binary columns (or object
+  * storage pointers) and metadata is columnar, so filters/pruning never
+  * touch bytes; decode runs per-partition in bounded batches, letting the
+  * decoder amortize setup across a batch (the Arrow-batch analogue).
+  *
+  * STUB NOTE: no image/audio codecs exist in this container, so
+  * [[FakeCodec.decode]] is a clearly-marked deterministic fake. The
+  * Spark-side plumbing — schema, binary payload column, partition-batched
+  * decode via `mapPartitions`, metadata projection — is real and tested.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+  case class DecodedMedia(doc_id: Long, format: String, n_bytes: Long,
+                          width: Long, height: Long, n_frames: Long)
+
+  private val formats = Seq("png", "jpg", "wav")
+
+  /** Attach a binary payload + format column to the documents table (the
+    * payload is the UTF-8 text bytes standing in for media bytes —
+    * deterministic, size-faithful). */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(typedlit(formats), (col("doc_id") % 3 + 1).cast("int"))
+        .as("format"),
+      col("text").cast("binary").as("payload"))
+
+  /** Column-level "decode": the same arithmetic as [[FakeCodec.decode]]
+    * expressed as pure codegen'd expressions — used by the oracle-checked
+    * query (metadata extraction never needs the real codec). */
+  def metaColumns(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"), col("format"),
+      octet_length(col("payload")).cast("bigint").as("n_bytes"),
+      (octet_length(col("payload")) % 640 + 1).cast("bigint").as("width"),
+      ((octet_length(col("payload")) * 7) % 480 + 1).cast("bigint").as("height"),
+      (octet_length(col("payload")) % 24 + 1).cast("bigint").as("n_frames"))
+
+  /** Deterministic fake codec — replace with a real decoder (libjpeg,
+    * ffmpeg bindings, …) in production. Derives "dimensions" from payload
+    * size so tests are stable. */
+  object FakeCodec {
+    def decode(r: MediaRow): DecodedMedia = {
+      val n = r.payload.length.toLong
+      DecodedMedia(r.doc_id, r.format, n,
+        width = n % 640 + 1, height = (n * 7) % 480 + 1,
+        n_frames = n % 24 + 1)
+    }
+  }
+
+  /** Partition-batched decode: the real pipeline shape. Batching bounds
+    * decoder memory and amortizes codec init per batch, not per row. */
+  def decodePartitions(spark: SparkSession, media: DataFrame,
+                       batchSize: Int = 256): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would init once here, decode the batch, release
+        batch.iterator.map(FakeCodec.decode)
+      }
+    }
+  }
+}

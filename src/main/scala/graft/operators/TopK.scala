@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Top-k-per-group without a per-group sort.
+  *
+  * The windowed formulation (`row_number() OVER (PARTITION BY g ORDER BY v)`
+  * then `rn <= k`) shuffles and SORTS every row of every group. This
+  * Aggregator keeps a bounded k-buffer per group with map-side partial
+  * aggregation: each task emits at most k rows per local group, so the
+  * shuffle carries O(groups × k × tasks) rows instead of the whole table —
+  * the difference between sorting 100 TB and merging kilobytes. (Same heap
+  * idea as `TakeOrderedAndProject`, lifted to per-group.)
+  */
+object TopK {
+
+  type Entry = (Double, Long) // (orderValue, id) — desc by value, asc by id
+
+  private val ord: Ordering[Entry] =
+    Ordering.by[Entry, (Double, Long)] { case (v, id) => (-v, id) }
+
+  private def trim(k: Int, b: Seq[Entry]): Seq[Entry] = b.sorted(ord).take(k)
+
+  /** Top-k rows per group: returns (groupCol, idCol, valueCol, rn), rn
+    * 1-based in (value DESC, id ASC) order — same contract as the
+    * `row_number` window formulation, different physical shape. */
+  def topKPerGroup(spark: SparkSession, df: DataFrame, groupCol: String,
+                   idCol: String, valueCol: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new Aggregator[(Long, Long, Double), Seq[Entry], Seq[Entry]] {
+      def zero: Seq[Entry] = Seq.empty
+      def reduce(b: Seq[Entry], a: (Long, Long, Double)): Seq[Entry] =
+        trim(k, b :+ ((a._3, a._2)))
+      def merge(b1: Seq[Entry], b2: Seq[Entry]): Seq[Entry] = trim(k, b1 ++ b2)
+      def finish(r: Seq[Entry]): Seq[Entry] = r.sorted(ord)
+      def bufferEncoder: Encoder[Seq[Entry]] = implicitly[Encoder[Seq[Entry]]]
+      def outputEncoder: Encoder[Seq[Entry]] = implicitly[Encoder[Seq[Entry]]]
+    }
+    df.select(col(groupCol).cast("long"), col(idCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("topk"))
+      .toDF(groupCol, "topk")
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col(groupCol),
+        col("entry._2").as(idCol),
+        col("entry._1").as(valueCol),
+        (col("pos") + 1).as("rn"))
+  }
+}
