@@ -41,9 +41,12 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity; 0-norm inputs yield NULL (division by zero → NULL
-    * in both Spark and DuckDB, so the oracle agrees). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; 0-norm inputs yield NULL. Spark 4 runs ANSI mode by
+    * default where x/0 *throws* — `nullif` turns the zero denominator into
+    * NULL first, making the result NULL (matching the DuckDB oracle) instead
+    * of a runtime error. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Cosine distance = 1 - cosine similarity. */
   def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup family semantics (SURVEY.md §7.4 extensions). */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s0"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "en", "s0"), // near dup of 1
+    (4L, "completely different content about spark engines", "en", "s0"),
+    (5L, "the quick brown fox jumps over the lazy dog", "en", "s1")) // dup, other block
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("exactDedup groups identical content under min-id representative") {
+    val out = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+      .orderBy("keep_id").select("keep_id", "dup_cnt")
+      .as[(Long, Long)].collect()
+    assert(out === Array((1L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("wordShingles: n-grams of the token stream; short text collapses") {
+    val sh = one("a b c d").select(Dedup.wordShingles(col("t"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh === Seq("a b c", "b c d"))
+    val short = one("a b").select(Dedup.wordShingles(col("t"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(short === Seq("a b"))
+  }
+
+  private def one(t: String) = Seq(t).toDF("t")
+
+  test("LSH candidate pairs find exact and near duplicates") {
+    val pairs = Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical → identical signatures
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((2L, 5L)))
+    assert(!pairs.contains((1L, 4L))) // unrelated content shares no band
+  }
+
+  test("simhash: identical texts identical, near-dups within small Hamming") {
+    val h = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) <= 6)            // one-token edit
+    assert(ham(h(1L), h(4L)) > ham(h(1L), h(3L))) // unrelated is farther
+  }
+
+  test("jaccardPairs: blocked, thresholded, deterministic rounding") {
+    val out = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)
+      .as[(Long, Long, Double)].collect()
+    val m = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 2L)) === 1.0)
+    assert(m.contains((1L, 3L)) && m((1L, 3L)) < 1.0)
+    assert(!m.contains((1L, 5L))) // different source block → never compared
+    assert(!m.contains((1L, 4L))) // below threshold
+  }
+
+  test("cosineNearDupPairs: blocked pairs above threshold only") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0.01f), 0), // near-identical
+      (3L, Seq(0f, 1f), 0),                          // orthogonal
+      (4L, Seq(1f, 0f), 1))                          // other block
+      .toDF("id", "v", "blk")
+    val out = Dedup.cosineNearDupPairs(vecs, col("id"), col("v"),
+      col("blk"), threshold = 0.9).as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    assert(out.head._3 > 0.99)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
+
+/** Property tests (SURVEY.md §5.2): distance laws, top-k ⊆ sort-prefix,
+  * filter/top-k commutation. Uses scalacheck generators with fixed seeds
+  * (deterministic — no scalatestplus bridge needed in the offline cache). */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val pairGen: Gen[(Seq[Double], Seq[Double])] = for {
+    n <- Gen.chooseNum(1, 6)
+    a <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0))
+    b <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0))
+  } yield (a.toSeq, b.toSeq)
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def evalD(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.cast("double").as("v")).as[Double].head()
+
+  test("L2 distance is symmetric, non-negative, zero iff equal") {
+    // evaluate all cases through one DataFrame pass (not one job per case)
+    val cases = samples(pairGen, 20)
+    val df = cases.toDF("a", "b").select(
+      l2(col("a"), col("b")).as("ab"), l2(col("b"), col("a")).as("ba"),
+      l2(col("a"), col("a")).as("aa"))
+    df.as[(Double, Double, Double)].collect().foreach { case (ab, ba, aa) =>
+      assert(ab === ba)
+      assert(ab >= 0.0)
+      assert(aa === 0.0)
+    }
+  }
+
+  test("cosine similarity is bounded in [-1, 1] for nonzero vectors") {
+    val cases = samples(pairGen, 20)
+      .filter { case (a, b) => a.exists(_ != 0.0) && b.exists(_ != 0.0) }
+    val out = cases.toDF("a", "b")
+      .select(cosine(col("a"), col("b")).as("c")).as[Double].collect()
+    out.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+  }
+
+  test("top-k result is the k-prefix of the full distance sort") {
+    val rows = (0L until 40L).map(i =>
+      (i, Seq((i % 7).toFloat, (i % 3).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val full = Knn.withL2Distance(df, col("embedding"), Seq(1.0, 1.0))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select("vec_id").as[Long].collect().toSeq
+    samples(Gen.chooseNum(1, 12), 5).foreach { k =>
+      val top = Knn.knnExact(df, col("embedding"), Seq(1.0, 1.0), k)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(top === full.take(k))
+    }
+  }
+
+  test("pre-filter commutes: filter-then-topk == topk-over-filtered-set") {
+    val rows = (0L until 30L).map(i =>
+      (i, Seq((i % 5).toFloat, (i % 4).toFloat), (i % 2).toInt))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val viaOption = Knn.knnExact(df, col("embedding"), Seq(0.0, 0.0), 5,
+      preFilter = Some(col("label") === 1)).select("vec_id").as[Long].collect()
+    val viaFilter = Knn.knnExact(df.filter(col("label") === 1),
+      col("embedding"), Seq(0.0, 0.0), 5).select("vec_id").as[Long].collect()
+    assert(viaOption === viaFilter)
+  }
+}

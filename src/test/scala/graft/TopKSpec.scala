@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, TopK}
+
+/** TopK aggregator vs the window formulation; multimodal decode plumbing. */
+class TopKSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("topKPerGroup matches row_number window formulation") {
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 9.0), (1L, 13L, 1.0),
+      (2L, 20L, 3.0),
+      (3L, 30L, 7.0), (3L, 31L, 2.0), (3L, 32L, 8.0), (3L, 33L, 6.0))
+      .toDF("g", "id", "v")
+    val got = TopK.topKPerGroup(spark, df, "g", "id", "v", k = 2)
+      .orderBy("g", "rn").as[(Long, Long, Double, Int)].collect()
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .orderBy("g", "rn").as[(Long, Long, Double, Int)].collect()
+    assert(got === want)
+    // ties broken by id asc: group 1 keeps 11 then 12 (both 9.0)
+    assert(got.take(2).map(_._2) === Array(11L, 12L))
+  }
+
+  test("topKPerGroup emits at most k rows per group") {
+    val df = (1L to 100L).map(i => (i % 5, i, i.toDouble)).toDF("g", "id", "v")
+    val out = TopK.topKPerGroup(spark, df, "g", "id", "v", k = 3)
+    assert(out.count() === 15)
+    assert(out.groupBy("g").count().select(max("count")).as[Long].head() === 3)
+  }
+
+  test("multimodal: partition-batched decode agrees with column-level meta") {
+    val docs = Seq((1L, "abcdef"), (2L, "x"), (3L, "hello world, longer payload"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val media = Multimodal.attachPayload(docs)
+    val viaCols = Multimodal.metaColumns(media).orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    val viaCodec = Multimodal.decodePartitions(spark, media).toDF()
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(viaCols === viaCodec)
+  }
+}
