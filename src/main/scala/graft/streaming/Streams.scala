@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators — the incremental face of the engine.
+  *
+  * The reference is batch-only (SURVEY.md §2.7: no streams), but its
+  * lifecycle — "new records arrive, re-embed, upsert into the index"
+  * (`vector_db.py:81-107` rebuilds on change) — is exactly a streaming
+  * ingest problem at scale. These operators re-express that plus the
+  * LLM-pipeline extensions as `readStream → transform → writeStream`:
+  *
+  *  - event-time windowed aggregation with watermarks (late data bounded,
+  *    state pruned — the 100 TB requirement: state size is O(open windows),
+  *    never O(stream length));
+  *  - gap-based sessionization via the built-in `session_window` (preferred:
+  *    Catalyst owns state merging) and via `flatMapGroupsWithState` (the
+  *    custom-state escape hatch, with event-time timeout);
+  *  - streaming exact-dedup on a content digest within a watermark —
+  *    the incremental form of [[graft.operators.Dedup.exactDedup]];
+  *  - incremental collection build: file-source stream → doc transform →
+  *    embedding → append parquet sink with checkpointing (the streaming
+  *    form of the reference's batch upsert loop, `vector_db.py:144-180`,
+  *    with exactly-once file-sink semantics replacing its per-batch
+  *    skip-and-continue error handling).
+  */
+object Streams {
+
+  // ---- windowed aggregation ------------------------------------------
+
+  /** Tumbling event-time window stats per event_type. Append mode emits a
+    * window once the watermark passes its end — deterministic, late rows
+    * beyond `watermark` dropped. One shuffle on (window, event_type). */
+  def windowedEventStats(events: DataFrame, tsCol: String = "ts",
+                         watermark: String = "10 minutes",
+                         windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessions via the built-in `session_window` — state merges
+    * are handled by the engine; the watermark closes (and prunes) sessions
+    * once no event can extend them. */
+  def sessionWindows(events: DataFrame, tsCol: String = "ts",
+                     gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  // ---- streaming dedup ------------------------------------------------
+
+  /** Streaming exact-dedup: first occurrence of each content digest within
+    * the watermark horizon passes; replays/duplicates are dropped. State =
+    * one digest per distinct doc inside the horizon (bounded, pruned). */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+                  tsCol: String = "ts",
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  // ---- custom-state sessionization -----------------------------------
+
+  case class Event(user_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, start_sec: Long, end_sec: Long,
+                     n_events: Long)
+
+  /** Sessionization with explicit state — the `flatMapGroupsWithState`
+    * pattern for semantics `session_window` can't express (per-session
+    * custom accumulators, mid-session emission, cross-session features).
+    * Event-time timeout closes a session once the watermark passes
+    * last-event + gap. State per key is O(1). */
+  def sessionizeCustom(spark: SparkSession, events: Dataset[Event],
+                       gapMs: Long = 30L * 60 * 1000,
+                       watermark: String = "10 minutes"): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start / 1000, s.last / 1000, s.n))
+          } else {
+            // fold this micro-batch's events (in event-time order) into
+            // sessions; emit every closed session, keep the open one
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.start / 1000, s.last / 1000, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  // ---- incremental collection build ----------------------------------
+
+  /** Incremental index build: watch `srcDir` for new document parquet
+    * files, compute doc features + a deterministic feature-hash embedding
+    * (the external-model hook point — swap in a `mapInPandas`-style batch
+    * encoder in production), append to the collection with exactly-once
+    * file-sink checkpointing. The streaming analogue of
+    * `vector_db.py:144-180`'s batch upsert loop. */
+  def incrementalCollection(spark: SparkSession, srcDir: String,
+                            indexDir: String, checkpointDir: String,
+                            embedDim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.HrPipeline.featureHashEmbedding
+    val schema = spark.read.parquet(srcDir).schema // pin from existing files
+    spark.readStream.schema(schema).parquet(srcDir)
+      .filter(col("doc_id").isNotNull && length(col("text")) > 0)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("embedding", featureHashEmbedding(col("text"), embedDim))
+      .writeStream
+      .format("parquet")
+      .option("path", indexDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** Structured Streaming semantics, driven through MemoryStream micro-batches
+  * so watermark advancement and state cleanup are exercised for real. */
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  /** Run a streaming query over `batches` fed one micro-batch at a time into
+    * a memory sink; returns the sink table rows. */
+  private def runBatches[T: org.apache.spark.sql.Encoder](
+      batches: Seq[Seq[T]],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode): Array[org.apache.spark.sql.Row] = {
+    val input = MemoryStream[T](spark)
+    val name = s"sink_${System.nanoTime()}"
+    val q = build(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).collect()
+  }
+
+  test("windowed stats: append emits a window only after watermark passes") {
+    // batch 1: events in [0h,1h); batch 2: an event at 2h pushes the
+    // watermark (2h - 10min) past the first window's end → it finalizes
+    val rows = runBatches[(Timestamp, String, Double)](
+      Seq(
+        Seq((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(40), "view", 3.0)),
+        Seq((ts(125), "click", 9.0))),
+      df => Streams.windowedEventStats(
+        df.toDF("ts", "event_type", "value")),
+      OutputMode.Append())
+    val byType = rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    assert(byType === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    // the 2h event's window is still open — not emitted
+    assert(rows.forall(_.getAs[Timestamp]("window_start").getTime < 3600000L))
+  }
+
+  test("windowed stats: late event beyond the watermark is dropped") {
+    val rows = runBatches[(Timestamp, String, Double)](
+      Seq(
+        Seq((ts(5), "click", 1.0)),
+        Seq((ts(125), "click", 1.0)), // watermark → 1h55 — window [0,1h) closes
+        Seq((ts(10), "click", 100.0)), // late by nearly 2h → dropped
+        Seq((ts(250), "click", 1.0))), // push watermark past [2h,3h)
+      df => Streams.windowedEventStats(df.toDF("ts", "event_type", "value")),
+      OutputMode.Append())
+    val first = rows.filter(_.getAs[Timestamp]("window_start").getTime == 0L)
+    assert(first.length === 1)
+    assert(first.head.getAs[Long]("n") === 1L) // late row did NOT count
+  }
+
+  test("session_window: gap-based sessions close at watermark") {
+    val rows = runBatches[(Timestamp, Long)](
+      Seq(
+        // user 1: events at 0,10,20min (one session), then 70min (new session)
+        Seq((ts(0), 1L), (ts(10), 1L), (ts(20), 1L), (ts(70), 1L)),
+        // advance watermark far enough to close everything open
+        Seq((ts(300), 2L)),
+        Seq((ts(600), 2L))),
+      df => Streams.sessionWindows(df.toDF("ts", "user_id")),
+      OutputMode.Append())
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[Timestamp]("session_start").getTime / 60000,
+        r.getAs[Long]("n_events"))).sortBy(_._1)
+    assert(u1 === Array((0L, 3L), (70L, 1L)))
+  }
+
+  test("dedupStream drops repeated content within the watermark") {
+    val rows = runBatches[(Timestamp, Long, String)](
+      Seq(
+        Seq((ts(1), 1L, "same text"), (ts(2), 2L, "same text"),
+          (ts(3), 3L, "other text")),
+        Seq((ts(4), 4L, "same text"))), // still within horizon → dropped
+      df => Streams.dedupStream(df.toDF("ts", "doc_id", "text")),
+      OutputMode.Append())
+    val texts = rows.map(_.getAs[String]("text")).sorted
+    assert(texts === Array("other text", "same text"))
+  }
+
+  test("custom sessionizer: closed sessions emitted, open session held") {
+    val rows = runBatches[Streams.Event](
+      Seq(
+        // note: start at 1min, not 0 — an event timestamped exactly at the
+        // initial watermark (0) is dropped as late by the state operator
+        Seq(Streams.Event(1L, ts(1)), Streams.Event(1L, ts(10))),
+        // 31-min gap → new session; old one closes on the NEXT batch's
+        // watermark advance (event-time timeout)
+        Seq(Streams.Event(1L, ts(41))),
+        Seq(Streams.Event(2L, ts(300))),
+        Seq(Streams.Event(2L, ts(600)))),
+      df => {
+        val ds = df.as[Streams.Event]
+        Streams.sessionizeCustom(spark, ds).toDF()
+      },
+      OutputMode.Append())
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[Long]("start_sec") / 60, r.getAs[Long]("end_sec") / 60,
+        r.getAs[Long]("n_events"))).sortBy(_._1)
+    assert(u1.contains((1L, 10L, 2L))) // first session: 2 events, 1..10min
+  }
+
+  test("incrementalCollection: file stream builds an embedded collection") {
+    val base = Files.createTempDirectory("graft-stream-").toString
+    val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text").write.parquet(src)
+    val q = Streams.incrementalCollection(spark, src, idx, chk, embedDim = 8)
+    q.awaitTermination()
+    val out = spark.read.parquet(idx)
+    assert(out.count() === 2)
+    assert(out.select(size(col("embedding"))).as[Int].head() === 8)
+    // second increment: a new file appears → only the new rows append
+    Seq((3L, "eta theta iota")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q2 = Streams.incrementalCollection(spark, src, idx, chk, embedDim = 8)
+    q2.awaitTermination()
+    assert(spark.read.parquet(idx).count() === 3)
+    assert(spark.read.parquet(idx).select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+  }
+}
