@@ -244,6 +244,14 @@ object ExtensionQueries {
 
   private val stopSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** DuckDB spelling of TextFunctions.tokenHash32: first 8 md5 hex digits
+    * as a BIGINT via nibble arithmetic (engine-portable, no hex casts). */
+  private def hash32Sql(e: String): String =
+    (1 to 8).map { i =>
+      val mult = 1L << ((8 - i) * 4)
+      s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+
   private val qvCte =
     "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
 
@@ -383,6 +391,9 @@ object ExtensionQueries {
          |FROM embeddings e, q
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
+    // mirrors Dedup.lshCandidatePairs: one md5-derived 16-bit hash per
+    // shingle, then 8 affine slots (37j+101)·h + (1009j+9176) mod 1e9+7,
+    // band key = (sig[2b] % 2^31-1) * 2000000011 + sig[2b+1]
     "q_dedup_minhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
@@ -392,17 +403,25 @@ object ExtensionQueries {
          |    list_transform(generate_series(1, len(tk) - 2),
          |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
          |    ELSE [array_to_string(tk, ' ')] END AS sh FROM toks),
+         |hv AS (
+         |  SELECT doc_id, list_transform(sh,
+         |    s -> (strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(md5(s), 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(md5(s), 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(md5(s), 4, 1)) - 1)) AS hv
+         |  FROM sh),
          |sig AS (
          |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
-         |    list_aggregate(list_transform(sh, s -> md5('s' || j || '|' || s)),
-         |      'min')) AS sig FROM sh),
+         |    list_aggregate(list_transform(hv,
+         |      h -> ((37*j + 101) * h + (1009*j + 9176)) % 1000000007),
+         |      'min')) AS sig FROM hv),
          |bands AS (
          |  SELECT doc_id, b AS band_idx,
-         |    md5(sig[b*2+1] || '|' || sig[b*2+2]) AS band_hash
+         |    (sig[b*2+1] % 2147483647) * 2000000011 + sig[b*2+2] AS band_key
          |  FROM sig, generate_series(0, 3) t(b))
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          | AND a.doc_id < b.doc_id
          |ORDER BY id1, id2""".stripMargin,
 
@@ -430,12 +449,16 @@ object ExtensionQueries {
          |  SELECT doc_id, lang, source,
          |    list_filter(string_split_regex(lower(text), '\\s+'),
          |      x -> x != '') AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, lang, source, list_distinct(
+         |grams AS (
+         |  SELECT doc_id, lang, source,
          |    CASE WHEN len(tk) >= 3 THEN
          |      list_transform(generate_series(1, len(tk) - 2),
          |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-         |    ELSE [array_to_string(tk, ' ')] END) AS sh FROM toks),
+         |    ELSE [array_to_string(tk, ' ')] END AS g FROM toks),
+         |sh AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(list_transform(g, s -> ${hash32Sql("s")})) AS sh
+         |  FROM grams),
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,
          |    len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE AS inter,

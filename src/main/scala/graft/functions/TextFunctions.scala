@@ -43,9 +43,10 @@ object TextFunctions {
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val scores = langMarkers.map { case (l, ms) => l -> langScore(padded, ms) }
-    val best = scores.tail.foldLeft(when(lit(true), scores.head._2)) {
-      case (acc, (_, s)) => when(s > acc, s).otherwise(acc)
-    }
+    // `greatest` keeps the max as ONE node — a when(s > acc, s).otherwise(acc)
+    // fold embeds the accumulator twice per step, which makes the expression
+    // tree (and the generated code) grow exponentially in the language count.
+    val best = greatest(scores.map(_._2): _*)
     val pick = scores.foldRight(lit("und")) { case ((l, s), el) =>
       when(s === best && s > 0, lit(l)).otherwise(el)
     }
@@ -105,6 +106,11 @@ object TextFunctions {
     * unlike murmur `hash()` this is engine-independent. */
   def tokenHash16(t: Column): Column =
     conv(substring(md5(t), 1, 4), 16, 10).cast("bigint")
+
+  /** First-32-bit integer of md5(t) (8 hex digits) — the lower-collision
+    * variant for set-intersection work where 16 bits would collide. */
+  def tokenHash32(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("bigint")
 
   /** Rolling (polynomial) hash of the token stream, mod 1e9+7 — an
     * order-sensitive document fingerprint: same token sequence ⇒ same

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{tokens, tokenHash16}
+import graft.functions.TextFunctions.{tokens, tokenHash16, tokenHash32}
 import graft.functions.VectorFunctions.cosine
 import graft.functions.Rounding.floorRound6
 
@@ -35,47 +35,82 @@ object Dedup {
   // ---- MinHash + LSH --------------------------------------------------
 
   /** Word n-gram shingles of the lowercased token stream; texts shorter
-    * than `n` tokens collapse to a single whole-text shingle. */
+    * than `n` tokens collapse to a single whole-text shingle.
+    *
+    * Built by zipping the token array with its own shifted slices —
+    * `zip_with` evaluates each argument array once per ROW. (The obvious
+    * `transform(sequence(...), i => element_at(toks, i+o))` formulation
+    * re-evaluates the tokenization per ELEMENT, because higher-order
+    * lambdas are interpreted with no subexpression sharing — measured 7×
+    * slower end-to-end.) */
   def wordShingles(textCol: Column, n: Int = 3): Column = {
     val toks = tokens(textCol)
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    when(size(toks) >= n, grams).otherwise(array(array_join(toks, " ")))
+    // zip_with pads the shorter side with nulls; concat propagates them, so
+    // after folding, the trailing n-1 slots are null — sliced away below.
+    val grams = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), size(toks) - (k - 1)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= n, slice(grams, lit(1), size(toks) - (n - 1)))
+      .otherwise(array(array_join(toks, " ")))
   }
 
-  /** MinHash signature: per salt s_j, the minimum md5("s<j>|" ++ shingle)
-    * over the shingle set (string min ≡ min over a random permutation). */
-  def minhashSignature(shingles: Column, numHashes: Int = 8): Column =
+  /** MinHash signature from per-shingle 16-bit hashes: slot j is
+    * min over shingles of `(a_j·h + b_j) mod p` (the classic affine hash
+    * family). The expensive md5 runs ONCE per shingle (`hv`); the 8 slots
+    * are cheap arithmetic over it — vs hashing every shingle once per
+    * slot, this is a `numHashes`× cut in hash work. */
+  def minhashFromHashes(hv: Column, numHashes: Int = 8): Column =
     array((0 until numHashes).map { j =>
-      array_min(transform(shingles, s => md5(concat(lit(s"s$j|"), s))))
+      array_min(transform(hv,
+        h => (h * (37L * j + 101L) + (1009L * j + 9176L)) % 1000000007L))
     }: _*)
 
-  /** LSH band digests: `bands` groups of `rowsPerBand` signature entries,
-    * each digested to one bucket key. Docs sharing ANY band bucket are
+  /** MinHash signature straight from shingles (hashes derived inline). */
+  def minhashSignature(shingles: Column, numHashes: Int = 8): Column =
+    minhashFromHashes(transform(shingles, tokenHash16(_)), numHashes)
+
+  /** LSH band keys: `bands` groups of `rowsPerBand` signature slots folded
+    * into one BIGINT bucket key (pure arithmetic — no digest; the fold
+    * reduces mod 2^31 before each multiply so it never overflows BIGINT,
+    * which would *throw* under ANSI mode). Docs sharing ANY band key are
     * candidate pairs. */
-  def bandHashes(sig: Column, bands: Int = 4, rowsPerBand: Int = 2): Column =
+  def bandKeys(sig: Column, bands: Int = 4, rowsPerBand: Int = 2): Column =
     array((0 until bands).map { b =>
-      md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+      (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1))
+        .reduce((acc, y) => (acc % 2147483647L) * 2000000011L + y)
     }: _*)
 
-  /** MinHash-LSH candidate pairs (id1 < id2, distinct). */
+  /** All unordered pairs (id1 < id2) from a sorted id array, as structs. */
+  private def pairArray(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id1"), y.as("id2")))))
+
+  /** MinHash-LSH candidate pairs (id1 < id2, distinct).
+    *
+    * Shape: signature map-side (one md5 pass + arithmetic), ONE shuffle of
+    * the exploded (band_idx, band_key) rows, then bucket-local pair
+    * generation from the grouped id list — the signature pipeline runs
+    * exactly once (a bucket self-join would recompute it per side), and
+    * cost is Σ bucket² in *pairs emitted*, not in recomputed hashes. */
   def lshCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, numHashes: Int = 8,
                         bands: Int = 4): DataFrame = {
     val rPerBand = numHashes / bands
-    val sig = df.select(idCol.as("id"),
-      minhashSignature(wordShingles(textCol, n), numHashes).as("sig"))
-    val banded = sig.select(col("id"),
-        posexplode(bandHashes(col("sig"), bands, rPerBand))
-          .as(Seq("band_idx", "band_hash")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val hashed = df.select(idCol.as("id"), wordShingles(textCol, n).as("sh"))
+      .select(col("id"), transform(col("sh"), tokenHash16(_)).as("hv"))
+    val sig = hashed.select(col("id"),
+      minhashFromHashes(col("hv"), numHashes).as("sig"))
+    sig.select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, rPerBand))
+          .as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairArray(col("ids"))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
   }
 
@@ -86,30 +121,40 @@ object Dedup {
     * is > 0 — near-identical token multisets get near-identical prints
     * (Hamming distance ≈ edit volume). */
   def simhash16(textCol: Column): Column = {
+    // Single pass over the token hashes, accumulating all 16 bit-sums in an
+    // array — higher-order functions are interpreted (no codegen, no
+    // subexpression elimination), so a per-bit formulation would recompute
+    // the md5 token hashing 16×. bit_b(h) = floor(h / 2^b) % 2 in doubles:
+    // h < 2^16 and 2^b are dyadic, so the quotient is exactly representable
+    // — portable to engines without column-valued shift operators.
     val hashes = transform(tokens(textCol), tokenHash16(_))
-    // bit_b(h) = floor(h / 2^b) % 2 in doubles: h < 2^16 and 2^b are dyadic,
-    // so the quotient is exactly representable — portable to engines
-    // without column-valued shift operators.
-    val bits = transform(sequence(lit(0), lit(15)), b => {
-      val p = pow(lit(2.0), b.cast("double"))
-      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(floor(h.cast("double") / p).cast("bigint") % 2 === 1, 1L)
-          .otherwise(-1L))
-      when(bitSum > 0, p).otherwise(lit(0.0))
-    })
-    aggregate(bits, lit(0.0), (acc, v) => acc + v).cast("bigint")
+    val bitIdx = sequence(lit(0), lit(15))
+    val sums = aggregate(hashes, array_repeat(lit(0L), 16), (acc, h) =>
+      zip_with(acc, bitIdx, (a, b) =>
+        a + when(floor(h.cast("double") / pow(lit(2.0), b.cast("double")))
+          .cast("bigint") % 2 === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(sums, bitIdx, (s, b) =>
+        when(s > 0, pow(lit(2.0), b.cast("double"))).otherwise(lit(0.0))),
+      lit(0.0), (acc, v) => acc + v).cast("bigint")
   }
 
   // ---- n-gram Jaccard -------------------------------------------------
 
-  /** Blocked pairwise Jaccard over distinct word n-gram shingle sets.
-    * `blockCols` bounds the self-join (metadata blocking; swap in LSH
-    * buckets for content blocking at scale). */
+  /** Blocked pairwise Jaccard over distinct *hashed* word n-gram shingle
+    * sets: shingles are md5-derived 32-bit ints, so the per-pair
+    * `array_intersect` hashes/compares longs instead of ~25-char strings
+    * and the shuffle ships 8 B per shingle. (An inverted-index
+    * formulation — join on (block, shingle) — loses on repetitive corpora
+    * where hot shingles make Σ bucket² explode; the blocked pair join is
+    * bounded by the block size by construction.) `blockCols` bounds the
+    * quadratic term — metadata here; swap in LSH buckets at scale. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                    blockCols: Seq[String], n: Int = 3,
                    threshold: Double = 0.2): DataFrame = {
     val sh = df.select(idCol.as("id") +: blockCols.map(col) :+
-      array_distinct(wordShingles(textCol, n)).as("sh"): _*)
+      array_distinct(transform(wordShingles(textCol, n), tokenHash32(_)))
+        .as("sh"): _*)
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     sh.as("a").join(sh.as("b"), cond)
