@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, Dedup, Knn, Multimodal, TopK}
+import graft.operators.{Ann, Dedup, Knn, Multimodal, Sampling, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -205,6 +206,51 @@ object ExtensionQueries {
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metaColumns(
           Multimodal.attachPayload(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    // ---- feature-hash text embedding (V1's dataflow, fully in-engine and
+    // oracle-checked). Map-side only; exploded to scalars for bit-stable
+    // cross-engine comparison.
+    "q_feature_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(featureHashEmbeddingD(col("text"), 8)).as(Seq("pos", "v")))
+        .select(col("doc_id"), col("pos"), floorRound6(col("v")).as("v"))
+        .orderBy("doc_id", "pos")),
+
+    // ---- IVF approximate kNN: probe the 2 nearest label-centroid cells,
+    // exact top-k within (partition pruning when the table is partitioned
+    // by cell). Approximate + float-avg centroids ⇒ rows-only check, per
+    // SURVEY §5.2; recall is asserted in KnnSpec.
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.centroids(emb, col("label"), col("embedding"))
+      Ann.ivfTopK(emb, col("label"), col("embedding"), cents,
+          queryVec(s, d), k = 10, nProbe = 2)
+        .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
+    // ---- deterministic uniform hash-sample: map-side filter, no shuffle,
+    // reproducible row set on any cluster layout.
+    "q_sample_hash" -> ((s, d) =>
+      Sampling.hashSample(Tables.documents(s, d), col("doc_id"), 0.25)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // ---- deterministic stratified sample: exactly 20 docs per lang in
+    // md5 order. One shuffle on the stratum key.
+    "q_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), Seq("lang"),
+          col("doc_id"), perStratum = 20)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // ---- token-budget shard packing: running token sum per source cut
+    // into ~1000-token bins; one window over one shuffle.
+    "q_pack_token_budget" -> ((s, d) =>
+      Sampling.packByTokenBudget(
+          Tables.documents(s, d)
+            .withColumn("n_tokens", tokenCountWs(col("text"))),
+          col("source"), col("doc_id"), col("n_tokens"), budget = 1000L)
+        .select(col("doc_id"), col("source"), col("cum_tokens"), col("bin"))
         .orderBy("doc_id"))
   )
 
@@ -244,13 +290,15 @@ object ExtensionQueries {
 
   private val stopSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
-  /** DuckDB spelling of TextFunctions.tokenHash32: first 8 md5 hex digits
-    * as a BIGINT via nibble arithmetic (engine-portable, no hex casts). */
-  private def hash32Sql(e: String): String =
-    (1 to 8).map { i =>
-      val mult = 1L << ((8 - i) * 4)
+  /** DuckDB spelling of TextFunctions.tokenHash16/32: first `digits` md5
+    * hex digits as a BIGINT via nibble arithmetic (portable, no hex casts). */
+  private def hashNSql(e: String, digits: Int): String =
+    (1 to digits).map { i =>
+      val mult = 1L << ((digits - i) * 4)
       s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $mult"
     }.mkString("(", " + ", ")")
+  private def hash16Sql(e: String): String = hashNSql(e, 4)
+  private def hash32Sql(e: String): String = hashNSql(e, 8)
 
   private val qvCte =
     "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
@@ -495,6 +543,52 @@ object ExtensionQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_feature_hash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |bk AS (
+         |  SELECT doc_id, list_transform(tk, t -> ${hash16Sql("t")} % 8) AS b
+         |  FROM toks),
+         |cnt AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 7),
+         |    i -> len(list_filter(b, x -> x = i))::DOUBLE) AS c FROM bk),
+         |n AS (
+         |  SELECT doc_id, c,
+         |    sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM cnt)
+         |SELECT doc_id, g AS pos,
+         |  ${graft.functions.Rounding.floorRoundSql(
+              "CASE WHEN nrm > 0 THEN c[g+1] / nrm ELSE 0.0 END", 6)} AS v
+         |FROM n, generate_series(0, 7) t(g)
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${hash16Sql("doc_id::VARCHAR")} < 16384
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q_pack_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x != '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, cum_tokens,
+        |  ((cum_tokens - n_tokens) // 1000)::BIGINT AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

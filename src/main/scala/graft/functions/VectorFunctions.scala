@@ -50,4 +50,28 @@ object VectorFunctions {
 
   /** Cosine distance = 1 - cosine similarity. */
   def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)
+
+  /** Deterministic feature-hash embedding in DOUBLE: token → md5-derived
+    * bucket → L2-normalized count vector. Stands in for the external
+    * sentence-transformer (SURVEY §2.3 V1 is a model call, outside the
+    * engine) with the same dataflow shape, and is exactly reproducible in
+    * the DuckDB oracle.
+    *
+    * Single aggregate pass accumulates all `dim` counts at once — a
+    * per-dimension `filter(buckets, _ === i)` would re-run the tokenize +
+    * md5 pipeline per DIMENSION (interpreted HOFs share nothing). */
+  def featureHashEmbeddingD(textCol: Column, dim: Int): Column = {
+    import graft.functions.TextFunctions.{tokens, tokenHash16}
+    val buckets = transform(tokens(textCol), t => tokenHash16(t) % dim)
+    val dimIdx = sequence(lit(0L), lit(dim - 1L))
+    val counts = aggregate(buckets, array_repeat(lit(0.0), dim), (acc, b) =>
+      zip_with(acc, dimIdx, (a, i) =>
+        a + when(i === b, lit(1.0)).otherwise(lit(0.0))))
+    val nrm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
+    transform(counts, x => when(nrm > 0, x / nrm).otherwise(lit(0.0)))
+  }
+
+  /** [[featureHashEmbeddingD]] cast to the `ARRAY<FLOAT>` storage type. */
+  def featureHashEmbedding(textCol: Column, dim: Int): Column =
+    transform(featureHashEmbeddingD(textCol, dim), _.cast("float"))
 }

@@ -181,15 +181,8 @@ object HrPipeline {
     * external sentence-transformer (V1 is a model call, outside the
     * engine — SURVEY §2.3); exercises the identical dataflow with the
     * real 384-dim shape swapped for `dim`. */
-  def featureHashEmbedding(textCol: Column, dim: Int): Column = {
-    import graft.functions.TextFunctions.{tokens, tokenHash16}
-    val buckets = transform(tokens(textCol), t => tokenHash16(t) % dim)
-    val counts = transform(sequence(lit(0), lit(dim - 1)),
-      i => size(filter(buckets, b => b === i.cast("bigint"))).cast("double"))
-    val nrm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
-    transform(counts, x => when(nrm > 0, x / nrm).otherwise(lit(0.0))
-      .cast("float"))
-  }
+  def featureHashEmbedding(textCol: Column, dim: Int): Column =
+    graft.functions.VectorFunctions.featureHashEmbedding(textCol, dim)
 
   /** Build the embedding-ready collection: validity filter → doc text (on
     * the nested schema) → flat metadata + `doc_type` tag → union of

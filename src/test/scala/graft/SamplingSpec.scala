@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.featureHashEmbeddingD
+import graft.operators.Sampling
+
+/** Sampling / packing operator semantics + feature-hash embedding laws. */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = (1L to 200L)
+    .map(i => (i, s"lang${i % 4}", s"src${i % 3}", "tok " * (i % 30).toInt))
+    .toDF("doc_id", "lang", "source", "text")
+
+  test("hashSample is deterministic and roughly proportional") {
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.hashSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a === b)
+    assert(a.length > 20 && a.length < 80) // ~50 expected of 200
+    // monotone: a higher rate strictly contains a lower rate
+    val wide = Sampling.hashSample(docs, col("doc_id"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.forall(wide.contains))
+  }
+
+  test("stratifiedSample returns exactly k rows per stratum, stable") {
+    val s1 = Sampling.stratifiedSample(docs, Seq("lang"), col("doc_id"), 10)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet === Set(10L))
+    val s2 = Sampling.stratifiedSample(docs, Seq("lang"), col("doc_id"), 10)
+    assert(s1.select("doc_id").as[Long].collect().sorted
+      === s2.select("doc_id").as[Long].collect().sorted)
+  }
+
+  test("packByTokenBudget: bins are contiguous and respect the budget") {
+    val packed = Sampling.packByTokenBudget(
+      docs.withColumn("n_tokens", lit(7)),
+      col("source"), col("doc_id"), col("n_tokens"), budget = 20L)
+    val rows = packed.select("source", "doc_id", "cum_tokens", "bin")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.values.foreach { grp =>
+      val sorted = grp.sortBy(_._2)
+      // running sum advances by 7 per row within the group
+      assert(sorted.zipWithIndex.forall { case ((_, _, cum, _), i) =>
+        cum === 7L * (i + 1) })
+      // bin ids are non-decreasing, start at 0, and each bin's pre-row
+      // token count is under budget
+      assert(sorted.head._4 === 0L)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => b._4 >= a._4; case _ => true })
+      assert(sorted.forall { case (_, _, cum, bin) => (cum - 7) / 20 === bin })
+    }
+  }
+
+  test("featureHashEmbeddingD: unit norm, deterministic, dim-sized") {
+    val out = docs.filter(length(col("text")) > 0)
+      .select(featureHashEmbeddingD(col("text"), 8).as("e"))
+      .as[Seq[Double]].collect()
+    out.foreach { e =>
+      assert(e.length === 8)
+      val n = math.sqrt(e.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+    // empty text → zero vector, not NaN
+    val z = Seq("").toDF("text")
+      .select(featureHashEmbeddingD(col("text"), 8).as("e"))
+      .as[Seq[Double]].head()
+    assert(z === Seq.fill(8)(0.0))
+  }
+}
