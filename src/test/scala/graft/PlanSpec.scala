@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests on the sf0.001 tables: the properties
+  * that make these queries survive a 100 TB scale-up — predicate pushdown
+  * into the parquet scan, column pruning, broadcast of dimension sides,
+  * map-side partial aggregation, and heap-based top-k (no global sort) —
+  * asserted so they can't silently regress. */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("categorical filter is pushed into the parquet scan") {
+    val p = plan(SparkEntry.queries("q_filter_categorical")(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+  }
+
+  test("projection prunes the scan to referenced columns only") {
+    val p = plan(SparkEntry.queries("q_keyword_count")(spark, dir))
+    // documents has 5 columns; only doc_id + text must be read
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("kNN compiles to TakeOrderedAndProject with the filter pushed down") {
+    val p = plan(SparkEntry.queries("q_knn_filtered")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
+    assert(p.contains("EqualTo(label,3)"), p) // pre-filter reached the scan
+  }
+
+  test("flagship entry: top-k heap, no global sort, pruned scan") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("EqualTo(label,5)"), p)
+  }
+
+  test("dimension joins broadcast the small sides") {
+    val p = plan(SparkEntry.queries("q_join_broadcast_dims")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("TPC-H Q1 aggregation is map-side partial then final") {
+    val p = plan(SparkEntry.queries("q_agg_tpch_q1")(spark, dir))
+    assert(p.contains("partial_sum"), p) // map-side combine before shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // shipdate filter reaches the scan
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("exact dedup aggregates on the digest (shuffle on uniform key)") {
+    val p = plan(SparkEntry.queries("q_dedup_exact")(spark, dir))
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("hash sample is a map-side filter — no shuffle before the scan output") {
+    val df = graft.operators.Sampling.hashSample(
+      Tables.documents(spark, dir), col("doc_id"), 0.25)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("whole-stage codegen covers the scalar query pipelines") {
+    Seq("q_filter_ci_eq", "q_concat_template", "q_when_otherwise").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      // AQE keeps the plan adaptive until executed — collect() finalizes
+      // this df's own QueryExecution (a sink write would spawn a new one)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WholeStageCodegen") || p.contains("*("), s"$q:\n$p")
+    }
+  }
+}
