@@ -26,10 +26,15 @@ import graft.functions.VectorFunctions._
   */
 object Knn {
 
-  /** Attach a rounded L2 distance column (deterministic; SURVEY §2.8 rule 3). */
+  /** Attach a rounded L2 distance column (deterministic; SURVEY §2.8 rule 3).
+    * Uses the native codegen'd [[graft.plans.L2Distance]] — bit-identical to
+    * the higher-order [[graft.functions.VectorFunctions.l2]] (same
+    * left-to-right double fold) but a primitive loop instead of an
+    * interpreted lambda per element. */
   def withL2Distance(df: DataFrame, vecCol: Column, query: Seq[Double],
                      distName: String = "dist"): DataFrame =
-    df.withColumn(distName, round(l2(vecCol, typedlit(query)), 6))
+    df.withColumn(distName,
+      round(graft.plans.NativeFunctions.l2Native(vecCol, typedlit(query)), 6))
 
   /** Exact top-k by L2 distance with optional pre-filter.
     * Ties broken by `tieBreak` for determinism (SURVEY §2.8 rule 1). */

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSessionExtensions}
+
+/** Native codegen'd L2 distance over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>`.
+  *
+  * The higher-order-function formulation ([[graft.functions.VectorFunctions.l2]])
+  * is interpreted: per row it allocates a zipped array, then folds with a
+  * lambda dispatch per element. This expression generates a tight
+  * primitive loop instead — same semantics bit-for-bit (left-to-right
+  * double accumulation, matching SURVEY §2.8 rule 3 and the DuckDB
+  * oracle):
+  *  - element-wise (x−y)² accumulated in DOUBLE, then sqrt;
+  *  - NULL if either side is NULL, lengths differ, or any element is NULL
+  *    (exactly what zip_with's null-padding + aggregate propagation gives).
+  *
+  * This is the §7.3 "custom Expression" escalation: used only because the
+  * built-in operators can't express a fused primitive loop — everything
+  * around it (filter, top-k) stays built-in.
+  */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_native"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val (af, bf) = (isFloat(left), isFloat(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = $getA - $getB;
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API access to the native expressions (no session registration
+  * needed), plus a [[SparkSessionExtensions]] hook for SQL access. */
+object NativeFunctions {
+  def l2Native(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      L2Distance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` registers the native
+  * functions for SQL use: `SELECT l2_native(embedding, query) ...`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("l2_native"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_native"),
+      (children: Seq[Expression]) => L2Distance(children.head, children(1))))
+  }
+}
