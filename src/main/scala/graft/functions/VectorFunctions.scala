@@ -68,7 +68,10 @@ object VectorFunctions {
       zip_with(acc, dimIdx, (a, i) =>
         a + when(i === b, lit(1.0)).otherwise(lit(0.0))))
     val nrm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
-    transform(counts, x => when(nrm > 0, x / nrm).otherwise(lit(0.0)))
+    // nrm rides along as a zip argument (evaluated once per row) — naming it
+    // inside the lambda would re-run the whole count aggregation per ELEMENT
+    zip_with(counts, array_repeat(nrm, dim),
+      (x, nn) => when(nn > 0, x / nn).otherwise(lit(0.0)))
   }
 
   /** [[featureHashEmbeddingD]] cast to the `ARRAY<FLOAT>` storage type. */
