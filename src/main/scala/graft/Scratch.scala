@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
 import graft.operators.Dedup
+import graft.plans.NativeFunctions
 
 /** Scratch profiling main — not part of the driver contract. */
 object Scratch {
@@ -20,59 +22,37 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
     val docs = Tables.documents(spark, d)
     docs.count()
-    println("[scratch] docs stats:")
-    docs.select(count(lit(1)), avg(length(col("text"))),
-      max(length(col("text")))).show()
-    time("warm")(noop(docs.select(col("doc_id"))))
 
-    time("tokens")(noop(docs.select(tokens(col("text")).as("t"))))
-    time("shingles")(noop(docs.select(
-      Dedup.wordShingles(col("text"), 3).as("s"))))
-    time("shingles+hash32")(noop(docs.select(
-      transform(Dedup.wordShingles(col("text"), 3), tokenHash32(_)).as("s"))))
-    val sh = docs.select(col("doc_id"), col("lang"), col("source"),
-      array_distinct(transform(Dedup.wordShingles(col("text"), 3),
-        tokenHash32(_))).as("sh"))
-    time("sh full")(noop(sh))
-    val cached = sh.cache()
-    time("sh cache")(noop(cached))
-    val cond = col("a.lang") === col("b.lang") &&
-      col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
-    time("join+intersect (cached)")(noop(
-      cached.as("a").join(cached.as("b"), cond)
-        .select(col("a.doc_id"), col("b.doc_id"),
-          size(array_intersect(col("a.sh"), col("b.sh"))).as("i"))))
-    time("join only (cached)")(noop(
-      cached.as("a").join(cached.as("b"), cond)
-        .select(col("a.doc_id"), col("b.doc_id"))))
-    time("full jaccardPairs")(noop(Dedup.jaccardPairs(docs, col("doc_id"),
-      col("text"), Seq("lang", "source"), 3, 0.2)))
+    // does the jaccard self-join reuse the exchange?
+    val jp = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+      Seq("lang", "source"), 3, 0.2)
+    jp.collect()
+    val p = jp.queryExecution.executedPlan.toString
+    println("[scratch] jaccard ReusedExchange: " + p.contains("ReusedExchange"))
+    println("[scratch] jaccard joins: " +
+      "SortMergeJoin\\(|BroadcastHashJoin".r.findAllIn(p).size)
 
-    time("langid cold")(noop(docs.select(langId(col("text")).as("l"))))
-    time("langid warm")(noop(docs.select(langId(col("text")).as("l"))))
-    val lidPlan = docs.select(langId(col("text")).as("l"))
-      .queryExecution.executedPlan.toString
-    println("[scratch] langid codegen: " + lidPlan.contains("WholeStageCodegen"))
-    println(lidPlan.linesIterator.take(6).mkString("\n"))
-    time("cjk only")(noop(docs.select(cjkCount(col("text")).as("c"))))
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    time("1 substrCount")(noop(docs.select(
-      substrCount(padded, " the ").as("c"))))
-    time("12 substrCount")(noop(docs.select(
-      langMarkers.flatMap(_._2).map(m => substrCount(padded, m)).reduce(_ + _)
-        .as("c"))))
-    time("minhash full")(noop(Dedup.lshCandidatePairs(docs, col("doc_id"),
-      col("text"))))
-    val hv = docs.select(col("doc_id"),
-      transform(Dedup.wordShingles(col("text"), 3), tokenHash16(_)).as("hv"))
-    time("minhash hv only")(noop(hv))
-    time("minhash sig from hv")(noop(hv.select(col("doc_id"),
-      Dedup.minhashFromHashes(col("hv"), 8).as("sig"))))
+    // native vs HOF L2 at realistic vector scale: 200k x 128-dim
+    val vecs = spark.range(200000).select(col("id"),
+      transform(sequence(lit(0), lit(127)),
+        i => ((col("id") * 31 + i * 7) % 997).cast("double") / 997.0)
+        .as("v")).cache()
+    vecs.count()
+    val q = (0 until 128).map(i => (i * 13 % 997) / 997.0)
+    time("L2 HOF 200k x 128")(noop(
+      vecs.select(VectorFunctions.l2(col("v"), typedlit(q)).as("d"))))
+    time("L2 native 200k x 128")(noop(
+      vecs.select(NativeFunctions.l2Native(col("v"), typedlit(q)).as("d"))))
+    time("topk native 200k x 128")(
+      vecs.select(col("id"),
+        NativeFunctions.l2Native(col("v"), typedlit(q)).as("d"))
+        .orderBy(col("d").asc, col("id").asc).limit(10).collect())
     spark.stop()
   }
 }

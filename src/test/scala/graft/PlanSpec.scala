@@ -67,6 +67,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("written collection prunes doc_type partitions on the pre-filter") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-").toString
+    val coll = Seq(("E1", "employee", "d1"), ("J1", "job", "d2"))
+      .toDF("id", "doc_type", "document")
+      .withColumn("embedding", array(lit(1f), lit(0f)))
+    graft.sources.HrPipeline.writeCollection(coll, s"$tmp/idx", numFiles = 2)
+    val p = plan(spark.read.parquet(s"$tmp/idx")
+      .filter(col("doc_type") === "employee"))
+    // the categorical pre-filter must become a PartitionFilter (whole
+    // directories skipped), not a post-scan Filter
+    assert(p.contains("PartitionFilters: [isnotnull(doc_type"), p)
+    assert(p.contains("doc_type#") && p.contains("= employee)"), p)
+  }
+
   test("whole-stage codegen covers the scalar query pipelines") {
     Seq("q_filter_ci_eq", "q_concat_template", "q_when_otherwise").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
