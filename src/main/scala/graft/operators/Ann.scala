@@ -51,4 +51,28 @@ object Ann {
     Knn.knnExact(df.filter(cellCol.isin(cells: _*)), vecCol, query, k,
       preFilter = None, tieBreak = tieBreak)
   }
+
+  /** Assign every vector to its nearest centroid (the IVF index-build
+    * step): broadcast the centroid table, native-L2 per (row, cell),
+    * `min_by` argmin with a deterministic (dist, cell) tiebreak. Work is
+    * rows × cells distance evaluations, all map-side against the
+    * broadcast; one shuffle for the argmin aggregation. */
+  def assignCells(df: DataFrame, idCol: Column, vecCol: Column,
+                  cents: DataFrame): DataFrame = {
+    import graft.plans.NativeFunctions.l2Native
+    val assigned = df.select(idCol.as("_aid"), vecCol.as("_avec"))
+      .crossJoin(broadcast(cents.select(col("cell"), col("centroid"))))
+      .withColumn("_cdist", l2Native(col("_avec"), col("centroid")))
+      .groupBy(col("_aid"))
+      .agg(min_by(col("cell"), struct(col("_cdist"), col("cell"))).as("cell"))
+    df.join(assigned, idCol === col("_aid")).drop("_aid")
+  }
+
+  /** Persist the collection partitioned by cell id: each IVF cell is a
+    * directory, so [[ivfTopK]]'s probe filter becomes a PartitionFilter —
+    * at 100 TB a probe touches nProbe/nCells of the files, verified in
+    * PlanSpec. */
+  def writePartitioned(df: DataFrame, dir: String): Unit =
+    df.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
 }

@@ -83,4 +83,30 @@ class KnnSpec extends SparkSuite {
     assert(ivf.select("vec_id").as[Long].collect().sorted
       === exact.select("vec_id").as[Long].collect().sorted)
   }
+
+  test("assignCells reassigns vectors to their nearest centroid") {
+    val cents = Ann.centroids(clustered, col("cell"), col("embedding"))
+    val assigned = Ann.assignCells(
+      clustered.drop("cell"), col("vec_id"), col("embedding"), cents)
+    // centroids came from the true clusters → assignment must recover them
+    val got = assigned.select("vec_id", "cell").as[(Long, Int)]
+      .collect().toMap
+    val want = clustered.select("vec_id", "cell").as[(Long, Int)]
+      .collect().toMap
+    assert(got === want)
+  }
+
+  test("partitioned IVF index: probe filter prunes cell directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    val cents = Ann.centroids(clustered, col("cell"), col("embedding"))
+    Ann.writePartitioned(clustered, s"$dir/ivf")
+    val idx = spark.read.parquet(s"$dir/ivf")
+    val q = Seq(10.05, 10.05)
+    val out = Ann.ivfTopK(idx, col("cell"), col("embedding"), cents, q,
+      k = 3, nProbe = 1)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(cell"), p) // dir pruning
+    assert(out.select("vec_id").as[Long].collect().sorted
+      === Array(3L, 4L, 5L))
+  }
 }
