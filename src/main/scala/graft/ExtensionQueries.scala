@@ -243,6 +243,16 @@ object ExtensionQueries {
           col("doc_id"), perStratum = 20)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
 
+    // ---- batch kNN join: top-5 corpus matches for each of 10 query rows
+    // in ONE plan (broadcast corpus + bounded-buffer per-query top-k) —
+    // the batched form of the reference's per-query loop.
+    "q_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.knnJoin(emb.filter(col("vec_id") < 10), col("vec_id"),
+          col("embedding"), emb, col("vec_id"), col("embedding"), k = 5)
+        .orderBy("query_id", "rn")
+    }),
+
     // ---- token-budget shard packing: running token sum per source cut
     // into ~1000-token bins; one window over one shuffle.
     "q_pack_token_budget" -> ((s, d) =>
@@ -574,6 +584,23 @@ object ExtensionQueries {
         |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS match_id,
+        |    round(sqrt(list_sum(list_transform(
+        |      generate_series(1, len(e.embedding)),
+        |      i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+        |         * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))), 6) AS dist
+        |  FROM q, embeddings e),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, match_id) AS rn FROM p)
+        |SELECT query_id, match_id, dist, rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "q_pack_token_budget" ->
       """WITH t AS (

@@ -69,4 +69,28 @@ object Knn {
   /** Reference overfetch heuristic: `k*5 if k*5 > 10 else 20`
     * (talent_recommender.py:28 — exact arithmetic preserved). */
   def overfetch(k: Int): Int = if (k * 5 > 10) k * 5 else 20
+
+  /** Batch kNN join: top-k corpus matches per QUERY ROW — the batched form
+    * of the reference's one-query-at-a-time loop (talent_recommender.py:26).
+    *
+    * Shape: corpus broadcast (swap in IVF-cell co-partitioning when the
+    * corpus outgrows a broadcast), native-L2 per pair map-side, then
+    * per-query top-k via the bounded-buffer [[TopK]] aggregator — the
+    * shuffle carries ≤ k rows per query per task instead of sorting the
+    * full |queries|×|corpus| pair table. Output: (query_id, match_id,
+    * dist, rn), rn 1-based by (dist asc, match_id asc). */
+  def knnJoin(queries: DataFrame, qIdCol: Column, qVecCol: Column,
+              corpus: DataFrame, cIdCol: Column, cVecCol: Column,
+              k: Int): DataFrame = {
+    import graft.plans.NativeFunctions.l2Native
+    val pairs = queries.select(qIdCol.as("query_id"), qVecCol.as("_qv"))
+      .crossJoin(broadcast(corpus.select(cIdCol.as("match_id"),
+        cVecCol.as("_cv"))))
+      .select(col("query_id"), col("match_id"),
+        (-round(l2Native(col("_qv"), col("_cv")), 6)).as("negdist"))
+    TopK.topKPerGroup(pairs.sparkSession, pairs,
+        "query_id", "match_id", "negdist", k)
+      .select(col("query_id"), col("match_id"),
+        (-col("negdist")).as("dist"), col("rn"))
+  }
 }

@@ -55,6 +55,21 @@ class KnnSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("knnJoin: per-query top-k matches the per-query exact kNN") {
+    val queries = vecs.filter(col("vec_id") < 2)
+    val joined = Knn.knnJoin(queries, col("vec_id"), col("embedding"),
+      vecs, col("vec_id"), col("embedding"), k = 3)
+      .orderBy("query_id", "rn")
+      .select("query_id", "match_id").as[(Long, Long)].collect()
+    // per query, must equal running knnExact individually
+    Seq(0L, 1L).foreach { qid =>
+      val q = Knn.vectorAt(vecs, col("vec_id"), qid, col("embedding"))
+      val solo = Knn.knnExact(vecs, col("embedding"), q, k = 3)
+        .select("vec_id").as[Long].collect()
+      assert(joined.filter(_._1 == qid).map(_._2) === solo)
+    }
+  }
+
   // ---- IVF (Ann) ------------------------------------------------------
 
   private def clustered = Seq(
