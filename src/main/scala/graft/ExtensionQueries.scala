@@ -201,6 +201,68 @@ object ExtensionQueries {
           "o_custkey", "o_orderkey", "o_totalprice", k = 3)
         .orderBy("o_custkey", "rn")),
 
+    // ---- relational completeness: semi/anti/outer joins, rollup, set ops.
+    // Semi/anti compile to broadcast/shuffled hash joins with no payload
+    // from the right side — at scale they're the cheapest existence checks.
+    "q_join_semi" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      Tables.lineitem(s, d)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    "q_join_left_outer" -> ((s, d) => {
+      val perNation = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      Tables.nation(s, d)
+        .join(perNation, col("n_nationkey") === col("c_nationkey"),
+          "left_outer")
+        .select(col("n_name"), coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy("n_name")
+    }),
+
+    // rollup: subtotal rows surfaced via coalesce to avoid cross-engine
+    // NULL-ordering divergence in the sort.
+    "q_agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")),
+
+    "q_set_intersect" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("lang") === "en").select("doc_id")
+        .intersect(Tables.documents(s, d).filter(col("source") === "src3")
+          .select("doc_id"))
+        .orderBy("doc_id")),
+
+    "q_set_except" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("lang") === "en").select("doc_id")
+        .except(Tables.documents(s, d).filter(col("source") === "src3")
+          .select("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- PII-style redaction: email + long digit runs masked map-side.
+    "q_text_redact" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), lit("<EMAIL>")),
+          lit("[0-9]{3,}"), lit("<NUM>")).as("redacted"))
+        .orderBy("doc_id")),
+
     // ---- multimodal metadata extraction over binary payloads (decode
     // kernel stubbed — container has no codecs; plumbing real).
     "q_multimodal_meta" -> ((s, d) =>
@@ -584,6 +646,53 @@ object ExtensionQueries {
         |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT n_name, coalesce(n_cust, 0) AS n_cust
+        |FROM nation LEFT JOIN (
+        |  SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |  GROUP BY c_nationkey) c ON n_nationkey = c_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+         |  coalesce(l_linestatus, 'ALL') AS lstatus,
+         |  count(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |INTERSECT
+        |SELECT doc_id FROM documents WHERE source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |EXCEPT
+        |SELECT doc_id FROM documents WHERE source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+        |      '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_knn_join" ->
       """WITH q AS (
