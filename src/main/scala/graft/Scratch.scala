@@ -2,10 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions
 import graft.operators.Dedup
-import graft.plans.NativeFunctions
 
 /** Scratch profiling main — not part of the driver contract. */
 object Scratch {
@@ -22,37 +21,35 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-
     val docs = Tables.documents(spark, d)
     docs.count()
 
-    // does the jaccard self-join reuse the exchange?
-    val jp = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
-      Seq("lang", "source"), 3, 0.2)
-    jp.collect()
-    val p = jp.queryExecution.executedPlan.toString
-    println("[scratch] jaccard ReusedExchange: " + p.contains("ReusedExchange"))
-    println("[scratch] jaccard joins: " +
-      "SortMergeJoin\\(|BroadcastHashJoin".r.findAllIn(p).size)
-
-    // native vs HOF L2 at realistic vector scale: 200k x 128-dim
-    val vecs = spark.range(200000).select(col("id"),
-      transform(sequence(lit(0), lit(127)),
-        i => ((col("id") * 31 + i * 7) % 997).cast("double") / 997.0)
-        .as("v")).cache()
-    vecs.count()
-    val q = (0 until 128).map(i => (i * 13 % 997) / 997.0)
-    time("L2 HOF 200k x 128")(noop(
-      vecs.select(VectorFunctions.l2(col("v"), typedlit(q)).as("d"))))
-    time("L2 native 200k x 128")(noop(
-      vecs.select(NativeFunctions.l2Native(col("v"), typedlit(q)).as("d"))))
-    time("topk native 200k x 128")(
-      vecs.select(col("id"),
-        NativeFunctions.l2Native(col("v"), typedlit(q)).as("d"))
-        .orderBy(col("d").asc, col("id").asc).limit(10).collect())
+    def sh = docs.select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(transform(Dedup.wordShingles(col("text"), 3),
+        tokenHash32(_))).as("sh"))
+    def pairsFrom(right: org.apache.spark.sql.DataFrame) = {
+      val cond = col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id")
+      sh.as("a").join(right.as("b"), cond)
+        .withColumn("inter",
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
+        .withColumn("uni",
+          (size(col("a.sh")) + size(col("b.sh"))).cast("double") - col("inter"))
+        .withColumn("jaccard", floorRound6(col("inter") / col("uni")))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("a.doc_id"), col("b.doc_id"), col("jaccard"))
+    }
+    time("jaccard current")(noop(pairsFrom(sh)))
+    time("jaccard merge hint")(noop(pairsFrom(sh.hint("merge"))))
+    time("jaccard shuffle_hash")(noop(pairsFrom(sh.hint("shuffle_hash"))))
+    val p = {
+      val df = pairsFrom(sh.hint("merge")); df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    println("[scratch] merge ReusedExchange: " + p.contains("ReusedExchange"))
     spark.stop()
   }
 }
