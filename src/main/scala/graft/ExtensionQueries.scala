@@ -270,6 +270,20 @@ object ExtensionQueries {
           Multimodal.attachPayload(Tables.documents(s, d)))
         .orderBy("doc_id")),
 
+    // ---- frame sampling: explode kept frame indices from metadata only.
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.metaColumns(
+            Multimodal.attachPayload(Tables.documents(s, d))), stride = 4)
+        .orderBy("doc_id", "frame_idx")),
+
+    // ---- resize planning in integer math (aspect-fit into 224²).
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+          Multimodal.metaColumns(
+            Multimodal.attachPayload(Tables.documents(s, d))), target = 224L)
+        .orderBy("doc_id")),
+
     // ---- feature-hash text embedding (V1's dataflow, fully in-engine and
     // oracle-checked). Map-side only; exploded to scalars for bit-stable
     // cross-engine comparison.
@@ -733,6 +747,26 @@ object ExtensionQueries {
         |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
         |  ((octet_length(encode(text)) * 7) % 480 + 1)::BIGINT AS height,
         |  (octet_length(encode(text)) % 24 + 1)::BIGINT AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, ['png', 'jpg', 'wav'][(doc_id % 3 + 1)::INT] AS format,
+        |    (octet_length(encode(text)) % 24 + 1)::BIGINT AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, format,
+        |  unnest(range(0, n_frames, 4))::BIGINT AS frame_idx
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+        |    ((octet_length(encode(text)) * 7) % 480 + 1)::BIGINT AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  (width * 224 // greatest(width, height))::BIGINT AS new_width,
+        |  (height * 224 // greatest(width, height))::BIGINT AS new_height
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -69,4 +69,46 @@ object Multimodal {
       }
     }
   }
+
+  /** Frame sampling: one output row per kept frame index (0, stride, 2·
+    * stride, … < n_frames) — the generator (explode) pattern a video
+    * pipeline uses to cut frames before the expensive decode touches
+    * them. Metadata-only: no payload bytes move. */
+  def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
+    meta.select(col("doc_id"), col("format"),
+      explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+        .as("frame_idx"))
+
+  /** Resize planning: fit (width, height) into a `target`² box preserving
+    * aspect ratio, in pure integer arithmetic (deterministic across
+    * engines — no float scale factors). The plan is computed columnar;
+    * only the actual pixel resample would run in the batched decoder. */
+  def resizePlan(meta: DataFrame, target: Long): DataFrame =
+    meta.select(col("doc_id"), col("width"), col("height"),
+      expr(s"width * $target div greatest(width, height)").as("new_width"),
+      expr(s"height * $target div greatest(width, height)").as("new_height"))
+
+  case class MediaFeatures(doc_id: Long, format: String, feat: Seq[Float])
+
+  /** Partition-batched feature extraction (the CLIP-embedding hook):
+    * deterministic fake features derived from payload bytes — swap the
+    * kernel for a real model runtime; the batch shape, schema, and
+    * partition amortization are the production plumbing. */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8,
+                      batchSize: Int = 256): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real impl: load model once per batch, run inference over the batch
+        batch.iterator.map { r =>
+          val feat = (0 until dim).map { j =>
+            val b = if (r.payload.isEmpty) 0
+                    else r.payload(j % r.payload.length) & 0xff
+            (b * (j + 1) % 256) / 256.0f
+          }
+          MediaFeatures(r.doc_id, r.format, feat)
+        }
+      }
+    }
+  }
 }

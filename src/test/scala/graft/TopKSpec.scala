@@ -32,6 +32,26 @@ class TopKSpec extends SparkSuite {
     assert(out.groupBy("g").count().select(max("count")).as[Long].head() === 3)
   }
 
+  test("multimodal: frame sampling and resize planning are deterministic") {
+    val docs = Seq((1L, "x" * 10), (2L, "y" * 25)).toDF("doc_id", "text")
+    val meta = Multimodal.metaColumns(Multimodal.attachPayload(docs))
+    val frames = Multimodal.sampleFrames(meta, stride = 4)
+      .as[(Long, String, Long)].collect()
+    // doc 1: n_frames = 10 % 24 + 1 = 11 → indices 0,4,8
+    assert(frames.filter(_._1 == 1L).map(_._3).sorted === Array(0L, 4L, 8L))
+    val resized = Multimodal.resizePlan(meta, 224)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    resized.foreach { case (_, w, h, nw, nh) =>
+      assert(math.max(nw, nh) <= 224)
+      assert(nw === w * 224 / math.max(w, h))
+    }
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.attachPayload(docs), dim = 8).collect()
+    assert(feats.length === 2)
+    assert(feats.forall(f => f.feat.length == 8 &&
+      f.feat.forall(x => x >= 0f && x < 1f)))
+  }
+
   test("multimodal: partition-batched decode agrees with column-level meta") {
     val docs = Seq((1L, "abcdef"), (2L, "x"), (3L, "hello world, longer payload"))
       .toDF("doc_id", "text").withColumn("lang", lit("en"))
