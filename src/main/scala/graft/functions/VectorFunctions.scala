@@ -57,10 +57,20 @@ object VectorFunctions {
     * engine) with the same dataflow shape, and is exactly reproducible in
     * the DuckDB oracle.
     *
+    * Delegates to the native codegen'd [[graft.plans.FeatureHashEmbed]]
+    * kernel; [[featureHashEmbeddingHof]] is the declarative higher-order
+    * reference formulation — bit-identical, spec-enforced — kept as the
+    * executable specification of the semantics. */
+  def featureHashEmbeddingD(textCol: Column, dim: Int): Column =
+    graft.plans.FeatureHashEmbed.featureHashNative(textCol, dim)
+
+  /** Reference HOF formulation of [[featureHashEmbeddingD]] (slower:
+    * O(tokens × dim) interpreted lambda dispatches per row).
+    *
     * Single aggregate pass accumulates all `dim` counts at once — a
     * per-dimension `filter(buckets, _ === i)` would re-run the tokenize +
     * md5 pipeline per DIMENSION (interpreted HOFs share nothing). */
-  def featureHashEmbeddingD(textCol: Column, dim: Int): Column = {
+  def featureHashEmbeddingHof(textCol: Column, dim: Int): Column = {
     import graft.functions.TextFunctions.{tokens, tokenHash16}
     val buckets = transform(tokens(textCol), t => tokenHash16(t) % dim)
     val dimIdx = sequence(lit(0L), lit(dim - 1L))

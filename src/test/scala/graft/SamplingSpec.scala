@@ -56,6 +56,29 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("native FeatureHashEmbed is bit-identical to the HOF formulation") {
+    import graft.functions.VectorFunctions.featureHashEmbeddingHof
+    val texts = Seq("the quick brown fox", "직원 유형. 프로필: 개발자",
+      "  MIXED case   Tabs\tand\nnewlines  ", "x", "")
+      .toDF("text")
+    val rows = texts.select(
+      featureHashEmbeddingD(col("text"), 16).as("native"),
+      featureHashEmbeddingHof(col("text"), 16).as("hof"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    rows.foreach { case (n, h) =>
+      assert(n.length === h.length)
+      n.zip(h).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a)
+          === java.lang.Double.doubleToLongBits(b))
+      }
+    }
+    // null text → null embedding in both
+    val nulls = Seq(null.asInstanceOf[String]).toDF("text").select(
+      featureHashEmbeddingD(col("text"), 8).as("n"),
+      featureHashEmbeddingHof(col("text"), 8).as("h")).collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("featureHashEmbeddingD: unit norm, deterministic, dim-sized") {
     val out = docs.filter(length(col("text")) > 0)
       .select(featureHashEmbeddingD(col("text"), 8).as("e"))
