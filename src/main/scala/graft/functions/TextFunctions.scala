@@ -117,7 +117,7 @@ object TextFunctions {
     * fingerprint; any reorder/edit ⇒ different (w.h.p.). */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(tokens(text), tokenHash16(_)),
+      graft.plans.HashedShingles.tokenHashes16(text),
       lit(0L),
       (acc, h) => (acc * 31 + h) % 1000000007L)
 }

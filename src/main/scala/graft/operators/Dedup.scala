@@ -99,8 +99,8 @@ object Dedup {
                         n: Int = 3, numHashes: Int = 8,
                         bands: Int = 4): DataFrame = {
     val rPerBand = numHashes / bands
-    val hashed = df.select(idCol.as("id"), wordShingles(textCol, n).as("sh"))
-      .select(col("id"), transform(col("sh"), tokenHash16(_)).as("hv"))
+    val hashed = df.select(idCol.as("id"),
+      graft.plans.HashedShingles.shingleHashes(textCol, n, 4).as("hv"))
     val sig = hashed.select(col("id"),
       minhashFromHashes(col("hv"), numHashes).as("sig"))
     sig.select(col("id"),
@@ -120,14 +120,17 @@ object Dedup {
     * tokens vote repeatedly). Bit b is 1 iff Σ_tokens (bit_b(h16) ? +1 : -1)
     * is > 0 — near-identical token multisets get near-identical prints
     * (Hamming distance ≈ edit volume). */
-  def simhash16(textCol: Column): Column = {
-    // Single pass over the token hashes, accumulating all 16 bit-sums in an
-    // array — higher-order functions are interpreted (no codegen, no
-    // subexpression elimination), so a per-bit formulation would recompute
-    // the md5 token hashing 16×. bit_b(h) = floor(h / 2^b) % 2 in doubles:
-    // h < 2^16 and 2^b are dyadic, so the quotient is exactly representable
-    // — portable to engines without column-valued shift operators.
-    val hashes = transform(tokens(textCol), tokenHash16(_))
+  def simhash16(textCol: Column): Column =
+    graft.plans.SimHash16.simhash16Native(textCol)
+
+  /** Declarative reference formulation of [[simhash16]] (slower: O(tokens ×
+    * 16) interpreted dispatches) — kept as the executable specification,
+    * parity-enforced in DedupSpec. Single pass over the token hashes,
+    * accumulating all 16 bit-sums in an array; bit_b(h) = floor(h / 2^b) % 2
+    * in doubles: h < 2^16 and 2^b are dyadic, so the quotient is exactly
+    * representable — portable to engines without column shift operators. */
+  def simhash16Hof(textCol: Column): Column = {
+    val hashes = graft.plans.HashedShingles.tokenHashes16(textCol)
     val bitIdx = sequence(lit(0), lit(15))
     val sums = aggregate(hashes, array_repeat(lit(0L), 16), (acc, h) =>
       zip_with(acc, bitIdx, (a, b) =>
@@ -153,7 +156,7 @@ object Dedup {
                    blockCols: Seq[String], n: Int = 3,
                    threshold: Double = 0.2): DataFrame = {
     val sh = df.select(idCol.as("id") +: blockCols.map(col) :+
-      array_distinct(transform(wordShingles(textCol, n), tokenHash32(_)))
+      array_distinct(graft.plans.HashedShingles.shingleHashes(textCol, n, 8))
         .as("sh"): _*)
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")

@@ -16,6 +16,41 @@ class DedupSpec extends SparkSuite {
     (5L, "the quick brown fox jumps over the lazy dog", "en", "s1")) // dup, other block
     .toDF("doc_id", "text", "lang", "source")
 
+  test("native HashedShingles is bit-identical to the HOF hash pipelines") {
+    import graft.functions.TextFunctions.{tokens, tokenHash16, tokenHash32}
+    val texts = Seq("the quick brown fox jumps", "직원 유형 프로필 개발자 데이터",
+      "two words", "one", "", "  padded   whitespace\ttabs ")
+      .toDF("t")
+    // token mode (n=1, no collapse)
+    val tok = texts.select(
+      graft.plans.HashedShingles.tokenHashes16(col("t")).as("native"),
+      transform(tokens(col("t")), tokenHash16(_)).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    tok.foreach { case (n, h) => assert(n === h) }
+    // shingle mode (n=3, collapse), 16- and 32-bit prefixes
+    val sh16 = texts.select(
+      graft.plans.HashedShingles.shingleHashes(col("t"), 3, 4).as("native"),
+      transform(Dedup.wordShingles(col("t"), 3), tokenHash16(_)).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    sh16.foreach { case (n, h) => assert(n === h) }
+    val sh32 = texts.select(
+      graft.plans.HashedShingles.shingleHashes(col("t"), 3, 8).as("native"),
+      transform(Dedup.wordShingles(col("t"), 3), tokenHash32(_)).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    sh32.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("native SimHash16 is bit-identical to the HOF formulation") {
+    val out = docs.select(Dedup.simhash16(col("text")).as("native"),
+      Dedup.simhash16Hof(col("text")).as("hof"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, h) => assert(n === h) }
+    // empty text → 0 in both
+    val z = Seq("").toDF("text").select(Dedup.simhash16(col("text")),
+      Dedup.simhash16Hof(col("text"))).as[(Long, Long)].head()
+    assert(z === ((0L, 0L)))
+  }
+
   test("exactDedup groups identical content under min-id representative") {
     val out = Dedup.exactDedup(docs, col("doc_id"), col("text"))
       .orderBy("keep_id").select("keep_id", "dup_cnt")
