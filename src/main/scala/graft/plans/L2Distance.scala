@@ -106,12 +106,41 @@ object NativeFunctions {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` registers the native
-  * functions for SQL use: `SELECT l2_native(embedding, query) ...`. */
+  * functions for SQL use, e.g. `SELECT l2_native(embedding, query)`,
+  * `feature_hash_embed(text, 64)`, `simhash16(text)`,
+  * `hashed_shingles(text, 3, 4, true)`. Wired into the Verify/Bench/Smoke
+  * session builders. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an INT literal")
+  }
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
+    case _ => throw new IllegalArgumentException(s"$what must be a BOOLEAN literal")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("l2_native"),
       new ExpressionInfo(classOf[L2Distance].getName, "l2_native"),
       (children: Seq[Expression]) => L2Distance(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("feature_hash_embed"),
+      new ExpressionInfo(classOf[FeatureHashEmbed].getName,
+        "feature_hash_embed"),
+      (children: Seq[Expression]) =>
+        FeatureHashEmbed(children.head, intLit(children(1), "dim"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (children: Seq[Expression]) => SimHash16(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "hashed_shingles"),
+      (children: Seq[Expression]) => HashedShingles(children.head,
+        intLit(children(1), "n"), intLit(children(2), "hexDigits"),
+        boolLit(children(3), "collapse"))))
   }
 }
