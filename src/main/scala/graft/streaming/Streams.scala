@@ -73,6 +73,34 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  // ---- streaming joins ------------------------------------------------
+
+  /** Stream-static enrichment: per-micro-batch broadcast hash join against
+    * a dimension table — stateless on the stream side; the dim is re-read
+    * per batch, so slowly-changing dimensions stay current. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** Stream-stream interval join (click attribution shape): pair each
+    * impression with clicks by the same user within `horizon` AFTER it.
+    * Watermarks on BOTH sides + the interval condition bound the join
+    * state — Spark drops an impression's state once no future click can
+    * match it. Column contract: impressions(imp_user, imp_id, imp_ts),
+    * clicks(click_user, click_id, click_ts). */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+                       horizon: String = "10 minutes",
+                       watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermark)
+    val clk = clicks.withWatermark("click_ts", watermark)
+    imp.join(clk, expr(
+      s"""imp_user = click_user AND
+         |click_ts >= imp_ts AND
+         |click_ts <= imp_ts + interval $horizon""".stripMargin))
+      .select(col("imp_user").as("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   // ---- custom-state sessionization -----------------------------------
 
   case class Event(user_id: Long, ts: Timestamp)

@@ -113,6 +113,43 @@ class StreamsSpec extends SparkSuite {
     assert(u1.contains((1L, 10L, 2L))) // first session: 2 events, 1..10min
   }
 
+  test("enrichWithDim: stream-static broadcast join, left outer") {
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "segment")
+    val rows = runBatches[(Timestamp, Long)](
+      Seq(Seq((ts(1), 1L), (ts(2), 2L), (ts(3), 3L))),
+      df => Streams.enrichWithDim(df.toDF("ts", "user_id"), dim, "user_id"),
+      OutputMode.Append())
+    val m = rows.map(r => r.getAs[Long]("user_id") ->
+      Option(r.getAs[String]("segment"))).toMap
+    assert(m === Map(1L -> Some("alpha"), 2L -> Some("beta"), 3L -> None))
+  }
+
+  test("clickAttribution: interval join matches clicks within the horizon") {
+    val imp = MemoryStream[(Long, Long, Timestamp)](spark)
+    val clk = MemoryStream[(Long, Long, Timestamp)](spark)
+    val name = s"attr_${System.nanoTime()}"
+    val q = Streams.clickAttribution(
+        imp.toDF().toDF("imp_user", "imp_id", "imp_ts"),
+        clk.toDF().toDF("click_user", "click_id", "click_ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imp.addData(Seq((1L, 100L, ts(5)), (2L, 200L, ts(6))))
+      clk.addData(Seq(
+        (1L, 900L, ts(8)),   // 3 min after imp 100 → attributed
+        (1L, 901L, ts(40)),  // 35 min after → outside horizon
+        (3L, 902L, ts(7)))) // no impression
+      q.processAllAvailable()
+      // advance both watermarks so state can be dropped (no new output)
+      imp.addData(Seq((9L, 999L, ts(120))))
+      clk.addData(Seq((9L, 998L, ts(121))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 900L), (999L, 998L)))
+  }
+
   test("incrementalCollection: file stream builds an embedded collection") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
