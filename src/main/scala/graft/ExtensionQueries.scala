@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, Dedup, Knn, Multimodal, Sampling, TopK}
+import graft.operators.{Ann, Dedup, Knn, Multimodal, Sampling, Sketches, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -318,6 +318,26 @@ object ExtensionQueries {
       Sampling.stratifiedSample(Tables.documents(s, d), Seq("lang"),
           col("doc_id"), perStratum = 20)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // ---- KMV distinct sketch: deterministic mergeable distinct-count
+    // (custom Aggregator; states are <=64 longs, map-side combined).
+    "q_sketch_kmv" -> ((s, d) =>
+      Sketches.kmvDistinctOf(s, Tables.events(s, d),
+          "event_type", "user_id", k = 64)
+        .orderBy("event_type")),
+
+    // ---- exact lower-median per group via one window (deterministic
+    // tie/interpolation rules spelled out, unlike engine quantile()s).
+    "q_median_manual" -> ((s, d) => {
+      val byLang = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(
+          byLang.orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(byLang))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("lang"), col("n_chars").as("median_chars"))
+        .orderBy("lang")
+    }),
 
     // ---- batch kNN join: top-5 corpus matches for each of 10 query rows
     // in ONE plan (broadcast corpus + bounded-buffer per-query top-k) —
@@ -707,6 +727,28 @@ object ExtensionQueries {
         |      '<EMAIL>', 'g'),
         |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sketch_kmv" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${hash32Sql("user_id::VARCHAR")} AS h FROM events),
+         |s AS (
+         |  SELECT event_type, count(*) AS nd, list_sort(list(h)) AS mins
+         |  FROM h GROUP BY event_type)
+         |SELECT event_type, least(nd, 64)::INT AS n_sketch,
+         |  CASE WHEN nd < 64 THEN nd::DOUBLE
+         |       ELSE 63 * 4294967296.0 / mins[64] END AS est
+         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q_median_manual" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang, n_chars AS median_chars FROM r
+        |WHERE rn = (cnt + 1) // 2 ORDER BY lang""".stripMargin,
 
     "q_knn_join" ->
       """WITH q AS (

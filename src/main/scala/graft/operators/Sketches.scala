@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokenHash32
+
+/** Mergeable sketches as custom Aggregators.
+  *
+  * KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+  * distinct md5-derived 32-bit hashes per group; estimate
+  * `(k−1) · 2³² / kth_min` once k values are held, exact count below
+  * that. Unlike HLL implementations, this sketch is DETERMINISTIC for a
+  * given hash function — the estimate is a pure function of the input
+  * set, so the DuckDB oracle reproduces it bit-for-bit — while keeping
+  * the property that matters at 100 TB: states are tiny (≤ k longs) and
+  * merge associatively, so map-side partial aggregation does almost all
+  * of the work and the shuffle carries sketches, not keys.
+  */
+object Sketches {
+
+  /** Deterministic KMV distinct estimate per group.
+    * Input df must expose `groupCol` (long) and `hashCol` (long in
+    * [0, 2³²)); output: (groupCol, n_sketch, est). */
+  def kmvDistinct(spark: SparkSession, df: DataFrame, groupCol: String,
+                  hashCol: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new Aggregator[(String, Long), Seq[Long], Seq[Long]] {
+      def zero: Seq[Long] = Seq.empty
+      def reduce(b: Seq[Long], a: (String, Long)): Seq[Long] =
+        if (b.contains(a._2)) b else (b :+ a._2).sorted.take(k)
+      def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+        (b1 ++ b2).distinct.sorted.take(k)
+      def finish(r: Seq[Long]): Seq[Long] = r
+      def bufferEncoder: Encoder[Seq[Long]] = implicitly[Encoder[Seq[Long]]]
+      def outputEncoder: Encoder[Seq[Long]] = implicitly[Encoder[Seq[Long]]]
+    }
+    df.select(col(groupCol).cast("string"), col(hashCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("mins"))
+      .toDF(groupCol, "mins")
+      .select(col(groupCol), size(col("mins")).as("n_sketch"),
+        when(size(col("mins")) < k,
+          size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("mins"), k))
+          .as("est"))
+  }
+
+  /** Convenience: KMV estimate of distinct `keyCol` values per group,
+    * hashing with the engine-portable md5-derived 32-bit hash. */
+  def kmvDistinctOf(spark: SparkSession, df: DataFrame, groupCol: String,
+                    keyCol: String, k: Int): DataFrame =
+    kmvDistinct(spark,
+      df.withColumn("_h", tokenHash32(col(keyCol).cast("string"))),
+      groupCol, "_h", k)
+}

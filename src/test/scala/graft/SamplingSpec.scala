@@ -79,6 +79,24 @@ class SamplingSpec extends SparkSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("KMV sketch: exact below k, close + deterministic above k") {
+    import graft.operators.Sketches
+    // group "small": 30 distinct keys (< k=64) → exact; "big": 5000 distinct
+    val rows = ((1 to 30).map(i => ("small", i.toLong)) ++
+      (1 to 5000).map(i => ("big", 100000L + i))).toDF("g", "key")
+    val out = Sketches.kmvDistinctOf(spark, rows, "g", "key", k = 64)
+      .as[(String, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("small") === ((30, 30.0)))
+    val (nSketch, est) = out("big")
+    assert(nSketch === 64)
+    assert(math.abs(est - 5000) / 5000.0 < 0.30) // k=64 → ~12% stderr
+    // deterministic under different partitioning (merge path exercised)
+    val out2 = Sketches.kmvDistinctOf(spark, rows.repartition(13), "g",
+      "key", k = 64).as[(String, Int, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out2("big") === est)
+  }
+
   test("featureHashEmbeddingD: unit norm, deterministic, dim-sized") {
     val out = docs.filter(length(col("text")) > 0)
       .select(featureHashEmbeddingD(col("text"), 8).as("e"))
