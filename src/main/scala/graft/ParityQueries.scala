@@ -195,6 +195,30 @@ object ParityQueries {
       ids.agg(countDistinct(col("id")).as("n_ids"))
     }),
 
+    // ---- E2E via the ACTUAL HrPipeline.recommend() function (not a
+    // hand-built equivalent): documents⋈embeddings mapped onto the HR
+    // collection schema, then the reference pipeline — doc_type
+    // pre-filter, overfetch-25 by (dist, id), ci department filter,
+    // keyword scoring, composite rank, top-5 (talent_recommender.py:26-150).
+    "q_hr_recommend" -> ((s, d) => {
+      val coll = docs(s, d)
+        .join(emb(s, d), col("doc_id") === col("vec_id"))
+        .select(
+          col("doc_id").cast("string").as("id"),
+          when(col("lang") === "en", "employee").otherwise("job")
+            .as("doc_type"),
+          concat(lit("doc_"), col("doc_id").cast("string")).as("name"),
+          concat(lit("post_"), col("doc_id").cast("string")).as("title"),
+          col("source").as("department"),
+          col("text").as("projects"),
+          col("text").as("responsibilities"),
+          col("source").as("description"),
+          col("embedding"))
+      graft.sources.HrPipeline.recommend(coll, "filter join window",
+        queryVec(s, d), k = 10, departmentFilter = Some("SRC3"),
+        targetDocType = Some("employee"))
+    }),
+
     // ---- E2E: the reference's full query pipeline, overfetch-then-filter
     // order preserved (talent_recommender.py:26-150; overfetch :28).
     "q_pipeline_e2e" -> ((s, d) => {
@@ -340,6 +364,38 @@ object ParityQueries {
       """SELECT count(DISTINCT id) AS n_ids FROM (
         |  SELECT doc_id AS id FROM documents
         |  UNION ALL SELECT event_id AS id FROM events)""".stripMargin,
+
+    "q_hr_recommend" ->
+      s"""WITH $qvCte,
+         |coll AS (
+         |  SELECT d.doc_id::VARCHAR AS id,
+         |    CASE WHEN d.lang = 'en' THEN 'employee' ELSE 'job' END
+         |      AS doc_type,
+         |    'doc_' || d.doc_id::VARCHAR AS name,
+         |    d.source AS department, d.text AS projects,
+         |    e.embedding AS embedding
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |cand AS (
+         |  SELECT c.id, c.doc_type, c.name, c.department, c.projects,
+         |    round(sqrt(list_sum(list_transform(
+         |      generate_series(1, len(c.embedding)),
+         |      i -> (c.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+         |         * (c.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))), 6) AS dist
+         |  FROM coll c, q
+         |  WHERE c.doc_type = 'employee'
+         |  ORDER BY dist, id LIMIT 50),
+         |flt AS (
+         |  SELECT * FROM cand WHERE lower(department) = lower('SRC3')),
+         |sc AS (
+         |  SELECT *, len(list_filter(['filter', 'join', 'window'],
+         |    t -> contains(lower(projects), t))) AS matched_keywords
+         |  FROM flt)
+         |SELECT id, doc_type, name AS name_or_title, department, dist,
+         |  (1 + CASE WHEN matched_keywords > 0 THEN 1 ELSE 0 END)
+         |    AS match_count,
+         |  round(1.0 - dist, 6) AS similarity
+         |FROM sc
+         |ORDER BY match_count DESC, dist ASC, id ASC LIMIT 10""".stripMargin,
 
     "q_pipeline_e2e" ->
       s"""WITH $qvCte,
