@@ -319,6 +319,12 @@ object ExtensionQueries {
           col("doc_id"), perStratum = 20)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
 
+    // ---- deterministic train/val/test split: hash-bucket assignment,
+    // map-side, stable under corpus growth.
+    "q_split_assign" -> ((s, d) =>
+      Sampling.assignSplit(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
+
     // ---- KMV distinct sketch: deterministic mergeable distinct-count
     // (custom Aggregator; states are <=64 longs, map-side combined).
     "q_sketch_kmv" -> ((s, d) =>
@@ -727,6 +733,13 @@ object ExtensionQueries {
         |      '<EMAIL>', 'g'),
         |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${hash16Sql("doc_id::VARCHAR")} % 100 < 10 THEN 'test'
+         |       WHEN ${hash16Sql("doc_id::VARCHAR")} % 100 < 20 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sketch_kmv" ->
       s"""WITH h AS (

@@ -34,6 +34,20 @@ object Sampling {
       .drop("rn")
   }
 
+  /** Deterministic train/val/test split: the md5-derived key hash mod 100
+    * buckets rows into named splits by percentage ranges. Map-side only,
+    * reproducible on any layout, and stable under corpus growth (a row's
+    * split never changes when other rows are added — the property random
+    * splits lack). */
+  def assignSplit(df: DataFrame, keyCol: Column,
+                  valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    val bucket = tokenHash16(keyCol.cast("string")) % 100
+    df.withColumn("split",
+      when(bucket < testPct, "test")
+        .when(bucket < testPct + valPct, "val")
+        .otherwise("train"))
+  }
+
   /** Token-budget shard packing: within each `groupCol` stream (ordered by
     * `orderCol`), assign rows to consecutive bins so each bin holds about
     * `budget` tokens (a row that crosses the boundary opens the next bin).

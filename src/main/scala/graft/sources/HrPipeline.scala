@@ -233,6 +233,17 @@ object HrPipeline {
     coll.repartition(numFiles, col("id"))
       .write.mode("overwrite").partitionBy("doc_type").parquet(indexDir)
 
+  /** Upsert-by-key: rows of `updates` replace same-id rows of `existing`,
+    * new ids append (the incremental alternative to the reference's
+    * drop-and-rebuild, SURVEY §2 S3: anti-join old keys + union). One
+    * shuffle on id for the anti join; at scale both sides bucket by id so
+    * the join is co-partitioned. */
+  def upsertByKey(existing: DataFrame, updates: DataFrame,
+                  key: String = "id"): DataFrame =
+    existing.join(updates.select(key).withColumnRenamed(key, "_uk"),
+        col(key) === col("_uk"), "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+
   // ---- query (talent_recommender.py:12-150) ---------------------------
 
   /** Full recommendation query, reference semantics end-to-end.

@@ -79,6 +79,26 @@ class SamplingSpec extends SparkSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("assignSplit: stable under corpus growth, near-target proportions") {
+    val small = Sampling.assignSplit(docs.limit(100), col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = Sampling.assignSplit(docs, col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // adding rows never reassigns existing rows
+    small.foreach { case (id, sp) => assert(full(id) === sp) }
+    val frac = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(frac("train") > 120 && frac("test") > 5 && frac("val") > 5)
+  }
+
+  test("upsertByKey: updates replace, new ids append, others untouched") {
+    import graft.sources.HrPipeline
+    val existing = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "v")
+    val updates = Seq(("b", 20), ("d", 40)).toDF("id", "v")
+    val out = HrPipeline.upsertByKey(existing, updates)
+      .as[(String, Int)].collect().sorted
+    assert(out === Array(("a", 1), ("b", 20), ("c", 3), ("d", 40)))
+  }
+
   test("KMV sketch: exact below k, close + deterministic above k") {
     import graft.operators.Sketches
     // group "small": 30 distinct keys (< k=64) → exact; "big": 5000 distinct
