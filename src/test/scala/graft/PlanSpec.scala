@@ -82,6 +82,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("doc_type#") && p.contains("= employee)"), p)
   }
 
+  test("bucketed fact-to-fact join plans no exchange on either side") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(spark, dir), "b_orders", "o_orderkey", buckets = 4)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir), "b_lineitem", "l_orderkey", buckets = 4)
+    val j = spark.table("b_lineitem").hint("merge")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+    j.collect() // finalize the adaptive plan
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p) // buckets line up
+  }
+
   test("whole-stage codegen covers the scalar query pipelines") {
     Seq("q_filter_ci_eq", "q_concat_template", "q_when_otherwise").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
