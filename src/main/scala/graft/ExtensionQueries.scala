@@ -242,6 +242,28 @@ object ExtensionQueries {
           col("cnt"), col("sum_qty"))
         .orderBy("rflag", "lstatus")),
 
+    // month-level rollup: date_trunc + group — the standard reporting bucket.
+    "q_date_trunc" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("month")),
+
+    // pivot: order counts per status spread across priority columns.
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy("o_orderstatus")),
+
     "q_set_intersect" -> ((s, d) =>
       Tables.documents(s, d).filter(col("lang") === "en").select("doc_id")
         .intersect(Tables.documents(s, d).filter(col("source") === "src3")
@@ -713,6 +735,21 @@ object ExtensionQueries {
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_date_trunc" ->
+      s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_set_intersect" ->
       """SELECT doc_id FROM documents WHERE lang = 'en'
