@@ -86,6 +86,16 @@ class PlanSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh JVM gets a fresh in-memory catalog, so DROP above can't see
+    // (or clean) last run's managed-table directories — remove them directly
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     graft.sources.Bucketing.writeBucketed(
       Tables.orders(spark, dir), "b_orders", "o_orderkey", buckets = 4)
     graft.sources.Bucketing.writeBucketed(
