@@ -126,8 +126,8 @@ object ExtensionQueries {
 
     // ---- text analysis ------------------------------------------------
     "q_text_langid" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), langId(col("text")).as("pred_lang"))
+      withLangId(Tables.documents(s, d), col("text"))
+        .select(col("doc_id"), col("pred_lang"))
         .orderBy("doc_id")),
 
     "q_text_quality" -> ((s, d) =>

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.sources.HrPipeline
+import graft.functions.TextFunctions._
 
 /** Scratch profiling main — not part of the driver contract. */
 object Scratch {
@@ -12,30 +12,37 @@ object Scratch {
     r
   }
   def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val docs = Tables.documents(spark, d)
+    docs.count()
 
-    // reference-corpus index build: 10k employees + 84 jobs from the
-    // reference's own data file (extracted by ReferenceDataSpec)
-    val json = "target/refdata/hr_data.json"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(json))) {
-      println("[scratch] run ReferenceDataSpec first to extract hr_data.json")
-      sys.exit(1)
+    time("langid current")(noop(docs.select(col("doc_id"),
+      langId(col("text")).as("l"))))
+
+    // staged: materialize scores in one projection, pick in the next —
+    // does breaking the expression into two Projects help codegen share?
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scored = docs.select(col("doc_id"), col("text"),
+      array(langMarkers.map { case (_, ms) => langScore(padded, ms) }: _*)
+        .as("sc"))
+    val best = greatest((1 to 4).map(i => element_at(col("sc"), i)): _*)
+    val pick = langMarkers.map(_._1).zipWithIndex.foldRight(lit("und")) {
+      case ((l, i), el) =>
+        when(element_at(col("sc"), i + 1) === col("best") &&
+          element_at(col("sc"), i + 1) > 0, lit(l)).otherwise(el)
     }
-    val emps = HrPipeline.loadEmployees(spark, json)
-    val jobs = HrPipeline.loadJobs(spark, json)
-    time("ingest 10k")(println("rows: " + (emps.count() + jobs.count())))
-    val out = java.nio.file.Files.createTempDirectory("graft-idx-").toString
-    Seq(64, 384).foreach { dim =>
-      time(s"index build+write dim=$dim") {
-        HrPipeline.writeCollection(
-          HrPipeline.collection(emps, jobs, embedDim = dim),
-          s"$out/idx$dim", numFiles = 32)
-      }
-    }
+    time("langid staged")(noop(
+      scored.withColumn("best", best)
+        .select(col("doc_id"),
+          when(cjkCount(col("text")) > 0, lit("zh")).otherwise(pick).as("l"))))
     spark.stop()
   }
 }

@@ -65,6 +65,13 @@ class FunctionsSpec extends SparkSuite {
     assert(evalS(TF.langId(lit("xyzzy plugh"))) === "und")
   }
 
+  test("withLangId (staged) agrees with langId on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val joined = TF.withLangId(docs, col("text"))
+      .withColumn("single", TF.langId(col("text")))
+    assert(joined.filter(col("pred_lang") =!= col("single")).count() === 0)
+  }
+
   test("qualityScore is in [0,1] and rewards fluent text") {
     val fluent = evalD(TF.qualityScore(lit(
       "The quick brown fox jumps over the lazy dog and runs to the house of a friend.")))
