@@ -131,8 +131,8 @@ object ExtensionQueries {
         .orderBy("doc_id")),
 
     "q_text_quality" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      withQualityScore(Tables.documents(s, d), col("text"))
+        .select(col("doc_id"), col("quality"))
         .orderBy("doc_id")),
 
     "q_text_tokens" -> ((s, d) =>

@@ -113,6 +113,32 @@ object TextFunctions {
     floor(score * 10000.0 + 0.5) / 10000.0
   }
 
+  /** Staged [[qualityScore]]: tokenization materialized in its own
+    * projection so the conditional ratio branches (excluded from codegen
+    * subexpression elimination) don't re-tokenize — same staging win as
+    * [[withLangId]]. Same result, spec-enforced. */
+  def withQualityScore(df: DataFrame, text: Column,
+                       out: String = "quality"): DataFrame =
+    df.withColumn("_q_toks", tokens(text))
+      .withColumn(out, {
+        val toks = col("_q_toks")
+        val n = size(toks)
+        val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+        val punctRatio = punctCount(text).cast("double") /
+          greatest(length(text).cast("double"), lit(1.0))
+        val stopRatio = when(n > 0, stopwordCount(toks).cast("double") /
+          n.cast("double")).otherwise(lit(0.0))
+        val avgTokLen = when(n > 0,
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+            n.cast("double")).otherwise(lit(0.0))
+        val score = lenScore * 0.25 +
+          (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.25 +
+          least(stopRatio * 5.0, lit(1.0)) * 0.25 +
+          least(avgTokLen / 10.0, lit(1.0)) * 0.25
+        floor(score * 10000.0 + 0.5) / 10000.0
+      })
+      .drop("_q_toks")
+
   // --- token counting --------------------------------------------------
 
   /** Whitespace token count. */

@@ -80,6 +80,13 @@ class FunctionsSpec extends SparkSuite {
     assert(fluent >= 0.0 && fluent <= 1.0 && junk >= 0.0)
   }
 
+  test("withQualityScore (staged) agrees with qualityScore on the corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val joined = TF.withQualityScore(docs, col("text"))
+      .withColumn("single", TF.qualityScore(col("text")))
+    assert(joined.filter(col("quality") =!= col("single")).count() === 0)
+  }
+
   test("token counts: whitespace vs alnum-run") {
     val t = lit("hello, world! x2")
     assert(evalD(TF.tokenCountWs(t)) === 3.0)

@@ -60,6 +60,37 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("dedup laws: identical texts always LSH-pair; jaccard bounded; " +
+      "simhash within 16 bits") {
+    import graft.operators.Dedup
+    val texts = samples(Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.mkString(" "))), 12)
+    val df = texts.zipWithIndex
+      .flatMap { case (t, i) => Seq((i.toLong * 2, t), (i.toLong * 2 + 1, t)) }
+      .toDF("doc_id", "text").withColumn("b", lit(1))
+    // every identical pair must surface as an LSH candidate
+    val pairs = Dedup.lshCandidatePairs(df, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    texts.indices.foreach { i =>
+      assert(pairs.contains((i.toLong * 2, i.toLong * 2 + 1)))
+    }
+    // jaccard values bounded in [0, 1]; identical pairs exactly 1
+    val jac = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+      blockCols = Seq("b"), threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+    jac.foreach { case (_, _, j) => assert(j >= 0.0 && j <= 1.0) }
+    texts.indices.foreach { i =>
+      assert(jac.find(p => p._1 == i * 2L && p._2 == i * 2L + 1)
+        .exists(_._3 === 1.0))
+    }
+    // simhash fits in 16 bits and is equal for identical texts
+    val sh = df.select(col("doc_id"), Dedup.simhash16(col("text")))
+      .as[(Long, Long)].collect().toMap
+    sh.values.foreach(h => assert(h >= 0 && h < 65536))
+    texts.indices.foreach(i => assert(sh(i * 2L) === sh(i * 2L + 1)))
+  }
+
   test("pre-filter commutes: filter-then-topk == topk-over-filtered-set") {
     val rows = (0L until 30L).map(i =>
       (i, Seq((i % 5).toFloat, (i % 4).toFloat), (i % 2).toInt))
