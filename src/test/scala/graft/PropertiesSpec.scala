@@ -91,6 +91,36 @@ class PropertiesSpec extends SparkSuite {
     texts.indices.foreach(i => assert(sh(i * 2L) === sh(i * 2L + 1)))
   }
 
+  test("doc-text serialization is total: random null-riddled records " +
+      "never crash and never produce NULL text") {
+    import org.apache.spark.sql.Row
+    import graft.sources.HrPipeline
+    val strGen = Gen.option(Gen.oneOf("개발자", "x", "", "a b", "한국어(원어민)"))
+    val listGen = Gen.option(Gen.listOf(Gen.oneOf("Python", "AWS", "기타")))
+    val recGen = for {
+      name <- strGen; pos <- strGen; dept <- strGen; jd <- strGen
+      skills <- listGen; projects <- listGen; certs <- listGen
+      langs <- listGen; prof <- strGen
+      degree <- strGen; school <- strGen
+      year <- Gen.option(Gen.chooseNum(1990, 2030))
+      eduNull <- Gen.prob(0.3)
+    } yield Row("ID", name.orNull, pos.orNull, dept.orNull, jd.orNull,
+      skills.map(_.toSeq).orNull, projects.map(_.toSeq).orNull,
+      if (eduNull) null
+      else Row(degree.orNull, school.orNull,
+        year.map(Int.box).orNull),
+      certs.map(_.toSeq).orNull, langs.map(_.toSeq).orNull, prof.orNull)
+    val rows = samples(recGen, 40)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), HrPipeline.employeeSchema)
+    val out = df.select(HrPipeline.employeeDocText.as("t")).collect()
+    assert(out.length === 40)
+    out.foreach { r =>
+      assert(!r.isNullAt(0)) // item.get defaults: always a string
+      assert(r.getString(0).startsWith("직원 유형."))
+    }
+  }
+
   test("pre-filter commutes: filter-then-topk == topk-over-filtered-set") {
     val rows = (0L until 30L).map(i =>
       (i, Seq((i % 5).toFloat, (i % 4).toFloat), (i % 2).toInt))
