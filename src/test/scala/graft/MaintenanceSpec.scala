@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Maintenance
+
+class MaintenanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("compact: many small files become few, rows and content preserved") {
+    val dir = Files.createTempDirectory("graft-compact-").toString + "/t"
+    val df = (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "payload")
+    df.repartition(50).write.parquet(dir) // 50 tiny files
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 40)
+    val n = Maintenance.compact(spark, dir, targetFileRows = 500)
+    assert(n === 2)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000)
+    assert(back.agg(sum(col("id"))).as[Long].head() === 500500L)
+  }
+
+  test("withDenseIds: contiguous 0..n-1 labels in key order, both variants") {
+    val df = Seq(("c", 1), ("a", 2), ("b", 3), ("d", 4)).toDF("k", "v")
+    val zip = Maintenance.withDenseIds(spark, df, col("k"))
+      .select("k", "label_id").as[(String, Long)].collect().sortBy(_._2)
+    assert(zip === Array(("a", 0L), ("b", 1L), ("c", 2L), ("d", 3L)))
+    val win = Maintenance.withDenseIdsWindow(df, col("k"))
+      .select("k", "label_id").as[(String, Long)].collect().sortBy(_._2)
+    assert(win === zip)
+    // dense + contiguous on a larger frame across partitions
+    val big = (1L to 5000L).map(i => (5000L - i, i)).toDF("k", "v")
+      .repartition(13)
+    val ids = Maintenance.withDenseIds(spark, big, col("k"))
+      .select("label_id").as[Long].collect().sorted
+    assert(ids === (0L until 5000L).toArray)
+  }
+}
