@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, Dedup, Knn, Multimodal, Sampling, Sketches, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, Knn, Multimodal, Sampling, Sketches, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -340,6 +340,20 @@ object ExtensionQueries {
       Sampling.stratifiedSample(Tables.documents(s, d), Seq("lang"),
           col("doc_id"), perStratum = 20)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // ---- as-of self-join: each order's previous order of the same
+    // customer via the merge formulation (one shuffle + sort, no join
+    // blowup); oracle = the lag() window, same semantics by construction.
+    "q_asof_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      AsofJoin.asofJoin(orders, orders, key = "o_custkey",
+          leftTs = "o_orderdate", rightTs = "o_orderdate",
+          leftId = "o_orderkey", rightId = "o_orderkey",
+          payloadCols = Seq("o_orderkey"), inclusive = false)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("asof_o_orderkey").as("prev_orderkey"))
+        .orderBy("o_orderkey")
+    }),
 
     // ---- deterministic train/val/test split: hash-bucket assignment,
     // map-side, stable under corpus growth.
@@ -770,6 +784,12 @@ object ExtensionQueries {
         |      '<EMAIL>', 'g'),
         |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_split_assign" ->
       s"""SELECT doc_id,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+/** As-of join semantics vs a brute-force per-row reference. */
+class AsofJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  // trades (left) as-of quotes (right) — the canonical example
+  private def quotes = Seq(
+    (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 1.1), (1L, 30L, 102L, 1.2),
+    (2L, 15L, 200L, 9.0))
+    .toDF("sym", "qts", "qid", "price")
+
+  private def trades = Seq(
+    (1L, 5L, 1000L),   // before any quote → null
+    (1L, 20L, 1001L),  // exactly at quote 101
+    (1L, 25L, 1002L),  // between 101 and 102
+    (2L, 99L, 2000L),  // after the only quote
+    (3L, 50L, 3000L))  // no quotes for sym 3 → null
+    .toDF("sym", "tts", "tid")
+
+  test("inclusive as-of picks the latest quote at-or-before each trade") {
+    val out = AsofJoin.asofJoin(trades, quotes, key = "sym",
+        leftTs = "tts", rightTs = "qts", leftId = "tid", rightId = "qid",
+        payloadCols = Seq("price"), inclusive = true)
+      .select(col("tid"), col("asof_price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map(
+      1000L -> None, 1001L -> Some(1.1), 1002L -> Some(1.1),
+      2000L -> Some(9.0), 3000L -> None))
+  }
+
+  test("as-of matches a brute-force reference on generated data") {
+    val r = new scala.util.Random(7)
+    val qs = (1 to 200).map(i =>
+      (r.nextInt(5).toLong, r.nextInt(1000).toLong, i.toLong, r.nextDouble()))
+    val ts = (1 to 100).map(i =>
+      (r.nextInt(6).toLong, r.nextInt(1000).toLong, (1000 + i).toLong))
+    val out = AsofJoin.asofJoin(
+        ts.toDF("sym", "tts", "tid"), qs.toDF("sym", "qts", "qid", "price"),
+        "sym", "tts", "qts", "tid", "qid", Seq("qid"), inclusive = true)
+      .select(col("tid"), col("asof_qid")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    ts.foreach { case (sym, tts, tid) =>
+      // brute force: max (qts, qid) at-or-before (tts, tid-position);
+      // ids are disjoint ranges so (qts < tts) || (qts == tts) suffices
+      val want = qs.filter(q => q._1 == sym && q._2 <= tts)
+        .sortBy(q => (q._2, q._3)).lastOption.map(_._3)
+      assert(out(tid) === want, s"trade $tid")
+    }
+  }
+}
