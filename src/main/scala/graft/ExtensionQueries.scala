@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsofJoin, Dedup, Knn, Multimodal, Sampling, Sketches, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, Knn, Multimodal, RangeJoin, Sampling, Sketches, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -340,6 +340,20 @@ object ExtensionQueries {
       Sampling.stratifiedSample(Tables.documents(s, d), Seq("lang"),
           col("doc_id"), perStratum = 20)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // ---- bucketized range join: customers whose balance falls in a
+    // ±100 band around each supplier's — an equi join on coarse buckets
+    // replaces the |points|×|intervals| nested loop.
+    "q_range_join" -> ((s, d) => {
+      val bands = Tables.supplier(s, d)
+        .select(col("s_suppkey"), (col("s_acctbal") - 100).as("lo"),
+          (col("s_acctbal") + 100).as("hi"))
+      RangeJoin.rangeJoin(
+          Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+          "c_acctbal", bands, "lo", "hi", bucketWidth = 200.0)
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
 
     // ---- as-of self-join: each order's previous order of the same
     // customer via the merge formulation (one shuffle + sort, no join
@@ -784,6 +798,12 @@ object ExtensionQueries {
         |      '<EMAIL>', 'g'),
         |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c_custkey, s_suppkey
+        |FROM customer JOIN supplier
+        |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
     "q_asof_join" ->
       """SELECT o_orderkey, o_custkey,

@@ -34,6 +34,25 @@ class AsofJoinSpec extends SparkSuite {
       2000L -> Some(9.0), 3000L -> None))
   }
 
+  test("range join equals the cross-join filter on random data") {
+    import graft.operators.RangeJoin
+    val r = new scala.util.Random(11)
+    val pts = (1 to 150).map(i => (i.toLong, r.nextDouble() * 400 - 200))
+      .toDF("pid", "v")
+    val ivs = (1 to 60).map { i =>
+      val lo = r.nextDouble() * 400 - 220
+      (i.toLong, lo, lo + r.nextDouble() * 90)
+    }.toDF("iid", "lo", "hi")
+    Seq(15.0, 50.0, 300.0).foreach { w => // width smaller/near/larger than bands
+      val fast = RangeJoin.rangeJoin(pts, "v", ivs, "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted
+      val naive = pts.crossJoin(ivs)
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().sorted
+      assert(fast === naive, s"width $w")
+    }
+  }
+
   test("as-of matches a brute-force reference on generated data") {
     val r = new scala.util.Random(7)
     val qs = (1 to 200).map(i =>
