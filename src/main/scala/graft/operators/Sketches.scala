@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -20,22 +21,28 @@ import graft.functions.TextFunctions.tokenHash32
   */
 object Sketches {
 
+  /** Session-independent aggregator (TypeTag encoders, top-level class) —
+    * see TopK.TopKAgg for why anonymous implicits-based aggregators are a
+    * serialization hazard. */
+  private class KmvAgg(k: Int)
+      extends Aggregator[(String, Long), Seq[Long], Seq[Long]] {
+    def zero: Seq[Long] = Seq.empty
+    def reduce(b: Seq[Long], a: (String, Long)): Seq[Long] =
+      if (b.contains(a._2)) b else (b :+ a._2).sorted.take(k)
+    def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+      (b1 ++ b2).distinct.sorted.take(k)
+    def finish(r: Seq[Long]): Seq[Long] = r
+    def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Deterministic KMV distinct estimate per group.
-    * Input df must expose `groupCol` (long) and `hashCol` (long in
-    * [0, 2³²)); output: (groupCol, n_sketch, est). */
+    * Input df must expose `groupCol` and `hashCol` (long in [0, 2³²));
+    * output: (groupCol, n_sketch, est). */
   def kmvDistinct(spark: SparkSession, df: DataFrame, groupCol: String,
                   hashCol: String, k: Int): DataFrame = {
     import spark.implicits._
-    val agg = new Aggregator[(String, Long), Seq[Long], Seq[Long]] {
-      def zero: Seq[Long] = Seq.empty
-      def reduce(b: Seq[Long], a: (String, Long)): Seq[Long] =
-        if (b.contains(a._2)) b else (b :+ a._2).sorted.take(k)
-      def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
-        (b1 ++ b2).distinct.sorted.take(k)
-      def finish(r: Seq[Long]): Seq[Long] = r
-      def bufferEncoder: Encoder[Seq[Long]] = implicitly[Encoder[Seq[Long]]]
-      def outputEncoder: Encoder[Seq[Long]] = implicitly[Encoder[Seq[Long]]]
-    }
+    val agg = new KmvAgg(k)
     df.select(col(groupCol).cast("string"), col(hashCol).cast("long"))
       .as[(String, Long)]
       .groupByKey(_._1)

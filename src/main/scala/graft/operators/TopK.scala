@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -23,21 +24,29 @@ object TopK {
 
   private def trim(k: Int, b: Seq[Entry]): Seq[Entry] = b.sorted(ord).take(k)
 
+  /** Session-independent aggregator: a top-level class with TypeTag-based
+    * encoders — an anonymous class using `spark.implicits` encoders
+    * captures the SparkSession in its closure, which breaks task
+    * serialization once anything non-serializable (e.g. an Observation
+    * manager) hangs off the session. */
+  private class TopKAgg(k: Int)
+      extends Aggregator[(Long, Long, Double), Seq[Entry], Seq[Entry]] {
+    def zero: Seq[Entry] = Seq.empty
+    def reduce(b: Seq[Entry], a: (Long, Long, Double)): Seq[Entry] =
+      trim(k, b :+ ((a._3, a._2)))
+    def merge(b1: Seq[Entry], b2: Seq[Entry]): Seq[Entry] = trim(k, b1 ++ b2)
+    def finish(r: Seq[Entry]): Seq[Entry] = r.sorted(ord)
+    def bufferEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
+    def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
+  }
+
   /** Top-k rows per group: returns (groupCol, idCol, valueCol, rn), rn
     * 1-based in (value DESC, id ASC) order — same contract as the
     * `row_number` window formulation, different physical shape. */
   def topKPerGroup(spark: SparkSession, df: DataFrame, groupCol: String,
                    idCol: String, valueCol: String, k: Int): DataFrame = {
     import spark.implicits._
-    val agg = new Aggregator[(Long, Long, Double), Seq[Entry], Seq[Entry]] {
-      def zero: Seq[Entry] = Seq.empty
-      def reduce(b: Seq[Entry], a: (Long, Long, Double)): Seq[Entry] =
-        trim(k, b :+ ((a._3, a._2)))
-      def merge(b1: Seq[Entry], b2: Seq[Entry]): Seq[Entry] = trim(k, b1 ++ b2)
-      def finish(r: Seq[Entry]): Seq[Entry] = r.sorted(ord)
-      def bufferEncoder: Encoder[Seq[Entry]] = implicitly[Encoder[Seq[Entry]]]
-      def outputEncoder: Encoder[Seq[Entry]] = implicitly[Encoder[Seq[Entry]]]
-    }
+    val agg = new TopKAgg(k)
     df.select(col(groupCol).cast("long"), col(idCol).cast("long"),
         col(valueCol).cast("double"))
       .as[(Long, Long, Double)]
