@@ -82,6 +82,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("doc_type#") && p.contains("= employee)"), p)
   }
 
+  test("as-of join plans with NO join operator at all (merge formulation)") {
+    val p = plan(SparkEntry.queries("q_asof_join")(spark, dir))
+    assert(!p.contains("Join"), p) // union + window, never a join
+    assert(p.contains("Window"), p)
+  }
+
+  test("range join is an equi hash/merge join, not a nested loop") {
+    val p = plan(SparkEntry.queries("q_range_join")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("batch kNN join broadcasts the corpus side") {
+    val p = plan(SparkEntry.queries("q_knn_join")(spark, dir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("bucketed fact-to-fact join plans no exchange on either side") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_orders")
