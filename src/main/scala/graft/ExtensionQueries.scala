@@ -341,6 +341,29 @@ object ExtensionQueries {
           col("doc_id"), perStratum = 20)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
 
+    // ---- the composed training-data cleaning pipeline in ONE plan:
+    // language filter → quality threshold → exact dedup (keep min id) →
+    // MinHash near-dup removal (drop the higher id of each candidate
+    // pair). Every stage is the oracle-checked operator from above; the
+    // composition is what a 100 TB pre-training cleanse actually runs.
+    "q_clean_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = withLangId(
+        withQualityScore(docs, col("text")), col("text"))
+      val filtered = scored
+        .filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
+      val keepIds = filtered.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"))
+      val kept = filtered.join(keepIds,
+        filtered("doc_id") === keepIds("keep_id"), "left_semi")
+      val dropIds = Dedup.lshCandidatePairs(kept, col("doc_id"), col("text"))
+        .select(col("id2").as("drop_id")).distinct()
+      kept.join(dropIds, kept("doc_id") === dropIds("drop_id"), "left_anti")
+        .select(col("doc_id"), col("pred_lang"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // ---- bucketized range join: customers whose balance falls in a
     // ±100 band around each supplier's — an equi join on coarse buckets
     // replaces the |points|×|intervals| nested loop.
@@ -798,6 +821,78 @@ object ExtensionQueries {
         |      '<EMAIL>', 'g'),
         |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_clean_pipeline" -> {
+      val scores = langMarkers.map { case (l, ms) =>
+        s"${langScoreSql(ms)} AS s_$l"
+      }.mkString(", ")
+      val bestSql = langMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+      val cascade = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x != '') AS toks
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id, text,
+         |    floor((least(len(text)::DOUBLE / 500.0, 1.0) * 0.25
+         |      + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+         |          / greatest(len(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.25
+         |      + least((CASE WHEN len(toks) > 0 THEN
+         |          len(list_filter(toks, t -> list_contains($stopSql, t)))::DOUBLE
+         |            / len(toks)::DOUBLE ELSE 0.0 END) * 5.0, 1.0) * 0.25
+         |      + least((CASE WHEN len(toks) > 0 THEN
+         |          list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+         |            / len(toks)::DOUBLE ELSE 0.0 END) / 10.0, 1.0) * 0.25)
+         |      * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM toks0),
+         |pads AS (
+         |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded
+         |  FROM documents),
+         |scs AS (SELECT doc_id, text, $scores FROM pads),
+         |lid AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_extract_all(text,
+         |           '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |         $cascade ELSE 'und' END AS pred_lang
+         |  FROM (SELECT *, $bestSql AS best FROM scs)),
+         |f AS (
+         |  SELECT q.doc_id, q.text, q.quality, l.pred_lang
+         |  FROM qual q JOIN lid l USING (doc_id)
+         |  WHERE l.pred_lang != 'und' AND q.quality >= 0.5),
+         |k AS (SELECT min(doc_id) AS keep_id FROM f GROUP BY md5(text)),
+         |kept AS (SELECT * FROM f WHERE doc_id IN (SELECT keep_id FROM k)),
+         |tk2 AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM kept),
+         |sh2 AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [array_to_string(tk, ' ')] END AS sh FROM tk2),
+         |hv2 AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${hash16Sql("s")}) AS hv
+         |  FROM sh2),
+         |sig2 AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
+         |    list_aggregate(list_transform(hv,
+         |      h -> ((37*j + 101) * h + (1009*j + 9176)) % 1000000007),
+         |      'min')) AS sig FROM hv2),
+         |bands2 AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    (sig[b*2+1] % 2147483647) * 2000000011 + sig[b*2+2] AS band_key
+         |  FROM sig2, generate_series(0, 3) t(b)),
+         |drops AS (
+         |  SELECT DISTINCT b.doc_id AS did
+         |  FROM bands2 a JOIN bands2 b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_id, pred_lang, quality FROM kept
+         |WHERE doc_id NOT IN (SELECT did FROM drops)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_range_join" ->
       """SELECT c_custkey, s_suppkey
