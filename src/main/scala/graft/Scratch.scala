@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.operators.Dedup
 
 /** Scratch profiling main — not part of the driver contract. */
 object Scratch {
@@ -24,25 +26,21 @@ object Scratch {
     val docs = Tables.documents(spark, d)
     docs.count()
 
-    time("langid current")(noop(docs.select(col("doc_id"),
-      langId(col("text")).as("l"))))
-
-    // staged: materialize scores in one projection, pick in the next —
-    // does breaking the expression into two Projects help codegen share?
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val scored = docs.select(col("doc_id"), col("text"),
-      array(langMarkers.map { case (_, ms) => langScore(padded, ms) }: _*)
-        .as("sc"))
-    val best = greatest((1 to 4).map(i => element_at(col("sc"), i)): _*)
-    val pick = langMarkers.map(_._1).zipWithIndex.foldRight(lit("und")) {
-      case ((l, i), el) =>
-        when(element_at(col("sc"), i + 1) === col("best") &&
-          element_at(col("sc"), i + 1) > 0, lit(l)).otherwise(el)
-    }
-    time("langid staged")(noop(
-      scored.withColumn("best", best)
-        .select(col("doc_id"),
-          when(cjkCount(col("text")) > 0, lit("zh")).otherwise(pick).as("l"))))
+    val scored = withLangId(withQualityScore(docs, col("text")), col("text"))
+    time("scored")(noop(scored))
+    val filtered = scored.filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
+    time("filtered")(noop(filtered))
+    val kept = filtered.withColumn("_rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+    time("kept")(noop(kept))
+    time("lsh(kept)")(noop(
+      Dedup.lshCandidatePairs(kept, col("doc_id"), col("text"))))
+    val dropIds = Dedup.lshCandidatePairs(kept, col("doc_id"), col("text"))
+      .select(col("id2").as("drop_id")).distinct()
+    time("full anti")(noop(kept.join(dropIds,
+      kept("doc_id") === dropIds("drop_id"), "left_anti")
+      .select(col("doc_id"), col("pred_lang"), col("quality"))))
     spark.stop()
   }
 }
