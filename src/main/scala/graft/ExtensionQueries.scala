@@ -341,6 +341,26 @@ object ExtensionQueries {
           col("doc_id"), perStratum = 20)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
 
+    // ---- SQL API surface: the same engine through spark.sql, with a
+    // correlated EXISTS (planned as a semi join) and a scalar subquery.
+    "q_sql_exists" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""SELECT c_custkey, c_name FROM v_customer c
+              |WHERE EXISTS (SELECT 1 FROM v_orders o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_totalprice > 400000)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q_sql_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM v_orders
+              |WHERE o_totalprice > (SELECT 0.99 * max(o_totalprice)
+              |                      FROM v_orders)
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // ---- the composed training-data cleaning pipeline in ONE plan:
     // language filter → quality threshold → exact dedup (keep min id) →
     // MinHash near-dup removal (drop the higher id of each candidate
@@ -828,6 +848,18 @@ object ExtensionQueries {
         |      '<EMAIL>', 'g'),
         |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT 0.99 * max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_clean_pipeline" -> {
       val scores = langMarkers.map { case (l, ms) =>
