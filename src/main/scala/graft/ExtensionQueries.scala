@@ -368,13 +368,16 @@ object ExtensionQueries {
     // composition is what a 100 TB pre-training cleanse actually runs.
     "q_clean_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // persist the scored corpus: the language/quality filter would
+      // materialize the scored corpus: the language/quality filter would
       // otherwise be PUSHED THROUGH the staged projections, re-inlining
       // the expensive score expressions into the predicate (measured
-      // 7.2s vs 2.8s for the scored stage alone); the cache is also the
-      // natural materialization point of a warehouse-scale cleanse
+      // 7.2s vs 2.8s for the scored stage alone). localCheckpoint (eager)
+      // rather than persist(): same barrier, but the blocks are released
+      // by the ContextCleaner once this query's frame is collected instead
+      // of staying pinned in the shared Verify/Bench session forever
       val scored = withLangId(
-        withQualityScore(docs, col("text")), col("text")).persist()
+        withQualityScore(docs, col("text")), col("text"))
+        .localCheckpoint(eager = true)
       val filtered = scored
         .filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
       // exact dedup as ONE window pass (keep min doc_id per digest) — a

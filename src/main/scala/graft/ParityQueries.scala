@@ -61,11 +61,19 @@ object ParityQueries {
     "q_count" -> ((s, d) => docs(s, d).agg(count(lit(1)).as("n"))),
 
     // ---- P1: field extraction with default (embedding_utils.py:31-76)
+    // json_tuple: ONE parse per row emitting both fields — two
+    // get_json_object calls would each re-parse the JSON string per row
+    // (measured 7.2s on the sf0.1 bench, the round-1 worst query). A
+    // multi-referenced from_json is no fix: OptimizeCsvJsonExprs splits it
+    // back into per-field parses.
     "q_project_default" -> ((s, d) =>
-      evs(s, d).select(
-        col("event_id"),
-        coalesce(get_json_object(col("props"), "$.k"), lit("")).as("k_val"),
-        coalesce(get_json_object(col("props"), "$.missing"), lit("")).as("m_val"))
+      evs(s, d)
+        .select(col("event_id"),
+          json_tuple(col("props"), "k", "missing").as(Seq("_k", "_m")))
+        .select(
+          col("event_id"),
+          coalesce(col("_k"), lit("")).as("k_val"),
+          coalesce(col("_m"), lit("")).as("m_val"))
         .orderBy("event_id")),
 
     // ---- P2: array→string join (embedding_utils.py:40-42)

@@ -30,9 +30,15 @@ object AsofJoin {
                payloadCols: Seq[String],
                inclusive: Boolean = true): DataFrame = {
     val (leftTag, rightTag) = if (inclusive) (1, 0) else (0, 1)
-    val r = right.select(
-      (col(key).as("_k") +: col(rightTs).as("_t") +: col(rightId).as("_i") +:
-        payloadCols.map(c => col(c).as(s"asof_$c"))): _*)
+    // One struct carries ALL payload columns of a right row, so the asof_*
+    // values always come from the SAME (latest) right row — per-column
+    // last(ignoreNulls) would skip a NULL payload value back to an older
+    // right row, diverging from merge-asof semantics (latest row's values,
+    // nulls included). The struct itself is never null on right rows, so
+    // last(ignoreNulls) selects rows, not values.
+    val r = right.select(col(key).as("_k"), col(rightTs).as("_t"),
+        col(rightId).as("_i"),
+        struct(payloadCols.map(c => col(c).as(s"asof_$c")): _*).as("_p"))
       .withColumn("_tag", lit(rightTag))
     val l = left
       .withColumn("_k", col(key)).withColumn("_t", col(leftTs))
@@ -41,11 +47,12 @@ object AsofJoin {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_i").asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payloadCols.foldLeft(merged) { (df, c) =>
-        df.withColumn(s"asof_$c",
-          last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    val carried = merged
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(s"asof_$c", col("_p").getField(s"asof_$c"))
       }
       .filter(col("_tag") === leftTag)
-      .drop("_k", "_t", "_i", "_tag")
+      .drop("_k", "_t", "_i", "_tag", "_p")
   }
 }

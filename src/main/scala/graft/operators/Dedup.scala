@@ -98,6 +98,9 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, numHashes: Int = 8,
                         bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "trailing signature slots would be silently ignored otherwise")
     val rPerBand = numHashes / bands
     val hashed = df.select(idCol.as("id"),
       graft.plans.HashedShingles.shingleHashes(textCol, n, 4).as("hv"))

@@ -31,6 +31,12 @@ case class L2Distance(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "l2_native"
 
+  // Can return NULL regardless of input nullability (length mismatch, null
+  // elements) — without this, two non-nullable inputs would declare the
+  // expression non-nullable and nullSafeCodeGen would emit an assignment to
+  // a FalseLiteral isNull (invalid codegen, wrong results interpreted).
+  override def nullable: Boolean = true
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

@@ -167,18 +167,35 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val deduped = batch.dropDuplicates(key) // last-write-wins per batch
-        val merged =
-          try graft.sources.HrPipeline
-            .upsertByKey(spark.read.parquet(indexDir), deduped, key)
-          catch { case _: Exception => deduped } // first batch: no index yet
-        val tmp = indexDir.stripSuffix("/") + "__upserting"
-        merged.write.mode("overwrite").parquet(tmp)
+        import org.apache.hadoop.fs.Path
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
-        val target = new org.apache.hadoop.fs.Path(indexDir)
-        fs.delete(target, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+        val base = indexDir.stripSuffix("/")
+        val target = new Path(base)
+        val tmp = new Path(base + "__upserting")
+        val old = new Path(base + "__old")
+        // crash recovery: a previous batch that died between the two swap
+        // renames left the index aside at __old — restore it before merging
+        if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+        val deduped = batch.dropDuplicates(key) // last-write-wins per batch
+        // "first batch" ONLY when the index genuinely doesn't exist; any
+        // other read failure (transient FS error, corrupt footer) must fail
+        // the batch — a catch-all here would silently overwrite the whole
+        // persisted collection with one micro-batch
+        val merged =
+          if (fs.exists(target))
+            graft.sources.HrPipeline
+              .upsertByKey(spark.read.parquet(indexDir), deduped, key)
+          else deduped
+        // the write below lazily READS target, so it must complete before
+        // the swap touches target
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        // rename-aside swap (target → __old, tmp → target, drop __old):
+        // the no-index window is one rename, not a full delete + rename
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(target)) fs.rename(target, old)
+        fs.rename(tmp, target)
+        fs.delete(old, true)
         ()
       }
       .start()
