@@ -316,16 +316,37 @@ object ExtensionQueries {
         .select(col("doc_id"), col("pos"), floorRound6(col("v")).as("v"))
         .orderBy("doc_id", "pos")),
 
-    // ---- IVF approximate kNN: probe the 2 nearest label-centroid cells,
-    // exact top-k within (partition pruning when the table is partitioned
-    // by cell). Approximate + float-avg centroids ⇒ rows-only check, per
-    // SURVEY §5.2; recall is asserted in KnnSpec.
+    // ---- IVF approximate kNN on an UNLABELED corpus: deterministic
+    // Lloyd's k-means trains the cell structure, vectors are assigned to
+    // their nearest centroid, the query probes the 2 nearest cells, exact
+    // top-k within (partition pruning when the table is partitioned by
+    // cell). Approximate ⇒ rows-only check per SURVEY §5.2; recall vs
+    // brute force is asserted in KnnSpec.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = Ann.centroids(emb, col("label"), col("embedding"))
-      Ann.ivfTopK(emb, col("label"), col("embedding"), cents,
+      val cents = Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"),
+        k = 8, iters = 3)
+      val indexed = Ann.assignCells(emb, col("vec_id"), col("embedding"), cents)
+      Ann.ivfTopK(indexed, col("cell"), col("embedding"), cents,
           queryVec(s, d), k = 10, nProbe = 2)
         .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
+    // ---- IVF-cell co-partitioned batch kNN join: the no-broadcast-corpus
+    // scale path of q_knn_join — probe cells computed map-side per query,
+    // pairs generated by an equi join on the cell key, per-query top-k via
+    // the bounded-buffer aggregator. Approximate ⇒ rows-only check; plan
+    // shape (shuffled join, no corpus broadcast) asserted in PlanSpec and
+    // recall in KnnSpec.
+    "q_knn_join_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"),
+        k = 8, iters = 3)
+      val indexed = Ann.assignCells(emb, col("vec_id"), col("embedding"), cents)
+      Knn.knnJoinIvf(emb.filter(col("vec_id") < 10), col("vec_id"),
+          col("embedding"), indexed, col("vec_id"), col("embedding"),
+          cents, k = 5, nProbe = 3)
+        .orderBy("query_id", "rn")
     }),
 
     // ---- deterministic uniform hash-sample: map-side filter, no shuffle,

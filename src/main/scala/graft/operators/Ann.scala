@@ -15,18 +15,32 @@ import graft.functions.VectorFunctions._
   * Catalyst partition-prunes the scan — at 100 TB a top-k touches
   * nProbe/nCells of the data instead of all of it.
   *
-  * Centroid sets here are data-derived (per-`label` means — the synthetic
-  * corpus's cluster structure); swap in k-means or sampled seeds for real
-  * corpora. Approximate results are recall-tested (not hash-matched) per
-  * SURVEY §5.2.
+  * Centroids come from [[kmeansCentroids]] (deterministic Lloyd's — no
+  * label column needed) or, when the corpus already carries a cluster
+  * column, from [[centroids]] directly. Approximate results are
+  * recall-tested (not hash-matched) per SURVEY §5.2.
   */
 object Ann {
 
-  /** Per-cell mean vectors: explode to (cell, pos, component), average,
-    * reassemble. One shuffle of n×dim scalar rows — fine for centroid
-    * counts in the thousands; use a vector-sum TypedImperativeAggregate
-    * when dim×cells gets large. */
-  def centroids(df: DataFrame, cellCol: Column, vecCol: Column): DataFrame =
+  /** Per-cell mean vectors via the [[graft.plans.VectorSum]] typed
+    * aggregate: ONE double[] accumulator per cell, summed map-side — the
+    * shuffle carries one dim-length buffer per (cell, task) instead of the
+    * n×dim scalar rows the posexplode formulation ships. At 384-dim this
+    * is a 384× cut in shuffle rows on the index-build path. */
+  def centroids(df: DataFrame, cellCol: Column, vecCol: Column): DataFrame = {
+    import graft.plans.VectorSum.vectorSum
+    df.select(cellCol.as("cell"), vecCol.as("_v"))
+      .groupBy(col("cell"))
+      .agg(vectorSum(col("_v")).as("_s"), count(col("_v")).as("_n"))
+      .select(col("cell"),
+        transform(col("_s"), x => x / col("_n")).as("centroid"))
+  }
+
+  /** Declarative reference formulation of [[centroids]] — explode to
+    * (cell, pos, component), average, reassemble. Kept as the executable
+    * specification (parity-tested in KnnSpec); shuffles n×dim scalar rows,
+    * so don't use it on real corpora. */
+  def centroidsExploded(df: DataFrame, cellCol: Column, vecCol: Column): DataFrame =
     df.select(cellCol.as("cell"), posexplode(vecCol).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(avg(col("x")).as("m"))
@@ -66,6 +80,43 @@ object Ann {
       .groupBy(col("_aid"))
       .agg(min_by(col("cell"), struct(col("_cdist"), col("cell"))).as("cell"))
     df.join(assigned, idCol === col("_aid")).drop("_aid")
+  }
+
+  /** Deterministic Lloyd's k-means over DataFrame ops — makes IVF real on
+    * corpora with no label column (the reference's index is a trained ANN
+    * structure: hnswlib, M=16/ef=100 — BASELINE.md).
+    *
+    * Seeding: the k rows with the smallest `md5('seed:' || id)` — an
+    * order-independent pseudo-random sample, identical on any partitioning
+    * or cluster layout. Each iteration is one assign pass (broadcast
+    * centroids, map-side distances, one argmin shuffle — [[assignCells]])
+    * plus one mean pass ([[centroids]]: map-side vector sums). Centroids
+    * come back to the driver between iterations — k×dim doubles, the same
+    * driver-size object [[probeCells]] already collects — which also keeps
+    * the per-iteration plan flat instead of a growing lineage chain.
+    * Cells that lose every member keep their previous centroid. */
+  def kmeansCentroids(df: DataFrame, idCol: Column, vecCol: Column,
+                      k: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    val vecs = df.select(idCol.as("_kid"), vecCol.cast("array<double>").as("_kv"))
+    var cents: Seq[(Int, Seq[Double])] = vecs
+      .orderBy(md5(concat(lit("seed:"), col("_kid").cast("string"))), col("_kid"))
+      .limit(k)
+      .select("_kv").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    def centDf(cs: Seq[(Int, Seq[Double])]): DataFrame = {
+      import spark.implicits._
+      cs.toDF("cell", "centroid")
+    }
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCells(vecs, col("_kid"), col("_kv"), centDf(cents))
+      val updated = centroids(assigned, col("cell"), col("_kv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+      cents = cents.map { case (c, v) => (c, updated.getOrElse(c, v)) }
+      it += 1
+    }
+    centDf(cents)
   }
 
   /** Persist the collection partitioned by cell id: each IVF cell is a

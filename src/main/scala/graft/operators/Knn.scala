@@ -93,4 +93,49 @@ object Knn {
       .select(col("query_id"), col("match_id"),
         (-col("negdist")).as("dist"), col("rn"))
   }
+
+  /** IVF-cell co-partitioned batch kNN join — the scale path past
+    * [[knnJoin]]'s broadcast corpus (a 100 TB corpus cannot broadcast).
+    *
+    * Shape:
+    *  1. the centroid table (k×dim — driver-sized, like [[Ann.probeCells]])
+    *     becomes a literal, so each query row computes its `nProbe`
+    *     nearest cells MAP-SIDE: no join, no shuffle, for probe selection;
+    *  2. exploded (query, cell) probes equi-join the cell-assigned corpus
+    *     ON the cell key — both sides shuffle on `cell` (the merge hint
+    *     pins a shuffled join: auto-broadcast of a huge corpus off bad
+    *     stats would OOM the driver). With the corpus pre-partitioned by
+    *     cell ([[Ann.writePartitioned]]) its exchange disappears entirely.
+    *     Work is |queries|×nProbe×avg-cell-size pairs, not |q|×|corpus|;
+    *     hot cells are AQE skew-join territory.
+    *  3. per-query top-k via the bounded-buffer [[TopK]] aggregator.
+    *
+    * Approximate exactly like IVF search: a true neighbor in an unprobed
+    * cell is missed — recall vs brute force is asserted in KnnSpec.
+    * Output: (query_id, match_id, dist, rn), rn 1-based (dist asc, id asc). */
+  def knnJoinIvf(queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                 corpusWithCell: DataFrame, cIdCol: Column, cVecCol: Column,
+                 cents: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    import graft.plans.NativeFunctions.l2Native
+    val centsLocal: Seq[(Int, Seq[Double])] = cents
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val centLit = typedlit(centsLocal)
+    val probed = queries
+      .select(qIdCol.as("query_id"), qVecCol.as("_qv"))
+      .withColumn("_probe", slice(array_sort(transform(centLit, c =>
+        struct(l2Native(col("_qv"), c.getField("_2")).as("d"),
+          c.getField("_1").as("cell")))), 1, nProbe))
+      .select(col("query_id"), col("_qv"),
+        explode(col("_probe").getField("cell")).as("cell"))
+    val corp = corpusWithCell.select(col("cell").cast("int").as("cell"),
+      cIdCol.as("match_id"), cVecCol.as("_cv"))
+    val pairs = probed.join(corp.hint("merge"), Seq("cell"))
+      .select(col("query_id"), col("match_id"),
+        (-round(l2Native(col("_qv"), col("_cv")), 6)).as("negdist"))
+    TopK.topKPerGroup(pairs.sparkSession, pairs,
+        "query_id", "match_id", "negdist", k)
+      .select(col("query_id"), col("match_id"),
+        (-col("negdist")).as("dist"), col("rn"))
+  }
 }

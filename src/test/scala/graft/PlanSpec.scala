@@ -99,6 +99,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("IVF kNN join: pair join is shuffled on the cell key, corpus never broadcast") {
+    val p = plan(SparkEntry.queries("q_knn_join_ivf")(spark, dir))
+    // probe selection is map-side (centroid literal — no join); the pair
+    // join must be a sort-merge on cell: at 100 TB the corpus side cannot
+    // broadcast, and the merge hint pins that even under bad stats
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("bucketed fact-to-fact join plans no exchange on either side") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_orders")
