@@ -101,6 +101,32 @@ object Streams {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT SEMI join: impressions that HAVE a matching click
+    * within `horizon`, emitted without click columns (the streaming form
+    * of a correlated EXISTS). Same watermark + interval bounds as
+    * [[clickAttribution]], so join state stays O(horizon), and each
+    * impression is emitted at most once regardless of click count —
+    * no output inflation on hot keys. */
+  def existsWithin(impressions: DataFrame, clicks: DataFrame,
+                   horizon: String = "10 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermark)
+    val clk = clicks.withWatermark("click_ts", watermark)
+    imp.join(clk, expr(
+      s"""imp_user = click_user AND
+         |click_ts >= imp_ts AND
+         |click_ts <= imp_ts + interval $horizon""".stripMargin), "left_semi")
+  }
+
+  /** Point the session's streaming state at the RocksDB provider: state
+    * lives off-heap in a local RocksDB per partition (changelog/snapshot
+    * checkpointed), so state size is bounded by local disk instead of
+    * executor heap — the 100 TB requirement for big joins/dedup maps.
+    * Read by each query at START; set before `.start()`. */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   // ---- custom-state sessionization -----------------------------------
 
   case class Event(user_id: Long, ts: Timestamp)
@@ -196,6 +222,73 @@ object Streams {
         if (fs.exists(target)) fs.rename(target, old)
         fs.rename(tmp, target)
         fs.delete(old, true)
+        ()
+      }
+      .start()
+
+  /** Bucketed incremental streaming upsert — the scale path past
+    * [[upsertStream]]'s whole-index rewrite (O(index) per micro-batch).
+    *
+    * The index is laid out hash-bucketed by key (`bucket=<b>/` partition
+    * directories, `b = pmod(hash(key), nBuckets)`). Each micro-batch:
+    *   1. buckets its deduped rows and collects the touched bucket ids
+    *      (≤ nBuckets ints on the driver);
+    *   2. reads ONLY the touched bucket directories (partition pruning on
+    *      the `bucket` column) and merges via
+    *      [[graft.sources.HrPipeline.upsertByKey]];
+    *   3. rewrites and swaps ONLY the touched bucket dirs — untouched
+    *      buckets' files are never read, rewritten, or moved
+    *      (StreamsSpec asserts their names+mtimes survive a batch).
+    * Per-batch cost is O(batch + touched-bucket data), not O(index); at
+    * scale `nBuckets` is sized so a bucket ≈ a few HDFS blocks. The swap
+    * is rename-aside per bucket with crash recovery; aside dirs are
+    * dot-prefixed so partition discovery never sees a half-swapped state.
+    * With a transactional table format this collapses to MERGE INTO. */
+  def upsertStreamBucketed(spark: SparkSession, src: DataFrame,
+                           indexDir: String, checkpointDir: String,
+                           key: String = "doc_id", nBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.hadoop.fs.Path
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val base = indexDir.stripSuffix("/")
+        def bucketDir(b: Int) = new Path(s"$base/bucket=$b")
+        def asideDir(b: Int) = new Path(s"$base/.bucket_${b}_old") // hidden
+        val deduped = batch.dropDuplicates(key) // last-write-wins per batch
+          .withColumn("bucket", pmod(hash(col(key)), lit(nBuckets)))
+        val touched = deduped.select("bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+        // crash recovery: restore any bucket a died swap left aside
+        touched.foreach { b =>
+          if (!fs.exists(bucketDir(b)) && fs.exists(asideDir(b)))
+            fs.rename(asideDir(b), bucketDir(b))
+        }
+        val existing = touched.filter(b => fs.exists(bucketDir(b)))
+        val merged =
+          if (existing.isEmpty) deduped
+          else graft.sources.HrPipeline.upsertByKey(
+            spark.read.parquet(base)
+              .filter(col("bucket").isin(touched.map(Int.box): _*)),
+            deduped, key)
+        val tmp = new Path(base + "__upserting")
+        fs.delete(tmp, true)
+        // the write READS the touched buckets of target, so it must finish
+        // before any swap touches them
+        merged.write.mode("overwrite").partitionBy("bucket")
+          .parquet(tmp.toString)
+        if (!fs.exists(new Path(base))) fs.mkdirs(new Path(base))
+        touched.foreach { b =>
+          val fresh = new Path(s"$tmp/bucket=$b")
+          if (fs.exists(asideDir(b))) fs.delete(asideDir(b), true)
+          if (fs.exists(bucketDir(b))) fs.rename(bucketDir(b), asideDir(b))
+          if (fs.exists(fresh)) fs.rename(fresh, bucketDir(b))
+          fs.delete(asideDir(b), true)
+        }
+        fs.delete(tmp, true)
         ()
       }
       .start()

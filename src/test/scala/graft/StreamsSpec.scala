@@ -150,6 +150,54 @@ class StreamsSpec extends SparkSuite {
     assert(got === Set((100L, 900L), (999L, 998L)))
   }
 
+  test("existsWithin: stream-stream semi join emits each match once") {
+    val imp = MemoryStream[(Long, Long, Timestamp)](spark)
+    val clk = MemoryStream[(Long, Long, Timestamp)](spark)
+    val name = s"semi_${System.nanoTime()}"
+    val q = Streams.existsWithin(
+        imp.toDF().toDF("imp_user", "imp_id", "imp_ts"),
+        clk.toDF().toDF("click_user", "click_id", "click_ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imp.addData(Seq((1L, 100L, ts(5)), (2L, 200L, ts(6))))
+      clk.addData(Seq(
+        (1L, 900L, ts(8)),  // matches imp 100
+        (1L, 901L, ts(9)),  // second match — must NOT duplicate imp 100
+        (3L, 902L, ts(7)))) // no impression
+      q.processAllAvailable()
+      // advance watermarks: semi-join output is emitted once the left
+      // row's state is finalized
+      imp.addData(Seq((9L, 999L, ts(120))))
+      clk.addData(Seq((9L, 998L, ts(121))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).select("imp_id").as[Long].collect().toSeq
+    assert(got.count(_ == 100L) === 1, s"semi join duplicated rows: $got")
+    assert(!got.contains(200L)) // un-clicked impression 200 not emitted
+  }
+
+  test("RocksDB state store provider runs a stateful query end-to-end") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    Streams.useRocksDbStateStore(spark)
+    try {
+      val rows = runBatches[(Timestamp, String, Double)](
+        Seq(Seq((ts(5), "click", 1.0), (ts(10), "click", 2.0)),
+          Seq((ts(130), "view", 1.0))), // watermark past first window
+        df => Streams.windowedEventStats(df.toDF("ts", "event_type", "value")),
+        OutputMode.Append())
+      val m = rows.map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+      assert(m("click") === ((2L, 3.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("upsertStream: foreachBatch merge replaces keys and appends new") {
     val base = Files.createTempDirectory("graft-upsert-").toString
     val input = MemoryStream[(Long, String)](spark)
@@ -165,6 +213,44 @@ class StreamsSpec extends SparkSuite {
     val out = spark.read.parquet(s"$base/idx")
       .as[(Long, String)].collect().sorted
     assert(out === Array((1L, "v1"), (2L, "v2"), (3L, "v1")))
+  }
+
+  test("upsertStreamBucketed: only touched bucket dirs are rewritten") {
+    val base = Files.createTempDirectory("graft-bupsert-").toString
+    val idx = s"$base/idx"
+    // (file name -> mtime) per bucket dir — rewritten files get fresh
+    // random part- names, so map equality catches any rewrite
+    def snapshot(): Map[String, Map[String, Long]] = {
+      val d = new java.io.File(idx)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles().filter(_.isFile)
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    }
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.upsertStreamBucketed(spark,
+      input.toDF().toDF("doc_id", "text"), idx, s"$base/chk", nBuckets = 4)
+    try {
+      input.addData((0L to 15L).map(i => (i, "v1")))
+      q.processAllAvailable()
+      val before = snapshot()
+      assert(before.size > 1, s"want several bucket dirs, got $before")
+      input.addData(Seq((2L, "v2"))) // touches exactly one bucket
+      q.processAllAvailable()
+      val after = snapshot()
+      val touchedBucket = Seq(2L).toDF("doc_id")
+        .select(pmod(hash(col("doc_id")), lit(4))).as[Int].head()
+      before.foreach { case (dir, files) =>
+        if (dir == s"bucket=$touchedBucket")
+          assert(after(dir) !== files, s"touched $dir was not rewritten")
+        else
+          assert(after(dir) === files, s"untouched $dir was rewritten")
+      }
+    } finally q.stop()
+    val out = spark.read.parquet(idx).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.length === 16)
+    assert(out(2) === ((2L, "v2")))
+    assert(out.filter(_._1 != 2L).forall(_._2 == "v1"))
   }
 
   test("incrementalCollection: file stream builds an embedded collection") {
