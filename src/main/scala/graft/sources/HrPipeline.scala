@@ -191,7 +191,14 @@ object HrPipeline {
     * doc_type). One declarative plan — no joins, no shuffles until the
     * sink's repartition. */
   def collection(employees: DataFrame, jobs: DataFrame,
-                 embedDim: Int = 64): DataFrame = {
+                 embedDim: Int = 64): DataFrame =
+    collectionDocs(employees, jobs)
+      .withColumn("embedding", featureHashEmbedding(col("document"), embedDim))
+
+  /** The embedding-ready docs WITHOUT the embedding column — the input to
+    * either the in-plan expression ([[collection]]) or the batched
+    * external-encoder seam ([[collectionEncoded]]). */
+  def collectionDocs(employees: DataFrame, jobs: DataFrame): DataFrame = {
     val empRows = employees
       .filter(col("id").isNotNull) // vector_db.py:119-121
       .withColumn("document", employeeDocText)
@@ -206,8 +213,19 @@ object HrPipeline {
       .withColumn("doc_type", lit("job"))
 
     empRows.unionByName(jobRows, allowMissingColumns = true) // vector_db.py:56-60
-      .withColumn("embedding", featureHashEmbedding(col("document"), embedDim))
   }
+
+  /** [[collection]] with the embedding produced by a pluggable BATCHED
+    * encoder instead of the in-plan expression — the production seam for
+    * a real model runtime (`model.encode` over 5000-doc slices,
+    * vector_db.py:160 + config.py:24). Default kernel is the same
+    * feature-hash bits as [[collection]], parity-tested in
+    * ReferenceDataSpec. */
+  def collectionEncoded(employees: DataFrame, jobs: DataFrame,
+                        encoder: graft.operators.BatchEncode.Encoder,
+                        batchSize: Int = 5000): DataFrame =
+    graft.operators.BatchEncode.withEmbedding(
+      collectionDocs(employees, jobs), "document", encoder, batchSize)
 
   // ---- change detection (vector_db.py:81-107) -------------------------
 

@@ -75,6 +75,26 @@ class ReferenceDataSpec extends SparkSuite {
       employees.limit(9000), jobs))
   }
 
+  test("batched encoder seam: full corpus, 5000-doc batches, bit parity") {
+    // the vector_db.py:146-175 analogue end-to-end: 10,084 real docs
+    // through the pluggable batched encoder at the reference's batch size
+    // (5000, config.py:24), default feature-hash kernel → must be
+    // bit-identical to the in-plan expression pipeline
+    // collection() stores ARRAY<FLOAT> (the storage type); the seam emits
+    // the raw doubles — compare at the common storage precision
+    val viaSeam = HrPipeline.collectionEncoded(employees, jobs,
+        new graft.operators.BatchEncode.FeatureHashEncoder(16),
+        batchSize = 5000)
+      .select(col("id"), col("doc_type"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val viaExpr = HrPipeline.collection(employees, jobs, embedDim = 16)
+      .select(col("id"), col("doc_type"),
+        col("embedding").cast("array<float>").as("embedding"))
+    assert(viaSeam.count() === 10084)
+    assert(viaSeam.exceptAll(viaExpr).count() === 0)
+    assert(viaExpr.exceptAll(viaSeam).count() === 0)
+  }
+
   test("recommend over the real corpus: filters + ranking behave") {
     val coll = HrPipeline.collection(employees, jobs, embedDim = 16)
     val q = "Python 백엔드 개발 경험"
