@@ -443,6 +443,25 @@ object ExtensionQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- as-of join, INCLUSIVE mode, two distinct sides: each purchase
+    // event picks up the latest view by the same user at-or-before it
+    // ((ts, id) lexicographic — a right row at the exact same position
+    // would match). Same merge formulation: one shuffle, no join node.
+    "q_asof_join_incl" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      AsofJoin.asofJoin(
+          ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "view")
+            .select(col("event_id"), col("user_id"), col("ts"),
+              col("event_id").as("view_id")),
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          leftId = "event_id", rightId = "event_id",
+          payloadCols = Seq("view_id"), inclusive = true)
+        .select(col("event_id"), col("user_id"), col("asof_view_id"))
+        .orderBy("event_id")
+    }),
+
     // ---- deterministic train/val/test split: hash-bucket assignment,
     // map-side, stable under corpus growth.
     "q_split_assign" -> ((s, d) =>
@@ -968,6 +987,15 @@ object ExtensionQueries {
         |  lag(o_orderkey) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_asof_join_incl" ->
+      """SELECT l.event_id, l.user_id,
+        |  (SELECT r.event_id FROM events r
+        |   WHERE r.event_type = 'view' AND r.user_id = l.user_id
+        |     AND (r.ts < l.ts OR (r.ts = l.ts AND r.event_id <= l.event_id))
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_view_id
+        |FROM events l WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_split_assign" ->
       s"""SELECT doc_id,

@@ -34,6 +34,25 @@ class AsofJoinSpec extends SparkSuite {
       2000L -> Some(9.0), 3000L -> None))
   }
 
+  test("NULL payload on the latest right row is carried, not skipped back") {
+    // quote 102 (latest for sym 1 at tts 40) has price NULL and venue "X":
+    // merge-asof semantics = take the LATEST row's values, nulls included —
+    // asof_price must be NULL, and asof_venue must come from the SAME row
+    // (a per-column last(ignoreNulls) would mix rows: price from 101,
+    // venue from 102)
+    val q = Seq(
+      (1L, 10L, 100L, Some(1.0), "V"), (1L, 20L, 101L, Some(1.1), "W"),
+      (1L, 30L, 102L, None: Option[Double], "X"))
+      .toDF("sym", "qts", "qid", "price", "venue")
+    val t = Seq((1L, 40L, 1000L)).toDF("sym", "tts", "tid")
+    val out = AsofJoin.asofJoin(t, q, key = "sym",
+        leftTs = "tts", rightTs = "qts", leftId = "tid", rightId = "qid",
+        payloadCols = Seq("price", "venue"), inclusive = true)
+      .select("tid", "asof_price", "asof_venue").collect().head
+    assert(out.isNullAt(1), "NULL price of the latest quote must be kept")
+    assert(out.getString(2) === "X")
+  }
+
   test("range join equals the cross-join filter on random data") {
     import graft.operators.RangeJoin
     val r = new scala.util.Random(11)
