@@ -13,8 +13,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, path): `spark.read.parquet` re-lists the
+  // directory and re-reads footers for schema inference on EVERY call —
+  // across a 67-query Verify/Bench run that per-query setup is a visible
+  // slice of the ~0.5 s fixed overhead. The cached object is just the
+  // analyzed logical plan (immutable); each query still plans and scans
+  // independently. Keyed by session so test sessions don't leak across.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

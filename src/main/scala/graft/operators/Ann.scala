@@ -66,21 +66,34 @@ object Ann {
       preFilter = None, tieBreak = tieBreak)
   }
 
-  /** Assign every vector to its nearest centroid (the IVF index-build
-    * step): broadcast the centroid table, native-L2 per (row, cell),
-    * `min_by` argmin with a deterministic (dist, cell) tiebreak. Work is
-    * rows × cells distance evaluations, all map-side against the
-    * broadcast; one shuffle for the argmin aggregation. */
-  def assignCells(df: DataFrame, idCol: Column, vecCol: Column,
-                  cents: DataFrame): DataFrame = {
+  /** Map-side nearest-centroid assignment from an in-memory centroid set:
+    * each row computes k native-L2 distances against the centroid literal
+    * and takes the argmin with a deterministic (dist, cell) tiebreak. */
+  private[operators] def assignByLiteral(df: DataFrame, vecCol: Column,
+      centsLocal: Seq[(Int, Seq[Double])]): DataFrame = {
     import graft.plans.NativeFunctions.l2Native
-    val assigned = df.select(idCol.as("_aid"), vecCol.as("_avec"))
-      .crossJoin(broadcast(cents.select(col("cell"), col("centroid"))))
-      .withColumn("_cdist", l2Native(col("_avec"), col("centroid")))
-      .groupBy(col("_aid"))
-      .agg(min_by(col("cell"), struct(col("_cdist"), col("cell"))).as("cell"))
-    df.join(assigned, idCol === col("_aid")).drop("_aid")
+    val centLit = typedlit(centsLocal)
+    df.withColumn("cell", element_at(array_sort(transform(centLit, c =>
+      struct(l2Native(vecCol, c.getField("_2")).as("d"),
+        c.getField("_1").as("cell")))), 1).getField("cell"))
   }
+
+  /** Collect a centroid DataFrame to the driver-sized literal form
+    * (k×dim doubles — the same object [[probeCells]] collects). */
+  private def collectCents(cents: DataFrame): Seq[(Int, Seq[Double])] =
+    cents.select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+
+  /** Assign every vector to its nearest centroid (the IVF index-build
+    * step), MAP-SIDE: the centroid table is driver-sized, so it ships as
+    * a literal inside the plan — no join, no shuffle, the operator just
+    * adds a `cell` column and preserves everything else. (The earlier
+    * broadcast-crossJoin + `min_by` + join-back formulation shuffled the
+    * whole corpus twice per call; the argmin tiebreak — (dist, cell)
+    * lexicographic — is identical.) `idCol` is kept for API stability. */
+  def assignCells(df: DataFrame, idCol: Column, vecCol: Column,
+                  cents: DataFrame): DataFrame =
+    assignByLiteral(df, vecCol, collectCents(cents))
 
   /** Deterministic Lloyd's k-means over DataFrame ops — makes IVF real on
     * corpora with no label column (the reference's index is a trained ANN
@@ -88,9 +101,10 @@ object Ann {
     *
     * Seeding: the k rows with the smallest `md5('seed:' || id)` — an
     * order-independent pseudo-random sample, identical on any partitioning
-    * or cluster layout. Each iteration is one assign pass (broadcast
-    * centroids, map-side distances, one argmin shuffle — [[assignCells]])
-    * plus one mean pass ([[centroids]]: map-side vector sums). Centroids
+    * or cluster layout. Each iteration is ONE job: map-side argmin against
+    * the centroid literal ([[assignByLiteral]] — no join, no row shuffle)
+    * into the [[centroids]] vector-sum aggregate, whose map-side partials
+    * mean the only shuffle is k dim-length buffers per task. Centroids
     * come back to the driver between iterations — k×dim doubles, the same
     * driver-size object [[probeCells]] already collects — which also keeps
     * the per-iteration plan flat instead of a growing lineage chain.
@@ -104,19 +118,16 @@ object Ann {
       .limit(k)
       .select("_kv").collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
-    def centDf(cs: Seq[(Int, Seq[Double])]): DataFrame = {
-      import spark.implicits._
-      cs.toDF("cell", "centroid")
-    }
     var it = 0
     while (it < iters) {
-      val assigned = assignCells(vecs, col("_kid"), col("_kv"), centDf(cents))
+      val assigned = assignByLiteral(vecs, col("_kv"), cents)
       val updated = centroids(assigned, col("cell"), col("_kv"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
       cents = cents.map { case (c, v) => (c, updated.getOrElse(c, v)) }
       it += 1
     }
-    centDf(cents)
+    import spark.implicits._
+    cents.toDF("cell", "centroid")
   }
 
   /** Persist the collection partitioned by cell id: each IVF cell is a
