@@ -184,6 +184,25 @@ object ExtensionQueries {
           blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)
         .orderBy("id1", "id2")),
 
+    // ---- cross-doc boilerplate shingles (C4-style cleanse step): word
+    // 3-grams appearing in ≥5 distinct docs. One uniform shuffle with
+    // map-side partial counts.
+    "q_boilerplate_shingles" -> ((s, d) =>
+      Dedup.frequentShingles(Tables.documents(s, d), col("doc_id"),
+          col("text"), n = 3, minDocs = 5)
+        .orderBy("sh")),
+
+    // ---- benchmark decontamination: corpus docs sharing any 3-gram with
+    // the pseudo-heldout slice (doc_id % 97 = 0). Broadcast semi join on
+    // the shingle hash.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedDocs(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding-cosine near-dup pairs, label-blocked, 20% sample
     // (full blocked variant is the operator; the sample keeps the oracle
     // tractable).
@@ -746,6 +765,42 @@ object ExtensionQueries {
         |                THEN 1 ELSE -1 END)) > 0
         |         THEN 2.0 ** b ELSE 0 END))::BIGINT, 0) AS simhash
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate_shingles" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |  ELSE [array_to_string(tk, ' ')] END AS g FROM toks),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(g, s -> ${hash32Sql("s")})) AS sh
+         |  FROM grams),
+         |ex AS (SELECT doc_id, unnest(sh) AS sh FROM sh)
+         |SELECT sh, count(*) AS n_docs FROM ex
+         |GROUP BY sh HAVING count(*) >= 5 ORDER BY sh""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |  ELSE [array_to_string(tk, ' ')] END AS g FROM toks),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(g, s -> ${hash32Sql("s")})) AS sh
+         |  FROM grams),
+         |ex AS (SELECT doc_id, unnest(sh) AS sh FROM sh),
+         |bsh AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 97 = 0)
+         |SELECT DISTINCT e.doc_id AS doc_id FROM ex e
+         |JOIN bsh ON e.sh = bsh.sh
+         |WHERE e.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH toks AS (

@@ -177,6 +177,47 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("jaccard"))
   }
 
+  // ---- cross-doc boilerplate & benchmark decontamination --------------
+
+  /** Per-doc distinct hashed shingles, exploded — the shared first stage
+    * of the corpus-hygiene operators below. Map-side until the explode;
+    * 8-hex md5 hashes (32-bit) so the shuffle ships longs, not strings. */
+  private def explodedShingles(df: DataFrame, idCol: Column, textCol: Column,
+                               n: Int): DataFrame =
+    df.select(idCol.as("doc_id"),
+      explode(array_distinct(
+        graft.plans.HashedShingles.shingleHashes(textCol, n, 8))).as("sh"))
+
+  /** Cross-document boilerplate detection (the C4/RefinedWeb cleanse
+    * step): word n-gram shingles appearing in ≥ `minDocs` DISTINCT docs.
+    * Shape: shingle hashes map-side, per-doc `array_distinct` BEFORE the
+    * explode (so a plain count IS the distinct-doc count — no
+    * count(distinct) expansion), ONE shuffle on the uniform 32-bit
+    * shingle hash with map-side partial counts. Output: (sh, n_docs). */
+  def frequentShingles(df: DataFrame, idCol: Column, textCol: Column,
+                       n: Int = 3, minDocs: Long = 5): DataFrame =
+    explodedShingles(df, idCol, textCol, n)
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Benchmark decontamination: ids of corpus docs sharing ANY word
+    * n-gram shingle with the `benchmark` set (the pre-training hygiene
+    * step that keeps eval data out of training data). Left semi join on
+    * the shingle hash — no payload moves; the benchmark side is tiny by
+    * construction, so Catalyst broadcasts it and the corpus side stays
+    * map-side. Output: distinct contaminated doc_id. */
+  def contaminatedDocs(df: DataFrame, idCol: Column, textCol: Column,
+                       benchmark: DataFrame, bTextCol: Column,
+                       n: Int = 3): DataFrame = {
+    val b = benchmark.select(explode(array_distinct(
+      graft.plans.HashedShingles.shingleHashes(bTextCol, n, 8))).as("sh"))
+      .distinct()
+    explodedShingles(df, idCol, textCol, n)
+      .join(b, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   // ---- embedding-cosine near-dup -------------------------------------
 
   /** Blocked pairwise cosine near-dup: pairs within the same `blockCol`

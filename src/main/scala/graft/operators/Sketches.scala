@@ -27,8 +27,13 @@ object Sketches {
   private class KmvAgg(k: Int)
       extends Aggregator[(String, Long), Seq[Long], Seq[Long]] {
     def zero: Seq[Long] = Seq.empty
+    // b stays sorted by construction: a full sketch rejects values ≥ its
+    // max in O(1), so the O(k log k) re-sort only runs while the value
+    // actually enters — not once per input row
     def reduce(b: Seq[Long], a: (String, Long)): Seq[Long] =
-      if (b.contains(a._2)) b else (b :+ a._2).sorted.take(k)
+      if (b.length >= k && a._2 >= b.last) b
+      else if (b.contains(a._2)) b
+      else (b :+ a._2).sorted.take(k)
     def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
       (b1 ++ b2).distinct.sorted.take(k)
     def finish(r: Seq[Long]): Seq[Long] = r
