@@ -1,20 +1,25 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions._
-import graft.operators.Dedup
 
-/** Scratch profiling main — not part of the driver contract. */
+import graft.operators.{Ann, Knn}
+
+/** Scratch profiling main — not part of the driver contract.
+  *
+  * Current focus: IVF at scale. 200k × 64-dim clustered synthetic
+  * vectors (64 true clusters): k-means index build (train + assign +
+  * partitioned write), then single-query ivfTopK vs brute-force knnExact
+  * over the written index, then batch knnJoinIvf vs broadcast knnJoin.
+  * Numbers recorded in BASELINE.md.
+  */
 object Scratch {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime(); val r = f
-    println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    println(f"[scratch] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     r
   }
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -23,24 +28,46 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val docs = Tables.documents(spark, d)
-    docs.count()
 
-    val scored = withLangId(withQualityScore(docs, col("text")), col("text"))
-    time("scored")(noop(scored))
-    val filtered = scored.filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
-    time("filtered")(noop(filtered))
-    val kept = filtered.withColumn("_rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .filter(col("_rn") === 1).drop("_rn")
-    time("kept")(noop(kept))
-    time("lsh(kept)")(noop(
-      Dedup.lshCandidatePairs(kept, col("doc_id"), col("text"))))
-    val dropIds = Dedup.lshCandidatePairs(kept, col("doc_id"), col("text"))
-      .select(col("id2").as("drop_id")).distinct()
-    time("full anti")(noop(kept.join(dropIds,
-      kept("doc_id") === dropIds("drop_id"), "left_anti")
-      .select(col("doc_id"), col("pred_lang"), col("quality"))))
+    val n = 200000L; val dim = 64; val nClusters = 64
+    // deterministic clustered corpus: center c = 10·e_{c mod dim} + jitter
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          ((col("id") * 31 + j * 7) % 100).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true) // materialize once; measure operators
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-ivf-")
+
+    val cents = time("kmeans k=64 iters=5 (200k x 64)")(
+      Ann.kmeansCentroids(corpus, col("vec_id"), col("embedding"),
+        k = nClusters, iters = 5))
+    val centsLocal = cents.persist()
+    centsLocal.count()
+    val indexed = time("assign cells (map-side)") {
+      val a = Ann.assignCells(corpus, col("vec_id"), col("embedding"),
+        centsLocal)
+      noop(a); a
+    }
+    time("partitioned index write")(
+      Ann.writePartitioned(indexed, s"$dir/ivf"))
+    val idx = spark.read.parquet(s"$dir/ivf")
+
+    val q = Knn.vectorAt(corpus, col("vec_id"), 4242L, col("embedding"))
+    time("brute-force knnExact top-10")(
+      noop(Knn.knnExact(idx, col("embedding"), q, k = 10)))
+    time("ivfTopK nProbe=4 top-10")(
+      noop(Ann.ivfTopK(idx, col("cell"), col("embedding"), centsLocal, q,
+        k = 10, nProbe = 4)))
+
+    val queries = corpus.filter(col("vec_id") % 2000 === 0) // 100 queries
+    time("knnJoin broadcast (100 q)")(
+      noop(Knn.knnJoin(queries, col("vec_id"), col("embedding"),
+        corpus, col("vec_id"), col("embedding"), k = 10)))
+    time("knnJoinIvf nProbe=4 (100 q)")(
+      noop(Knn.knnJoinIvf(queries, col("vec_id"), col("embedding"),
+        idx, col("vec_id"), col("embedding"), centsLocal, k = 10,
+        nProbe = 4)))
     spark.stop()
   }
 }

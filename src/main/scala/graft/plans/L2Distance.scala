@@ -148,5 +148,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => HashedShingles(children.head,
         intLit(children(1), "n"), intLit(children(2), "hexDigits"),
         boolLit(children(3), "collapse"))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_sum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "vector_sum"),
+      // the analyzer wraps a bare AggregateFunction in an
+      // AggregateExpression, same as built-in sum/avg registrations
+      (children: Seq[Expression]) => VectorSum(children.head)))
   }
 }

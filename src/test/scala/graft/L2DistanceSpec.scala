@@ -69,6 +69,20 @@ class L2DistanceSpec extends SparkSuite {
     assert(new GraftExtensions() != null) // class loads (builder-side hook)
   }
 
+  test("vector_sum aggregate via SQL registration") {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vector_sum"),
+      new ExpressionInfo(classOf[graft.plans.VectorSum].getName, "vector_sum"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.VectorSum(children.head))
+    Seq((0, Seq(1.0, 2.0)), (0, Seq(3.0, 4.0)), (1, Seq(10.0, 20.0)))
+      .toDF("g", "v").createOrReplaceTempView("vs_in")
+    val out = spark.sql(
+      "SELECT g, vector_sum(v) AS s FROM vs_in GROUP BY g ORDER BY g")
+      .as[(Int, Seq[Double])].collect()
+    assert(out === Array((0, Seq(4.0, 6.0)), (1, Seq(10.0, 20.0))))
+  }
+
   test("knnExact over the native expression matches the DuckDB-style oracle") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = graft.operators.Knn.vectorAt(emb, col("vec_id"), 0L,

@@ -102,9 +102,11 @@ class PlanSpec extends SparkSuite {
   test("IVF kNN join: pair join is shuffled on the cell key, corpus never broadcast") {
     val p = plan(SparkEntry.queries("q_knn_join_ivf")(spark, dir))
     // probe selection is map-side (centroid literal — no join); the pair
-    // join must be a sort-merge on cell: at 100 TB the corpus side cannot
-    // broadcast, and the merge hint pins that even under bad stats
-    assert(p.contains("SortMergeJoin"), p)
+    // join must be a shuffled HASH join on cell with the probe side as
+    // build: at 100 TB the corpus side cannot broadcast and must STREAM
+    // (never sort) — the hint pins that even under bad stats
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
   }
 
   test("bucketed fact-to-fact join plans no exchange on either side") {
