@@ -137,4 +137,27 @@ object Ann {
   def writePartitioned(df: DataFrame, dir: String): Unit =
     df.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  // ---- index lifecycle (the persisted-store analogue of the reference's
+  // on-disk ChromaDB collection, vector_db.py:44-66) -------------------
+
+  /** Train + assign + persist in one call: k-means centroids, map-side
+    * cell assignment, cell-partitioned data layout, and the (k×dim)
+    * centroid table written alongside under `<dir>/centroids`. The whole
+    * build is two passes over the corpus beyond the k-means iterations. */
+  def buildIvfIndex(df: DataFrame, idCol: Column, vecCol: Column,
+                    dir: String, k: Int, iters: Int = 5): Unit = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+    writePartitioned(assignByLiteral(df, vecCol, collectCents(cents)),
+      s"${dir.stripSuffix("/")}/data")
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"${dir.stripSuffix("/")}/centroids")
+  }
+
+  /** Load a persisted IVF index: (cell-partitioned data, centroids).
+    * Queries against the data side partition-prune on `cell`. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"${dir.stripSuffix("/")}/data"),
+      spark.read.parquet(s"${dir.stripSuffix("/")}/centroids"))
 }

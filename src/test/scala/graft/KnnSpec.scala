@@ -207,6 +207,22 @@ class KnnSpec extends SparkSuite {
       s"clustered recall@10 = ${recalls.sum / recalls.size}")
   }
 
+  test("IVF index lifecycle: build, reload, query with pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-lc-").toString
+    Ann.buildIvfIndex(clustered.drop("cell"), col("vec_id"),
+      col("embedding"), s"$dir/idx", k = 3, iters = 4)
+    val (data, cents) = Ann.readIvfIndex(spark, s"$dir/idx")
+    assert(data.count() === 8)
+    assert(cents.count() === 3)
+    val q = Seq(10.05, 10.05)
+    val out = Ann.ivfTopK(data, col("cell"), col("embedding"), cents, q,
+      k = 3, nProbe = 1)
+    assert(out.select("vec_id").as[Long].collect().sorted
+      === Array(3L, 4L, 5L))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(cell"), p)
+  }
+
   test("partitioned IVF index: probe filter prunes cell directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
     val cents = Ann.centroids(clustered, col("cell"), col("embedding"))
