@@ -211,6 +211,29 @@ object ExtensionQueries {
           col("text"), n = 3, minDocs = 5)
         .orderBy("sh")),
 
+    // ---- within-doc repetition ratio (RefinedWeb/Gopher quality
+    // signal): 1 − distinct/total 3-gram shingles, map-side only.
+    "q_text_repetition" -> ((s, d) =>
+      Dedup.repetitionRatio(Tables.documents(s, d), col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")),
+
+    // ---- semantic dedup on the UNLABELED path: near-dup cosine pairs
+    // blocked by the TRAINED k-means cell (not the synthetic label), drop
+    // the higher id of each pair (0.4 flags the closest tail of this
+    // synthetic corpus, which has no true near-dups — max pair cosine
+    // 0.51). Blocks from the data itself — the only
+    // option on a real corpus. Approximate (cell-blocked) ⇒ rows-only.
+    "q_semantic_dedup" -> ((s, d) => {
+      val (indexed, _) = ivfIndex(s, d)
+      val drop = Dedup.cosineNearDupPairs(indexed, col("vec_id"),
+          col("embedding"), col("cell"), threshold = 0.4)
+        .select(col("id2").as("drop_id")).distinct()
+      indexed.join(drop, indexed("vec_id") === drop("drop_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing any 3-gram with
     // the pseudo-heldout slice (doc_id % 97 = 0). Broadcast semi join on
     // the shingle hash.
@@ -807,6 +830,24 @@ object ExtensionQueries {
          |ex AS (SELECT doc_id, unnest(sh) AS sh FROM sh)
          |SELECT sh, count(*) AS n_docs FROM ex
          |GROUP BY sh HAVING count(*) >= 5 ORDER BY sh""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |  ELSE [array_to_string(tk, ' ')] END AS g FROM toks),
+         |h AS (
+         |  SELECT doc_id, list_transform(g, s -> ${hash32Sql("s")}) AS sh
+         |  FROM grams)
+         |SELECT doc_id, len(sh) AS n_grams,
+         |  ${graft.functions.Rounding.floorRoundSql(
+              "1.0 - len(list_distinct(sh))::DOUBLE / len(sh)::DOUBLE", 6)}
+         |    AS rep_ratio
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH toks AS (

@@ -201,6 +201,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Within-document repetition ratio (the RefinedWeb/Gopher-style
+    * quality signal): 1 − distinct/total word n-gram shingles — 0 for
+    * fully novel text, →1 for looping/boilerplate text. Pure map-side
+    * (shingle pipeline runs once; both counts come off the same array).
+    * Output: (doc_id, n_grams, rep_ratio ∈ [0,1], floor-rounded 6). */
+  def repetitionRatio(df: DataFrame, idCol: Column, textCol: Column,
+                      n: Int = 3): DataFrame = {
+    val sh = graft.plans.HashedShingles.shingleHashes(textCol, n, 8)
+    df.select(idCol.as("doc_id"), sh.as("_sh"))
+      .select(col("doc_id"), size(col("_sh")).as("n_grams"),
+        floorRound6(lit(1.0) -
+          size(array_distinct(col("_sh"))).cast("double") /
+            size(col("_sh")).cast("double")).as("rep_ratio"))
+  }
+
   /** Benchmark decontamination: ids of corpus docs sharing ANY word
     * n-gram shingle with the `benchmark` set (the pre-training hygiene
     * step that keeps eval data out of training data). Left semi join on
