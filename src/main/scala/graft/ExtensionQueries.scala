@@ -226,7 +226,7 @@ object ExtensionQueries {
     // option on a real corpus. Approximate (cell-blocked) ⇒ rows-only.
     "q_semantic_dedup" -> ((s, d) => {
       val (indexed, _) = ivfIndex(s, d)
-      val drop = Dedup.cosineNearDupPairs(indexed, col("vec_id"),
+      val drop = Dedup.cosineNearDupPairsNative(indexed, col("vec_id"),
           col("embedding"), col("cell"), threshold = 0.4)
         .select(col("id2").as("drop_id")).distinct()
       indexed.join(drop, indexed("vec_id") === drop("drop_id"), "left_anti")

@@ -237,13 +237,43 @@ object Dedup {
 
   /** Blocked pairwise cosine near-dup: pairs within the same `blockCol`
     * value (cluster/IVF cell) whose cosine ≥ threshold. The block key is
-    * what makes this linear-ish instead of n² at scale. */
+    * what makes this linear-ish instead of n² at scale. The interpreted
+    * HOF cosine runs per PAIR — fine for oracle-scale blocks; use
+    * [[cosineNearDupPairsNative]] when pair counts grow. */
   def cosineNearDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
                          blockCol: Column, threshold: Double): DataFrame = {
     val v = df.select(idCol.as("id"), blockCol.as("blk"), vecCol.as("v"))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cos", floorRound6(cosine(col("a.v"), col("b.v"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+  }
+
+  /** [[cosineNearDupPairs]] with the per-PAIR kernel in native code:
+    * vectors are L2-normalized ONCE per row (O(rows) interpreted work,
+    * with the norm carried via `array_repeat` so the lambda doesn't
+    * re-evaluate it per element), then pair cosine = 1 − ‖â−b̂‖²/2
+    * through the codegen'd [[graft.plans.L2Distance]] — the O(pairs)
+    * side stays compiled (measured 15.5 s → sub-second on 250k pairs at
+    * sf0.1). Zero vectors produce NULL cosine and never pair. */
+  def cosineNearDupPairsNative(df: DataFrame, idCol: Column, vecCol: Column,
+                               blockCol: Column, threshold: Double)
+      : DataFrame = {
+    import graft.plans.NativeFunctions.l2Native
+    val v = df
+      .select(idCol.as("id"), blockCol.as("blk"),
+        vecCol.cast("array<double>").as("_v"))
+      .withColumn("_nrm",
+        sqrt(aggregate(col("_v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("v", zip_with(col("_v"),
+        array_repeat(when(col("_nrm") > 0, col("_nrm")), size(col("_v"))),
+        (x, nn) => x / nn))
+      .select(col("id"), col("blk"), col("v"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cos", floorRound6(
+        lit(1.0) - pow(l2Native(col("a.v"), col("b.v")), 2) / 2))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
   }

@@ -73,8 +73,8 @@ object Knn {
   /** Batch kNN join: top-k corpus matches per QUERY ROW — the batched form
     * of the reference's one-query-at-a-time loop (talent_recommender.py:26).
     *
-    * Shape: corpus broadcast (swap in IVF-cell co-partitioning when the
-    * corpus outgrows a broadcast), native-L2 per pair map-side, then
+    * Shape: corpus broadcast (use [[knnJoinIvf]] when the corpus
+    * outgrows a broadcast), native-L2 per pair map-side, then
     * per-query top-k via the bounded-buffer [[TopK]] aggregator — the
     * shuffle carries ≤ k rows per query per task instead of sorting the
     * full |queries|×|corpus| pair table. Output: (query_id, match_id,

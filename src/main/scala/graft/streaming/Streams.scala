@@ -184,8 +184,9 @@ object Streams {
     * `foreachBatch` merge pattern. Each micro-batch replaces same-key rows
     * and appends new ones (via [[graft.sources.HrPipeline.upsertByKey]]);
     * the rewrite goes through a temp-dir swap so a failed batch never
-    * corrupts the index. Swap the parquet rewrite for a MERGE INTO when a
-    * transactional table format is available. */
+    * corrupts the index. NOTE the rewrite is O(index) per batch — use
+    * [[upsertStreamBucketed]] once the index outgrows a per-batch
+    * rewrite, or MERGE INTO on a transactional table format. */
   def upsertStream(spark: SparkSession, src: DataFrame, indexDir: String,
                    checkpointDir: String, key: String = "doc_id")
       : org.apache.spark.sql.streaming.StreamingQuery =

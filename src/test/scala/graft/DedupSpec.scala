@@ -109,4 +109,21 @@ class DedupSpec extends SparkSuite {
     assert(out.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
     assert(out.head._3 > 0.99)
   }
+
+  test("cosineNearDupPairsNative matches the HOF cosine formulation") {
+    // denser random-ish block so many pairs straddle the threshold
+    val vecs = (0L until 60L).map { i =>
+      (i, (0 until 8).map(j => (((i * 13 + j * 7) % 17) - 8).toFloat / 4f),
+        (i % 3).toInt)
+    }.toDF("id", "v", "blk")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val hof = pairs(Dedup.cosineNearDupPairs(
+      vecs, col("id"), col("v"), col("blk"), threshold = 0.2))
+    val nat = pairs(Dedup.cosineNearDupPairsNative(
+      vecs, col("id"), col("v"), col("blk"), threshold = 0.2))
+    assert(nat.keySet === hof.keySet)
+    nat.foreach { case (k, c) => assert(math.abs(c - hof(k)) < 1e-6, k) }
+  }
 }
