@@ -211,6 +211,15 @@ object ExtensionQueries {
           col("text"), n = 3, minDocs = 5)
         .orderBy("sh")),
 
+    // ---- MOSS winnowing fingerprints: min shingle hash per sliding
+    // window — any shared ≥ w+n−1-token run yields a shared fingerprint.
+    // Map-side; the robust-partial-overlap complement to q_text_fingerprint's
+    // whole-doc rolling hash.
+    "q_winnow_fingerprint" -> ((s, d) =>
+      Dedup.winnowedFingerprints(Tables.documents(s, d), col("doc_id"),
+          col("text"), n = 3, w = 4)
+        .orderBy("doc_id", "fp")),
+
     // ---- within-doc repetition ratio (RefinedWeb/Gopher quality
     // signal): 1 − distinct/total 3-gram shingles, map-side only.
     "q_text_repetition" -> ((s, d) =>
@@ -830,6 +839,26 @@ object ExtensionQueries {
          |ex AS (SELECT doc_id, unnest(sh) AS sh FROM sh)
          |SELECT sh, count(*) AS n_docs FROM ex
          |GROUP BY sh HAVING count(*) >= 5 ORDER BY sh""".stripMargin,
+
+    "q_winnow_fingerprint" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |  ELSE [array_to_string(tk, ' ')] END AS g FROM toks),
+         |hv AS (
+         |  SELECT doc_id, list_transform(g, s -> ${hashNSql("s", 4)}) AS hv
+         |  FROM grams),
+         |wins AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(hv) - 3, 1)),
+         |      i -> list_aggregate(hv[i:least(i + 3, len(hv))], 'min')) AS w
+         |  FROM hv),
+         |ex AS (SELECT doc_id, unnest(w) AS fp FROM wins)
+         |SELECT DISTINCT doc_id, fp FROM ex ORDER BY doc_id, fp""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH toks AS (

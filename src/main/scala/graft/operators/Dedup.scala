@@ -177,6 +177,39 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("jaccard"))
   }
 
+  // ---- winnowing fingerprints -----------------------------------------
+
+  /** MOSS-style winnowing fingerprints: the minimum 16-bit shingle hash
+    * in every sliding window of `w` consecutive shingles, distinct per
+    * doc. The winnowing guarantee (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * any shared token run of ≥ w+n−1 tokens yields ≥1 shared
+    * fingerprint — robust partial-overlap detection with a bounded
+    * fingerprint density, unlike whole-doc digests.
+    *
+    * Shape: entirely map-side. The window minima come from folding
+    * `zip_with(acc, shifted-slice, least)` — the shingle-hash array is a
+    * STAGED multi-referenced alias, so it computes once per row (an
+    * `array_min(slice(hv, i, w))` lambda would re-evaluate the whole
+    * hash pipeline per WINDOW — the interpreted-HOF trap). Output:
+    * (doc_id, fp) exploded, distinct per doc. */
+  def winnowedFingerprints(df: DataFrame, idCol: Column, textCol: Column,
+                           n: Int = 3, w: Int = 4): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val staged = df.select(idCol.as("doc_id"),
+      graft.plans.HashedShingles.shingleHashes(textCol, n, 4).as("_hv"))
+    val hv = col("_hv")
+    // mins(i) = min(hv(i..i+w-1)); zip_with pads the shorter side with
+    // null and least() ignores nulls, so trailing partial windows carry
+    // shorter spans — sliced away below (shorter docs keep one window)
+    val mins = (1 until w).foldLeft(hv) { (acc, k) =>
+      zip_with(acc, slice(hv, lit(k + 1), greatest(size(hv) - k, lit(0))),
+        (a, b) => least(a, b))
+    }
+    staged.select(col("doc_id"),
+      explode(array_distinct(
+        slice(mins, lit(1), greatest(size(hv) - (w - 1), lit(1))))).as("fp"))
+  }
+
   // ---- cross-doc boilerplate & benchmark decontamination --------------
 
   /** Per-doc distinct hashed shingles, exploded — the shared first stage

@@ -110,6 +110,33 @@ class DedupSpec extends SparkSuite {
     assert(out.head._3 > 0.99)
   }
 
+  test("winnowing guarantee: docs sharing a >= w+n-1 token run share a fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 >= 4+3-1
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"five six seven $shared eight nine"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(docs, col("doc_id"), col("text"),
+        n = 3, w = 4)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    // unrelated docs share nothing
+    val other = Seq((3L, "cat dog bird fish lion tiger bear wolf"))
+      .toDF("doc_id", "text")
+    val fps3 = Dedup.winnowedFingerprints(
+        docs.unionByName(other), col("doc_id"), col("text"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(fps3(3L).intersect(fps3(1L)).isEmpty)
+  }
+
+  test("winnowing: doc shorter than the window keeps one whole-doc window") {
+    val docs = Seq((1L, "only two")).toDF("doc_id", "text") // 1 shingle
+    assert(Dedup.winnowedFingerprints(docs, col("doc_id"), col("text"))
+      .count() === 1)
+  }
+
   test("cosineNearDupPairsNative matches the HOF cosine formulation") {
     // denser random-ish block so many pairs straddle the threshold
     val vecs = (0L until 60L).map { i =>
