@@ -109,6 +109,34 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("knnJoinIvf over a cell-bucketed corpus: no corpus-side exchange") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_ivf_corpus")
+    val whDir = new java.io.File("spark-warehouse/b_ivf_corpus")
+    if (whDir.exists()) {
+      java.nio.file.Files.walk(whDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val cents = graft.operators.Ann.kmeansCentroids(
+      emb, col("vec_id"), col("embedding"), k = 4, iters = 2)
+    val indexed = graft.operators.Ann.assignCells(
+      emb, col("vec_id"), col("embedding"), cents)
+    graft.sources.Bucketing.writeBucketed(indexed, "b_ivf_corpus", "cell",
+      buckets = 4)
+    val corpus = spark.table("b_ivf_corpus")
+    val p = plan(graft.operators.Knn.knnJoinIvf(
+      emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      corpus, col("vec_id"), col("embedding"), cents, k = 3, nProbe = 2))
+    // the probe side shuffles to the bucket layout; the corpus side reads
+    // pre-bucketed files — the one-time layout replaces the per-query
+    // corpus shuffle (the 100 TB win: only the small probe side moves)
+    val joinPart = p.split("ShuffledHashJoin")(1)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(joinPart.contains("Bucketed: true"), p)
+  }
+
   test("bucketed fact-to-fact join plans no exchange on either side") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_orders")
