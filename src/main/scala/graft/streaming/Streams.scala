@@ -127,6 +127,57 @@ object Streams {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  // ---- streaming near-dedup ------------------------------------------
+
+  case class SimDoc(doc_id: Long, sim: Long, ts: Timestamp)
+  case class SimBucketState(sigs: List[(Long, Long)]) // (simhash, tsMillis)
+
+  /** Streaming NEAR-dedup: the incremental form of the SimHash batch
+    * family — first doc of each near-dup cluster passes, later docs
+    * whose 16-bit SimHash is within `maxHamming` of a signature seen in
+    * the same bucket inside the horizon are dropped.
+    *
+    * Bucketing: top-4 SimHash bits (16 groups) — near-dups that differ
+    * in the top bits are missed (approximate, like any banding scheme);
+    * state per bucket is the signature list inside the watermark
+    * horizon, pruned on every invocation and expired by event-time
+    * timeout — bounded by horizon × arrival rate, never O(stream).
+    * Deterministic: micro-batch rows are folded in (ts, doc_id) order. */
+  def nearDedupStream(spark: SparkSession, docs: DataFrame,
+                      textCol: String = "text", tsCol: String = "ts",
+                      watermark: String = "10 minutes",
+                      horizonMs: Long = 10L * 60 * 1000,
+                      maxHamming: Int = 3): Dataset[SimDoc] = {
+    import spark.implicits._
+    docs
+      .withColumn("sim", graft.operators.Dedup.simhash16(col(textCol)))
+      .select(col("doc_id"), col("sim"), col(tsCol).as("ts"))
+      .as[SimDoc]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.sim >> 12)
+      .flatMapGroupsWithState[SimBucketState, SimDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[SimDoc],
+         state: GroupState[SimBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
+            val kept = List.newBuilder[SimDoc]
+            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              val dup = sigs.exists { case (s, _) =>
+                java.lang.Long.bitCount(s ^ d.sim) <= maxHamming }
+              if (!dup) { kept += d; sigs = (d.sim, d.ts.getTime) :: sigs }
+            }
+            sigs = sigs.filter(_._2 >= state.getCurrentWatermarkMs())
+            if (sigs.nonEmpty) {
+              state.update(SimBucketState(sigs))
+              state.setTimeoutTimestamp(sigs.map(_._2).max + horizonMs)
+            } else state.remove()
+            kept.result().iterator
+          }
+      }
+  }
+
   // ---- custom-state sessionization -----------------------------------
 
   case class Event(user_id: Long, ts: Timestamp)

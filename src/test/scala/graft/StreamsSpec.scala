@@ -150,6 +150,37 @@ class StreamsSpec extends SparkSuite {
     assert(got === Set((100L, 900L), (999L, 998L)))
   }
 
+  test("nearDedupStream: repeats within the horizon dropped, state expires") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val name = s"neardup_${System.nanoTime()}"
+    val q = Streams.nearDedupStream(spark,
+        input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // start at ts(60): an event time of exactly 0 collides with the
+      // INITIAL watermark (0) and is dropped by the late-row filter
+      input.addData(Seq(
+        (1L, "alpha beta gamma delta", ts(60)),
+        (2L, "alpha beta gamma delta", ts(61)),   // exact near-dup of 1
+        (3L, "completely different words here", ts(62))))
+      q.processAllAvailable()
+      // within horizon: another copy of doc 1's text is dropped
+      input.addData(Seq((4L, "alpha beta gamma delta", ts(65))))
+      q.processAllAvailable()
+      // push watermark far past the horizon → bucket state expires
+      input.addData(Seq((5L, "unrelated filler content now", ts(560))))
+      q.processAllAvailable()
+      // the same text is novel again once state expired
+      input.addData(Seq((6L, "alpha beta gamma delta", ts(570))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(got.contains(1L) && got.contains(3L) && got.contains(5L))
+    assert(!got.contains(2L) && !got.contains(4L), s"dups kept: $got")
+    assert(got.contains(6L), s"state did not expire: $got")
+  }
+
   test("existsWithin: stream-stream semi join emits each match once") {
     val imp = MemoryStream[(Long, Long, Timestamp)](spark)
     val clk = MemoryStream[(Long, Long, Timestamp)](spark)
