@@ -458,6 +458,19 @@ object ExtensionQueries {
               |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // ---- SQL surface: CTE + window function through spark.sql — the
+    // most-valuable order per customer (same engine, SQL front door).
+    "q_sql_window_cte" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""WITH ranked AS (
+              |  SELECT o_custkey, o_orderkey, o_totalprice,
+              |    row_number() OVER (PARTITION BY o_custkey
+              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              |  FROM v_orders)
+              |SELECT o_custkey, o_orderkey, o_totalprice
+              |FROM ranked WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+    }),
+
     // ---- the composed training-data cleaning pipeline in ONE plan:
     // language filter → quality threshold → exact dedup (keep min id) →
     // MinHash near-dup removal (drop the higher id of each candidate
@@ -1053,6 +1066,15 @@ object ExtensionQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT 0.99 * max(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sql_window_cte" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "q_clean_pipeline" -> {
       val scores = langMarkers.map { case (l, ms) =>
