@@ -165,6 +165,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"), p) // buckets line up
   }
 
+  test("no declared query plans a cartesian product (BNLJ only where documented)") {
+    // the one sanctioned BroadcastNestedLoopJoin: q_knn_join's documented
+    // broadcast-corpus crossJoin (its scale path is q_knn_join_ivf)
+    val allowedBnlj = Set("q_knn_join")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = plan(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!allowedBnlj(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+    }
+  }
+
   test("whole-stage codegen covers the scalar query pipelines") {
     Seq("q_filter_ci_eq", "q_concat_template", "q_when_otherwise").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
