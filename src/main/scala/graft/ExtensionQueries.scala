@@ -190,6 +190,16 @@ object ExtensionQueries {
           col("text"))
         .orderBy("id1", "id2")),
 
+    // ---- connected components over the LSH pair graph: the real KEEP
+    // decision for near-dup clusters — every member labeled with the
+    // component min (drop-id2 over-keeps on chains banding didn't close).
+    // Min-label propagation, one join + one min-groupBy per iteration.
+    "q_dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
+            col("text")))
+        .orderBy("id")),
+
     // ---- SimHash fingerprints (near-identical token multisets ⇒ small
     // Hamming distance). Pure map-side — no shuffle at all.
     "q_dedup_simhash" -> ((s, d) =>
@@ -644,6 +654,40 @@ object ExtensionQueries {
   private def hash16Sql(e: String): String = hashNSql(e, 4)
   private def hash32Sql(e: String): String = hashNSql(e, 8)
 
+  /** Shared CTE chain producing the MinHash-LSH candidate pairs relation
+    * `pairs(id1, id2)` — used by both the pair oracle and the
+    * connected-components oracle. */
+  private val lshPairsCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> x != '') AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+       |    list_transform(generate_series(1, len(tk) - 2),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE [array_to_string(tk, ' ')] END AS sh FROM toks),
+       |hv AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> (strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1) * 4096
+       |       + (strpos('0123456789abcdef', substr(md5(s), 2, 1)) - 1) * 256
+       |       + (strpos('0123456789abcdef', substr(md5(s), 3, 1)) - 1) * 16
+       |       + (strpos('0123456789abcdef', substr(md5(s), 4, 1)) - 1)) AS hv
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
+       |    list_aggregate(list_transform(hv,
+       |      h -> ((37*j + 101) * h + (1009*j + 9176)) % 1000000007),
+       |      'min')) AS sig FROM hv),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    (sig[b*2+1] % 2147483647) * 2000000011 + sig[b*2+2] AS band_key
+       |  FROM sig, generate_series(0, 3) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id)""".stripMargin
+
   private val qvCte =
     "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
 
@@ -787,35 +831,23 @@ object ExtensionQueries {
     // shingle, then 8 affine slots (37j+101)·h + (1009j+9176) mod 1e9+7,
     // band key = (sig[2b] % 2^31-1) * 2000000011 + sig[2b+1]
     "q_dedup_minhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-         |    x -> x != '') AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
-         |    list_transform(generate_series(1, len(tk) - 2),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-         |    ELSE [array_to_string(tk, ' ')] END AS sh FROM toks),
-         |hv AS (
-         |  SELECT doc_id, list_transform(sh,
-         |    s -> (strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1) * 4096
-         |       + (strpos('0123456789abcdef', substr(md5(s), 2, 1)) - 1) * 256
-         |       + (strpos('0123456789abcdef', substr(md5(s), 3, 1)) - 1) * 16
-         |       + (strpos('0123456789abcdef', substr(md5(s), 4, 1)) - 1)) AS hv
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
-         |    list_aggregate(list_transform(hv,
-         |      h -> ((37*j + 101) * h + (1009*j + 9176)) % 1000000007),
-         |      'min')) AS sig FROM hv),
-         |bands AS (
-         |  SELECT doc_id, b AS band_idx,
-         |    (sig[b*2+1] % 2147483647) * 2000000011 + sig[b*2+2] AS band_key
-         |  FROM sig, generate_series(0, 3) t(b))
-         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         | AND a.doc_id < b.doc_id
-         |ORDER BY id1, id2""".stripMargin,
+      s"""WITH $lshPairsCte
+         |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin,
+
+    // CC over the LSH pair graph: transitive closure via a recursive CTE
+    // (tiny at oracle scale), component = min reachable id.
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e
+         |    ON r.b = e.a AND e.b <> r.a)
+         |SELECT a AS id, least(a, min(b)) AS component
+         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH t AS (

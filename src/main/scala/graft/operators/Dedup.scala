@@ -177,6 +177,50 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("jaccard"))
   }
 
+  // ---- connected components over the pair graph -----------------------
+
+  /** Connected components over an undirected candidate-pair graph — the
+    * actual KEEP decision for near-dup clusters (keep the min id per
+    * component). Dropping `id2` of every pair over-keeps on chains the
+    * banding didn't close transitively (pairs (2,5),(3,5) keep both 2
+    * and 3; they are the same cluster): CC labels every member with the
+    * component minimum.
+    *
+    * Min-label propagation: label(v) ← min(label(v), labels of v's
+    * neighbors) until fixpoint (or `maxIters`). Each iteration is one
+    * equi join + one min groupBy, both keyed on the id — the shape that
+    * scales; `localCheckpoint` keeps the per-iteration plan flat.
+    * Converges in O(component diameter) iterations — near-dup clusters
+    * are shallow; for adversarially long chains the large-star/
+    * small-star halving variant applies. Output: (id, component) for
+    * every id appearing in ≥1 pair. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id2").cast("long").as("src"),
+        col("id1").cast("long").as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(eager = true)
+    var it = 0
+    var changed = true
+    while (changed && it < maxIters) {
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.unionByName(fromNeighbors)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(eager = true)
+      changed = next
+        .join(labels.withColumnRenamed("comp", "_old"), "id")
+        .filter(col("comp") =!= col("_old"))
+        .limit(1).count() > 0
+      labels = next
+      it += 1
+    }
+    labels.withColumnRenamed("comp", "component")
+  }
+
   // ---- winnowing fingerprints -----------------------------------------
 
   /** MOSS-style winnowing fingerprints: the minimum 16-bit shingle hash

@@ -110,6 +110,15 @@ class DedupSpec extends SparkSuite {
     assert(out.head._3 > 0.99)
   }
 
+  test("connectedComponents: chains collapse to the component min") {
+    // 2-5-3 is ONE cluster even though (2,3) was never emitted as a pair;
+    // 10-11 is a separate component
+    val pairs = Seq((2L, 5L), (3L, 5L), (10L, 11L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(2L -> 2L, 3L -> 2L, 5L -> 2L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("winnowing guarantee: docs sharing a >= w+n-1 token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta eta" // 7 >= 4+3-1
     val docs = Seq(
