@@ -202,6 +202,12 @@ object Dedup {
       .distinct().localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(eager = true)
+    // labels only ever DECREASE (min of a set containing the old value),
+    // so the fixpoint test is "sum of labels unchanged" — one tiny
+    // aggregate instead of a frame-vs-frame diff join per iteration
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var changed = true
     while (changed && it < maxIters) {
@@ -211,10 +217,9 @@ object Dedup {
       val next = labels.unionByName(fromNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(eager = true)
-      changed = next
-        .join(labels.withColumnRenamed("comp", "_old"), "id")
-        .filter(col("comp") =!= col("_old"))
-        .limit(1).count() > 0
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       it += 1
     }
