@@ -190,6 +190,15 @@ object ExtensionQueries {
           col("text"))
         .orderBy("id1", "id2")),
 
+    // ---- deterministic quantile sketch: k-smallest-by-hash sample per
+    // group (mergeable, order-independent), quartiles off the sorted
+    // sample — reproducible bit-for-bit by the oracle, unlike randomized
+    // reservoir/t-digest sketches.
+    "q_sketch_quantile" -> ((s, d) =>
+      Sketches.quantileSketch(s, Tables.orders(s, d), "o_orderpriority",
+          "o_orderkey", "o_totalprice", k = 64, qs = Seq(0.25, 0.5, 0.75))
+        .orderBy("o_orderpriority")),
+
     // ---- connected components over the LSH pair graph: the real KEEP
     // decision for near-dup clusters — every member labeled with the
     // component min (drop-id2 over-keeps on chains banding didn't close).
@@ -1219,6 +1228,25 @@ object ExtensionQueries {
          |  CASE WHEN nd < 64 THEN nd::DOUBLE
          |       ELSE 63 * 4294967296.0 / mins[64] END AS est
          |FROM s ORDER BY event_type""".stripMargin,
+
+    "q_sketch_quantile" ->
+      s"""WITH h AS (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |    ${hash32Sql("o_orderkey::VARCHAR")} AS hv FROM orders),
+         |r AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY hv, o_orderkey) AS rn
+         |  FROM h),
+         |s AS (
+         |  SELECT o_orderpriority,
+         |    list(o_totalprice ORDER BY o_totalprice) AS vals
+         |  FROM r WHERE rn <= 64 GROUP BY o_orderpriority)
+         |SELECT o_orderpriority, len(vals)::INT AS n_sample,
+         |  vals[greatest(1, ceil(0.25 * len(vals))::INT)] AS p25,
+         |  vals[greatest(1, ceil(0.5 * len(vals))::INT)] AS p50,
+         |  vals[greatest(1, ceil(0.75 * len(vals))::INT)] AS p75
+         |FROM s ORDER BY o_orderpriority""".stripMargin,
 
     "q_median_manual" ->
       """WITH r AS (

@@ -68,4 +68,62 @@ object Sketches {
     kmvDistinct(spark,
       df.withColumn("_h", tokenHash32(col(keyCol).cast("string"))),
       groupCol, "_h", k)
+
+  /** (hash, id, value) — ordered by (hash, id) so the sample is a pure
+    * function of the input SET. */
+  private class QuantileSampleAgg(k: Int)
+      extends Aggregator[(String, Long, Long, Double),
+        Seq[(Long, Long, Double)], Seq[(Long, Long, Double)]] {
+    private def trim(s: Seq[(Long, Long, Double)]) =
+      s.sortBy(t => (t._1, t._2)).take(k)
+    def zero: Seq[(Long, Long, Double)] = Seq.empty
+    def reduce(b: Seq[(Long, Long, Double)], a: (String, Long, Long, Double))
+        : Seq[(Long, Long, Double)] = {
+      val rejected = b.length >= k && {
+        val l = b.last
+        a._2 > l._1 || (a._2 == l._1 && a._3 >= l._2)
+      }
+      if (rejected) b else trim(b :+ ((a._2, a._3, a._4)))
+    }
+    def merge(b1: Seq[(Long, Long, Double)], b2: Seq[(Long, Long, Double)])
+        : Seq[(Long, Long, Double)] = trim(b1 ++ b2)
+    def finish(r: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] = r
+    def bufferEncoder: Encoder[Seq[(Long, Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Long, Double)]]()
+    def outputEncoder: Encoder[Seq[(Long, Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Long, Double)]]()
+  }
+
+  /** Deterministic mergeable quantile sketch: the k rows with the
+    * SMALLEST md5-derived hash of the id form an order-independent
+    * uniform sample (the KMV idea applied to sampling — k-smallest-by-
+    * hash is associative, so map-side partials do the work and the
+    * shuffle carries ≤k triples per group per task); quantile q is the
+    * sampled value at 1-based index ceil(q·m) of the value-sorted
+    * sample. Exact below k rows, a pure function of the input set
+    * always — so the DuckDB oracle reproduces it bit-for-bit, unlike
+    * randomized reservoir or t-digest sketches.
+    * Output: (groupCol, n_sample, p<q1>, p<q2>, ...). */
+  def quantileSketch(spark: SparkSession, df: DataFrame, groupCol: String,
+                     idCol: String, valueCol: String, k: Int,
+                     qs: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val agg = new QuantileSampleAgg(k)
+    val sampled = df
+      .select(col(groupCol).cast("string"),
+        tokenHash32(col(idCol).cast("string")),
+        col(idCol).cast("long"), col(valueCol).cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("samp"))
+      .toDF(groupCol, "samp")
+      .withColumn("_vals",
+        array_sort(transform(col("samp"), s => s.getField("_3"))))
+    sampled.select(col(groupCol) +: size(col("_vals")).as("n_sample") +:
+      qs.map { q =>
+        element_at(col("_vals"),
+          greatest(lit(1), ceil(lit(q) * size(col("_vals"))).cast("int")))
+          .as(s"p${(q * 100).round}")
+      }: _*)
+  }
 }

@@ -117,6 +117,26 @@ class SamplingSpec extends SparkSuite {
     assert(out2("big") === est)
   }
 
+  test("quantileSketch: exact below k, partitioning-independent above") {
+    import graft.operators.Sketches
+    // small group (< k): the sample IS the group → exact quartiles
+    val small = (1L to 10L).map(i => ("s", i, i.toDouble)).toDF("g", "id", "v")
+    val exact = Sketches.quantileSketch(spark, small, "g", "id", "v",
+        k = 64, qs = Seq(0.25, 0.5, 0.75))
+      .select("p25", "p50", "p75").as[(Double, Double, Double)].head()
+    // ceil-indexing on the sorted 10 values: idx 3, 5, 8
+    assert(exact === ((3.0, 5.0, 8.0)))
+    // big group: same result regardless of partitioning (merge path)
+    val big = (1L to 5000L).map(i => ("b", i, i.toDouble)).toDF("g", "id", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.quantileSketch(spark, df, "g", "id", "v", k = 64,
+          qs = Seq(0.5)).select("p50").as[Double].head()
+    val p = run(big)
+    assert(run(big.repartition(13)) === p)
+    // the hash sample is uniform-ish: median estimate within 25%
+    assert(math.abs(p - 2500.0) / 2500.0 < 0.25)
+  }
+
   test("featureHashEmbeddingD: unit norm, deterministic, dim-sized") {
     val out = docs.filter(length(col("text")) > 0)
       .select(featureHashEmbeddingD(col("text"), 8).as("e"))
