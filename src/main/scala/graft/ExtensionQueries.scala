@@ -190,6 +190,32 @@ object ExtensionQueries {
           col("text"))
         .orderBy("id1", "id2")),
 
+    // ---- TF-IDF top terms per doc: term frequency × N/df (rational idf
+    // variant — no transcendental, so both engines compute identical IEEE
+    // doubles). Two aggregations + one join on the term + one per-doc
+    // window; the df table is small (vocabulary) so Catalyst broadcasts
+    // it and the doc side never reshuffles for the join.
+    "q_tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val terms = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .withColumn("score",
+          floorRound6(col("tf") * lit(n.toDouble) / col("df")))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("term").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rn"))
+        .orderBy("doc_id", "rn")
+    }),
+
     // ---- deterministic quantile sketch: k-smallest-by-hash sample per
     // group (mergeable, order-independent), quartiles off the sorted
     // sample — reproducible bit-for-bit by the oracle, unlike randomized
@@ -1228,6 +1254,31 @@ object ExtensionQueries {
          |  CASE WHEN nd < 64 THEN nd::DOUBLE
          |       ELSE 63 * 4294967296.0 / mins[64] END AS est
          |FROM s ORDER BY event_type""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  GROUP BY doc_id, term),
+         |dfreq AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |  GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.term,
+         |    ${graft.functions.Rounding.floorRoundSql(
+              "t.tf * (SELECT n FROM n)::DOUBLE / d.df", 6)} AS score
+         |  FROM tf t JOIN dfreq d USING (term)),
+         |r AS (
+         |  SELECT doc_id, term, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
+         |ORDER BY doc_id, rn""".stripMargin,
 
     "q_sketch_quantile" ->
       s"""WITH h AS (
