@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsofJoin, Dedup, Knn, Multimodal, RangeJoin, Sampling, Sketches, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, Knn, Multimodal, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -189,6 +189,47 @@ object ExtensionQueries {
       Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
           col("text"))
         .orderBy("id1", "id2")),
+
+    // ---- salted skew join: hot keys spread across `salts` reducers; the
+    // RESULT is identical to the plain join, so the oracle is plain SQL —
+    // proving salting is a physical rewrite, not a semantic change.
+    "q_skew_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      SkewJoin.saltedJoin(li, urgent, "l_orderkey", salts = 4)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- two-phase salted aggregation: a hot group's rows split over
+    // (key, salt) partials before the final combine — result identical to
+    // the direct groupBy (decimal partials keep the sum exact).
+    "q_skew_agg" -> ((s, d) =>
+      SkewJoin.saltedCountSum(Tables.lineitem(s, d), col("l_returnflag"),
+          col("l_quantity"), salts = 8)
+        .withColumnRenamed("k", "l_returnflag")
+        .orderBy("l_returnflag")),
+
+    // ---- cube: all grouping-set combinations, two-phase like the rollup
+    // (pre-aggregate at the finest grain so Expand multiplies a handful
+    // of rows, not the scan).
+    "q_agg_cube" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("_sp"))
+      base.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("_cnt")).as("cnt"),
+          sum(col("_sp")).cast("double").as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
 
     // ---- TF-IDF top terms per doc: term frequency × N/df (rational idf
     // variant — no transcendental, so both engines compute identical IEEE
@@ -1254,6 +1295,25 @@ object ExtensionQueries {
          |  CASE WHEN nd < 64 THEN nd::DOUBLE
          |       ELSE 63 * 4294967296.0 / mins[64] END AS est
          |FROM s ORDER BY event_type""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_skew_agg" ->
+      s"""SELECT l_returnflag, count(*) AS cnt,
+         |  ${dsumSql("l_quantity")} AS sum_value
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS cnt, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
 
     "q_tfidf_top_terms" ->
       s"""WITH toks AS (
