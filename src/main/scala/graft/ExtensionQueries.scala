@@ -36,17 +36,27 @@ object ExtensionQueries {
     * has (the reference builds its collection once and queries it many
     * times). Training is deterministic, so caching cannot change any
     * query's result. */
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame)]()
+  // sessions held WEAKLY (same contract as Tables.cache): data dirs are
+  // immutable for a session's lifetime, and stopped test sessions must
+  // not be retained by this JVM-global map
+  private val ivfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]]())
   private def ivfIndex(s: SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    ivfCache.computeIfAbsent((s, d), { key =>
-      val emb = Tables.embeddings(key._1, key._2)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val perSession = ivfCache.synchronized {
+      ivfCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String,
+          (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      val emb = Tables.embeddings(s, dir)
       val cents = Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"),
         k = 8, iters = 3)
       (Ann.assignCells(emb, col("vec_id"), col("embedding"), cents), cents)
     })
+  }
 
   val all: Map[String, Q] = Map(
     // ---- grouped aggregation (TPC-H Q1 shape). Map-side partial agg then

@@ -18,13 +18,25 @@ object Tables {
   // across a 67-query Verify/Bench run that per-query setup is a visible
   // slice of the ~0.5 s fixed overhead. The cached object is just the
   // analyzed logical plan (immutable); each query still plans and scans
-  // independently. Keyed by session so test sessions don't leak across.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // independently.
+  //
+  // CONTRACT: table dirs are assumed immutable for the lifetime of a
+  // session — an in-session rewrite of a cached path serves the stale
+  // file listing (tests that rewrite data use fresh dirs). The outer map
+  // holds sessions WEAKLY so long-lived multi-session JVMs (test suites)
+  // don't retain stopped sessions and their plans forever.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      key => key._1.read.parquet(key._2))
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name.parquet",
+      path => spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

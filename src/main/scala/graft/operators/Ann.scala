@@ -29,9 +29,14 @@ object Ann {
     * is a 384× cut in shuffle rows on the index-build path. */
   def centroids(df: DataFrame, cellCol: Column, vecCol: Column): DataFrame = {
     import graft.plans.VectorSum.vectorSum
+    // the count must use the SAME skip rule as vector_sum (null rows and
+    // rows whose array contains a null element are excluded) or centroids
+    // on such input divide by an inflated n; `exists` is null on a null
+    // array, so the `when` guard skips both cases in one predicate
     df.select(cellCol.as("cell"), vecCol.as("_v"))
       .groupBy(col("cell"))
-      .agg(vectorSum(col("_v")).as("_s"), count(col("_v")).as("_n"))
+      .agg(vectorSum(col("_v")).as("_s"),
+        count(when(!exists(col("_v"), x => x.isNull), lit(1))).as("_n"))
       .select(col("cell"),
         transform(col("_s"), x => x / col("_n")).as("centroid"))
   }

@@ -61,13 +61,23 @@ object BatchEncode {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val texts = batch.map(r => if (r.isNullAt(tIdx)) "" else r.getString(tIdx))
-        try {
-          val vecs = encoder.encodeBatch(texts)
-          require(vecs.length == batch.length,
-            s"encoder returned ${vecs.length} vectors for ${batch.length} texts")
-          batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
-        } catch {
-          case _: Exception if skipFailedBatches => Seq.empty[Row]
+        // only the ENCODER call is skippable — a vector-count mismatch is
+        // an encoder contract bug (not a poisoned batch) and always throws;
+        // skipped batches are logged so row loss is observable
+        val vecsOpt =
+          try Some(encoder.encodeBatch(texts))
+          catch {
+            case e: Exception if skipFailedBatches =>
+              org.slf4j.LoggerFactory.getLogger("graft.operators.BatchEncode")
+                .warn(s"dropping failed batch of ${batch.length} rows: $e")
+              None
+          }
+        vecsOpt match {
+          case Some(vecs) =>
+            require(vecs.length == batch.length,
+              s"encoder returned ${vecs.length} vectors for ${batch.length} texts")
+            batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+          case None => Seq.empty[Row]
         }
       }
     }(Encoders.row(outSchema))

@@ -223,6 +223,13 @@ object Dedup {
       labels = next
       it += 1
     }
+    // labels still moving when the cap hits means the output clusters are
+    // WRONG (chains longer than maxIters stay split) — callers making
+    // keep/drop decisions must not get that silently
+    if (changed) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations " +
+        "(component diameter exceeds the cap); raise maxIters or use a " +
+        "star-contraction variant for deep chains")
     labels.withColumnRenamed("comp", "component")
   }
 

@@ -314,10 +314,20 @@ object Streams {
           .withColumn("bucket", pmod(hash(col(key)), lit(nBuckets)))
         val touched = deduped.select("bucket").distinct()
           .collect().map(_.getInt(0)).sorted
-        // crash recovery: restore any bucket a died swap left aside
-        touched.foreach { b =>
-          if (!fs.exists(bucketDir(b)) && fs.exists(asideDir(b)))
-            fs.rename(asideDir(b), bucketDir(b))
+        // crash recovery: restore EVERY bucket a died swap left aside, not
+        // just buckets the current batch touches — a swap that died between
+        // rename(bucket→aside) and rename(fresh→bucket) on some other
+        // bucket would otherwise stay invisible to reads until a future
+        // batch happened to touch it (possibly never)
+        val root = new Path(base)
+        if (fs.exists(root)) {
+          val asidePat = """\.bucket_(\d+)_old""".r
+          fs.listStatus(root).map(_.getPath.getName).foreach {
+            case asidePat(b) =>
+              val bi = b.toInt
+              if (!fs.exists(bucketDir(bi))) fs.rename(asideDir(bi), bucketDir(bi))
+            case _ => ()
+          }
         }
         val existing = touched.filter(b => fs.exists(bucketDir(b)))
         val merged =

@@ -119,6 +119,19 @@ class DedupSpec extends SparkSuite {
     assert(cc === Map(2L -> 2L, 3L -> 2L, 5L -> 2L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: non-convergence throws instead of returning wrong labels") {
+    // a 12-node path needs ~diameter iterations; cap at 2 → must throw,
+    // not silently return a still-split labeling
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with room to converge the same input is fine
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(cc.forall(_._2 == 1L))
+  }
+
   test("winnowing guarantee: docs sharing a >= w+n-1 token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta eta" // 7 >= 4+3-1
     val docs = Seq(

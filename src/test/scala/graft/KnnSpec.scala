@@ -89,6 +89,21 @@ class KnnSpec extends SparkSuite {
     assert(math.abs(c0(1) - (0.0 + 0.0 + 0.2) / 3) < 1e-6)
   }
 
+  test("centroids: null rows and null-element rows skipped from sum AND count") {
+    // vector_sum skips a row whose array holds a null element; the divisor
+    // must skip it too, or the mean is silently deflated
+    val withNulls = Seq(
+      (0L, Some(Seq(Some(2.0f), Some(2.0f))), 0),
+      (1L, Some(Seq(Some(4.0f), Some(4.0f))), 0),
+      (2L, Some(Seq(None: Option[Float], Some(6.0f))), 0), // null element
+      (3L, None: Option[Seq[Option[Float]]], 0))           // null row
+      .toDF("vec_id", "embedding", "cell")
+    val c = Ann.centroids(withNulls, col("cell"), col("embedding"))
+      .select(col("centroid").cast("array<double>"))
+      .as[Seq[Double]].head()
+    assert(c === Seq(3.0, 3.0)) // (2+4)/2, not /3 or /4
+  }
+
   test("ivfTopK with nProbe=1 equals exact kNN when query is in-cluster") {
     val cents = Ann.centroids(clustered, col("cell"), col("embedding"))
     val q = Seq(10.05, 10.05)

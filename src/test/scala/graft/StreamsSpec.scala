@@ -310,6 +310,34 @@ class StreamsSpec extends SparkSuite {
     assert(out(2) === ((2L, "v2")))
   }
 
+  test("upsertStreamBucketed: restores an aside bucket the batch does NOT touch") {
+    // a swap that died on bucket B must be repaired even when no later
+    // batch ever touches B again — recovery scans ALL aside dirs
+    val base = Files.createTempDirectory("graft-bupsert-orphan-").toString
+    val idx = s"$base/idx"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.upsertStreamBucketed(spark,
+      input.toDF().toDF("doc_id", "text"), idx, s"$base/chk", nBuckets = 4)
+    try {
+      input.addData((0L to 7L).map(i => (i, "v1")))
+      q.processAllAvailable()
+      val bCrash = Seq(2L).toDF("doc_id")
+        .select(pmod(hash(col("doc_id")), lit(4))).as[Int].head()
+      val bOther = (0L to 7L).map(b => Seq(b).toDF("doc_id")
+        .select(pmod(hash(col("doc_id")), lit(4))).as[Int].head())
+        .zip(0L to 7L).find(_._1 != bCrash).get._2 // a key in a different bucket
+      assert(new java.io.File(s"$idx/bucket=$bCrash")
+        .renameTo(new java.io.File(s"$idx/.bucket_${bCrash}_old")))
+      input.addData(Seq((bOther, "v2"))) // touches a DIFFERENT bucket
+      q.processAllAvailable()
+    } finally q.stop()
+    // the orphaned bucket's rows are visible again: nothing lost
+    val out = spark.read.parquet(idx).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.length === 8)
+    assert(out.map(_._1) === (0L to 7L).toArray)
+  }
+
   test("incrementalCollection: file stream builds an embedded collection") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
