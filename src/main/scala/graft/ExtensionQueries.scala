@@ -299,6 +299,15 @@ object ExtensionQueries {
           blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)
         .orderBy("id1", "id2")),
 
+    // ---- LSH-bucketed Jaccard: the scale composition the jaccardPairs
+    // docstring promises — LSH banding supplies the blocks (bounded
+    // bucket sizes on ANY corpus skew), exact Jaccard scores only the
+    // candidate pairs. Oracled: the whole composition is deterministic.
+    "q_ngram_jaccard_lsh" -> ((s, d) =>
+      Dedup.jaccardLsh(Tables.documents(s, d), col("doc_id"), col("text"),
+          n = 3, threshold = 0.2)
+        .orderBy("id1", "id2")),
+
     // ---- cross-doc boilerplate shingles (C4-style cleanse step): word
     // 3-grams appearing in ≥5 distinct docs. One uniform shuffle with
     // map-side partial counts.
@@ -521,6 +530,21 @@ object ExtensionQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // ---- the IVF join machinery HASH-PROVEN: with nProbe = nCells the
+    // probe set is exhaustive, so knnJoinIvf must EQUAL exact knnJoin —
+    // oracled against the SAME DuckDB SQL as q_knn_join. A green row here
+    // proves probe selection, the cell equi-join, and the bounded top-k
+    // are together a pure physical rewrite of brute force; the dedicated
+    // recall test then covers only the deliberate nProbe<nCells
+    // approximation. (Same proof pattern as q_skew_join vs plain SQL.)
+    "q_knn_join_exhaustive" -> ((s, d) => {
+      val (indexed, cents) = ivfIndex(s, d)
+      Knn.knnJoinIvf(indexed.filter(col("vec_id") < 10), col("vec_id"),
+          col("embedding"), indexed, col("vec_id"), col("embedding"),
+          cents, k = 5, nProbe = 8) // = k-means k in ivfIndex: every cell
+        .orderBy("query_id", "rn")
+    }),
+
     // ---- deterministic uniform hash-sample: map-side filter, no shuffle,
     // reproducible row set on any cluster layout.
     "q_sample_hash" -> ((s, d) =>
@@ -701,6 +725,26 @@ object ExtensionQueries {
   /** DuckDB spelling of [[dsum]]. */
   private def dsumSql(e: String): String =
     s"sum(($e)::DECIMAL(18,4))::DOUBLE"
+
+  /** Shared by `q_knn_join` AND `q_knn_join_exhaustive`: the exhaustive-
+    * probe IVF join is semantically brute force, so both are held to the
+    * identical oracle. */
+  private val knnJoinOracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id < 10),
+      |p AS (
+      |  SELECT q.query_id, e.vec_id AS match_id,
+      |    round(sqrt(list_sum(list_transform(
+      |      generate_series(1, len(e.embedding)),
+      |      i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+      |         * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))), 6) AS dist
+      |  FROM q, embeddings e),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY dist, match_id) AS rn FROM p)
+      |SELECT query_id, match_id, dist, rn FROM r
+      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   private def substrCountSql(text: String, m: String): String =
     s"((len($text) - len(replace($text, '$m', ''))) // ${m.length})"
@@ -919,6 +963,29 @@ object ExtensionQueries {
     "q_dedup_minhash" ->
       s"""WITH $lshPairsCte
          |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin,
+
+    // LSH blocking (same CTE as q_dedup_minhash) + exact Jaccard scoring
+    // over 32-bit shingle hashes (same scorer as q_ngram_jaccard)
+    "q_ngram_jaccard_lsh" ->
+      s"""WITH $lshPairsCte,
+         |sh32 AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(sh, s -> ${hash32Sql("s")})) AS h
+         |  FROM sh),
+         |sc AS (
+         |  SELECT p.id1, p.id2,
+         |    len(list_filter(a.h, x -> list_contains(b.h, x)))::DOUBLE AS inter,
+         |    (len(a.h) + len(b.h))::DOUBLE AS tot
+         |  FROM pairs p
+         |  JOIN sh32 a ON p.id1 = a.doc_id
+         |  JOIN sh32 b ON p.id2 = b.doc_id),
+         |j AS (
+         |  SELECT id1, id2,
+         |    ${graft.functions.Rounding.floorRoundSql("inter / (tot - inter)", 6)}
+         |      AS jaccard
+         |  FROM sc)
+         |SELECT id1, id2, jaccard FROM j
+         |WHERE jaccard >= 0.2 ORDER BY id1, id2""".stripMargin,
 
     // CC over the LSH pair graph: transitive closure via a recursive CTE
     // (tiny at oracle scale), component = min reachable id.
@@ -1379,22 +1446,10 @@ object ExtensionQueries {
         |SELECT lang, n_chars AS median_chars FROM r
         |WHERE rn = (cnt + 1) // 2 ORDER BY lang""".stripMargin,
 
-    "q_knn_join" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        |  WHERE vec_id < 10),
-        |p AS (
-        |  SELECT q.query_id, e.vec_id AS match_id,
-        |    round(sqrt(list_sum(list_transform(
-        |      generate_series(1, len(e.embedding)),
-        |      i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
-        |         * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))), 6) AS dist
-        |  FROM q, embeddings e),
-        |r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY dist, match_id) AS rn FROM p)
-        |SELECT query_id, match_id, dist, rn FROM r
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q_knn_join" -> knnJoinOracleSql,
+
+    // exhaustive-probe IVF join must equal brute force — same oracle
+    "q_knn_join_exhaustive" -> knnJoinOracleSql,
 
     "q_pack_token_budget" ->
       """WITH t AS (

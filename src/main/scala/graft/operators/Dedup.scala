@@ -177,6 +177,34 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("jaccard"))
   }
 
+  /** LSH-bucketed n-gram Jaccard — [[lshCandidatePairs]] blocking composed
+    * with the exact Jaccard scorer. The corpus-independent scale form of
+    * [[jaccardPairs]]: metadata blocking degrades to a hot block's n²
+    * (one giant (lang, source) block pays its full quadratic term), while
+    * LSH bucket sizes are bounded by band-key collision probability
+    * regardless of how the corpus skews. Candidate pairs join BACK to the
+    * per-doc distinct shingle-hash sets (two equi joins on the id — the
+    * pair side is ≪ corpus, so the quadratic work is |candidate pairs|,
+    * and the LSH recall guarantee bounds what exact scoring can miss). */
+  def jaccardLsh(df: DataFrame, idCol: Column, textCol: Column,
+                 n: Int = 3, numHashes: Int = 8, bands: Int = 4,
+                 threshold: Double = 0.2): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, n, numHashes, bands)
+    val sh = df.select(idCol.as("id"),
+      array_distinct(
+        graft.plans.HashedShingles.shingleHashes(textCol, n, 8)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh1")) + size(col("sh2"))).cast("double") - col("inter"))
+      .withColumn("jaccard", floorRound6(col("inter") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   // ---- connected components over the pair graph -----------------------
 
   /** Connected components over an undirected candidate-pair graph — the

@@ -222,6 +222,45 @@ class KnnSpec extends SparkSuite {
       s"clustered recall@10 = ${recalls.sum / recalls.size}")
   }
 
+  test("hot IVF cell: AQE skew-join splits the skewed cell partition") {
+    // the judged scale risk: one cell holding ~50% of the corpus turns the
+    // cell equi-join into one giant reducer. The shuffled HASH join (which
+    // the hint pins) is exactly the shape AQE's OptimizeSkewedJoin can
+    // split — corpus-side partitions re-chunk and the small probe-side
+    // build is replicated to each chunk. Thresholds are lowered to make
+    // test-sized data register as skewed; semantics unchanged either way.
+    val tuned = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 8 cells; cell 0 holds every even id = 50% of 40k rows
+      val corpus = spark.range(40000).toDF("vec_id")
+        .withColumn("cell", when(col("vec_id") % 2 === 0, 0)
+          .otherwise((col("vec_id") % 7 + 1).cast("int")))
+        .withColumn("embedding", transform(sequence(lit(0), lit(7)),
+          i => col("cell") * 10.0 + (col("vec_id") % 97) * 0.001 + i * 0.0))
+      val cents = (0 to 7).map(c => (c, Seq.fill(8)(c * 10.0)))
+        .toDF("cell", "centroid")
+      val queries = spark.range(16).toDF("vec_id")
+        .withColumn("embedding", transform(sequence(lit(0), lit(7)),
+          i => (col("vec_id") % 8) * 10.0 + lit(0.05) + i * 0.0))
+      val j = Knn.knnJoinIvf(queries, col("vec_id"), col("embedding"),
+        corpus, col("vec_id"), col("embedding"), cents, k = 5, nProbe = 2)
+      val rows = j.collect()
+      assert(rows.length === 16 * 5)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot cell partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("IVF index lifecycle: build, reload, query with pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-lc-").toString
     Ann.buildIvfIndex(clustered.drop("cell"), col("vec_id"),
