@@ -477,6 +477,18 @@ object ExtensionQueries {
           Multimodal.attachPayload(Tables.documents(s, d)))
         .orderBy("doc_id")),
 
+    // ---- REAL image decode, hash-proven: every doc gets a genuine
+    // PNG/JPEG payload (javax.imageio encode, dims a pure function of
+    // doc_id), the batched kernel DECODES the bytes, and width/height
+    // read from the pixels must equal the oracle's arithmetic — the
+    // encode→decode round trip is what's being verified.
+    "q_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeImagePartitions(s,
+          Multimodal.attachImagePayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"))
+        .orderBy("doc_id")),
+
     // ---- frame sampling: explode kept frame indices from metadata only.
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
@@ -1473,6 +1485,16 @@ object ExtensionQueries {
         |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
         |  ((octet_length(encode(text)) * 7) % 480 + 1)::BIGINT AS height,
         |  (octet_length(encode(text)) % 24 + 1)::BIGINT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Spark side ENCODES a real PNG/JPEG per doc and DECODES it back
+    // with javax.imageio; dims are a pure function of doc_id, so this
+    // arithmetic oracle hash-verifies the codec round trip
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
+        |  (doc_id % 64 + 8)::BIGINT AS width,
+        |  ((doc_id * 7) % 48 + 8)::BIGINT AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * touch bytes; decode runs per-partition in bounded batches, letting the
   * decoder amortize setup across a batch (the Arrow-batch analogue).
   *
-  * STUB NOTE: no image/audio codecs exist in this container, so
-  * [[FakeCodec.decode]] is a clearly-marked deterministic fake. The
-  * Spark-side plumbing — schema, binary payload column, partition-batched
-  * decode via `mapPartitions`, metadata projection — is real and tested.
+  * The IMAGE path is real: [[ImageCodec]] encodes/decodes PNG and JPEG
+  * bytes with pure-JVM `javax.imageio` (no added dependencies), and
+  * [[decodeImagePartitions]] / [[extractImageFeatures]] run genuine
+  * byte decoding through the partition-batched pipeline — oracle-checked
+  * end-to-end in `q_multimodal_decode` (payload dims are a pure function
+  * of the id, so DuckDB verifies the encode→decode round trip
+  * arithmetically). STUB NOTE: audio/video codecs don't exist in this
+  * container, so [[FakeCodec.decode]] remains the clearly-marked
+  * deterministic stand-in for those modalities only.
   */
 object Multimodal {
 
@@ -57,8 +62,110 @@ object Multimodal {
     }
   }
 
+  /** REAL image kernel — pure-JVM `javax.imageio`, no display, no new
+    * deps. Encode exists so tests and the oracle-checked query can
+    * fabricate genuine PNG/JPEG bytes deterministically; decode is the
+    * production path. Both formats round-trip dimensions exactly (JPEG
+    * is lossy in pixels, never in geometry). */
+  object ImageCodec {
+    /** Deterministic RGB image: pixel (x, y) = f(seed, x, y). */
+    def encode(format: String, width: Int, height: Int,
+               seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((seed * 31 + x * 7 + y * 13) & 0xffffffL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"no ImageIO writer for format '$format'")
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      img
+    }
+  }
+
+  /** Attach REAL image payloads: each doc carries a deterministic
+    * PNG/JPEG whose dimensions are a pure function of `doc_id` — the
+    * encode runs in a Dataset map (the ingest-side stand-in for reading
+    * media files), and because dims are id-derived, a SQL oracle can
+    * verify the full encode→decode round trip without a codec. */
+  def attachImagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val fmt = if (id % 2 == 0) "png" else "jpg"
+      MediaRow(id, fmt, ImageCodec.encode(fmt,
+        width = (id % 64 + 8).toInt, height = (id * 7 % 48 + 8).toInt,
+        seed = id))
+    }.toDF()
+  }
+
+  /** Partition-batched REAL image decode: width/height read from the
+    * decoded pixels, not from stored metadata. Same batch shape as
+    * [[decodePartitions]]; a decoder instance is per-JVM (ImageIO is a
+    * static registry), batching bounds peak decoded-pixel memory. */
+  def decodeImagePartitions(spark: SparkSession, media: DataFrame,
+                            batchSize: Int = 256): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = ImageCodec.decode(r.payload)
+          DecodedMedia(r.doc_id, r.format, r.payload.length.toLong,
+            img.getWidth.toLong, img.getHeight.toLong, n_frames = 1L)
+        }
+      }
+    }
+  }
+
+  /** Partition-batched REAL feature extraction over decoded pixels: a
+    * `dim`-bin normalized grayscale histogram — deterministic, format-
+    * robust (computed on decoded RGB, so PNG vs JPEG of the same scene
+    * yield near-identical features). The model-inference hook point:
+    * swap the histogram for an ONNX vision encoder, keep the batching. */
+  def extractImageFeatures(spark: SparkSession, media: DataFrame,
+                           dim: Int = 8,
+                           batchSize: Int = 256): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = ImageCodec.decode(r.payload)
+          val hist = new Array[Long](dim)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val gray =
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              hist(gray * dim / 256) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = (img.getWidth.toLong * img.getHeight).toFloat
+          MediaFeatures(r.doc_id, r.format,
+            hist.map(_ / n).toIndexedSeq)
+        }
+      }
+    }
+  }
+
   /** Partition-batched decode: the real pipeline shape. Batching bounds
-    * decoder memory and amortizes codec init per batch, not per row. */
+    * decoder memory and amortizes codec init per batch, not per row.
+    * (Audio/video stub path — the image path above decodes real bytes.) */
   def decodePartitions(spark: SparkSession, media: DataFrame,
                        batchSize: Int = 256): Dataset[DecodedMedia] = {
     import spark.implicits._

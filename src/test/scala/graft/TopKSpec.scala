@@ -52,6 +52,31 @@ class TopKSpec extends SparkSuite {
       f.feat.forall(x => x >= 0f && x < 1f)))
   }
 
+  test("multimodal: REAL PNG/JPEG bytes decode through the batched kernel") {
+    val docs = Seq((2L, "a"), (3L, "b"), (10L, "c")).toDF("doc_id", "text")
+    val media = Multimodal.attachImagePayload(spark, docs)
+    // payloads are genuine image files: magic bytes prove it
+    val payloads = media.orderBy("doc_id")
+      .as[(Long, String, Array[Byte])].collect()
+    val png = payloads.find(_._2 == "png").get._3
+    assert(png.slice(1, 4).map(_.toChar).mkString === "PNG")
+    val jpg = payloads.find(_._2 == "jpg").get._3
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8) // SOI marker
+    val decoded = Multimodal.decodeImagePartitions(spark, media, batchSize = 2)
+      .collect().map(m => m.doc_id -> ((m.width, m.height))).toMap
+    // width = id % 64 + 8, height = id*7 % 48 + 8 — read back from PIXELS
+    assert(decoded === Map(2L -> ((10L, 22L)), 3L -> ((11L, 29L)),
+      10L -> ((18L, 30L))))
+    val feats = Multimodal.extractImageFeatures(spark, media, dim = 8)
+      .collect()
+    assert(feats.length === 3)
+    feats.foreach { f =>
+      assert(f.feat.length === 8)
+      // histogram is a probability vector over the decoded pixels
+      assert(math.abs(f.feat.sum - 1.0f) < 1e-4, f.feat.toString)
+    }
+  }
+
   test("multimodal: partition-batched decode agrees with column-level meta") {
     val docs = Seq((1L, "abcdef"), (2L, "x"), (3L, "hello world, longer payload"))
       .toDF("doc_id", "text").withColumn("lang", lit("en"))
