@@ -557,6 +557,17 @@ object ExtensionQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // ---- dense 0..n-1 relabeling (the reference's id_to_label map,
+    // hnswlib needs dense int labels): range sort + per-partition counts
+    // + broadcast offsets + per-partition row_number — DataFrame-native,
+    // deterministic given the unique key, so fully oracle-able.
+    "q_dense_ids" -> ((s, d) =>
+      graft.sources.Maintenance.withDenseIds(s,
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("label_id"))
+        .orderBy("doc_id")),
+
     // ---- deterministic uniform hash-sample: map-side filter, no shuffle,
     // reproducible row set on any cluster layout.
     "q_sample_hash" -> ((s, d) =>
@@ -1485,6 +1496,11 @@ object ExtensionQueries {
         |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
         |  ((octet_length(encode(text)) * 7) % 480 + 1)::BIGINT AS height,
         |  (octet_length(encode(text)) % 24 + 1)::BIGINT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dense_ids" ->
+      """SELECT doc_id, lang,
+        |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS label_id
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the Spark side ENCODES a real PNG/JPEG per doc and DECODES it back

@@ -36,19 +36,43 @@ object Maintenance {
     nFiles
   }
 
-  /** Deterministic dense 0-based labels in `orderCol` order. Uses
-    * zipWithIndex on the sorted plan — one sort, then per-partition
-    * offset arithmetic (no window over a single partition, which would
-    * serialize on one task). */
+  /** Deterministic dense 0-based labels in `orderCol` order, fully
+    * DataFrame-native (no RDD round trip — the old `rdd.zipWithIndex`
+    * exited Tungsten and re-encoded every row through Scala objects):
+    *
+    *  1. range-shuffled sort on `orderCol`, persisted (columnar cache —
+    *     CacheManager dedups repeat calls on the same plan) so the
+    *     counting pass and the labeling pass see the SAME partition
+    *     boundaries (the range sampler is not re-plan-stable across
+    *     separate queries);
+    *  2. per-partition row counts via a `spark_partition_id()` groupBy —
+    *     a driver-sized aggregate (one row per partition);
+    *  3. cumulative offsets ship back as a map LITERAL inside the plan,
+    *     and each row's label = offset(pid) + (row_number within pid − 1)
+    *     — the per-partition window keeps full parallelism (no global
+    *     single-partition window).
+    *
+    * `orderCol` must be a UNIQUE key: range partitioning may split equal
+    * keys across partitions, which would make labels among ties depend on
+    * the physical split. The analogue of the reference's `id_to_label`
+    * dense-int relabeling (hnswlib index metadata). */
   def withDenseIds(spark: SparkSession, df: DataFrame, orderCol: Column,
                    out: String = "label_id"): DataFrame = {
     val sorted = df.orderBy(orderCol.asc)
-    val schema = sorted.schema
-    val zipped = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
-    }
-    spark.createDataFrame(zipped,
-      schema.add(out, org.apache.spark.sql.types.LongType, nullable = false))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .orderBy("_pid")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = counts.foldLeft((Map.empty[Int, Long], 0L)) {
+      case ((m, acc), (pid, n)) => (m + (pid -> acc), acc + n)
+    }._1
+    sorted
+      .withColumn(out,
+        element_at(typedlit(offsets), col("_pid")) +
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_pid")).orderBy(orderCol.asc)).cast("long") - 1)
+      .drop("_pid")
   }
 
   /** Observed write: attach pipeline-health metrics (row count, null-key

@@ -51,5 +51,19 @@ class MaintenanceSpec extends SparkSuite {
     val ids = Maintenance.withDenseIds(spark, big, col("k"))
       .select("label_id").as[Long].collect().sorted
     assert(ids === (0L until 5000L).toArray)
+    // labels follow key order globally, not just per partition
+    val pairs = Maintenance.withDenseIds(spark, big, col("k"))
+      .select("k", "label_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(pairs.map(_._2) === (0L until 5000L).toArray)
+  }
+
+  test("withDenseIds plans DataFrame-native: no RDD scan, windows stay per-partition") {
+    val df = (1L to 200L).map(i => (i, s"t$i")).toDF("k", "v").repartition(7)
+    val out = Maintenance.withDenseIds(spark, df, col("k"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD") && !p.contains("Scan ExistingRDD"),
+      s"RDD round-trip in plan:\n$p")
+    // the window partitions by _pid — never a global single-partition sort
+    assert(p.contains("Window"), p)
   }
 }
