@@ -278,6 +278,52 @@ object Streams {
       }
       .start()
 
+  // ---- hash-bucketed state-dir machinery (shared by the bucketed
+  // upsert and the LSH dedup state table) ------------------------------
+
+  private[streaming] def bucketPath(base: String, b: Int) =
+    new org.apache.hadoop.fs.Path(s"$base/bucket=$b")
+  private[streaming] def asidePath(base: String, b: Int) =
+    new org.apache.hadoop.fs.Path(s"$base/.bucket_${b}_old") // hidden
+
+  /** Crash recovery: restore EVERY bucket a died swap left aside — not
+    * just buckets the current batch touches. A swap that died between
+    * rename(bucket→aside) and rename(fresh→bucket) on an untouched
+    * bucket would otherwise stay invisible to reads indefinitely. */
+  private[streaming] def recoverAsideBuckets(
+      fs: org.apache.hadoop.fs.FileSystem, base: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(base)
+    if (fs.exists(root)) {
+      val asidePat = """\.bucket_(\d+)_old""".r
+      fs.listStatus(root).map(_.getPath.getName).foreach {
+        case asidePat(b) =>
+          val bi = b.toInt
+          if (!fs.exists(bucketPath(base, bi)))
+            fs.rename(asidePath(base, bi), bucketPath(base, bi))
+        case _ => ()
+      }
+    }
+  }
+
+  /** Rename-aside swap of the touched `bucket=<b>` dirs from a freshly
+    * written tmp layout; aside dirs are dot-prefixed so partition
+    * discovery never sees a half-swapped state. Deletes `tmp` when done. */
+  private[streaming] def swapBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      base: String, tmp: org.apache.hadoop.fs.Path,
+      touched: Seq[Int]): Unit = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    touched.foreach { b =>
+      val fresh = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
+      if (fs.exists(asidePath(base, b))) fs.delete(asidePath(base, b), true)
+      if (fs.exists(bucketPath(base, b)))
+        fs.rename(bucketPath(base, b), asidePath(base, b))
+      if (fs.exists(fresh)) fs.rename(fresh, bucketPath(base, b))
+      fs.delete(asidePath(base, b), true)
+    }
+    fs.delete(tmp, true)
+  }
+
   /** Bucketed incremental streaming upsert — the scale path past
     * [[upsertStream]]'s whole-index rewrite (O(index) per micro-batch).
     *
@@ -308,28 +354,12 @@ object Streams {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val base = indexDir.stripSuffix("/")
-        def bucketDir(b: Int) = new Path(s"$base/bucket=$b")
-        def asideDir(b: Int) = new Path(s"$base/.bucket_${b}_old") // hidden
         val deduped = batch.dropDuplicates(key) // last-write-wins per batch
           .withColumn("bucket", pmod(hash(col(key)), lit(nBuckets)))
         val touched = deduped.select("bucket").distinct()
-          .collect().map(_.getInt(0)).sorted
-        // crash recovery: restore EVERY bucket a died swap left aside, not
-        // just buckets the current batch touches — a swap that died between
-        // rename(bucket→aside) and rename(fresh→bucket) on some other
-        // bucket would otherwise stay invisible to reads until a future
-        // batch happened to touch it (possibly never)
-        val root = new Path(base)
-        if (fs.exists(root)) {
-          val asidePat = """\.bucket_(\d+)_old""".r
-          fs.listStatus(root).map(_.getPath.getName).foreach {
-            case asidePat(b) =>
-              val bi = b.toInt
-              if (!fs.exists(bucketDir(bi))) fs.rename(asideDir(bi), bucketDir(bi))
-            case _ => ()
-          }
-        }
-        val existing = touched.filter(b => fs.exists(bucketDir(b)))
+          .collect().map(_.getInt(0)).sorted.toIndexedSeq
+        recoverAsideBuckets(fs, base)
+        val existing = touched.filter(b => fs.exists(bucketPath(base, b)))
         val merged =
           if (existing.isEmpty) deduped
           else graft.sources.HrPipeline.upsertByKey(
@@ -342,18 +372,115 @@ object Streams {
         // before any swap touches them
         merged.write.mode("overwrite").partitionBy("bucket")
           .parquet(tmp.toString)
-        if (!fs.exists(new Path(base))) fs.mkdirs(new Path(base))
-        touched.foreach { b =>
-          val fresh = new Path(s"$tmp/bucket=$b")
-          if (fs.exists(asideDir(b))) fs.delete(asideDir(b), true)
-          if (fs.exists(bucketDir(b))) fs.rename(bucketDir(b), asideDir(b))
-          if (fs.exists(fresh)) fs.rename(fresh, bucketDir(b))
-          fs.delete(asideDir(b), true)
-        }
-        fs.delete(tmp, true)
+        swapBuckets(fs, base, tmp, touched)
         ()
       }
       .start()
+
+  /** Streaming MinHash-LSH near-dedup — the banding the batch path uses
+    * ([[graft.operators.Dedup.lshCandidatePairs]]), incremental. Catches
+    * near-dups SimHash bucketing misses ([[nearDedupStream]] compares
+    * only within one 16-bit fingerprint's neighborhood; MinHash banding
+    * matches on ANY of `bands` signature slices).
+    *
+    * DESIGN NOTE — why foreachBatch, not flatMapGroupsWithState: the
+    * per-band-group FMGWS formulation (doc exploded into its `bands`
+    * groups, per-bucket state, then a per-doc distinct/aggregate to
+    * combine band verdicts) is REJECTED by Spark's global-watermark
+    * correctness check: `flatMapGroupsWithState` output feeding any
+    * downstream stateful operator is a potential late-row-discard hazard
+    * (verified empirically on 4.1 — ExtendedAnalysisException). The
+    * cross-band combination therefore runs per micro-batch in
+    * foreachBatch, with band-key state persisted in the same
+    * hash-bucketed parquet layout as [[upsertStreamBucketed]]:
+    *   - only buckets touched by the batch's band keys are read and
+    *     swapped (partition pruning on `bucket`) — per-batch cost is
+    *     O(batch + touched-bucket state), never O(stream);
+    *   - state rows older than `horizonMs` before the batch max event
+    *     time are pruned on rewrite (the watermark analogue);
+    *   - aside-dir crash recovery identical to the upsert path.
+    *
+    * Semantics match the batch pair rule: a doc is a dup iff ANY of its
+    * band keys was seen earlier — in persisted state or earlier in the
+    * same batch by (ts, doc_id) order ("first occupant" of the bucket).
+    * ALL docs mark state, dropped ones too, so chains close greedily
+    * (A~B, B~C ⇒ C dropped even though A≁C — the connected-components
+    * keep rule, incremental). Kept docs append to `outDir`. */
+  def nearDedupStreamLsh(spark: SparkSession, docs: DataFrame,
+                         outDir: String, stateDir: String,
+                         checkpointDir: String,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         tsCol: String = "ts", n: Int = 3,
+                         numHashes: Int = 8, bands: Int = 4,
+                         horizonMs: Long = 10L * 60 * 1000,
+                         nBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rPerBand = numHashes / bands
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.hadoop.fs.Path
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val base = stateDir.stripSuffix("/")
+          recoverAsideBuckets(fs, base)
+          val keys = batch
+            .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+              graft.operators.Dedup.minhashFromHashes(
+                graft.plans.HashedShingles.shingleHashes(col(textCol), n, 4),
+                numHashes).as("sig"))
+            .select(col("doc_id"), col("ts"),
+              posexplode(graft.operators.Dedup.bandKeys(
+                col("sig"), bands, rPerBand)).as(Seq("band_idx", "band_key")))
+            .withColumn("bucket",
+              pmod(hash(col("band_idx"), col("band_key")), lit(nBuckets)))
+            .persist()
+          val touched = keys.select("bucket").distinct()
+            .collect().map(_.getInt(0)).sorted.toIndexedSeq
+          // the horizon applies at READ time too: an expired key must not
+          // influence the dup decision even if its physical prune (which
+          // only happens when its bucket is next touched) hasn't run yet
+          val maxTs = batch.agg(max(col(tsCol))).head().getTimestamp(0)
+          val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonMs)
+          val prior: Option[DataFrame] =
+            if (touched.exists(b => fs.exists(bucketPath(base, b))))
+              Some(spark.read.parquet(base)
+                .filter(col("bucket").isin(touched.map(Int.box): _*))
+                .filter(col("ts") >= lit(cutoff)))
+            else None
+          val batchKeys =
+            keys.select("band_idx", "band_key", "ts", "doc_id", "bucket")
+          val allKeys = prior
+            .map(_.select("band_idx", "band_key", "ts", "doc_id", "bucket")
+              .unionByName(batchKeys))
+            .getOrElse(batchKeys)
+          // first occupant of each band bucket decides: later (ts, id)
+          // arrivals sharing the key are dups (deterministic tiebreak)
+          val firstOcc = allKeys.groupBy("band_idx", "band_key")
+            .agg(min(struct(col("ts"), col("doc_id"))).as("occ"))
+          val verdict = keys.join(firstOcc, Seq("band_idx", "band_key"))
+            .groupBy("doc_id")
+            .agg(max(struct(col("ts"), col("doc_id")) > col("occ")).as("dup"))
+          val kept = batch.join(
+            verdict.filter(!col("dup")).select(col("doc_id").as(idCol)),
+            Seq(idCol), "left_semi")
+          kept.write.mode("append").parquet(outDir)
+          // state rewrite: touched buckets only, pruned to the horizon
+          val tmp = new Path(base + "__upserting")
+          fs.delete(tmp, true)
+          allKeys.filter(col("ts") >= lit(cutoff))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(tmp.toString)
+          swapBuckets(fs, base, tmp, touched)
+          keys.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
 
   // ---- incremental collection build ----------------------------------
 

@@ -338,6 +338,87 @@ class StreamsSpec extends SparkSuite {
     assert(out.map(_._1) === (0L to 7L).toArray)
   }
 
+  test("nearDedupStreamLsh catches a near-dup pair SimHash bucketing misses") {
+    val base = "the quick brown fox jumps over the lazy dog near the old " +
+      "stone bridge while evening light fades slowly across the quiet " +
+      "river valley"
+    val near = base + (" jab" * 14) // high shingle Jaccard, SimHash far off
+    val other = "completely unrelated content about database engines and " +
+      "distributed query processing at scale"
+    // PRECONDITION 1: SimHash-16 distance exceeds nearDedupStream's
+    // maxHamming=3 — the SimHash path cannot see this pair
+    val sims = Seq((1L, base), (2L, near)).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.Dedup.simhash16(col("text")))
+      .as[(Long, Long)].collect().toMap
+    val hamming = java.lang.Long.bitCount(sims(1L) ^ sims(2L))
+    assert(hamming > 3, s"precondition: hamming $hamming must exceed 3")
+    // PRECONDITION 2: batch MinHash-LSH emits the candidate pair
+    val batchPairs = graft.operators.Dedup.lshCandidatePairs(
+        Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs === Set((1L, 2L)))
+    // STREAMING: the banded state must drop doc 2 and keep 1 and 3
+    val dir = Files.createTempDirectory("graft-lsh-stream-").toString
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = Streams.nearDedupStreamLsh(spark,
+      input.toDF().toDF("doc_id", "text", "ts"),
+      s"$dir/out", s"$dir/state", s"$dir/chk")
+    try {
+      input.addData(Seq((1L, base, ts(1))))
+      q.processAllAvailable()
+      input.addData(Seq((2L, near, ts(2)), (3L, other, ts(2))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L))
+    // CONTRAST: the SimHash stream keeps all three (documents the gap
+    // MinHash banding closes)
+    val simKept = runBatches[(Long, String, Timestamp)](
+      Seq(Seq((1L, base, ts(1))), Seq((2L, near, ts(2)), (3L, other, ts(2)))),
+      df => Streams.nearDedupStream(spark,
+        df.toDF("doc_id", "text", "ts")).toDF(),
+      OutputMode.Append())
+    assert(simKept.map(_.getAs[Long]("doc_id")).sorted === Array(1L, 2L, 3L))
+  }
+
+  test("nearDedupStreamLsh: chains close greedily and horizon prunes state") {
+    // A~B and B~C but A and C share nothing: B dropped, C still dropped
+    // (B marked state), and after the horizon passes the cluster's keys
+    // expire so a re-arrival of the same content passes again
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b = a + (" jab" * 10)
+    val c = b + (" wiz" * 10)
+    // precondition: banding links A~B and B~C
+    val chainPairs = graft.operators.Dedup.lshCandidatePairs(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(chainPairs.contains((1L, 2L)) && chainPairs.contains((2L, 3L)),
+      s"precondition: $chainPairs")
+    val dir = Files.createTempDirectory("graft-lsh-chain-").toString
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = Streams.nearDedupStreamLsh(spark,
+      input.toDF().toDF("doc_id", "text", "ts"),
+      s"$dir/out", s"$dir/state", s"$dir/chk", horizonMs = 5L * 60 * 1000)
+    try {
+      input.addData(Seq((1L, a, ts(1))))
+      q.processAllAvailable()
+      input.addData(Seq((2L, b, ts(2))))
+      q.processAllAvailable()
+      input.addData(Seq((3L, c, ts(3)))) // near B only; B was dropped
+      q.processAllAvailable()
+      // 20 min later: horizon (5 min) expired every stored key
+      input.addData(Seq((4L, b, ts(23))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L))
+  }
+
   test("incrementalCollection: file stream builds an embedded collection") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
