@@ -100,6 +100,22 @@ object Ann {
                   cents: DataFrame): DataFrame =
     assignByLiteral(df, vecCol, collectCents(cents))
 
+  /** [[assignCells]] plus the distance to the assigned centroid as
+    * `cdist` — the per-row drift signal an index-maintenance job watches
+    * (mean cdist rising ⇒ the trained cells no longer fit the data). */
+  def assignCellsWithDist(df: DataFrame, vecCol: Column,
+                          cents: DataFrame): DataFrame = {
+    import graft.plans.NativeFunctions.l2Native
+    val centLit = typedlit(collectCents(cents))
+    val best = element_at(array_sort(transform(centLit, c =>
+      struct(l2Native(vecCol, c.getField("_2")).as("d"),
+        c.getField("_1").as("cell")))), 1)
+    df.withColumn("_best", best)
+      .withColumn("cell", col("_best").getField("cell"))
+      .withColumn("cdist", col("_best").getField("d"))
+      .drop("_best")
+  }
+
   /** Deterministic Lloyd's k-means over DataFrame ops — makes IVF real on
     * corpora with no label column (the reference's index is a trained ANN
     * structure: hnswlib, M=16/ef=100 — BASELINE.md).

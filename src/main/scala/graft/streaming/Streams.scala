@@ -281,45 +281,49 @@ object Streams {
   // ---- hash-bucketed state-dir machinery (shared by the bucketed
   // upsert and the LSH dedup state table) ------------------------------
 
-  private[streaming] def bucketPath(base: String, b: Int) =
-    new org.apache.hadoop.fs.Path(s"$base/bucket=$b")
-  private[streaming] def asidePath(base: String, b: Int) =
-    new org.apache.hadoop.fs.Path(s"$base/.bucket_${b}_old") // hidden
+  private[streaming] def bucketPath(base: String, b: Int,
+      part: String = "bucket") =
+    new org.apache.hadoop.fs.Path(s"$base/$part=$b")
+  private[streaming] def asidePath(base: String, b: Int,
+      part: String = "bucket") =
+    new org.apache.hadoop.fs.Path(s"$base/.${part}_${b}_old") // hidden
 
-  /** Crash recovery: restore EVERY bucket a died swap left aside — not
-    * just buckets the current batch touches. A swap that died between
-    * rename(bucket→aside) and rename(fresh→bucket) on an untouched
-    * bucket would otherwise stay invisible to reads indefinitely. */
+  /** Crash recovery: restore EVERY partition dir a died swap left aside —
+    * not just ones the current batch touches. A swap that died between
+    * rename(dir→aside) and rename(fresh→dir) on an untouched partition
+    * would otherwise stay invisible to reads indefinitely. */
   private[streaming] def recoverAsideBuckets(
-      fs: org.apache.hadoop.fs.FileSystem, base: String): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, base: String,
+      part: String = "bucket"): Unit = {
     val root = new org.apache.hadoop.fs.Path(base)
     if (fs.exists(root)) {
-      val asidePat = """\.bucket_(\d+)_old""".r
+      val asidePat = ("""\.""" + part + """_(\d+)_old""").r
       fs.listStatus(root).map(_.getPath.getName).foreach {
         case asidePat(b) =>
           val bi = b.toInt
-          if (!fs.exists(bucketPath(base, bi)))
-            fs.rename(asidePath(base, bi), bucketPath(base, bi))
+          if (!fs.exists(bucketPath(base, bi, part)))
+            fs.rename(asidePath(base, bi, part), bucketPath(base, bi, part))
         case _ => ()
       }
     }
   }
 
-  /** Rename-aside swap of the touched `bucket=<b>` dirs from a freshly
+  /** Rename-aside swap of the touched `<part>=<v>` dirs from a freshly
     * written tmp layout; aside dirs are dot-prefixed so partition
     * discovery never sees a half-swapped state. Deletes `tmp` when done. */
   private[streaming] def swapBuckets(fs: org.apache.hadoop.fs.FileSystem,
-      base: String, tmp: org.apache.hadoop.fs.Path,
-      touched: Seq[Int]): Unit = {
+      base: String, tmp: org.apache.hadoop.fs.Path, touched: Seq[Int],
+      part: String = "bucket"): Unit = {
     if (!fs.exists(new org.apache.hadoop.fs.Path(base)))
       fs.mkdirs(new org.apache.hadoop.fs.Path(base))
     touched.foreach { b =>
-      val fresh = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
-      if (fs.exists(asidePath(base, b))) fs.delete(asidePath(base, b), true)
-      if (fs.exists(bucketPath(base, b)))
-        fs.rename(bucketPath(base, b), asidePath(base, b))
-      if (fs.exists(fresh)) fs.rename(fresh, bucketPath(base, b))
-      fs.delete(asidePath(base, b), true)
+      val fresh = new org.apache.hadoop.fs.Path(s"$tmp/$part=$b")
+      if (fs.exists(asidePath(base, b, part)))
+        fs.delete(asidePath(base, b, part), true)
+      if (fs.exists(bucketPath(base, b, part)))
+        fs.rename(bucketPath(base, b, part), asidePath(base, b, part))
+      if (fs.exists(fresh)) fs.rename(fresh, bucketPath(base, b, part))
+      fs.delete(asidePath(base, b, part), true)
     }
     fs.delete(tmp, true)
   }
@@ -476,6 +480,113 @@ object Streams {
             .parquet(tmp.toString)
           swapBuckets(fs, base, tmp, touched)
           keys.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming IVF index maintenance — [[upsertStreamBucketed]]'s
+    * incremental-rewrite pattern composed with the
+    * [[graft.operators.Ann.buildIvfIndex]] layout
+    * (`<dir>/data/cell=<c>/` + `<dir>/centroids`):
+    *
+    *  1. each micro-batch assigns cells map-side against the PERSISTED
+    *     centroid table (driver-sized literal — no join, no shuffle);
+    *  2. upserts by key into ONLY the touched `cell=` directories
+    *     (partition pruning on read, rename-aside swap with crash
+    *     recovery on write) — per-batch cost is O(batch + touched
+    *     cells), untouched cells' files are never read or moved;
+    *  3. tracks a drift metric — the batch's mean distance to its
+    *     assigned centroids — as one driver-sized aggregate over the
+    *     persisted batch (`df.observe` would be free-er but
+    *     `Observation.get` never completes inside a foreachBatch body:
+    *     the nested execution's listener event is not delivered; see
+    *     the inline note);
+    *  4. when drift exceeds `driftThreshold`, RETRAINS: deterministic
+    *     k-means over the full index, full re-assign, whole-directory
+    *     swap of data + centroids (the O(index) rebuild, deliberately
+    *     rare — the reference's `needs_rebuild` lifecycle, streaming).
+    *
+    * `onBatch(batchId, drift, retrained)` exposes the metric stream. */
+  def ivfUpsertStream(spark: SparkSession, src: DataFrame, indexDir: String,
+                      checkpointDir: String, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      driftThreshold: Double = Double.PositiveInfinity,
+                      retrainIters: Int = 3,
+                      onBatch: (Long, Double, Boolean) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Ann
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.hadoop.fs.Path
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val base = indexDir.stripSuffix("/")
+          val dataDir = s"$base/data"
+          val centsDir = s"$base/centroids"
+          recoverAsideBuckets(fs, dataDir, part = "cell")
+          val cents = spark.read.parquet(centsDir)
+          // NOTE: `df.observe` + `Observation.get` DEADLOCKS here — the
+          // foreachBatch body runs inside the micro-batch's nested SQL
+          // execution, whose listener event (the only thing that
+          // completes Observation.get) is never delivered for the inner
+          // write (verified by thread dump: get parks forever). The
+          // batch is persisted anyway for the multi-pass merge, so the
+          // drift metric is one driver-sized aggregate over it instead.
+          val assignedRaw = Ann.assignCellsWithDist(
+            batch.dropDuplicates(idCol), col(vecCol), cents).persist()
+          val assigned = assignedRaw.drop("cdist")
+          val drift = assignedRaw.agg(avg(col("cdist"))).head().getDouble(0)
+          val touched = assignedRaw.select("cell").distinct()
+            .collect().map(_.getInt(0)).sorted.toIndexedSeq
+          val existing = touched.filter(c =>
+            fs.exists(bucketPath(dataDir, c, part = "cell")))
+          val merged =
+            if (existing.isEmpty) assigned
+            else spark.read.parquet(dataDir)
+              .filter(col("cell").isin(touched.map(Int.box): _*))
+              .join(assignedRaw.select(col(idCol).as("_uk")),
+                col(idCol) === col("_uk"), "left_anti")
+              .unionByName(assigned, allowMissingColumns = true)
+          val tmp = new Path(dataDir + "__upserting")
+          fs.delete(tmp, true)
+          merged.write.mode("overwrite").partitionBy("cell")
+            .parquet(tmp.toString)
+          swapBuckets(fs, dataDir, tmp, touched, part = "cell")
+          assignedRaw.unpersist()
+          val retrain = drift > driftThreshold
+          if (retrain) {
+            // O(index) rebuild: re-learn cells from ALL current vectors,
+            // re-assign, swap the whole data dir + centroid table
+            val all = spark.read.parquet(dataDir).drop("cell")
+            val k = cents.count().toInt
+            val newCents = Ann.kmeansCentroids(
+              all, col(idCol), col(vecCol), k, retrainIters)
+            val reTmp = new Path(dataDir + "__retraining")
+            fs.delete(reTmp, true)
+            Ann.assignCells(all, col(idCol), col(vecCol), newCents)
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(reTmp.toString)
+            val old = new Path(dataDir + "__old")
+            fs.delete(old, true)
+            fs.rename(new Path(dataDir), old)
+            fs.rename(reTmp, new Path(dataDir))
+            fs.delete(old, true)
+            val centsTmp = new Path(centsDir + "__retraining")
+            fs.delete(centsTmp, true)
+            newCents.coalesce(1).write.mode("overwrite")
+              .parquet(centsTmp.toString)
+            val centsOld = new Path(centsDir + "__old")
+            fs.delete(centsOld, true)
+            fs.rename(new Path(centsDir), centsOld)
+            fs.rename(centsTmp, new Path(centsDir))
+            fs.delete(centsOld, true)
+          }
+          onBatch(batchId, drift, retrain)
         }
         ()
       }

@@ -419,6 +419,64 @@ class StreamsSpec extends SparkSuite {
     assert(kept === Array(1L, 4L))
   }
 
+  test("ivfUpsertStream: touched cells rewritten, drift triggers retrain") {
+    import graft.operators.Ann
+    val base = Files.createTempDirectory("graft-ivf-stream-").toString
+    val idx = s"$base/idx"
+    // 3 tight clusters at 0, 10, -10 on the first axis
+    val corpus = (0 until 30).map { i =>
+      val c = i % 3
+      val ctr = Seq(0.0, 10.0, -10.0)(c)
+      (i.toLong, Seq(ctr + (i % 5) * 0.01, ctr))
+    }.toDF("vec_id", "embedding")
+    Ann.buildIvfIndex(corpus, col("vec_id"), col("embedding"), idx,
+      k = 3, iters = 4)
+    def cellSnapshot(): Map[String, Map[String, Long]] = {
+      val d = new java.io.File(s"$idx/data")
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(b => b.getName -> b.listFiles().filter(_.isFile)
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    }
+    val before = cellSnapshot()
+    assert(before.size === 3, s"want 3 cell dirs, got ${before.keys}")
+    val drifts = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = Streams.ivfUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), idx, s"$base/chk",
+      driftThreshold = 5.0,
+      onBatch = (_, d, r) => drifts.synchronized { drifts += ((d, r)) })
+    try {
+      // batch 1: vectors inside cluster 1's neighborhood — low drift,
+      // only that cell's dir rewritten
+      input.addData(Seq((100L, Seq(10.02, 10.0)), (101L, Seq(9.98, 10.0))))
+      q.processAllAvailable()
+      val after1 = cellSnapshot()
+      val changed = before.keys.filter(k => after1(k) != before(k)).toSeq
+      assert(changed.length === 1, s"exactly one cell rewritten: $changed")
+      assert(drifts.toSeq.map(_._2) === Seq(false))
+      assert(drifts.head._1 < 1.0, s"in-cluster drift ${drifts.head._1}")
+      // batch 2: vectors FAR from every centroid — drift > threshold,
+      // retrain must fire and some centroid must move to the new mass
+      input.addData(Seq((200L, Seq(100.0, 100.0)), (201L, Seq(100.5, 100.0)),
+        (202L, Seq(99.5, 100.0))))
+      q.processAllAvailable()
+      assert(drifts.toSeq.map(_._2) === Seq(false, true),
+        s"drift log: $drifts")
+    } finally q.stop()
+    // post-retrain invariants: all rows present, a centroid sits near the
+    // new cluster, and assignments are consistent with the new centroids
+    val (data, cents) = Ann.readIvfIndex(spark, idx)
+    assert(data.count() === 35)
+    val centVals = cents.select(col("centroid").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    assert(centVals.exists(c => math.abs(c.head - 100.0) < 5.0),
+      s"no centroid near the drifted mass: ${centVals.map(_.head).toSeq}")
+    // upserted keys are queryable through the maintained index
+    val hit = Ann.ivfTopK(data, col("cell"), col("embedding"), cents,
+      Seq(100.0, 100.0), k = 3, nProbe = 1)
+    assert(hit.select("vec_id").as[Long].collect().toSet === Set(200L, 201L, 202L))
+  }
+
   test("incrementalCollection: file stream builds an embedded collection") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
