@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Knn}
+
+/** sf1-scale soak for the three heaviest operator families — not part of
+  * the driver contract (testdata stops at sf0.1; this generates a
+  * deterministic ~10× documents/embeddings set in a temp dir and records
+  * timings + plan stability in BASELINE.md).
+  *
+  * Soak set: 50,000 documents (10× sf0.1; same vocabulary/shape — ~15–70
+  * token texts, 5 langs × 10 sources) and 20,000 × 64-dim embeddings
+  * (10× sf0.1's row count, near-uniform like the sf tables). Everything
+  * is arithmetic in doc_id/vec_id — no RNG, identical on every run.
+  *
+  * Asserts (crashing if violated, so a driver run can't miss it):
+  *  - no plan degenerates to CartesianProduct/BroadcastNestedLoopJoin at
+  *    the larger size;
+  *  - knnJoinIvf keeps the ShuffledHashJoin (corpus never broadcast,
+  *    never sorted) exactly as PlanSpec pins at sf0.001.
+  */
+object Soak {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[soak] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def assertPlanSane(name: String, df: DataFrame,
+                       requireShj: Boolean = false): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      require(!p.contains("CartesianProduct"), s"$name: cartesian at soak scale")
+      require(!p.contains("BroadcastNestedLoopJoin"), s"$name: BNLJ at soak scale")
+      if (requireShj)
+        require(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+          s"$name: IVF join flipped strategy at soak scale:\n$p")
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-").toString
+    val vocab = Seq("batch", "part", "spark", "line", "column", "order",
+      "small", "sort", "fast", "value", "scan", "hash", "slow", "group",
+      "agg", "filter", "query", "big", "key", "window", "row", "table",
+      "stream", "merge", "data", "vector", "index", "probe", "shuffle",
+      "plan")
+    val nDocs = 50000L
+    // token i of doc d = vocab[hash(d, i) mod |vocab|] — hash-mixed so
+    // texts are effectively unique (an earlier arithmetic generator was
+    // cyclic in d mod 30: ~60 identical copies per text, which turned
+    // pair EMISSION itself quadratic in cluster size — recorded in
+    // BASELINE.md as the dup-heavy stress case; mitigation there is
+    // exactDedup BEFORE any near-dup pass). Length 15 + (d mod 56).
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(15) + col("id") % 56), i =>
+        element_at(typedlit(vocab),
+          pmod(hash(col("id"), i), lit(vocab.size)).cast("int") + 1)),
+        " ").as("text"),
+      element_at(typedlit(Seq("zh", "en", "ko", "de", "fr")),
+        (col("id") % 5).cast("int") + 1).as("lang"),
+      concat(lit("src"), (col("id") % 10).cast("string")).as("source"))
+    time("generate+write documents (50k)") {
+      docs.write.mode("overwrite").parquet(s"$dir/documents")
+    }
+    val soakDocs = spark.read.parquet(s"$dir/documents")
+
+    val nVecs = 20000L; val dim = 64
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (((col("id") * 31 + j * 7 + (col("id") * j) % 13) % 1000))
+          .cast("double") / 1000.0).as("embedding"))
+    time("generate+write embeddings (20k x 64)") {
+      vecs.write.mode("overwrite").parquet(s"$dir/embeddings")
+    }
+    val soakVecs = spark.read.parquet(s"$dir/embeddings")
+
+    // ---- MinHash LSH pairs (one banded shuffle; Σ bucket², not n²)
+    val lsh = Dedup.lshCandidatePairs(soakDocs, col("doc_id"), col("text"))
+    assertPlanSane("lshCandidatePairs", lsh)
+    time("lshCandidatePairs (50k docs)") { noop(lsh) }
+
+    // ---- metadata-blocked Jaccard (the hot-block-sensitive form)
+    val jacMeta = Dedup.jaccardPairs(soakDocs, col("doc_id"), col("text"),
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)
+    assertPlanSane("jaccardPairs", jacMeta)
+    time("jaccardPairs lang+source blocks") { noop(jacMeta) }
+
+    // ---- LSH-blocked Jaccard (the corpus-independent scale form)
+    val jacLsh = Dedup.jaccardLsh(soakDocs, col("doc_id"), col("text"))
+    assertPlanSane("jaccardLsh", jacLsh)
+    time("jaccardLsh (50k docs)") { noop(jacLsh) }
+
+    // ---- IVF kNN join: train k=16 on the 20k corpus, 100-query batch
+    val cents = time("kmeans train k=16, 3 iters") {
+      Ann.kmeansCentroids(soakVecs, col("vec_id"), col("embedding"), 16, 3)
+    }
+    val indexed = Ann.assignCells(soakVecs, col("vec_id"), col("embedding"),
+      cents)
+    val ivfJoin = Knn.knnJoinIvf(indexed.filter(col("vec_id") < 100),
+      col("vec_id"), col("embedding"), indexed, col("vec_id"),
+      col("embedding"), cents, k = 10, nProbe = 3)
+    assertPlanSane("knnJoinIvf", ivfJoin, requireShj = true)
+    time("knnJoinIvf 100q x 20k, nProbe 3/16") { noop(ivfJoin) }
+
+    println(s"[soak] done; data at $dir")
+    spark.stop()
+  }
+}

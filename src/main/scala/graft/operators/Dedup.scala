@@ -154,7 +154,10 @@ object Dedup {
     * formulation — join on (block, shingle) — loses on repetitive corpora
     * where hot shingles make Σ bucket² explode; the blocked pair join is
     * bounded by the block size by construction.) `blockCols` bounds the
-    * quadratic term — metadata here; swap in LSH buckets at scale. */
+    * quadratic term — metadata here; swap in LSH buckets ([[jaccardLsh]])
+    * at scale. MEASURED (graft.Soak, BASELINE.md round 3): at 50k docs in
+    * 50 metadata blocks this is 294 s (25M scored pairs — quadratic in
+    * block size) vs 4.5 s for [[jaccardLsh]] on the identical corpus. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                    blockCols: Seq[String], n: Int = 3,
                    threshold: Double = 0.2): DataFrame = {
@@ -185,7 +188,11 @@ object Dedup {
     * regardless of how the corpus skews. Candidate pairs join BACK to the
     * per-doc distinct shingle-hash sets (two equi joins on the id — the
     * pair side is ≪ corpus, so the quadratic work is |candidate pairs|,
-    * and the LSH recall guarantee bounds what exact scoring can miss). */
+    * and the LSH recall guarantee bounds what exact scoring can miss).
+    * MEASURED (graft.Soak): 4.5 s at 50k unique docs vs 294 s for the
+    * metadata-blocked form — near-linear where blocking is quadratic.
+    * On dup-HEAVY corpora run [[exactDedup]] first: pair emission itself
+    * is Σ cluster² (196 s on a ~60-copies-per-text 50k corpus). */
   def jaccardLsh(df: DataFrame, idCol: Column, textCol: Column,
                  n: Int = 3, numHashes: Int = 8, bands: Int = 4,
                  threshold: Double = 0.2): DataFrame = {
