@@ -68,20 +68,24 @@ object Multimodal {
     * production path. Both formats round-trip dimensions exactly (JPEG
     * is lossy in pixels, never in geometry). */
   object ImageCodec {
-    /** Deterministic RGB image: pixel (x, y) = f(seed, x, y). */
+    /** Deterministic RGB image: pixel (x, y) = f(seed, x, y). Pixels go
+      * in via ONE bulk setRGB (per-pixel setRGB pays sync + color-model
+      * conversion per call — ~17M calls across a 5k-doc query). */
     def encode(format: String, width: Int, height: Int,
                seed: Long): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](width * height)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          img.setRGB(x, y, ((seed * 31 + x * 7 + y * 13) & 0xffffffL).toInt)
+          px(y * width + x) = ((seed * 31 + x * 7 + y * 13) & 0xffffffL).toInt
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, width, height, px, 0, width)
       val out = new java.io.ByteArrayOutputStream()
       require(javax.imageio.ImageIO.write(img, format, out),
         s"no ImageIO writer for format '$format'")
@@ -142,20 +146,18 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val img = ImageCodec.decode(r.payload)
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
           val hist = new Array[Long](dim)
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              val gray =
-                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-              hist(gray * dim / 256) += 1
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            val gray =
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            hist(gray * dim / 256) += 1
+            i += 1
           }
-          val n = (img.getWidth.toLong * img.getHeight).toFloat
+          val n = (w.toLong * h).toFloat
           MediaFeatures(r.doc_id, r.format,
             hist.map(_ / n).toIndexedSeq)
         }
