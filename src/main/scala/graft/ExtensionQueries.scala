@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsofJoin, Dedup, Knn, Multimodal, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, Knn, Multimodal, Pq, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -55,6 +55,23 @@ object ExtensionQueries {
       val cents = Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"),
         k = 8, iters = 3)
       (Ann.assignCells(emb, col("vec_id"), col("embedding"), cents), cents)
+    })
+  }
+
+  /** Session-scoped trained product quantizer over the embeddings table
+    * (same lifecycle + weak-session contract as [[ivfIndex]]): codebooks
+    * are deterministic, so caching cannot change any query's result. */
+  private val pqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Pq.PqModel]]())
+  private def pqModel(s: SparkSession, d: String): Pq.PqModel = {
+    val perSession = pqCache.synchronized {
+      pqCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, Pq.PqModel]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      Pq.trainCodebooks(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), m = 8, ks = 16, iters = 3)
     })
   }
 
@@ -557,6 +574,44 @@ object ExtensionQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // ---- product-quantized ANN: trained codebooks (iters=3), map-side
+    // 8-byte-code encode, ADC top-k over codes only, exact re-rank of the
+    // 8× overfetch — the 32×-memory-compression layout that fits a 100 TB
+    // corpus's index in cluster RAM. Approximate (trained quantizer) ⇒
+    // rows-only check; lossless-codebook equivalence with exact kNN and
+    // recall are asserted in PqSpec.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = pqModel(s, d)
+      val encoded = Pq.encode(emb, col("embedding"), model)
+      Pq.pqTopKRefined(encoded, col("codes"), col("embedding"), model,
+          queryVec(s, d), k = 10, overfetch = 8)
+        .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
+    // ---- the PQ encode+ADC machinery HASH-PROVEN: with iters=0 the
+    // codebooks are exactly the md5-seeded sample rows — a deterministic,
+    // SQL-expressible function of the table — so per-row codes and ADC
+    // distances can be recomputed by DuckDB from scratch. A green row
+    // proves subvector slicing, the per-subspace argmin (incl. tiebreak),
+    // the driver-built ADC table, and the lookup-sum distance are all
+    // bit-exact against an independent engine; PqSpec then covers only
+    // the Lloyd's refinement. (Same proof pattern as
+    // q_knn_join_exhaustive.)
+    "q_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Pq.trainCodebooks(emb, col("vec_id"), col("embedding"),
+        m = 8, ks = 16, iters = 0)
+      Pq.encode(emb, col("embedding"), model)
+        .withColumn("dist",
+          round(Pq.adcDist(col("codes"), Pq.adcTable(model, queryVec(s, d))), 6))
+        .withColumn("codes_str",
+          concat_ws(",", col("codes").cast("array<string>")))
+        .select(col("vec_id"), col("codes_str"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     // ---- dense 0..n-1 relabeling (the reference's id_to_label map,
     // hnswlib needs dense int labels): range sort + per-partition counts
     // + broadcast offsets + per-partition row_number — DataFrame-native,
@@ -845,6 +900,42 @@ object ExtensionQueries {
     "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
 
   val oracles: Map[String, String] = Map(
+    // PQ with iters=0: codebooks = the 16 seed rows (smallest
+    // md5('seed:'||id) — the trainCodebooks rule), so DuckDB can recompute
+    // per-row codes (per-subspace argmin with (dist, code) tiebreak) and
+    // ADC distances (query→centroid sub-distances summed in subspace
+    // order) from scratch. list(… ORDER BY sub) + list_sum keeps the
+    // fold left-to-right for IEEE parity with the Scala reduce.
+    "q_pq_adc" ->
+      s"""WITH $qvCte,
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, sv
+         |  FROM (SELECT md5('seed:' || CAST(vec_id AS VARCHAR)) AS h,
+         |               vec_id, embedding AS sv
+         |        FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+         |subs AS (SELECT unnest(range(0, 8)) AS sub),
+         |cand AS (
+         |  SELECT e.vec_id, sb.sub, s.code,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> (e.embedding[sb.sub*8 + i]::DOUBLE - s.sv[sb.sub*8 + i]::DOUBLE)
+         |         * (e.embedding[sb.sub*8 + i]::DOUBLE - s.sv[sb.sub*8 + i]::DOUBLE))) AS d2doc,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> (q.qv[sb.sub*8 + i]::DOUBLE - s.sv[sb.sub*8 + i]::DOUBLE)
+         |         * (q.qv[sb.sub*8 + i]::DOUBLE - s.sv[sb.sub*8 + i]::DOUBLE))) AS d2q
+         |  FROM embeddings e, subs sb, seeds s, q),
+         |chosen AS (
+         |  SELECT vec_id, sub, code, d2q FROM (
+         |    SELECT vec_id, sub, code, d2q,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY d2doc, code) AS rn
+         |    FROM cand) WHERE rn = 1)
+         |SELECT vec_id,
+         |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes_str,
+         |  round(sqrt(list_sum(list(d2q ORDER BY sub))), 6) AS dist
+         |FROM chosen
+         |GROUP BY vec_id
+         |ORDER BY dist, vec_id LIMIT 20""".stripMargin,
+
     "q_agg_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
