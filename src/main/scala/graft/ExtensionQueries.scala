@@ -385,6 +385,20 @@ object ExtensionQueries {
           col("vec_id"), col("embedding"), col("label"), threshold = 0.25)
         .orderBy("id1", "id2")),
 
+    // ---- hyperplane-LSH embedding near-dup: the metadata-free scale
+    // path — blocking comes from the data itself (16 Rademacher
+    // hyperplane signs, md5-derived so DuckDB recomputes them from
+    // scratch), 2 bands × 8 bits, candidates from bucket-local pair gen,
+    // exact cosine on candidates only. Deterministic end to end ⇒ fully
+    // hash-checked, unlike metadata blocking this survives a corpus with
+    // one hot (lang, source) block. center=0.5 splits the [0,1]-uniform
+    // components evenly across each hyperplane.
+    "q_embed_neardup_lsh" -> ((s, d) =>
+      Dedup.embedLshNearDupPairs(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), threshold = 0.25,
+          nPlanes = 16, bandBits = 8, center = 0.5)
+        .orderBy("id1", "id2")),
+
     // ---- top-k per group via bounded-buffer Aggregator (no per-group
     // sort; shuffle carries ≤ k rows per group per task). Oracle = the
     // window formulation — same result, different physical plan.
@@ -1252,6 +1266,57 @@ object ExtensionQueries {
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id1, id2, cos FROM p WHERE cos >= 0.25
          |ORDER BY id1, id2""".stripMargin,
+
+    // hyperplane-LSH near-dup recomputed from scratch: the ±1 plane
+    // components come from md5('plane:p:i') first-hex-digit (the
+    // Dedup.hyperplaneSigns rule), each signature bit is the sign of the
+    // same left-to-right (x−0.5)·±1 multiply-add fold Spark runs, bands
+    // are bit-string keys, candidates are bucket pairs, and the exact
+    // cosine scores candidates only.
+    "q_embed_neardup_lsh" -> {
+      def dotSql(p: Int) =
+        s"""list_sum(list_transform(generate_series(1, len(e.embedding)),
+           |      i -> (e.embedding[i]::DOUBLE - 0.5)
+           |         * (CASE WHEN substr(md5('plane:$p:' || CAST(i AS VARCHAR)), 1, 1) <= '7'
+           |            THEN 1.0 ELSE -1.0 END)))""".stripMargin
+      val bitCols = (0 until 16).map(p =>
+        s"(CASE WHEN ${dotSql(p)} >= 0 THEN 1 ELSE 0 END) AS b$p")
+        .mkString(",\n  ")
+      val key0 = (0 until 8).map(p => s"CAST(b$p AS VARCHAR)").mkString(" || ")
+      val key1 = (8 until 16).map(p => s"CAST(b$p AS VARCHAR)").mkString(" || ")
+      // cos = 1 − ‖â−b̂‖²/2 with normalize-FIRST per element — the exact
+      // float path of the Spark side's l2SqNative over pre-normalized
+      // rows (sqrt-then-square is not an IEEE identity, so the squared
+      // kernel is what makes this hash-matchable)
+      val cosSql = graft.functions.Rounding.floorRoundSql(
+        """1.0 - list_sum(list_transform(generate_series(1, len(x.embedding)),
+          |      i -> (x.embedding[i]::DOUBLE / x.nrm - y.embedding[i]::DOUBLE / y.nrm)
+          |         * (x.embedding[i]::DOUBLE / x.nrm - y.embedding[i]::DOUBLE / y.nrm))) / 2""".stripMargin, 6)
+      s"""WITH sig AS (
+         |  SELECT vec_id,
+         |  $bitCols
+         |  FROM embeddings e),
+         |bands AS (
+         |  SELECT vec_id, 0 AS band_idx, $key0 AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS band_idx, $key1 AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |    AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+         |ex AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      t -> t::DOUBLE * t::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT c.id1, c.id2, $cosSql AS cos
+         |  FROM cand c
+         |  JOIN ex x ON c.id1 = x.vec_id
+         |  JOIN ex y ON c.id2 = y.vec_id)
+         |SELECT id1, id2, cos FROM scored WHERE cos >= 0.25
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -401,4 +401,94 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
   }
+
+  // ---- random-hyperplane (cosine) LSH over embeddings -----------------
+
+  /** Deterministic Rademacher hyperplanes: component (p, i) is ±1 by the
+    * first hex digit of md5("plane:<p>:<i>") (p 0-based, i 1-based —
+    * matching SQL list indexing). Reproducible by ANY engine with md5,
+    * which is what lets [[embedLshNearDupPairs]] be hash-checked
+    * end-to-end against DuckDB (q_embed_neardup_lsh) — the same
+    * trick [[graft.functions.TextFunctions]] uses for token hashing. */
+  def hyperplaneSigns(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until nPlanes).map(p => (1 to dim).map(i =>
+      if (hex(s"plane:$p:$i").charAt(0) <= '7') 1.0 else -1.0))
+  }
+
+  /** HOF executable spec of the native [[graft.plans.HyperplaneBits]]
+    * signature kernel — bit-parity-tested in DedupSpec, NOT on any
+    * production path: nPlanes×dim interpreted lambda dispatches per row
+    * (measured 6.3 s / 500 rows — the per-query budget gate caught it,
+    * perf trap #1). */
+  def hyperplaneBitsHof(vecCol: Column, nPlanes: Int, dim: Int,
+                        center: Double): Column =
+    array(hyperplaneSigns(nPlanes, dim).map(s =>
+      when(aggregate(zip_with(vecCol.cast("array<double>"), typedlit(s),
+        (x, sg) => (x - lit(center)) * sg), lit(0.0), (a, x) => a + x) >= 0,
+        lit(1)).otherwise(lit(0))): _*)
+
+  /** Hyperplane-LSH embedding near-dup — the metadata-free scale path
+    * past [[cosineNearDupPairs]]'s blocking (whose quadratic term is
+    * corpus-dependent: a hot block degrades to that block's n²). Here the
+    * block key is the DATA ITSELF: bit p of a row's signature is the side
+    * of hyperplane p its vector falls on (sign of Σᵢ (vᵢ−center)·±1), so
+    * two vectors collide in a band exactly when they agree on all its
+    * bits — P[collide] = (1−θ/π)^bandBits per band, a recall guarantee
+    * that holds on ANY corpus distribution.
+    *
+    * Shape (the [[lshCandidatePairs]] template): signatures via the
+    * native [[graft.plans.HyperplaneBits]] kernel and rows L2-normalized
+    * once, all map-side; ONE shuffle of the exploded (band, band_key)
+    * rows; bucket-local pair generation (Σ bucket², not n²); then two id
+    * equi-joins fetch the normalized vectors and the codegen'd squared-L2
+    * kernel scores candidates as cos = 1 − ‖â−b̂‖²/2 — a float path the
+    * DuckDB oracle replays verbatim (q_embed_neardup_lsh is fully
+    * hash-checked). `center` re-centers un-centered corpora (components
+    * in [0,1] → center 0.5) so signature bits split evenly — uncentered
+    * data collapses every row into a handful of buckets. */
+  def embedLshNearDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
+                           threshold: Double, nPlanes: Int = 16,
+                           bandBits: Int = 8,
+                           center: Double = 0.0): DataFrame = {
+    require(nPlanes % bandBits == 0,
+      s"nPlanes ($nPlanes) must be divisible by bandBits ($bandBits)")
+    import graft.plans.HyperplaneBits.hyperplaneBitsNative
+    import graft.plans.NativeFunctions.l2SqNative
+    val nBands = nPlanes / bandBits
+    // normalize once per row, norm carried via array_repeat so the lambda
+    // doesn't re-evaluate it per element (the cosineNearDupPairsNative rule)
+    val v = df.select(idCol.as("id"), vecCol.cast("array<double>").as("_v"))
+      .withColumn("_nrm",
+        sqrt(aggregate(col("_v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nv", zip_with(col("_v"),
+        array_repeat(when(col("_nrm") > 0, col("_nrm")), size(col("_v"))),
+        (x, nn) => x / nn))
+      .withColumn("bits", hyperplaneBitsNative(col("_v"), nPlanes, center))
+      .select(col("id"), col("nv"), col("bits"))
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat((b * bandBits until (b + 1) * bandBits)
+          .map(i => element_at(col("bits"), i + 1).cast("string")): _*)
+          .as("band_key"))
+    }
+    val cand = v
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band_idx").as("band_idx"),
+        col("bb.band_key").as("band_key"))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairArray(col("ids"))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+    cand
+      .join(v.select(col("id"), col("nv")).as("x"), col("id1") === col("x.id"))
+      .join(v.select(col("id"), col("nv")).as("y"), col("id2") === col("y.id"))
+      .withColumn("cos",
+        floorRound6(lit(1.0) - l2SqNative(col("x.nv"), col("y.nv")) / 2))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
 }

@@ -24,12 +24,13 @@ import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSessionExtensions}
   * built-in operators can't express a fused primitive loop — everything
   * around it (filter, top-k) stays built-in.
   */
-case class L2Distance(left: Expression, right: Expression)
+case class L2Distance(left: Expression, right: Expression,
+                      squared: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "l2_native"
+  override def prettyName: String = if (squared) "l2sq_native" else "l2_native"
 
   // Can return NULL regardless of input nullability (length mismatch, null
   // elements) — without this, two non-nullable inputs would declare the
@@ -69,7 +70,7 @@ case class L2Distance(left: Expression, right: Expression)
       acc += d * d
       i += 1
     }
-    math.sqrt(acc)
+    if (squared) acc else math.sqrt(acc)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -93,7 +94,8 @@ case class L2Distance(left: Expression, right: Expression)
          |    double $d = $getA - $getB;
          |    $acc += $d * $d;
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
+         |  if (!${ev.isNull}) { ${ev.value} = ${
+             if (squared) acc else s"java.lang.Math.sqrt($acc)"}; }
          |}
        """.stripMargin
     })
@@ -109,6 +111,15 @@ object NativeFunctions {
   def l2Native(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       L2Distance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Squared L2 (no final sqrt) — for float paths that must stay
+    * bit-identical to a Σd² oracle: sqrt-then-square is NOT the identity
+    * in IEEE doubles, so `pow(l2Native(...), 2)` cannot be hash-matched
+    * while `l2SqNative` can. */
+  def l2SqNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      L2Distance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
+        squared = true))
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` registers the native

@@ -175,4 +175,47 @@ class DedupSpec extends SparkSuite {
     assert(nat.keySet === hof.keySet)
     nat.foreach { case (k, c) => assert(math.abs(c - hof(k)) < 1e-6, k) }
   }
+
+  test("embedLshNearDupPairs: planted near-dup collides, antipode does not") {
+    import spark.implicits._
+    val v0 = Seq(0.9, -0.8, 0.7, -0.6, 0.5, -0.4, 0.3, -0.2)
+    val rows = Seq(
+      (0L, v0),
+      (1L, v0.updated(0, v0.head + 1e-6)), // near-identical → same signature
+      (2L, v0.map(-_)),                    // antipode → all 16 bits flipped
+      (3L, Seq(0.1, 0.9, -0.7, 0.2, -0.5, 0.8, -0.3, 0.6)))
+      .toDF("id", "v")
+    val out = Dedup.embedLshNearDupPairs(rows, col("id"), col("v"),
+      threshold = 0.5, nPlanes = 16, bandBits = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val pairs = out.map(_._1)
+    assert(pairs.contains((0L, 1L)), s"planted pair missing: ${pairs.toSeq}")
+    assert(!pairs.contains((0L, 2L)), "antipode must not collide")
+    // a 2-band collision still yields ONE output row per pair
+    assert(pairs.distinct.length === pairs.length)
+    out.foreach { case (k, c) => assert(c >= 0.5, s"$k below threshold") }
+  }
+
+  test("hyperplaneBitsNative matches the HOF formulation bit-for-bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val nat = emb.select(col("vec_id"),
+        graft.plans.HyperplaneBits.hyperplaneBitsNative(
+          col("embedding").cast("array<double>"), 16, 0.5).as("b"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val hof = emb.select(col("vec_id"),
+        Dedup.hyperplaneBitsHof(col("embedding"), 16, 64, 0.5).as("b"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(nat === hof)
+  }
+
+  test("hyperplaneSigns: deterministic ±1, roughly balanced per plane") {
+    val s1 = Dedup.hyperplaneSigns(16, 64)
+    val s2 = Dedup.hyperplaneSigns(16, 64)
+    assert(s1 === s2)
+    s1.foreach { plane =>
+      assert(plane.forall(x => x == 1.0 || x == -1.0))
+      val pos = plane.count(_ == 1.0)
+      assert(pos >= 16 && pos <= 48, s"badly unbalanced plane: $pos/64")
+    }
+  }
 }
