@@ -520,6 +520,19 @@ object ExtensionQueries {
         .select(col("doc_id"), col("format"), col("width"), col("height"))
         .orderBy("doc_id")),
 
+    // ---- REAL audio decode: deterministic PCM → genuine RIFF/WAVE bytes
+    // (javax.sound encode in a Dataset map) → partition-batched container
+    // parse; sample counts are a pure function of doc_id, so DuckDB
+    // verifies the encode→decode round trip arithmetically — the audio
+    // twin of q_multimodal_decode.
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeAudioPartitions(s,
+          Multimodal.attachAudioPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+          col("n_samples"), col("duration_us"))
+        .orderBy("doc_id")),
+
     // ---- frame sampling: explode kept frame indices from metadata only.
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
@@ -1667,6 +1680,14 @@ object ExtensionQueries {
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
         |  (doc_id % 64 + 8)::BIGINT AS width,
         |  ((doc_id * 7) % 48 + 8)::BIGINT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        |  8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS n_channels,
+        |  (doc_id % 400 + 100)::BIGINT AS n_samples,
+        |  ((doc_id % 400 + 100) * 125)::BIGINT AS duration_us
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->

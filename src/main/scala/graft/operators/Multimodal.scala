@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * byte decoding through the partition-batched pipeline — oracle-checked
   * end-to-end in `q_multimodal_decode` (payload dims are a pure function
   * of the id, so DuckDB verifies the encode→decode round trip
-  * arithmetically). STUB NOTE: audio/video codecs don't exist in this
-  * container, so [[FakeCodec.decode]] remains the clearly-marked
-  * deterministic stand-in for those modalities only.
+  * arithmetically). The AUDIO path is real too: [[AudioCodec]] writes and
+  * parses genuine RIFF/WAVE PCM bytes with pure-JVM `javax.sound.sampled`
+  * (`q_multimodal_audio` oracle-checks its round trip the same way).
+  * STUB NOTE: video codecs don't exist in this container, so
+  * [[FakeCodec.decode]] remains the clearly-marked deterministic stand-in
+  * for that modality only.
   */
 object Multimodal {
 
@@ -165,9 +168,123 @@ object Multimodal {
     }
   }
 
+  /** REAL audio kernel — pure-JVM `javax.sound.sampled` WAV (16-bit
+    * signed little-endian mono PCM), no new deps. Encode fabricates
+    * deterministic full-range PCM so tests and the oracle-checked query
+    * can verify the container round trip; decode parses the RIFF header
+    * and samples — the production path. */
+  object AudioCodec {
+    val sampleRate = 8000f
+
+    /** Deterministic 16-bit mono PCM WAV: sample t = f(seed, t). */
+    def encode(nSamples: Int, seed: Long): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var t = 0
+      while (t < nSamples) {
+        val v = ((seed * 31 + t.toLong * 7919) % 65536 - 32768).toShort
+        pcm(2 * t) = (v & 0xff).toByte
+        pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+        true, false) // signed, little-endian
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** WAV bytes → (sampleRate, channels, 16-bit samples). */
+    def decode(bytes: Array[Byte]): (Float, Int, Array[Short]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16,
+        s"expected 16-bit PCM, got ${f.getSampleSizeInBits}")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          if (f.isBigEndian)
+            (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort
+          else
+            (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      (f.getSampleRate, f.getChannels, samples)
+    }
+  }
+
+  case class DecodedAudio(doc_id: Long, sample_rate: Long, n_channels: Long,
+                          n_samples: Long, duration_us: Long)
+
+  /** Attach REAL WAV payloads: each doc carries deterministic PCM whose
+    * sample count is a pure function of `doc_id` — so a SQL oracle can
+    * verify the full encode→decode round trip without an audio stack. */
+  def attachAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "wav",
+        AudioCodec.encode(nSamples = (id % 400 + 100).toInt, seed = id))
+    }.toDF()
+  }
+
+  /** Partition-batched REAL audio decode: sample rate / channel count /
+    * sample count read from the parsed RIFF container, not from stored
+    * metadata. duration_us is integer math (n·10⁶/rate) so it is
+    * oracle-reproducible. */
+  def decodeAudioPartitions(spark: SparkSession, media: DataFrame,
+                            batchSize: Int = 256): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (rate, ch, samples) = AudioCodec.decode(r.payload)
+          DecodedAudio(r.doc_id, rate.toLong, ch.toLong,
+            samples.length.toLong,
+            samples.length.toLong * 1000000L / rate.toLong)
+        }
+      }
+    }
+  }
+
+  /** Partition-batched REAL audio features: `dim` frames of mean absolute
+    * amplitude (normalized to [0,1]) over the decoded samples — the
+    * audio-encoder hook point, same batch shape as the image path. */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame,
+                           dim: Int = 8,
+                           batchSize: Int = 256): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (_, _, samples) = AudioCodec.decode(r.payload)
+          val n = samples.length
+          val sums = new Array[Double](dim)
+          val counts = new Array[Long](dim)
+          var i = 0
+          while (i < n) {
+            val f = i * dim / n
+            sums(f) += math.abs(samples(i).toDouble)
+            counts(f) += 1
+            i += 1
+          }
+          MediaFeatures(r.doc_id, r.format,
+            (0 until dim).map(j =>
+              if (counts(j) == 0) 0f
+              else (sums(j) / counts(j) / 32768.0).toFloat))
+        }
+      }
+    }
+  }
+
   /** Partition-batched decode: the real pipeline shape. Batching bounds
     * decoder memory and amortizes codec init per batch, not per row.
-    * (Audio/video stub path — the image path above decodes real bytes.) */
+    * (Video stub path — image and audio above decode real bytes.) */
   def decodePartitions(spark: SparkSession, media: DataFrame,
                        batchSize: Int = 256): Dataset[DecodedMedia] = {
     import spark.implicits._

@@ -77,6 +77,40 @@ class TopKSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: REAL WAV bytes decode through the batched kernel") {
+    val docs = Seq((2L, "a"), (3L, "b"), (10L, "c")).toDF("doc_id", "text")
+    val media = Multimodal.attachAudioPayload(spark, docs)
+    // payloads are genuine RIFF/WAVE files: magic bytes prove it
+    val payloads = media.orderBy("doc_id")
+      .as[(Long, String, Array[Byte])].collect()
+    payloads.foreach { case (_, _, b) =>
+      assert(b.slice(0, 4).map(_.toChar).mkString === "RIFF")
+      assert(b.slice(8, 12).map(_.toChar).mkString === "WAVE")
+    }
+    val decoded = Multimodal.decodeAudioPartitions(spark, media, batchSize = 2)
+      .collect().map(a => a.doc_id ->
+        ((a.sample_rate, a.n_channels, a.n_samples, a.duration_us))).toMap
+    // n_samples = id % 400 + 100 — read back from the parsed container
+    assert(decoded === Map(
+      2L -> ((8000L, 1L, 102L, 12750L)),
+      3L -> ((8000L, 1L, 103L, 12875L)),
+      10L -> ((8000L, 1L, 110L, 13750L))))
+    // PCM round trip is bit-exact: decoded samples equal the generator
+    val (_, _, samples) = Multimodal.AudioCodec.decode(
+      payloads.find(_._1 == 2L).get._3)
+    (0 until samples.length).foreach { t =>
+      val expect = ((2L * 31 + t.toLong * 7919) % 65536 - 32768).toShort
+      assert(samples(t) === expect, s"sample $t")
+    }
+    val feats = Multimodal.extractAudioFeatures(spark, media, dim = 8)
+      .collect()
+    assert(feats.length === 3)
+    feats.foreach { f =>
+      assert(f.feat.length === 8)
+      assert(f.feat.forall(x => x >= 0f && x <= 1f), f.feat.toString)
+    }
+  }
+
   test("multimodal: partition-batched decode agrees with column-level meta") {
     val docs = Seq((1L, "abcdef"), (2L, "x"), (3L, "hello world, longer payload"))
       .toDF("doc_id", "text").withColumn("lang", lit("en"))
