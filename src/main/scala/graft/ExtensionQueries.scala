@@ -75,6 +75,23 @@ object ExtensionQueries {
     })
   }
 
+  /** Residual PQ model over the [[ivfIndex]] cell structure (IVF-PQ),
+    * cached with the same lifecycle. */
+  private val ivfPqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Pq.PqModel]]())
+  private def ivfPqModel(s: SparkSession, d: String): Pq.PqModel = {
+    val perSession = ivfPqCache.synchronized {
+      ivfPqCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, Pq.PqModel]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      val (indexed, cents) = ivfIndex(s, dir)
+      Pq.trainResidual(indexed, col("vec_id"), col("embedding"), cents,
+        m = 8, ks = 16, iters = 2)
+    })
+  }
+
   val all: Map[String, Q] = Map(
     // ---- grouped aggregation (TPC-H Q1 shape). Map-side partial agg then
     // one shuffle on (returnflag, linestatus) — 6 groups, trivially scalable.
@@ -282,6 +299,53 @@ object ExtensionQueries {
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("score"), col("rn"))
         .orderBy("doc_id", "rn")
+    }),
+
+    // ---- BM25 keyword retrieval (Robertson/Spärck Jones): the ranking
+    // function behind classic search, over the same token pipeline as
+    // TF-IDF. Rational idf (N−df+0.5)/(df+0.5) — the log is omitted for
+    // cross-engine IEEE identity (transcendental libm results differ
+    // between engines; the repo-wide rule), k1=1.2, b=0.75. Per-doc score
+    // is the TERM-ORDERED left fold of per-term scores (collect→sort→
+    // fold), because a plain SUM's accumulation order is nondeterministic
+    // in floats — the same trick q_winnow_fingerprint uses. Scale shape:
+    // tf is one shuffle on (doc, term); df and avgdl are broadcast-size;
+    // the doc side joins them without reshuffling.
+    "q_bm25_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kws = Seq("join", "filter", "window", "scan")
+      val nDocs = docs.count()
+      val terms = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val dls = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val (totTok, nDls) = {
+        val r = dls.agg(sum(col("dl")), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val avgdl = totTok.toDouble / nDls
+      val tf = terms.filter(col("term").isin(kws: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = terms.filter(col("term").isin(kws: _*))
+        .select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dfD = col("df").cast("double")
+      val tfD = col("tf").cast("double")
+      val dlD = col("dl").cast("double")
+      val termScore =
+        ((lit(nDocs.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5))) *
+          (tfD * lit(2.2)) /
+          (tfD + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * dlD / lit(avgdl)))
+      tf.join(broadcast(dfreq), "term").join(dls, "doc_id")
+        .withColumn("ts", termScore)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("term"), col("ts"))))
+          .as("arr"))
+        .withColumn("score", floorRound6(aggregate(col("arr"), lit(0.0),
+          (a, x) => a + x.getField("ts"))))
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(15)
     }),
 
     // ---- deterministic quantile sketch: k-smallest-by-hash sample per
@@ -613,6 +677,23 @@ object ExtensionQueries {
       val encoded = Pq.encode(emb, col("embedding"), model)
       Pq.pqTopKRefined(encoded, col("codes"), col("embedding"), model,
           queryVec(s, d), k = 10, overfetch = 8)
+        .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
+    // ---- IVF-PQ: residual quantization inside trained IVF cells — the
+    // FAISS-style composition where partition pruning (probe 4 of 8
+    // cells) and code compression (8 bytes/vector) multiply: a 100 TB
+    // corpus scan touches nProbe/nCells of the files AND reads m ints
+    // per row instead of d floats. Shares the trained cell structure
+    // with q_ann_ivf via [[ivfIndex]]; the residual codebooks train on
+    // (v − centroid[cell]). Approximate ⇒ rows-only; the lossless-
+    // residual equivalence with exact kNN is asserted in PqSpec.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val (indexed, cents) = ivfIndex(s, d)
+      val model = ivfPqModel(s, d)
+      val encoded = Pq.encodeResidual(indexed, col("embedding"), cents, model)
+      Pq.ivfPqTopK(encoded, col("codes"), cents, model,
+          queryVec(s, d), k = 10, nProbe = 4)
         .select(col("vec_id"), col("label"), col("dist"))
     }),
 
@@ -1608,6 +1689,36 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_bm25_rank" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+         |  FROM documents),
+         |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('join', 'filter', 'window', 'scan')
+         |  GROUP BY doc_id, term),
+         |dfreq AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |  WHERE term IN ('join', 'filter', 'window', 'scan')
+         |  GROUP BY term),
+         |ts AS (
+         |  SELECT t.doc_id, t.term,
+         |    (((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+         |      * (t.tf * 2.2)
+         |      / (t.tf + 1.2 * (1.0 - 0.75
+         |          + 0.75 * l.dl / (SELECT avgdl FROM stats))) AS s
+         |  FROM tf t JOIN dfreq d USING (term) JOIN dls l USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, ${graft.functions.Rounding.floorRoundSql(
+              "list_sum(list(s ORDER BY term))", 6)} AS score
+         |  FROM ts GROUP BY doc_id)
+         |SELECT doc_id, score FROM r
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     "q_sketch_quantile" ->
       s"""WITH h AS (
