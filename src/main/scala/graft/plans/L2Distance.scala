@@ -139,6 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // declarative HOF l2/l2Sq patterns → the codegen'd kernel (bit-identical
+    // by the L2DistanceSpec parity contract, so pure physical rewrite)
+    ext.injectOptimizerRule(_ => NativeKernelRewrite)
     ext.injectFunction((
       FunctionIdentifier("l2_native"),
       new ExpressionInfo(classOf[L2Distance].getName, "l2_native"),
