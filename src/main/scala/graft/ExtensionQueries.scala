@@ -348,6 +348,15 @@ object ExtensionQueries {
         .limit(15)
     }),
 
+    // ---- one-pass data profiling: every metric for every column in a
+    // single aggregate (map-side partials), driver-sized unpivot to long
+    // form. Exact distincts (Expand) for the oracle; KMV is the
+    // documented 100 TB swap.
+    "q_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(Tables.documents(s, d),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column")),
+
     // ---- deterministic quantile sketch: k-smallest-by-hash sample per
     // group (mergeable, order-independent), quartiles off the sorted
     // sample — reproducible bit-for-bit by the oracle, unlike randomized
@@ -1689,6 +1698,17 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q_bm25_rank" ->
       s"""WITH toks AS (
