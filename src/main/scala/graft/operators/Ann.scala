@@ -71,10 +71,27 @@ object Ann {
       preFilter = None, tieBreak = tieBreak)
   }
 
-  /** Map-side nearest-centroid assignment from an in-memory centroid set:
-    * each row computes k native-L2 distances against the centroid literal
-    * and takes the argmin with a deterministic (dist, cell) tiebreak. */
-  private[operators] def assignByLiteral(df: DataFrame, vecCol: Column,
+  /** Map-side nearest-centroid assignment from an in-memory centroid set
+    * via the native [[graft.plans.NearestCentroid]] kernel — one compiled
+    * k×dim loop per row (the HOF form below evaluates l2 inside an
+    * interpreted lambda, k lambda dispatches per row — the index-build
+    * hot path at corpus scale). Tiebreak: centroids sorted by cell id, so
+    * equal distance keeps the smaller id — identical to the (dist, cell)
+    * struct sort. */
+  private[graft] def assignByLiteral(df: DataFrame, vecCol: Column,
+      centsLocal: Seq[(Int, Seq[Double])]): DataFrame = {
+    import graft.plans.NearestCentroid.nearestCentroid
+    val sorted = centsLocal.sortBy(_._1)
+    val best = nearestCentroid(vecCol.cast("array<double>"),
+      sorted.map(_._2))
+    df.withColumn("cell",
+      element_at(typedlit(sorted.map(_._1)), best.getField("cell") + 1))
+  }
+
+  /** HOF executable spec of [[assignByLiteral]] — bit-parity-tested in
+    * KnnSpec, not on any production path (interpreted lambda per
+    * centroid per row). */
+  private[graft] def assignByLiteralHof(df: DataFrame, vecCol: Column,
       centsLocal: Seq[(Int, Seq[Double])]): DataFrame = {
     import graft.plans.NativeFunctions.l2Native
     val centLit = typedlit(centsLocal)
@@ -105,14 +122,14 @@ object Ann {
     * (mean cdist rising ⇒ the trained cells no longer fit the data). */
   def assignCellsWithDist(df: DataFrame, vecCol: Column,
                           cents: DataFrame): DataFrame = {
-    import graft.plans.NativeFunctions.l2Native
-    val centLit = typedlit(collectCents(cents))
-    val best = element_at(array_sort(transform(centLit, c =>
-      struct(l2Native(vecCol, c.getField("_2")).as("d"),
-        c.getField("_1").as("cell")))), 1)
+    import graft.plans.NearestCentroid.nearestCentroid
+    val sorted = collectCents(cents).sortBy(_._1)
+    val best = nearestCentroid(vecCol.cast("array<double>"),
+      sorted.map(_._2))
     df.withColumn("_best", best)
-      .withColumn("cell", col("_best").getField("cell"))
-      .withColumn("cdist", col("_best").getField("d"))
+      .withColumn("cell",
+        element_at(typedlit(sorted.map(_._1)), col("_best").getField("cell") + 1))
+      .withColumn("cdist", col("_best").getField("dist"))
       .drop("_best")
   }
 

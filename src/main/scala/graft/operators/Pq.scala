@@ -49,14 +49,6 @@ object Pq {
   private def sub(vecCol: Column, i: Int, subDim: Int): Column =
     slice(vecCol, i * subDim + 1, subDim)
 
-  /** Argmin code for one subspace against its codebook literal —
-    * deterministic (dist, code) lexicographic tiebreak, the same rule as
-    * [[Ann.assignByLiteral]]. */
-  private def argminCode(subCol: Column, book: Seq[(Int, Seq[Double])]): Column =
-    element_at(array_sort(transform(typedlit(book), c =>
-      struct(l2Native(subCol, c.getField("_2")).as("d"),
-        c.getField("_1").as("code")))), 1).getField("code")
-
   /** Train per-subspace codebooks with deterministic Lloyd's — one job
     * per iteration covering ALL m subspaces.
     *
@@ -119,15 +111,21 @@ object Pq {
     PqModel(m, subDim, ks, books)
   }
 
-  /** Map-side encode: vector → `m` codebook codes (`ARRAY<INT>`). A
-    * static expression tree (one argmin per subspace, Scala-level loop) —
-    * no join, no shuffle, the operator just adds `codes` and keeps
-    * everything else. */
+  /** Map-side encode: vector → `m` codebook codes (`ARRAY<INT>`) via the
+    * native [[graft.plans.NearestCentroid]] kernel per subspace — this is
+    * the full-corpus pass of a PQ index build, and the interpreted HOF
+    * argmin cost ~3 s at sf0.1 (m×ks lambda dispatches per row). No
+    * join, no shuffle; the operator just adds `codes`. */
   def encode(df: DataFrame, vecCol: Column, model: PqModel,
              codesName: String = "codes"): DataFrame = {
+    import graft.plans.NearestCentroid.nearestCentroid
     val v = vecCol.cast("array<double>")
-    df.withColumn(codesName, array((0 until model.m).map(s =>
-      argminCode(sub(v, s, model.subDim), model.books(s))): _*))
+    df.withColumn(codesName, array((0 until model.m).map { s =>
+      val book = model.books(s).sortBy(_._1)
+      element_at(typedlit(book.map(_._1)),
+        nearestCentroid(sub(v, s, model.subDim), book.map(_._2))
+          .getField("cell") + 1)
+    }: _*))
   }
 
   /** Higher-order-function formulation of [[encode]] — the executable

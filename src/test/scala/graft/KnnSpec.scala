@@ -290,4 +290,26 @@ class KnnSpec extends SparkSuite {
     assert(out.select("vec_id").as[Long].collect().sorted
       === Array(3L, 4L, 5L))
   }
+
+  test("native nearest-centroid assignment matches the HOF argmin bit-for-bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"),
+      k = 8, iters = 2)
+    val local = cents
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val nat = Ann.assignByLiteral(emb, col("embedding"), local)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val hof = Ann.assignByLiteralHof(emb, col("embedding"), local)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(nat === hof)
+    // non-contiguous, unsorted cell ids still map through correctly
+    val remapped = local.map { case (c, v) => (c * 10 + 3, v) }.reverse
+    val nat2 = Ann.assignByLiteral(emb, col("embedding"), remapped)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(nat2 === hof.map { case (id, c) => (id, c * 10 + 3) })
+  }
 }
