@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Knn}
+import graft.operators.{Ann, Dedup, Knn, Pq}
 
 /** sf1-scale soak for the three heaviest operator families — not part of
   * the driver contract (testdata stops at sf0.1; this generates a
@@ -75,10 +75,15 @@ object Soak {
     val soakDocs = spark.read.parquet(s"$dir/documents")
 
     val nVecs = 20000L; val dim = 64
+    // hash-mixed components — genuinely near-uniform like the sf tables.
+    // (The earlier affine generator (id·31 + j·7 + (id·j) mod 13) made
+    // vectors HIGHLY correlated: 38% of the corpus landed in one
+    // hyperplane-LSH bucket and most pairs were genuine near-dups —
+    // kept below as the correlated stress case.)
     val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(dim - 1)), j =>
-        (((col("id") * 31 + j * 7 + (col("id") * j) % 13) % 1000))
-          .cast("double") / 1000.0).as("embedding"))
+        pmod(hash(col("id"), j), lit(1000)).cast("double") / 1000.0)
+        .as("embedding"))
     time("generate+write embeddings (20k x 64)") {
       vecs.write.mode("overwrite").parquet(s"$dir/embeddings")
     }
@@ -111,6 +116,45 @@ object Soak {
       col("embedding"), cents, k = 10, nProbe = 3)
     assertPlanSane("knnJoinIvf", ivfJoin, requireShj = true)
     time("knnJoinIvf 100q x 20k, nProbe 3/16") { noop(ivfJoin) }
+
+    // ---- PQ: codebook training + the full-corpus encode pass (native
+    // nearest-centroid kernel), ADC top-k + refine
+    val pqm = time("pq trainCodebooks m=8 ks=16, 3 iters") {
+      Pq.trainCodebooks(soakVecs, col("vec_id"), col("embedding"), 8, 16, 3)
+    }
+    val encoded = Pq.encode(soakVecs, col("embedding"), pqm)
+    assertPlanSane("pqEncode", encoded)
+    time("pq encode (20k x 64 -> 8 codes)") { noop(encoded) }
+    val q0 = Knn.vectorAt(soakVecs, col("vec_id"), 0L, col("embedding"))
+    val adc = Pq.pqTopKRefined(encoded, col("codes"), col("embedding"),
+      pqm, q0, k = 10, overfetch = 8)
+    assertPlanSane("pqTopKRefined", adc)
+    time("pq ADC top-10 + exact refine") { noop(adc) }
+
+    // ---- hyperplane-LSH embedding near-dup (native signature kernel,
+    // banded buckets, squared-L2 candidate scoring)
+    val hlsh = Dedup.embedLshNearDupPairs(soakVecs, col("vec_id"),
+      col("embedding"), threshold = 0.25, nPlanes = 16, bandBits = 8,
+      center = 0.5)
+    assertPlanSane("embedLshNearDupPairs", hlsh)
+    time("embedLshNearDupPairs (20k x 64)") { noop(hlsh) }
+
+    // ---- correlated-corpus stress: the affine generator puts 38% of
+    // rows in ONE bucket (most pairs are genuine near-dups — quadratic
+    // OUTPUT). The maxBucket valve keeps the pair query bounded and the
+    // audit view reports exactly what was excluded.
+    val corr = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (((col("id") * 31 + j * 7 + (col("id") * j) % 13) % 1000))
+          .cast("double") / 1000.0).as("embedding"))
+      .localCheckpoint(true)
+    val capped = Dedup.embedLshNearDupPairs(corr, col("vec_id"),
+      col("embedding"), threshold = 0.25, center = 0.5, maxBucket = 1024)
+    time("embedLsh correlated, maxBucket=1024") { noop(capped) }
+    val dropped = Dedup.embedLshOversizedBuckets(corr, col("vec_id"),
+      col("embedding"), center = 0.5, maxBucket = 1024)
+      .collect().map(r => s"${r.getInt(0)}/${r.getString(1)}=${r.getInt(2)}")
+    println(s"[soak] embedLsh dropped buckets: ${dropped.mkString(", ")}")
 
     println(s"[soak] done; data at $dir")
     spark.stop()

@@ -448,14 +448,14 @@ object Dedup {
     * hash-checked). `center` re-centers un-centered corpora (components
     * in [0,1] → center 0.5) so signature bits split evenly — uncentered
     * data collapses every row into a handful of buckets. */
-  def embedLshNearDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
-                           threshold: Double, nPlanes: Int = 16,
-                           bandBits: Int = 8,
-                           center: Double = 0.0): DataFrame = {
+  /** (normalized vectors, grouped band buckets) shared by the pair and
+    * audit views. */
+  private def embedLshBuckets(df: DataFrame, idCol: Column, vecCol: Column,
+                              nPlanes: Int, bandBits: Int, center: Double)
+      : (DataFrame, DataFrame) = {
     require(nPlanes % bandBits == 0,
       s"nPlanes ($nPlanes) must be divisible by bandBits ($bandBits)")
     import graft.plans.HyperplaneBits.hyperplaneBitsNative
-    import graft.plans.NativeFunctions.l2SqNative
     val nBands = nPlanes / bandBits
     // normalize once per row, norm carried via array_repeat so the lambda
     // doesn't re-evaluate it per element (the cosineNearDupPairsNative rule)
@@ -473,13 +473,35 @@ object Dedup {
           .map(i => element_at(col("bits"), i + 1).cast("string")): _*)
           .as("band_key"))
     }
-    val cand = v
+    val buckets = v
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band_idx").as("band_idx"),
         col("bb.band_key").as("band_key"))
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    (v, buckets)
+  }
+
+  def embedLshNearDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
+                           threshold: Double, nPlanes: Int = 16,
+                           bandBits: Int = 8, center: Double = 0.0,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.plans.NativeFunctions.l2SqNative
+    val (v, buckets) = embedLshBuckets(df, idCol, vecCol, nPlanes, bandBits,
+      center)
+    // maxBucket is the hot-bucket valve: a bucket of size B means ~B²/2
+    // candidate pairs EMITTED FROM ONE GROUPED ROW (one task) — on a
+    // correlated corpus where most vectors are mutual near-dups the
+    // output itself is quadratic (measured: 38% of a 20k soak corpus in
+    // one bucket → 116 s, vs 3.7 s on near-uniform data), and no
+    // downstream consumer wants 10⁸ pair rows anyway. Buckets past the
+    // cap are EXCLUDED here and surfaced by [[embedLshOversizedBuckets]]
+    // (same params) — audit what was dropped, never truncate silently;
+    // the pipeline answer for such clusters is exact dedup first, then
+    // connectedComponents over a sampled pair set (the dup-heavy Jaccard
+    // lesson in BASELINE.md).
+    val cand = buckets
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(pairArray(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
@@ -490,5 +512,18 @@ object Dedup {
         floorRound6(lit(1.0) - l2SqNative(col("x.nv"), col("y.nv")) / 2))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** The buckets [[embedLshNearDupPairs]] dropped under its `maxBucket`
+    * cap: (band_idx, band_key, n) — run alongside the pair query so a cap
+    * is always an AUDITED decision, not silent truncation. */
+  def embedLshOversizedBuckets(df: DataFrame, idCol: Column, vecCol: Column,
+                               nPlanes: Int = 16, bandBits: Int = 8,
+                               center: Double = 0.0,
+                               maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (_, buckets) = embedLshBuckets(df, idCol, vecCol, nPlanes, bandBits,
+      center)
+    buckets.filter(size(col("ids")) > maxBucket)
+      .select(col("band_idx"), col("band_key"), size(col("ids")).as("n"))
   }
 }

@@ -196,6 +196,26 @@ class DedupSpec extends SparkSuite {
     out.foreach { case (k, c) => assert(c >= 0.5, s"$k below threshold") }
   }
 
+  test("embedLsh maxBucket drops hot buckets auditable, keeps small ones") {
+    import spark.implicits._
+    val v0 = Seq(0.9, -0.8, 0.7, -0.6, 0.5, -0.4, 0.3, -0.2)
+    val hot = (0L until 20L).map(i => (100L + i, v0)) // 20 identical rows
+    val pair = Seq((0L, v0.map(-_)),
+      (1L, v0.map(-_).updated(0, -v0.head + 1e-6)))   // small 2-bucket
+    val df = (hot ++ pair).toDF("id", "v")
+    val capped = Dedup.embedLshNearDupPairs(df, col("id"), col("v"),
+      threshold = 0.5, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((0L, 1L))) // hot-bucket pairs excluded
+    val audit = Dedup.embedLshOversizedBuckets(df, col("id"), col("v"),
+      maxBucket = 10).collect().map(_.getInt(2))
+    assert(audit.toSeq === Seq(20, 20)) // both bands report the hot bucket
+    val uncapped = Dedup.embedLshNearDupPairs(df, col("id"), col("v"),
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.length === 20 * 19 / 2 + 1) // full quadratic + planted
+  }
+
   test("hyperplaneBitsNative matches the HOF formulation bit-for-bit") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val nat = emb.select(col("vec_id"),
