@@ -514,7 +514,15 @@ object Streams {
                       vecCol: String = "embedding",
                       driftThreshold: Double = Double.PositiveInfinity,
                       retrainIters: Int = 3,
-                      onBatch: (Long, Double, Boolean) => Unit = (_, _, _) => ())
+                      onBatch: (Long, Double, Boolean) => Unit = (_, _, _) => (),
+                      // post-assignment row transform (batch-with-cell,
+                      // current centroids) => stored rows — the IVF-PQ
+                      // composition point: pass Pq.encodeResidual here and
+                      // the streamed index carries codes alongside cells.
+                      // MUST be idempotent via withColumn-replace (it is
+                      // re-applied on retrain over rows that already carry
+                      // its columns, with the NEW centroids)
+                      enrich: (DataFrame, DataFrame) => DataFrame = (b, _) => b)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Ann
     src.writeStream
@@ -539,7 +547,7 @@ object Streams {
           // drift metric is one driver-sized aggregate over it instead.
           val assignedRaw = Ann.assignCellsWithDist(
             batch.dropDuplicates(idCol), col(vecCol), cents).persist()
-          val assigned = assignedRaw.drop("cdist")
+          val assigned = enrich(assignedRaw.drop("cdist"), cents)
           val drift = assignedRaw.agg(avg(col("cdist"))).head().getDouble(0)
           val touched = assignedRaw.select("cell").distinct()
             .collect().map(_.getInt(0)).sorted.toIndexedSeq
@@ -568,7 +576,8 @@ object Streams {
               all, col(idCol), col(vecCol), k, retrainIters)
             val reTmp = new Path(dataDir + "__retraining")
             fs.delete(reTmp, true)
-            Ann.assignCells(all, col(idCol), col(vecCol), newCents)
+            enrich(Ann.assignCells(all, col(idCol), col(vecCol), newCents),
+                newCents)
               .write.mode("overwrite").partitionBy("cell")
               .parquet(reTmp.toString)
             val old = new Path(dataDir + "__old")

@@ -477,6 +477,69 @@ class StreamsSpec extends SparkSuite {
     assert(hit.select("vec_id").as[Long].collect().toSet === Set(200L, 201L, 202L))
   }
 
+  test("ivfUpsertStream with PQ enrich: streamed index carries residual codes") {
+    import graft.operators.{Ann, Pq}
+    val base = Files.createTempDirectory("graft-ivfpq-stream-").toString
+    val idx = s"$base/idx"
+    val corpus = (0 until 30).map { i =>
+      val c = i % 3
+      val ctr = Seq(0.0, 10.0, -10.0)(c)
+      (i.toLong, Seq(ctr + (i % 5) * 0.01, ctr))
+    }.toDF("vec_id", "embedding")
+    val cents = Ann.kmeansCentroids(corpus, col("vec_id"), col("embedding"),
+      k = 3, iters = 4)
+    val model = Pq.trainResidual(
+      Ann.assignCells(corpus, col("vec_id"), col("embedding"), cents),
+      col("vec_id"), col("embedding"), cents, m = 2, ks = 4, iters = 2)
+    def enc(b: org.apache.spark.sql.DataFrame,
+            c: org.apache.spark.sql.DataFrame) =
+      Pq.encodeResidual(b, col("embedding"), c, model)
+    // initial index WITH codes (the persisted IVF-PQ layout)
+    Ann.writePartitioned(
+      enc(Ann.assignCells(corpus, col("vec_id"), col("embedding"), cents),
+        cents), s"$idx/data")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
+
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = Streams.ivfUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), idx, s"$base/chk",
+      driftThreshold = 5.0, enrich = enc)
+    try {
+      input.addData(Seq((100L, Seq(10.02, 10.0)), (101L, Seq(9.98, 10.0))))
+      q.processAllAvailable()
+      val (data1, cents1) = Ann.readIvfIndex(spark, idx)
+      assert(data1.count() === 32)
+      assert(data1.filter(col("codes").isNull).count() === 0,
+        "every stored row carries codes")
+      // streamed rows' codes equal the batch-side encode of the same rows
+      val expect = enc(Ann.assignCells(
+          Seq((100L, Seq(10.02, 10.0)), (101L, Seq(9.98, 10.0)))
+            .toDF("vec_id", "embedding"),
+          col("vec_id"), col("embedding"), cents1), cents1)
+        .select(col("vec_id"), col("codes")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+      val got = data1.filter(col("vec_id") >= 100L)
+        .select(col("vec_id"), col("codes")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+      assert(got === expect)
+      // drift past the threshold → retrain re-enriches EVERY row against
+      // the new centroids
+      input.addData(Seq((200L, Seq(100.0, 100.0)), (201L, Seq(100.5, 100.0)),
+        (202L, Seq(99.5, 100.0))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val (data2, cents2) = Ann.readIvfIndex(spark, idx)
+    assert(data2.count() === 35)
+    assert(data2.filter(col("codes").isNull).count() === 0)
+    val reExpected = enc(Ann.assignCells(data2.drop("cell").drop("codes"),
+        col("vec_id"), col("embedding"), cents2), cents2)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val reGot = data2.select(col("vec_id"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(reGot === reExpected, "post-retrain codes consistent with new centroids")
+  }
+
   test("incrementalCollection: file stream builds an embedded collection") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
