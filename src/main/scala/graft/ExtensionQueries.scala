@@ -301,6 +301,15 @@ object ExtensionQueries {
         .orderBy("doc_id", "rn")
     }),
 
+    // ---- overlapping token-window chunking: documents → model-sized
+    // pieces (64-token windows, stride 48 → 16-token overlap). Pure
+    // generator over the scan — zero shuffle; output volume is the only
+    // scale cost (overlap factor chunkTokens/stride).
+    "q_chunk_tokens" -> ((s, d) =>
+      graft.operators.Chunk.chunkByTokens(Tables.documents(s, d),
+          col("doc_id"), col("text"), chunkTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
+
     // ---- BM25 keyword retrieval (Robertson/Spärck Jones): the ranking
     // function behind classic search, over the same token pipeline as
     // TF-IDF. Rational idf (N−df+0.5)/(df+0.5) — the log is omitted for
@@ -1698,6 +1707,18 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_chunk_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+         |  FROM documents),
+         |t AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0)
+         |SELECT doc_id, (s // 48)::INT AS chunk_idx,
+         |  array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text,
+         |  len(list_slice(tk, s + 1, s + 64))::INT AS n_tokens
+         |FROM t, unnest(range(0, n, 48)) AS u(s)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_profile" -> {
       def one(c: String) =
