@@ -22,6 +22,11 @@ object ExtensionQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Decomposed Unicode test suffix shared by the q_text_nfc query and
+    * its oracle SQL: "é" as e+U+0301 and Hangul "가" as jamo
+    * U+1100 U+1161 — NFC composes both (length shrinks by 2). */
+  private[graft] val nfcSuffix = "e\u0301\u1100\u1161"
+
   /** Decimal-exact sum surfaced as DOUBLE (SURVEY §2.8 rule 2). */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
@@ -300,6 +305,22 @@ object ExtensionQueries {
         .select(col("doc_id"), col("term"), col("score"), col("rn"))
         .orderBy("doc_id", "rn")
     }),
+
+    // ---- Unicode NFC normalization (native Normalizer expression): a
+    // deterministic DECOMPOSED suffix (e+combining-acute, Hangul jamo
+    // 가 as U+1100 U+1161) is appended so the query demonstrably
+    // composes — codepoint counts shrink — and DuckDB's utf8proc-based
+    // nfc_normalize must agree byte-for-byte with java.text.Normalizer.
+    "q_text_nfc" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("_raw",
+          concat(col("text"), lit(" "), lit(ExtensionQueries.nfcSuffix)))
+        .select(col("doc_id"),
+          graft.plans.NfcNormalize.nfcNormalize(col("_raw")).as("nfc"),
+          length(col("_raw")).as("n_raw"),
+          length(graft.plans.NfcNormalize.nfcNormalize(col("_raw")))
+            .as("n_nfc"))
+        .orderBy("doc_id")),
 
     // ---- overlapping token-window chunking: documents → model-sized
     // pieces (64-token windows, stride 48 → 16-token overlap). Pure
@@ -1707,6 +1728,13 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_text_nfc" ->
+      s"""SELECT doc_id,
+         |  nfc_normalize(text || ' $nfcSuffix') AS nfc,
+         |  length(text || ' $nfcSuffix') AS n_raw,
+         |  length(nfc_normalize(text || ' $nfcSuffix')) AS n_nfc
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_chunk_tokens" ->
       s"""WITH toks AS (

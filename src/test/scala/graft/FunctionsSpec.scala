@@ -114,4 +114,24 @@ class FunctionsSpec extends SparkSuite {
     assert(evalD(Rounding.floorRound(lit(0.123449), 4)) === 0.1234)
     assert(Rounding.floorRoundSql("x", 4) === "floor((x) * 10000.0 + 0.5) / 10000.0")
   }
+
+  test("nfcNormalize: composes decomposed forms, identity on NFC, null-safe") {
+    import graft.plans.NfcNormalize.nfcNormalize
+    val rows = Seq(
+      ("decomp", "e\u0301\u1100\u1161"), // e+acute, jamo ga
+      ("composed", "\u00e9\uac00"), // already NFC
+      ("ascii", "plain text"))
+      .toDF("k", "s")
+      .select(col("k"), nfcNormalize(col("s")).as("n"),
+        length(col("s")).as("lr"), length(nfcNormalize(col("s"))).as("ln"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(rows("decomp")._1 === "\u00e9\uac00") // composed output
+    assert(rows("decomp")._2 === 4 && rows("decomp")._3 === 2)
+    assert(rows("composed") === (("\u00e9\uac00", 2, 2)))
+    assert(rows("ascii") === (("plain text", 10, 10)))
+    val nul = Seq(Option.empty[String]).toDF("s")
+      .select(nfcNormalize(col("s"))).collect()
+    assert(nul.head.isNullAt(0))
+  }
 }
