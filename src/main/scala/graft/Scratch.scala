@@ -68,6 +68,22 @@ object Scratch {
       noop(Knn.knnJoinIvf(queries, col("vec_id"), col("embedding"),
         idx, col("vec_id"), col("embedding"), centsLocal, k = 10,
         nProbe = 4)))
+
+    // ---- PQ at 200k: codebook train, the native-kernel encode pass
+    // (8 subspaces × 16 codes), and an ADC query over codes only
+    import graft.operators.Pq
+    val pqm = time("pq trainCodebooks m=8 ks=16 x3")(
+      Pq.trainCodebooks(corpus, col("vec_id"), col("embedding"), 8, 16, 3))
+    val encoded = time("pq encode 200k x 64 (native kernel)") {
+      val e = Pq.encode(corpus, col("embedding"), pqm)
+        .localCheckpoint(eager = true)
+      e
+    }
+    time("pq ADC top-10 (codes only)")(
+      noop(Pq.pqTopK(encoded, col("codes"), pqm, q, k = 10)))
+    time("pq ADC + exact refine top-10")(
+      noop(Pq.pqTopKRefined(encoded, col("codes"), col("embedding"),
+        pqm, q, k = 10, overfetch = 8)))
     spark.stop()
   }
 }
