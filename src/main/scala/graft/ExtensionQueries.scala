@@ -306,6 +306,20 @@ object ExtensionQueries {
         .orderBy("doc_id", "rn")
     }),
 
+    // ---- Z-order (Morton) layout key: interleaved bits of two bucketed
+    // dimensions — the multi-dimensional sort key under Delta/Iceberg
+    // ZORDER BY. Pure codegen'd bit arithmetic, shuffle-free; the write
+    // path is ZOrder.writeZOrdered. Integer-exact ⇒ hash-oracled.
+    "q_zorder" -> ((s, d) => {
+      val x = pmod(col("o_custkey"), lit(256))
+      val y = pmod(col("o_orderkey"), lit(256))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), x.as("bx"), y.as("by"),
+          graft.operators.ZOrder.zValue(Seq(x, y), 8).as("z"))
+        .orderBy(col("z"), col("o_orderkey"))
+        .limit(20)
+    }),
+
     // ---- Unicode NFC normalization (native Normalizer expression): a
     // deterministic DECOMPOSED suffix (e+combining-acute, Hangul jamo
     // 가 as U+1100 U+1161) is appended so the query demonstrably
@@ -1728,6 +1742,16 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_zorder" -> {
+      val zSql = (0 until 8).flatMap(b => Seq(
+        s"((((o_custkey % 256) >> $b) & 1) << ${2 * b})",
+        s"((((o_orderkey % 256) >> $b) & 1) << ${2 * b + 1})"))
+        .mkString(" | ")
+      s"""SELECT o_orderkey, o_custkey % 256 AS bx, o_orderkey % 256 AS by,
+         |  ($zSql) AS z
+         |FROM orders ORDER BY z, o_orderkey LIMIT 20""".stripMargin
+    },
 
     "q_text_nfc" ->
       s"""SELECT doc_id,

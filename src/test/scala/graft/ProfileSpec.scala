@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunk, Profile}
+import graft.operators.{Chunk, Profile, ZOrder}
 
 /** One-pass profiling semantics: null counting, distinct cardinality,
   * string-surfaced extrema, one output row per column — plus the token
@@ -48,5 +48,30 @@ class ProfileSpec extends SparkSuite {
     }
     assert(out.filter(_._1 == 2L).map(_._3) === Array("only three tokens"))
     assert(!out.exists(_._1 == 3L))
+  }
+
+  test("zValue: bijective on the grid, per-dim monotone, tile-local") {
+    val grid = spark.range(64L * 64L).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"))
+    val z = grid.select(col("x"), col("y"),
+        ZOrder.zValue(Seq(col("x"), col("y")), 6).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // bijection onto [0, 4096)
+    assert(z.values.toSet.size === 4096)
+    assert(z.values.min === 0L && z.values.max === 4095L)
+    // monotone in each dimension with the other fixed
+    (0 until 63).foreach { i =>
+      assert(z((i + 1, 7)) > z((i, 7)))
+      assert(z((7, i + 1)) > z((7, i)))
+    }
+    // an aligned 4x4 tile spans exactly 16 consecutive-ish z values
+    // (span 15) — row-major order spans 3*64+3 = 195 for the same tile
+    for (x0 <- Seq(0L, 16L, 60L); y0 <- Seq(0L, 16L, 60L)) {
+      val tile = for (dx <- 0L until 4L; dy <- 0L until 4L)
+        yield z((x0 + dx, y0 + dy))
+      assert(tile.max - tile.min === 15L, s"tile at ($x0,$y0)")
+    }
+    // interleave slot order: dims(0) owns the LSB
+    assert(z((1, 0)) === 1L && z((0, 1)) === 2L && z((1, 1)) === 3L)
   }
 }
