@@ -410,6 +410,30 @@ object ExtensionQueries {
           "o_orderkey", "o_totalprice", k = 64, qs = Seq(0.25, 0.5, 0.75))
         .orderBy("o_orderpriority")),
 
+    // ---- group-wise IQR outlier detection composed from the
+    // deterministic quantile sketch: per-group [P25−IQR, P75+IQR]
+    // fences (0.5×IQR — the classic 1.5× fences exceed min/max on this
+    // bounded distribution, which would make the check vacuous) from the k-smallest-by-hash sample (broadcast-
+    // size bounds table), then a map-side filter over the fact scan —
+    // the numeric-quality gate of a data pipeline, and a demonstration
+    // that the sketch composes. Sketch is a pure function of the input
+    // ⇒ the whole query hash-matches.
+    "q_outlier_iqr" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bounds = Sketches.quantileSketch(s, o, "o_orderpriority",
+          "o_orderkey", "o_totalprice", k = 64, qs = Seq(0.25, 0.75))
+        .select(col("o_orderpriority"),
+          (col("p75") + (col("p75") - col("p25")) * lit(0.5)).as("hi"),
+          (col("p25") - (col("p75") - col("p25")) * lit(0.5)).as("lo"))
+      o.join(broadcast(bounds), "o_orderpriority")
+        .filter(col("o_totalprice") > col("hi") ||
+          col("o_totalprice") < col("lo"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_outliers"),
+          max(col("o_totalprice")).as("max_out"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- connected components over the LSH pair graph: the real KEEP
     // decision for near-dup clusters — every member labeled with the
     // component min (drop-id2 over-keeps on chains banding didn't close).
@@ -1812,6 +1836,34 @@ object ExtensionQueries {
          |  FROM ts GROUP BY doc_id)
          |SELECT doc_id, score FROM r
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q_outlier_iqr" ->
+      s"""WITH h AS (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |    ${hash32Sql("o_orderkey::VARCHAR")} AS hv FROM orders),
+         |r AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY hv, o_orderkey) AS rn
+         |  FROM h),
+         |s AS (
+         |  SELECT o_orderpriority,
+         |    list(o_totalprice ORDER BY o_totalprice) AS vals
+         |  FROM r WHERE rn <= 64 GROUP BY o_orderpriority),
+         |b AS (
+         |  SELECT o_orderpriority,
+         |    vals[greatest(1, ceil(0.25 * len(vals))::INT)] AS p25,
+         |    vals[greatest(1, ceil(0.75 * len(vals))::INT)] AS p75
+         |  FROM s),
+         |f AS (
+         |  SELECT o_orderpriority, p75 + (p75 - p25) * 0.5 AS hi,
+         |         p25 - (p75 - p25) * 0.5 AS lo FROM b)
+         |SELECT o.o_orderpriority, count(*) AS n_outliers,
+         |  max(o.o_totalprice) AS max_out
+         |FROM orders o JOIN f USING (o_orderpriority)
+         |WHERE o.o_totalprice > f.hi OR o.o_totalprice < f.lo
+         |GROUP BY o.o_orderpriority
+         |ORDER BY o.o_orderpriority""".stripMargin,
 
     "q_sketch_quantile" ->
       s"""WITH h AS (
