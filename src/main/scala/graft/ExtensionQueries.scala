@@ -41,26 +41,33 @@ object ExtensionQueries {
     * has (the reference builds its collection once and queries it many
     * times). Training is deterministic, so caching cannot change any
     * query's result. */
-  // sessions held WEAKLY (same contract as Tables.cache): data dirs are
-  // immutable for a session's lifetime, and stopped test sessions must
-  // not be retained by this JVM-global map
+  // sessions held WEAKLY: data dirs are immutable for a session's
+  // lifetime, and stopped test sessions must not be retained by this
+  // JVM-global map. The cached VALUE is plain centroid data — a cached
+  // DataFrame would strongly reference its SparkSession through the
+  // value side and defeat the weak key (the documented WeakHashMap
+  // caveat); the frames are rebuilt per call from the data (lazy plan
+  // construction only — the expensive part, k-means training with its
+  // per-iteration collects, is exactly what the plain data caches).
   private val ivfCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String,
-        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]]())
+      java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]]())
   private def ivfIndex(s: SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val perSession = ivfCache.synchronized {
       ivfCache.computeIfAbsent(s, _ =>
-        new java.util.concurrent.ConcurrentHashMap[String,
-          (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]())
+        new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]())
     }
-    perSession.computeIfAbsent(d, { dir =>
-      val emb = Tables.embeddings(s, dir)
-      val cents = Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"),
-        k = 8, iters = 3)
-      (Ann.assignCells(emb, col("vec_id"), col("embedding"), cents), cents)
+    val centsLocal = perSession.computeIfAbsent(d, { dir =>
+      Ann.kmeansCentroids(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), k = 8, iters = 3)
+        .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     })
+    import s.implicits._
+    val cents = centsLocal.toDF("cell", "centroid")
+    val emb = Tables.embeddings(s, d)
+    (Ann.assignByLiteral(emb, col("embedding"), centsLocal), cents)
   }
 
   /** Session-scoped trained product quantizer over the embeddings table

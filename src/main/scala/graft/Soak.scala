@@ -39,7 +39,13 @@ object Soak {
       df.write.format("noop").mode("overwrite").save()
     def assertPlanSane(name: String, df: DataFrame,
                        requireShj: Boolean = false): Unit = {
+      // AQE re-plans at runtime: the pre-execution executedPlan is only
+      // the INITIAL plan, so execute first (distributed no-op; also
+      // doubles as the timed run's warmup) and assert on the final one
+      df.queryExecution.executedPlan.execute().foreach(_ => ())
       val p = df.queryExecution.executedPlan.toString
+      require(p.contains("isFinalPlan=true") || !p.contains("AdaptiveSparkPlan"),
+        s"$name: plan not finalized — assertion would be vacuous:\n$p")
       require(!p.contains("CartesianProduct"), s"$name: cartesian at soak scale")
       require(!p.contains("BroadcastNestedLoopJoin"), s"$name: BNLJ at soak scale")
       if (requireShj)

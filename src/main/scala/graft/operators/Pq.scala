@@ -153,8 +153,16 @@ object Pq {
     require(query.length == model.m * model.subDim,
       s"query dim ${query.length} != ${model.m}×${model.subDim}")
     model.books.zipWithIndex.map { case (book, s) =>
+      // table position j must be the distance of CODE j — the lookup
+      // side indexes by code value, so a books seq that lost its code
+      // order (or has non-contiguous codes) would silently read the
+      // wrong centroid's distance. Sort and verify instead.
+      val sorted = book.sortBy(_._1)
+      require(sorted.map(_._1) == (0 until sorted.length),
+        s"subspace $s codebook codes must be contiguous 0..${sorted.length - 1}, " +
+          s"got ${sorted.map(_._1).take(8)}...")
       val q = query.slice(s * model.subDim, (s + 1) * model.subDim)
-      book.map { case (_, c) =>
+      sorted.map { case (_, c) =>
         var acc = 0.0
         var i = 0
         while (i < model.subDim) {

@@ -40,11 +40,14 @@ object Maintenance {
     * DataFrame-native (no RDD round trip — the old `rdd.zipWithIndex`
     * exited Tungsten and re-encoded every row through Scala objects):
     *
-    *  1. range-shuffled sort on `orderCol`, persisted (columnar cache —
-    *     CacheManager dedups repeat calls on the same plan) so the
-    *     counting pass and the labeling pass see the SAME partition
-    *     boundaries (the range sampler is not re-plan-stable across
-    *     separate queries);
+    *  1. range-shuffled sort on `orderCol`, materialized ONCE via an
+    *     eager `localCheckpoint` so the counting pass and the labeling
+    *     pass see the SAME partition boundaries (the range sampler is
+    *     not re-plan-stable across separate queries). A checkpoint, not
+    *     `persist`: CacheManager entries are pinned for the session —
+    *     every call would permanently hold a sorted copy of the whole
+    *     table — while checkpoint blocks are released by the
+    *     ContextCleaner as soon as the returned frame is unreachable;
     *  2. per-partition row counts via a `spark_partition_id()` groupBy —
     *     a driver-sized aggregate (one row per partition);
     *  3. cumulative offsets ship back as a map LITERAL inside the plan,
@@ -60,7 +63,7 @@ object Maintenance {
                    out: String = "label_id"): DataFrame = {
     val sorted = df.orderBy(orderCol.asc)
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
       .orderBy("_pid")
       .collect().map(r => (r.getInt(0), r.getLong(1)))

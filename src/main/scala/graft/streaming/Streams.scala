@@ -308,6 +308,17 @@ object Streams {
     }
   }
 
+  /** Crash recovery for a WHOLE-directory swap (the retrain path's
+    * `<dir>__old` aside): if the live dir is missing but the aside
+    * exists, restore it — the crash loses the rebuilt copy (re-derived
+    * on the next trigger), never the index itself. */
+  private[streaming] def recoverDirSwap(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val aside = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(live) && fs.exists(aside)) fs.rename(aside, live)
+  }
+
   /** Rename-aside swap of the touched `<part>=<v>` dirs from a freshly
     * written tmp layout; aside dirs are dot-prefixed so partition
     * discovery never sees a half-swapped state. Deletes `tmp` when done. */
@@ -424,7 +435,7 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           import org.apache.hadoop.fs.Path
           val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -471,7 +482,16 @@ object Streams {
           val kept = batch.join(
             verdict.filter(!col("dup")).select(col("doc_id").as(idCol)),
             Seq(idCol), "left_semi")
-          kept.write.mode("append").parquet(outDir)
+          // idempotent under micro-batch REPLAY: a crash between output
+          // write and checkpoint commit re-runs the batch, and a plain
+          // append would emit the kept rows twice — writing each batch
+          // into its own batch_id partition with dynamic partition
+          // overwrite makes the replay overwrite its own output instead
+          kept.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
           // state rewrite: touched buckets only, pruned to the horizon
           val tmp = new Path(base + "__upserting")
           fs.delete(tmp, true)
@@ -537,6 +557,11 @@ object Streams {
           val dataDir = s"$base/data"
           val centsDir = s"$base/centroids"
           recoverAsideBuckets(fs, dataDir, part = "cell")
+          // a retrain's whole-directory swap can die between
+          // rename(dir→__old) and rename(fresh→dir) — restore the aside
+          // copy so the crash loses the retrain, never the index
+          recoverDirSwap(fs, dataDir)
+          recoverDirSwap(fs, centsDir)
           val cents = spark.read.parquet(centsDir)
           // NOTE: `df.observe` + `Observation.get` DEADLOCKS here — the
           // foreachBatch body runs inside the micro-batch's nested SQL
@@ -549,8 +574,25 @@ object Streams {
             batch.dropDuplicates(idCol), col(vecCol), cents).persist()
           val assigned = enrich(assignedRaw.drop("cdist"), cents)
           val drift = assignedRaw.agg(avg(col("cdist"))).head().getDouble(0)
-          val touched = assignedRaw.select("cell").distinct()
-            .collect().map(_.getInt(0)).sorted.toIndexedSeq
+          val newCells = assignedRaw.select("cell").distinct()
+            .collect().map(_.getInt(0)).toSet
+          // a re-ingested key whose updated vector lands in a DIFFERENT
+          // cell leaves a stale copy in its old cell unless that cell is
+          // also rewritten — cell is a function of the VALUE, so finding
+          // old copies needs a key lookup: one column-pruned (id, cell)
+          // pass over the index per batch, the inherent price of key
+          // relocation on a value-partitioned layout (the key-partitioned
+          // upsertStreamBucketed never pays it)
+          val oldCells =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(dataDir)))
+              Set.empty[Int]
+            else spark.read.parquet(dataDir)
+              .select(col(idCol), col("cell"))
+              .join(assignedRaw.select(col(idCol).as("_uk")),
+                col(idCol) === col("_uk"), "left_semi")
+              .select("cell").distinct()
+              .collect().map(_.getInt(0)).toSet
+          val touched = (newCells ++ oldCells).toIndexedSeq.sorted
           val existing = touched.filter(c =>
             fs.exists(bucketPath(dataDir, c, part = "cell")))
           val merged =
@@ -569,7 +611,13 @@ object Streams {
           val retrain = drift > driftThreshold
           if (retrain) {
             // O(index) rebuild: re-learn cells from ALL current vectors,
-            // re-assign, swap the whole data dir + centroid table
+            // re-assign, swap the whole data dir + centroid table.
+            // Each swap individually recovers via recoverDirSwap (no
+            // data loss); the residual window is BETWEEN the two swaps —
+            // a crash there leaves new data with old centroids for one
+            // restart, a transient recall dip the next retrain repairs,
+            // not an error (probe cells always come from the live
+            // centroid table)
             val all = spark.read.parquet(dataDir).drop("cell")
             val k = cents.count().toInt
             val newCents = Ann.kmeansCentroids(

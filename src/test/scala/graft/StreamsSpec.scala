@@ -477,6 +477,42 @@ class StreamsSpec extends SparkSuite {
     assert(hit.select("vec_id").as[Long].collect().toSet === Set(200L, 201L, 202L))
   }
 
+  test("ivfUpsertStream: re-ingest that MOVES cells leaves no stale copy") {
+    import graft.operators.Ann
+    val base = Files.createTempDirectory("graft-ivf-move-").toString
+    val idx = s"$base/idx"
+    val corpus = (0 until 20).map { i =>
+      val ctr = if (i % 2 == 0) 0.0 else 10.0
+      (i.toLong, Seq(ctr + (i % 5) * 0.01, ctr))
+    }.toDF("vec_id", "embedding")
+    Ann.buildIvfIndex(corpus, col("vec_id"), col("embedding"), idx,
+      k = 2, iters = 4)
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = Streams.ivfUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), idx, s"$base/chk")
+    try {
+      // ingest near cluster 0 …
+      input.addData(Seq((100L, Seq(0.05, 0.0))))
+      q.processAllAvailable()
+      // … then RE-ingest the same key near cluster 1: its cell moves,
+      // so the old cell's directory must also be rewritten to drop the
+      // stale copy (cell is a function of the VALUE)
+      input.addData(Seq((100L, Seq(10.05, 10.0))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val (data, cents) = Ann.readIvfIndex(spark, idx)
+    val copies = data.filter(col("vec_id") === 100L)
+      .select(col("cell").cast("int"), col("embedding").cast("array<double>"))
+      .collect()
+    assert(copies.length === 1, s"stale duplicate rows: ${copies.toSeq}")
+    assert(copies.head.getSeq[Double](1).head > 9.0, "kept the NEW vector")
+    assert(data.count() === 21)
+    // the surviving copy is queryable in its new cell only
+    val hit = Ann.ivfTopK(data, col("cell"), col("embedding"), cents,
+      Seq(10.05, 10.0), k = 1, nProbe = 1)
+    assert(hit.select("vec_id").as[Long].head() === 100L)
+  }
+
   test("ivfUpsertStream with PQ enrich: streamed index carries residual codes") {
     import graft.operators.{Ann, Pq}
     val base = Files.createTempDirectory("graft-ivfpq-stream-").toString
