@@ -13,29 +13,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Memoized per (session, path): `spark.read.parquet` re-lists the
-  // directory and re-reads footers for schema inference on EVERY call —
-  // across a 67-query Verify/Bench run that per-query setup is a visible
-  // slice of the ~0.5 s fixed overhead. The cached object is just the
-  // analyzed logical plan (immutable); each query still plans and scans
-  // independently.
+  // Memoized path→schema: `spark.read.parquet` without an explicit schema
+  // re-reads parquet footers for schema inference on EVERY call — across a
+  // 90+-query Verify/Bench run that per-query setup is a visible slice of
+  // the ~0.5 s fixed overhead. Caching the StructType (plain, immutable,
+  // session-independent data) and passing it via `.schema(...)` skips the
+  // footer pass while every call still builds a fresh, session-local plan.
   //
-  // CONTRACT: table dirs are assumed immutable for the lifetime of a
-  // session — an in-session rewrite of a cached path serves the stale
-  // file listing (tests that rewrite data use fresh dirs). The outer map
-  // holds sessions WEAKLY so long-lived multi-session JVMs (test suites)
-  // don't retain stopped sessions and their plans forever.
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  // Deliberately NOT a session-keyed DataFrame cache: a DataFrame strongly
+  // references its SparkSession, so a WeakHashMap[SparkSession, DataFrame]
+  // keeps its own keys reachable through the values and never evicts —
+  // stopped sessions and their plans would be retained forever in
+  // long-lived multi-session JVMs (test suites). Same pitfall note as
+  // ExtensionQueries' ivfCache: cache plain data, never plans.
+  //
+  // CONTRACT: table schemas are assumed immutable for the lifetime of the
+  // JVM — tests that rewrite data with a different schema use fresh dirs.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
-      cache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    }
-    perSession.computeIfAbsent(s"$sfDir/$name.parquet",
-      path => spark.read.parquet(path))
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

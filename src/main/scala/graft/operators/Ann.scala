@@ -90,13 +90,16 @@ object Ann {
 
   /** HOF executable spec of [[assignByLiteral]] — bit-parity-tested in
     * KnnSpec, not on any production path (interpreted lambda per
-    * centroid per row). */
+    * centroid per row). Sorts by the SQUARED distance, matching the
+    * kernel's squared-accumulation argmin (sqrt before comparing can
+    * round two distinct squared distances onto the same double and flip
+    * a tiebreak — same reason the q_pq_adc oracle orders by d2doc). */
   private[graft] def assignByLiteralHof(df: DataFrame, vecCol: Column,
       centsLocal: Seq[(Int, Seq[Double])]): DataFrame = {
-    import graft.plans.NativeFunctions.l2Native
+    import graft.plans.NativeFunctions.l2SqNative
     val centLit = typedlit(centsLocal)
     df.withColumn("cell", element_at(array_sort(transform(centLit, c =>
-      struct(l2Native(vecCol, c.getField("_2")).as("d"),
+      struct(l2SqNative(vecCol, c.getField("_2")).as("d"),
         c.getField("_1").as("cell")))), 1).getField("cell"))
   }
 

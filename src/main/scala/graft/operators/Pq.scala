@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.plans.NativeFunctions.l2Native
+import graft.plans.NativeFunctions.l2SqNative
 
 /** Product quantization — the memory-compression layer under
   * billion-scale ANN (Jégou, Douze, Schmid, "Product Quantization for
@@ -92,7 +92,7 @@ object Pq {
       val assigned = subRows.withColumn("code",
         element_at(array_sort(transform(
           element_at(bookLit, col("sub") + 1).getField("_2"), c =>
-            struct(l2Native(col("sv"), c.getField("_2")).as("d"),
+            struct(l2SqNative(col("sv"), c.getField("_2")).as("d"),
               c.getField("_1").as("code")))), 1).getField("code"))
       import graft.plans.VectorSum.vectorSum
       val updated = assigned.groupBy(col("sub"), col("code"))
@@ -136,11 +136,14 @@ object Pq {
                 codesName: String = "codes"): DataFrame = {
     val bookLit = typedlit(model.books.zipWithIndex.map { case (b, s) => (s, b) })
     val v = vecCol.cast("array<double>")
+    // sorts by the SQUARED distance — matches the kernel's
+    // squared-accumulation argmin (sqrt-before-compare can collapse two
+    // distinct squared distances onto the same double and flip a tiebreak)
     df.withColumn(codesName,
       transform(sequence(lit(0), lit(model.m - 1)), s =>
         element_at(array_sort(transform(
           element_at(bookLit, s + 1).getField("_2"), c =>
-            struct(l2Native(slice(v, s * model.subDim + 1, lit(model.subDim)),
+            struct(l2SqNative(slice(v, s * model.subDim + 1, lit(model.subDim)),
               c.getField("_2")).as("d"),
               c.getField("_1").as("code")))), 1).getField("code")))
   }

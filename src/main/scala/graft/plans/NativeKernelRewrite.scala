@@ -24,13 +24,19 @@ import org.apache.spark.sql.types._
   * L2DistanceSpec parity suite is the proof), so the rewrite can never
   * change a result, only the physical cost. The match is deliberately
   * exact — any deviation from the canonical pattern (different lambda
-  * body, non-0.0 zero, a non-identity finish, non-float/double arrays)
+  * body, non-0.0 zero, a non-identity finish, non-double arrays)
   * falls through untouched.
   */
 object NativeKernelRewrite extends Rule[LogicalPlan] {
 
-  private def isFloatingArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType | FloatType, _) => true
+  // DoubleType ONLY — [[L2Distance]]'s kernel reads getDouble, and an
+  // optimizer-rule substitution bypasses checkInputDataTypes
+  // re-validation, so admitting ArrayType(FloatType) here would be a
+  // silent-corruption trap if the pattern ever matched a float array
+  // (today TypeCoercion's inserted Cast breaks the float match, but the
+  // guard must not rely on that).
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
     case _ => false
   }
 
@@ -56,7 +62,7 @@ object NativeKernelRewrite extends Rule[LogicalPlan] {
            y1.exprId == yv.exprId && y2.exprId == yv.exprId &&
            acc1.exprId == accv.exprId && el1.exprId == elv.exprId &&
            fin.exprId == finv.exprId &&
-           isFloatingArray(a) && isFloatingArray(b) =>
+           isDoubleArray(a) && isDoubleArray(b) =>
         Some((a, b))
       case _ => None
     }

@@ -84,6 +84,13 @@ object NearestCentroid {
       i += 1
     }
     var bestCell = 0
+    // argmin over the SQUARED accumulation: sqrt is monotone so the
+    // winner is unchanged, but comparing sqrt'd values can collapse two
+    // distinct squared distances onto the same double — the q_pq_adc
+    // DuckDB oracle orders by the squared distance (d2doc), so a
+    // sqrt-then-compare here is a latent data-dependent hash mismatch
+    // (plus one wasted sqrt per candidate per row). Only the winning
+    // distance is sqrt'd, for the output struct.
     var bestD = Double.PositiveInfinity
     var k = 0
     while (k < cents.length) {
@@ -95,13 +102,12 @@ object NearestCentroid {
         acc += d * d
         i += 1
       }
-      val dist = math.sqrt(acc)
       // strictly smaller wins ⇒ ties keep the earlier index — identical
-      // to sorting (dist, cell) structs and taking the head
-      if (dist < bestD) { bestD = dist; bestCell = k }
+      // to sorting (d2, cell) structs and taking the head
+      if (acc < bestD) { bestD = acc; bestCell = k }
       k += 1
     }
-    new GenericInternalRow(Array[Any](bestCell, bestD))
+    new GenericInternalRow(Array[Any](bestCell, math.sqrt(bestD)))
   }
 
   /** Column accessor: `STRUCT<cell INT, dist DOUBLE>` of the nearest

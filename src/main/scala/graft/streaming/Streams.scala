@@ -254,7 +254,7 @@ object Streams {
         val old = new Path(base + "__old")
         // crash recovery: a previous batch that died between the two swap
         // renames left the index aside at __old — restore it before merging
-        if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+        if (!fs.exists(target) && fs.exists(old)) renameOrThrow(fs, old, target)
         val deduped = batch.dropDuplicates(key) // last-write-wins per batch
         // "first batch" ONLY when the index genuinely doesn't exist; any
         // other read failure (transient FS error, corrupt footer) must fail
@@ -271,8 +271,8 @@ object Streams {
         // rename-aside swap (target → __old, tmp → target, drop __old):
         // the no-index window is one rename, not a full delete + rename
         if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(target)) fs.rename(target, old)
-        fs.rename(tmp, target)
+        if (fs.exists(target)) renameOrThrow(fs, target, old)
+        renameOrThrow(fs, tmp, target)
         fs.delete(old, true)
         ()
       }
@@ -280,6 +280,20 @@ object Streams {
 
   // ---- hash-bucketed state-dir machinery (shared by the bucketed
   // upsert and the LSH dedup state table) ------------------------------
+
+  /** `fs.rename` reports failure by RETURNING FALSE on HDFS and most
+    * object stores (no exception) — an unchecked rename inside a swap
+    * sequence would fall through to the aside-dir delete and silently
+    * lose the bucket (or on retrain, the whole index). Every swap /
+    * recovery rename goes through here: on `false` we throw, the
+    * micro-batch fails un-committed, the aside dir stays in place, and
+    * `recoverAsideBuckets`/`recoverDirSwap` restores it on restart. */
+  private[graft] def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"rename failed: $src -> $dst (source left in place; " +
+        "crash recovery will restore any aside dir on restart)")
 
   private[streaming] def bucketPath(base: String, b: Int,
       part: String = "bucket") =
@@ -302,7 +316,7 @@ object Streams {
         case asidePat(b) =>
           val bi = b.toInt
           if (!fs.exists(bucketPath(base, bi, part)))
-            fs.rename(asidePath(base, bi, part), bucketPath(base, bi, part))
+            renameOrThrow(fs, asidePath(base, bi, part), bucketPath(base, bi, part))
         case _ => ()
       }
     }
@@ -316,7 +330,7 @@ object Streams {
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(dir)
     val aside = new org.apache.hadoop.fs.Path(dir + "__old")
-    if (!fs.exists(live) && fs.exists(aside)) fs.rename(aside, live)
+    if (!fs.exists(live) && fs.exists(aside)) renameOrThrow(fs, aside, live)
   }
 
   /** Rename-aside swap of the touched `<part>=<v>` dirs from a freshly
@@ -332,8 +346,8 @@ object Streams {
       if (fs.exists(asidePath(base, b, part)))
         fs.delete(asidePath(base, b, part), true)
       if (fs.exists(bucketPath(base, b, part)))
-        fs.rename(bucketPath(base, b, part), asidePath(base, b, part))
-      if (fs.exists(fresh)) fs.rename(fresh, bucketPath(base, b, part))
+        renameOrThrow(fs, bucketPath(base, b, part), asidePath(base, b, part))
+      if (fs.exists(fresh)) renameOrThrow(fs, fresh, bucketPath(base, b, part))
       fs.delete(asidePath(base, b, part), true)
     }
     fs.delete(tmp, true)
@@ -468,10 +482,18 @@ object Streams {
             else None
           val batchKeys =
             keys.select("band_idx", "band_key", "ts", "doc_id", "bucket")
+          // dropDuplicates on the full key: on micro-batch REPLAY (crash
+          // between state swap and checkpoint commit) `prior` already
+          // contains this batch's band keys, and a plain union would write
+          // duplicate state rows that compound across repeated replays in
+          // hot buckets until horizon pruning. Dedup makes the replayed
+          // state rewrite byte-identical; `firstOcc`'s min() is
+          // duplicate-insensitive so the dup verdict is unchanged.
           val allKeys = prior
             .map(_.select("band_idx", "band_key", "ts", "doc_id", "bucket")
               .unionByName(batchKeys))
             .getOrElse(batchKeys)
+            .dropDuplicates("band_idx", "band_key", "doc_id", "ts")
           // first occupant of each band bucket decides: later (ts, id)
           // arrivals sharing the key are dups (deterministic tiebreak)
           val firstOcc = allKeys.groupBy("band_idx", "band_key")
@@ -630,8 +652,8 @@ object Streams {
               .parquet(reTmp.toString)
             val old = new Path(dataDir + "__old")
             fs.delete(old, true)
-            fs.rename(new Path(dataDir), old)
-            fs.rename(reTmp, new Path(dataDir))
+            renameOrThrow(fs, new Path(dataDir), old)
+            renameOrThrow(fs, reTmp, new Path(dataDir))
             fs.delete(old, true)
             val centsTmp = new Path(centsDir + "__retraining")
             fs.delete(centsTmp, true)
@@ -639,8 +661,8 @@ object Streams {
               .parquet(centsTmp.toString)
             val centsOld = new Path(centsDir + "__old")
             fs.delete(centsOld, true)
-            fs.rename(new Path(centsDir), centsOld)
-            fs.rename(centsTmp, new Path(centsDir))
+            renameOrThrow(fs, new Path(centsDir), centsOld)
+            renameOrThrow(fs, centsTmp, new Path(centsDir))
             fs.delete(centsOld, true)
           }
           onBatch(batchId, drift, retrain)

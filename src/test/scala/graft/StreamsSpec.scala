@@ -419,6 +419,68 @@ class StreamsSpec extends SparkSuite {
     assert(kept === Array(1L, 4L))
   }
 
+  test("renameOrThrow: a false-returning rename throws and leaves source") {
+    // HDFS/object-store renames report failure by RETURNING FALSE, not by
+    // throwing — an unchecked rename inside a swap would fall through to
+    // the aside delete and silently lose the bucket
+    val dir = Files.createTempDirectory("graft-rename-").toString
+    val real = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s"$dir/src")
+    real.mkdirs(src)
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      override def rename(a: org.apache.hadoop.fs.Path,
+          b: org.apache.hadoop.fs.Path): Boolean = false
+    }
+    val ex = intercept[java.io.IOException] {
+      Streams.renameOrThrow(failing, src, new org.apache.hadoop.fs.Path(s"$dir/dst"))
+    }
+    assert(ex.getMessage.contains("rename failed"))
+    assert(real.exists(src)) // source untouched — recovery can restore it
+    // and the happy path still moves the dir
+    Streams.renameOrThrow(real, src, new org.apache.hadoop.fs.Path(s"$dir/dst"))
+    assert(!real.exists(src) &&
+      real.exists(new org.apache.hadoop.fs.Path(s"$dir/dst")))
+  }
+
+  test("nearDedupStreamLsh: replayed batch rewrites identical state (no dup rows)") {
+    // Simulates the crash-replay window: state ALREADY contains the
+    // batch's band keys (swap committed, checkpoint didn't), then the
+    // batch re-runs. The union with prior must dropDuplicates on the
+    // full key or every replay doubles the hot buckets' state rows.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val dir = Files.createTempDirectory("graft-lsh-replay-").toString
+    // pre-seed the state dir with EXACTLY the keys this batch will write,
+    // using the same minhash/banding/bucketing pipeline as the stream
+    val seeded = Seq((1L, text, ts(1))).toDF("doc_id", "text", "ts")
+      .select(col("doc_id"), col("ts"),
+        graft.operators.Dedup.minhashFromHashes(
+          graft.plans.HashedShingles.shingleHashes(col("text"), 3, 4), 8).as("sig"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.operators.Dedup.bandKeys(col("sig"), 4, 2))
+          .as(Seq("band_idx", "band_key")))
+      .withColumn("bucket", pmod(hash(col("band_idx"), col("band_key")), lit(16)))
+    seeded.write.partitionBy("bucket").parquet(s"$dir/state")
+    val before = spark.read.parquet(s"$dir/state").count()
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = Streams.nearDedupStreamLsh(spark,
+      input.toDF().toDF("doc_id", "text", "ts"),
+      s"$dir/out", s"$dir/state", s"$dir/chk")
+    try {
+      input.addData(Seq((1L, text, ts(1)))) // the "replayed" batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.parquet(s"$dir/state")
+    assert(state.count() === before) // identical state, not doubled
+    assert(state.count() ===
+      state.dropDuplicates("band_idx", "band_key", "doc_id", "ts").count())
+    // the replayed doc is judged against its OWN state rows (equal
+    // (ts, id) is not "earlier") — it must still be emitted, not dropped
+    assert(spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect() === Array(1L))
+  }
+
   test("ivfUpsertStream: touched cells rewritten, drift triggers retrain") {
     import graft.operators.Ann
     val base = Files.createTempDirectory("graft-ivf-stream-").toString
