@@ -458,10 +458,18 @@ object ExtensionQueries {
         .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
-    // ---- blocked n-gram Jaccard pairs (metadata blocking bounds the n²).
+    // ---- blocked n-gram Jaccard pairs. Metadata blocking bounds the n²
+    // ONLY as far as the largest block: the maxBlock valve (512 — 4.5× the
+    // largest sf0.1 block, so nothing is dropped at test scales; the
+    // oracle replicates the gate so a drop would still hash-match)
+    // excludes hot blocks, which the jaccardOversizedBlocks audit surfaces
+    // and jaccardLsh (q_ngram_jaccard_lsh) handles with
+    // probability-bounded buckets. Soak-measured: the unvalved form is
+    // 294 s at 50k docs; valved, the hot blocks route to LSH.
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-          blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)
+          blockCols = Seq("lang", "source"), n = 3, threshold = 0.2,
+          maxBlock = 512)
         .orderBy("id1", "id2")),
 
     // ---- LSH-bucketed Jaccard: the scale composition the jaccardPairs
@@ -1416,12 +1424,16 @@ object ExtensionQueries {
          |  SELECT doc_id, lang, source,
          |    list_distinct(list_transform(g, s -> ${hash32Sql("s")})) AS sh
          |  FROM grams),
+         |ok_blocks AS (
+         |  SELECT lang, source FROM documents
+         |  GROUP BY lang, source HAVING count(*) <= 512),
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,
          |    len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE AS inter,
          |    (len(a.sh) + len(b.sh))::DOUBLE AS tot
          |  FROM sh a JOIN sh b
-         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  JOIN ok_blocks ob ON a.lang = ob.lang AND a.source = ob.source),
          |j AS (
          |  SELECT id1, id2,
          |    ${graft.functions.Rounding.floorRoundSql("inter / (tot - inter)", 6)}

@@ -100,11 +100,25 @@ object Soak {
     assertPlanSane("lshCandidatePairs", lsh)
     time("lshCandidatePairs (50k docs)") { noop(lsh) }
 
-    // ---- metadata-blocked Jaccard (the hot-block-sensitive form)
+    // ---- metadata-blocked Jaccard, VALVED (the hot-block-sensitive
+    // form). Unvalved, this exact row measured 294.7 s (BASELINE.md
+    // round 3): 10 hot (lang, source) blocks (id%5 is determined by
+    // id%10) × 5000 docs = 25M scored pairs, Σ block² with no bound.
+    // With maxBlock=512 every hot block is excluded-and-audited (the
+    // declared q_ngram_jaccard form) and the oversized blocks route to
+    // jaccardLsh — measured above on the same corpus.
     val jacMeta = Dedup.jaccardPairs(soakDocs, col("doc_id"), col("text"),
-      blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.2,
+      maxBlock = 512)
     assertPlanSane("jaccardPairs", jacMeta)
-    time("jaccardPairs lang+source blocks") { noop(jacMeta) }
+    time("jaccardPairs lang+source blocks, maxBlock=512 (unvalved: 294.7s)") {
+      noop(jacMeta)
+    }
+    val jacAudit = Dedup.jaccardOversizedBlocks(soakDocs, col("doc_id"),
+      Seq("lang", "source"), maxBlock = 512).count()
+    require(jacAudit == 10L,
+      s"all 10 uniform 5000-doc blocks must be audited as oversized, got $jacAudit")
+    println(s"[soak] jaccardOversizedBlocks audit rows = $jacAudit")
 
     // ---- LSH-blocked Jaccard (the corpus-independent scale form)
     val jacLsh = Dedup.jaccardLsh(soakDocs, col("doc_id"), col("text"))

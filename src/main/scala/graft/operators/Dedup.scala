@@ -160,17 +160,39 @@ object Dedup {
     * block size) vs 4.5 s for [[jaccardLsh]] on the identical corpus. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                    blockCols: Seq[String], n: Int = 3,
-                   threshold: Double = 0.2): DataFrame = {
+                   threshold: Double = 0.2,
+                   maxBlock: Int = Int.MaxValue): DataFrame = {
+    // maxBlock is the hot-block valve (the embedLshNearDupPairs maxBucket
+    // pattern): a block of size B pays ~B²/2 scored pairs, and metadata
+    // blocking has NO size bound — one hot (lang, source) block is the
+    // whole quadratic term (measured, graft.Soak: 50k docs in 50 blocks =
+    // 294 s; the LSH twin 4.5 s). Blocks past the cap are EXCLUDED here
+    // and surfaced by [[jaccardOversizedBlocks]] (same params) — a cap is
+    // an AUDITED decision, never silent truncation; oversized blocks
+    // route to [[jaccardLsh]], whose bucket sizes are probability-bounded
+    // regardless of corpus skew.
     val sh = df.select(idCol.as("id") +: blockCols.map(col) :+
       array_distinct(graft.plans.HashedShingles.shingleHashes(textCol, n, 8))
         .as("sh"): _*)
+    // block-count gate as a BROADCAST semi join: the per-block count
+    // aggregate is map-side-partial into a blocks-sized frame (tiny), so
+    // gating adds no corpus shuffle — a window count would sort the whole
+    // corpus by block first
+    val gated =
+      if (maxBlock == Int.MaxValue) sh
+      else sh.join(
+        broadcast(df.groupBy(blockCols.map(col): _*)
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBlock)
+          .drop("_bn")),
+        blockCols, "left_semi")
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     // merge hint: a broadcast self-join would compute the expensive shingle
     // pipeline independently per side; as a sort-merge join both sides
     // produce the IDENTICAL shuffle, which AQE dedups via ReusedExchange —
     // the pipeline runs once (measured 3.2× end-to-end)
-    sh.as("a").join(sh.as("b").hint("merge"), cond)
+    gated.as("a").join(gated.as("b").hint("merge"), cond)
       .withColumn("inter",
         size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
       .withColumn("uni",
@@ -179,6 +201,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("jaccard"))
   }
+
+  /** The blocks [[jaccardPairs]] dropped under its `maxBlock` cap:
+    * (blockCols..., n) — run alongside the pair query so a cap is always
+    * an audited decision (the [[embedLshOversizedBuckets]] contract). */
+  def jaccardOversizedBlocks(df: DataFrame, idCol: Column,
+                             blockCols: Seq[String],
+                             maxBlock: Int): DataFrame =
+    df.groupBy(blockCols.map(col): _*)
+      .agg(count(idCol).as("n"))
+      .filter(col("n") > maxBlock)
 
   /** LSH-bucketed n-gram Jaccard — [[lshCandidatePairs]] blocking composed
     * with the exact Jaccard scorer. The corpus-independent scale form of

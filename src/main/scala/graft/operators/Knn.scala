@@ -73,22 +73,52 @@ object Knn {
   /** Batch kNN join: top-k corpus matches per QUERY ROW — the batched form
     * of the reference's one-query-at-a-time loop (talent_recommender.py:26).
     *
-    * Shape: corpus broadcast (use [[knnJoinIvf]] when the corpus
-    * outgrows a broadcast), native-L2 per pair map-side, then
-    * per-query top-k via the bounded-buffer [[TopK]] aggregator — the
-    * shuffle carries ≤ k rows per query per task instead of sorting the
-    * full |queries|×|corpus| pair table. Output: (query_id, match_id,
-    * dist, rn), rn 1-based by (dist asc, match_id asc). */
+    * EXACT on either path, guarded by corpus size (Catalyst's optimized-
+    * plan byte estimate — the same signal auto-broadcast reads):
+    *  - corpus ≤ `broadcastThreshold` bytes: broadcast nested scoring —
+    *    every executor scores its query slice against the in-memory
+    *    corpus, zero shuffle of either side;
+    *  - past the threshold the corpus MUST NOT broadcast (a 100 TB corpus
+    *    would OOM the driver before the first task): hash-blocked exact
+    *    join — corpus rows get a `pmod(hash(id), nBlocks)` block, queries
+    *    replicate once per block, and a shuffle_hash equi join on the
+    *    block id streams the corpus through against the hashed query
+    *    side. Same |q|×|corpus| scored pairs, same rounding, same top-k
+    *    tiebreak ⇒ bit-identical output (KnnSpec asserts plan + parity).
+    *    For sub-linear work instead of distributed-exact, use
+    *    [[knnJoinIvf]] (approximate, probe-bounded).
+    *
+    * Scoring is native-L2 per pair map-side, then per-query top-k via the
+    * bounded-buffer [[TopK]] aggregator — the agg shuffle carries ≤ k
+    * rows per query per task instead of sorting the full pair table.
+    * Output: (query_id, match_id, dist, rn), rn 1-based by
+    * (dist asc, match_id asc). */
   def knnJoin(queries: DataFrame, qIdCol: Column, qVecCol: Column,
               corpus: DataFrame, cIdCol: Column, cVecCol: Column,
-              k: Int): DataFrame = {
+              k: Int, broadcastThreshold: Long = 64L << 20): DataFrame = {
     import graft.plans.NativeFunctions.l2Native
-    val pairs = queries.select(qIdCol.as("query_id"), qVecCol.as("_qv"))
-      .crossJoin(broadcast(corpus.select(cIdCol.as("match_id"),
-        cVecCol.as("_cv"))))
-      .select(col("query_id"), col("match_id"),
-        (-round(l2Native(col("_qv"), col("_cv")), 6)).as("negdist"))
-    TopK.topKPerGroup(pairs.sparkSession, pairs,
+    val corp = corpus.select(cIdCol.as("match_id"), cVecCol.as("_cv"))
+    val estBytes = corp.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pairs =
+      if (estBytes <= broadcastThreshold)
+        queries.select(qIdCol.as("query_id"), qVecCol.as("_qv"))
+          .crossJoin(broadcast(corp))
+      else {
+        // block count sized so a block ≈ the broadcast threshold — each
+        // join task holds one query-side hash table of |q| rows and
+        // streams ~|corpus|/nBlocks rows through it
+        val nBlocks = math.max(2,
+          (estBytes / math.max(1L, broadcastThreshold)).toInt + 1)
+        queries.select(qIdCol.as("query_id"), qVecCol.as("_qv"))
+          .withColumn("_blk",
+            explode(sequence(lit(0), lit(nBlocks - 1))))
+          .hint("shuffle_hash")
+          .join(corp.withColumn("_blk",
+            pmod(hash(col("match_id")), lit(nBlocks))), Seq("_blk"))
+      }
+    val scored = pairs.select(col("query_id"), col("match_id"),
+      (-round(l2Native(col("_qv"), col("_cv")), 6)).as("negdist"))
+    TopK.topKPerGroup(scored.sparkSession, scored,
         "query_id", "match_id", "negdist", k)
       .select(col("query_id"), col("match_id"),
         (-col("negdist")).as("dist"), col("rn"))

@@ -98,6 +98,32 @@ class DedupSpec extends SparkSuite {
     assert(!m.contains((1L, 4L))) // below threshold
   }
 
+  test("jaccardPairs maxBlock drops hot blocks auditable, keeps small ones") {
+    // block (en, web): 4 docs (hot); block (en, books): 2 near-dup docs.
+    // maxBlock=3 must drop EVERY pair from the hot block (not sample it)
+    // while the small block still scores — and the audit names the drop.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val hot = (1L to 4L).map(i => (i, base + s" extra$i", "en", "web"))
+    val small = Seq((10L, base, "en", "books"), (11L, base, "en", "books"))
+    val df = (hot ++ small).toDF("doc_id", "text", "lang", "source")
+    val valved = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.2,
+      maxBlock = 3).as[(Long, Long, Double)].collect()
+    assert(valved.map(r => (r._1, r._2)).toSet === Set((10L, 11L)))
+    val audit = Dedup.jaccardOversizedBlocks(df, col("doc_id"),
+      Seq("lang", "source"), maxBlock = 3)
+      .as[(String, String, Long)].collect()
+    assert(audit.toSet === Set(("en", "web", 4L)))
+    // default valve is transparent: same pairs as the unvalved form
+    val open = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val max = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.2,
+      maxBlock = 100).as[(Long, Long, Double)].collect().toSet
+    assert(open === max)
+  }
+
   test("cosineNearDupPairs: blocked pairs above threshold only") {
     val vecs = Seq(
       (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0.01f), 0), // near-identical
