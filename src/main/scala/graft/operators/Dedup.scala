@@ -209,8 +209,9 @@ object Dedup {
                              blockCols: Seq[String],
                              maxBlock: Int): DataFrame =
     df.groupBy(blockCols.map(col): _*)
-      .agg(count(idCol).as("n"))
-      .filter(col("n") > maxBlock)
+      .agg(count(lit(1)).as("n")) // same aggregate as the gate: count(idCol)
+      .filter(col("n") > maxBlock) // would skip null ids and under-report
+
 
   /** LSH-bucketed n-gram Jaccard — [[lshCandidatePairs]] blocking composed
     * with the exact Jaccard scorer. The corpus-independent scale form of

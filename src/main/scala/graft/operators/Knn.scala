@@ -84,7 +84,10 @@ object Knn {
     *    replicate once per block, and a shuffle_hash equi join on the
     *    block id streams the corpus through against the hashed query
     *    side. Same |q|×|corpus| scored pairs, same rounding, same top-k
-    *    tiebreak ⇒ bit-identical output (KnnSpec asserts plan + parity).
+    *    tiebreak ⇒ bit-identical output. KnnSpec forces this branch with
+    *    `broadcastThreshold = 1` and asserts (a) the executed plan has a
+    *    ShuffledHashJoin and no BroadcastExchange, (b) rows are
+    *    bit-identical to the broadcast branch on the same corpus.
     *    For sub-linear work instead of distributed-exact, use
     *    [[knnJoinIvf]] (approximate, probe-bounded).
     *
@@ -106,9 +109,15 @@ object Knn {
       else {
         // block count sized so a block ≈ the broadcast threshold — each
         // join task holds one query-side hash table of |q| rows and
-        // streams ~|corpus|/nBlocks rows through it
-        val nBlocks = math.max(2,
-          (estBytes / math.max(1L, broadcastThreshold)).toInt + 1)
+        // streams ~|corpus|/nBlocks rows through it. Clamp BEFORE
+        // narrowing: unknown-size stats default to
+        // spark.sql.defaultSizeInBytes (Long.MaxValue), and a bare
+        // .toInt on that quotient wraps negative — each query row
+        // explodes to nBlocks rows, so the cap also bounds the
+        // replication factor.
+        val maxBlocks = 4096
+        val nBlocks = ((estBytes / math.max(1L, broadcastThreshold)) + 1)
+          .min(BigInt(maxBlocks)).max(BigInt(2)).toInt
         queries.select(qIdCol.as("query_id"), qVecCol.as("_qv"))
           .withColumn("_blk",
             explode(sequence(lit(0), lit(nBlocks - 1))))

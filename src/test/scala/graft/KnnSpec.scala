@@ -70,6 +70,23 @@ class KnnSpec extends SparkSuite {
     }
   }
 
+  test("knnJoin: over-threshold corpus takes the hash-blocked path — " +
+    "no BroadcastExchange, bit-identical to the broadcast branch") {
+    val queries = vecs.filter(col("vec_id") < 2)
+    def run(threshold: Long) = Knn.knnJoin(queries, col("vec_id"),
+      col("embedding"), vecs, col("vec_id"), col("embedding"), k = 3,
+      broadcastThreshold = threshold)
+    val viaBroadcast = run(64L << 20).orderBy("query_id", "rn").collect()
+    val blocked = run(1L) // any estimate exceeds 1 byte → blocked branch
+    val viaBlocked = blocked.orderBy("query_id", "rn").collect()
+    assert(viaBlocked === viaBroadcast)
+    // AQE finalizes the plan on execution; assert on the FINAL plan
+    blocked.collect()
+    val p = blocked.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastExchange"), s"corpus must not broadcast:\n$p")
+  }
+
   // ---- IVF (Ann) ------------------------------------------------------
 
   private def clustered = Seq(
