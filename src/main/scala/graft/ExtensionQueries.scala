@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsofJoin, Dedup, Knn, Multimodal, Pq, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, GraphAnn, GraphNode, Knn, Multimodal, Pq, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -68,6 +68,29 @@ object ExtensionQueries {
     val cents = centsLocal.toDF("cell", "centroid")
     val emb = Tables.embeddings(s, d)
     (Ann.assignByLiteral(emb, col("embedding"), centsLocal), cents)
+  }
+
+  /** Session-scoped sharded NSW graph over the embeddings table (same
+    * lifecycle + weak-session contract as [[ivfIndex]]): the cached value
+    * is the plain node data (id/vec/neighbors — ~1 MB at sf0.1, the
+    * driver-merge-sized object), never a DataFrame; the build is
+    * deterministic (GraphAnnSpec), so caching cannot change results. */
+  private val graphCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[GraphNode]]]())
+  private def graphIndex(s: SparkSession, d: String): DataFrame = {
+    val perSession = graphCache.synchronized {
+      graphCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, Seq[GraphNode]]())
+    }
+    val nodes = perSession.computeIfAbsent(d, { dir =>
+      GraphAnn.buildGraph(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), numShards = 8, m = 16, efConstruction = 100)
+        .as[GraphNode](org.apache.spark.sql.Encoders.product[GraphNode])
+        .collect().toSeq
+    })
+    s.createDataset(nodes)(org.apache.spark.sql.Encoders.product[GraphNode])
+      .toDF()
   }
 
   /** Session-scoped trained product quantizer over the embeddings table
@@ -726,6 +749,20 @@ object ExtensionQueries {
       Ann.ivfTopK(indexed, col("cell"), col("embedding"), cents,
           queryVec(s, d), k = 10, nProbe = 2)
         .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
+    // ---- sharded NSW graph ANN — the HNSW-class counterpart of the
+    // reference's actual index (hnswlib, M=16/ef=100; BASELINE.md rows
+    // 4-5). Per-shard beam search, ef×shards rows to the driver merge.
+    // Approximate ⇒ rows-only; determinism, the exhaustive-beam==exact
+    // machinery proof, and recall >= IVF-PQ are asserted in GraphAnnSpec.
+    "q_ann_graph" -> ((s, d) => {
+      val hits = GraphAnn.graphTopK(graphIndex(s, d), queryVec(s, d),
+        k = 10, ef = 100)
+      hits.join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
     }),
 
     // ---- IVF-cell co-partitioned batch kNN join: the no-broadcast-corpus

@@ -60,6 +60,19 @@ object Scratch {
       noop(Ann.ivfTopK(idx, col("cell"), col("embedding"), centsLocal, q,
         k = 10, nProbe = 4)))
 
+    // ---- sharded NSW graph (HNSW-class) on the same corpus/query:
+    // build cost vs the IVF train+assign+write above, search vs ivfTopK
+    val graph = time("graph build S=32 m=16 ef=100 (200k)") {
+      val g = graft.operators.GraphAnn.buildGraph(corpus, col("vec_id"),
+        col("embedding"), numShards = 32, m = 16, efConstruction = 100)
+      g.persist().count(); g
+    }
+    time("graphTopK ef=100 top-10")(
+      noop(graft.operators.GraphAnn.graphTopK(graph, q, k = 10, ef = 100)))
+    time("graphTopK ef=100 top-10 (2nd)")(
+      noop(graft.operators.GraphAnn.graphTopK(graph, q, k = 10, ef = 100)))
+    graph.unpersist()
+
     val queries = corpus.filter(col("vec_id") % 2000 === 0) // 100 queries
     time("knnJoin broadcast (100 q)")(
       noop(Knn.knnJoin(queries, col("vec_id"), col("embedding"),

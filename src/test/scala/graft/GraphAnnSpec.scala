@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, GraphAnn, Knn, Pq}
+
+/** Sharded NSW graph ANN (the HNSW-class index): build determinism,
+  * exhaustive-beam machinery proof, recall vs IVF-PQ, persisted layout. */
+class GraphAnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emb =
+    spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+
+  test("buildGraph: identical edge set regardless of input partitioning") {
+    def run(parts: Int) = GraphAnn.buildGraph(
+        emb.repartition(parts), col("vec_id"), col("embedding"),
+        numShards = 8, m = 8, efConstruction = 40)
+      .select(col("shard"), col("id"), col("neighbors"))
+      .as[(Int, Long, Seq[Long])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(run(3) === run(7))
+  }
+
+  test("degree cap holds: no node exceeds 2m neighbors") {
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40)
+    val maxDeg = g.select(max(size(col("neighbors")))).as[Int].head()
+    assert(maxDeg <= 16, s"max degree $maxDeg > 2m")
+  }
+
+  test("exhaustive beam (ef >= shard size) EQUALS brute-force knnExact") {
+    // with ef >= n/S the beam visits the whole (connected by
+    // construction) shard graph, so the merge must reproduce exact
+    // top-k bit-for-bit — proves shard routing, the beam bookkeeping,
+    // and the driver merge are a pure rewrite of brute force (the
+    // q_knn_join_exhaustive pattern)
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40)
+    Seq(0L, 7L, 42L).foreach { qid =>
+      val q = Knn.vectorAt(emb, col("vec_id"), qid, col("embedding"))
+      val viaGraph = GraphAnn.graphTopK(g, q, k = 10, ef = 2000)
+        .as[(Long, Double)].collect()
+      val exact = Knn.knnExact(emb, col("embedding"), q, k = 10)
+        .select(col("vec_id"), col("dist")).as[(Long, Double)].collect()
+      assert(viaGraph === exact, s"query $qid")
+    }
+  }
+
+  test("recall@10 on sf0.1 >= IVF-PQ at its declared probe budget") {
+    // near-uniform 64-dim embeddings — the adversarial case for every
+    // index here. Graph: 8 shards (~250 nodes each), beam ef=100 — a
+    // genuinely pruned search (~40% of each shard visited). IVF-PQ:
+    // exactly the q_ann_ivfpq declaration (k=8 cells, nProbe=4 — half
+    // the corpus scanned at 8-byte code resolution).
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 8, m = 16, efConstruction = 100)
+    val cents = Ann.kmeansCentroids(
+      emb, col("vec_id"), col("embedding"), k = 8, iters = 3)
+    val indexed = Ann.assignCells(emb, col("vec_id"), col("embedding"), cents)
+    val model = Pq.trainResidual(indexed, col("vec_id"), col("embedding"),
+      cents, m = 8, ks = 16, iters = 2)
+    val encoded = Pq.encodeResidual(indexed, col("embedding"), cents, model)
+    val recalls = (0L until 10L).map { qid =>
+      val q = Knn.vectorAt(emb, col("vec_id"), qid, col("embedding"))
+      val exact = Knn.knnExact(emb, col("embedding"), q, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      val viaGraph = GraphAnn.graphTopK(g, q, k = 10, ef = 100)
+        .select("vec_id").as[Long].collect().toSet
+      val viaPq = Pq.ivfPqTopK(encoded, col("codes"), cents, model, q,
+          k = 10, nProbe = 4)
+        .select("vec_id").as[Long].collect().toSet
+      ((viaGraph & exact).size / 10.0, (viaPq & exact).size / 10.0)
+    }
+    val gRecall = recalls.map(_._1).sum / recalls.size
+    val pqRecall = recalls.map(_._2).sum / recalls.size
+    info(f"graph recall@10 = $gRecall%.2f, ivf-pq recall@10 = $pqRecall%.2f")
+    assert(gRecall >= pqRecall,
+      f"graph $gRecall%.2f < ivf-pq $pqRecall%.2f at equal budget")
+    assert(gRecall >= 0.9, f"graph recall@10 = $gRecall%.2f")
+  }
+
+  test("write/read roundtrip preserves search results") {
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph").toString
+    GraphAnn.writeGraphIndex(g, dir)
+    val q = Knn.vectorAt(emb, col("vec_id"), 5L, col("embedding"))
+    val before = GraphAnn.graphTopK(g, q, k = 10).as[(Long, Double)].collect()
+    val after = GraphAnn.graphTopK(GraphAnn.readGraphIndex(spark, dir),
+      q, k = 10).as[(Long, Double)].collect()
+    assert(after === before)
+  }
+}
