@@ -474,6 +474,17 @@ object ExtensionQueries {
             col("text")))
         .orderBy("id")),
 
+    // ---- the same labeling via large-star/small-star contraction —
+    // O(log² n) rounds instead of O(diameter), the deep-chain scale path
+    // (a 1,000-link chain converges in ~10 rounds, DedupSpec). Oracled
+    // against the SAME recursive-CTE SQL as q_dedup_components: both
+    // variants must produce identical component minima.
+    "q_dedup_components_star" -> ((s, d) =>
+      Dedup.connectedComponentsStar(
+          Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
+            col("text")))
+        .orderBy("id")),
+
     // ---- SimHash fingerprints (near-identical token multisets ⇒ small
     // Hamming distance). Pure map-side — no shuffle at all.
     "q_dedup_simhash" -> ((s, d) =>
@@ -1341,6 +1352,20 @@ object ExtensionQueries {
     // CC over the LSH pair graph: transitive closure via a recursive CTE
     // (tiny at oracle scale), component = min reachable id.
     "q_dedup_components" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e
+         |    ON r.b = e.a AND e.b <> r.a)
+         |SELECT a AS id, least(a, min(b)) AS component
+         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    // star-contraction must label identically to min-label CC — same SQL
+    "q_dedup_components_star" ->
       s"""WITH RECURSIVE $lshPairsCte,
          |edges AS (
          |  SELECT id1 AS a, id2 AS b FROM pairs

@@ -262,14 +262,26 @@ object Dedup {
     * are shallow; for adversarially long chains the large-star/
     * small-star halving variant applies. Output: (id, component) for
     * every id appearing in ≥1 pair. */
+  /** Flatten an iteration's lineage: a RELIABLE checkpoint (HDFS/object
+    * store) when the caller has set `sparkContext.setCheckpointDir` —
+    * executor loss mid-iteration then recovers from storage instead of
+    * recomputing the whole chain, the option a 100 TB run wants — and
+    * `localCheckpoint` (executor-local blocks, no IO) otherwise. Both
+    * truncate the plan identically; DedupSpec asserts label parity
+    * across the toggle. */
+  private def checkpointed(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+    val edges = checkpointed(pairs
       .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
       .unionByName(pairs.select(col("id2").cast("long").as("src"),
         col("id1").cast("long").as("dst")))
-      .distinct().localCheckpoint(eager = true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(eager = true)
+      .distinct())
+    var labels = checkpointed(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     // labels only ever DECREASE (min of a set containing the old value),
     // so the fixpoint test is "sum of labels unchanged" — one tiny
     // aggregate instead of a frame-vs-frame diff join per iteration
@@ -282,9 +294,8 @@ object Dedup {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("comp"))
-      val next = labels.unionByName(fromNeighbors)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(eager = true)
+      val next = checkpointed(labels.unionByName(fromNeighbors)
+        .groupBy("id").agg(min("comp").as("comp")))
       val nextSum = labelSum(next)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
@@ -296,9 +307,89 @@ object Dedup {
     // keep/drop decisions must not get that silently
     if (changed) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters iterations " +
-        "(component diameter exceeds the cap); raise maxIters or use a " +
-        "star-contraction variant for deep chains")
+        "(component diameter exceeds the cap); raise maxIters or use " +
+        "connectedComponentsStar for deep chains")
     labels.withColumnRenamed("comp", "component")
+  }
+
+  /** Star-contraction connected components — the deep-chain escape hatch
+    * [[connectedComponents]]'s non-convergence error points at. Min-label
+    * propagation needs O(component diameter) rounds (a 1,000-link chain
+    * is 1,000 joins); the alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) converges in O(log² n) rounds regardless of diameter —
+    * ~10 rounds for that same chain (asserted in DedupSpec).
+    *
+    * Per round, on the undirected edge set E:
+    *  - LARGE-STAR: for every node u with neighborhood Γ(u), every
+    *    strictly larger neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ {u}) — long tails fold onto local minima;
+    *  - SMALL-STAR: orient edges toward the smaller endpoint; every
+    *    node u re-points its not-larger neighbors (and itself) to
+    *    m = min(N(u) ∪ {u}) — shallow trees flatten into stars.
+    *
+    * Both are one groupBy-min + one equi join on the node id — the same
+    * shuffle shape as a min-label round, just O(log² n) of them instead
+    * of O(diameter). Every emitted edge (m, v) has m strictly smaller,
+    * so the fixpoint is a star forest rooted at each component's MINIMUM
+    * id — bit-identical labels to [[connectedComponents]] (DedupSpec
+    * asserts equality on shallow graphs; the declared q_dedup_components
+    * hash is unchanged by construction).
+    *
+    * Fixpoint test: (count, Σ xxhash64(u,v)) of the canonical edge set —
+    * one tiny aggregate per round, no frame-vs-frame anti-join. Output:
+    * (id, component) for every id appearing in ≥1 pair, including
+    * self-pair-only ids. */
+  def connectedComponentsStar(pairs: DataFrame,
+                              maxIters: Int = 40): DataFrame = {
+    val ids = pairs.select(col("id1").cast("long").as("id"))
+      .unionByName(pairs.select(col("id2").cast("long").as("id"))).distinct()
+    var edges = checkpointed(pairs
+      .select(least(col("id1"), col("id2")).cast("long").as("u"),
+        greatest(col("id1"), col("id2")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = sig(edges)
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIters) {
+      // large-star on the symmetric neighbor list
+      val dir = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = dir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = dir.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star on edges oriented toward the smaller endpoint
+      val o = large.select(col("v").as("u"), col("u").as("v")) // u > v
+      val sMins = o.groupBy("u").agg(min("v").as("m"))
+      val small = checkpointed(
+        o.join(sMins, "u").filter(col("v") =!= col("m"))
+          .select(col("m").as("u"), col("v"))
+          .unionByName(sMins.select(col("m").as("u"), col("u").as("v")))
+          .filter(col("u") =!= col("v")).distinct())
+      val cur = sig(small)
+      converged = cur == prev
+      prev = cur
+      edges = small
+      it += 1
+    }
+    if (!converged && it >= maxIters) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIters rounds — " +
+        "O(log^2 n) contraction should never need this many; inspect the " +
+        "edge input for pathological structure")
+    // fixpoint is a star forest rooted at component minima: non-roots
+    // label from their star edge, roots (and self-pair-only ids) label
+    // themselves
+    ids.join(edges.select(col("v").as("id"), col("u").as("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
   // ---- winnowing fingerprints -----------------------------------------

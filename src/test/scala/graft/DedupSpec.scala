@@ -158,6 +158,50 @@ class DedupSpec extends SparkSuite {
     assert(cc.forall(_._2 == 1L))
   }
 
+  test("connectedComponentsStar: labels equal the min-label variant on shallow graphs") {
+    val pairs = Seq((2L, 5L), (3L, 5L), (10L, 11L), (7L, 7L)).toDF("id1", "id2")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val minLabel = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === minLabel)
+  }
+
+  test("connectedComponentsStar: a 1,000-link chain converges in O(log^2 n) rounds") {
+    // min-label propagation needs ~1,000 rounds here (its maxIters=20
+    // default would throw); star contraction collapses it well inside 40
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponentsStar(chain).as[(Long, Long)].collect()
+    assert(cc.length === 1001)
+    assert(cc.forall(_._2 == 0L), "every chain node must label to the min id")
+  }
+
+  test("connectedComponents variants: identical labels with a RELIABLE checkpoint dir set") {
+    val sc = spark.sparkContext
+    val pairs = Seq((2L, 5L), (3L, 5L), (10L, 11L)).toDF("id1", "id2")
+    val localStar = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val localMin = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-chk").toString
+    sc.setCheckpointDir(dir)
+    try {
+      assert(Dedup.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().toMap === localStar)
+      assert(Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap === localMin)
+      // the reliable path actually wrote checkpoint data
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, "reliable checkpoint dir is empty — localCheckpoint was used")
+    } finally {
+      // restore the shared session's no-checkpoint-dir state (no public
+      // unset API; private[spark] var via reflection)
+      sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq")
+        .foreach(_.invoke(sc, None))
+    }
+  }
+
   test("winnowing guarantee: docs sharing a >= w+n-1 token run share a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta eta" // 7 >= 4+3-1
     val docs = Seq(
