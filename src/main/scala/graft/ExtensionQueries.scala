@@ -730,6 +730,19 @@ object ExtensionQueries {
           col("n_samples"), col("duration_us"))
         .orderBy("doc_id")),
 
+    // ---- REAL video decode: deterministic GMJ1 (MJPEG-style) container
+    // — length-prefixed genuine JPEG frames — parsed and EVERY frame
+    // ImageIO-decoded in the batched kernel; frame count and dims are
+    // pure functions of doc_id, so DuckDB verifies the container
+    // round trip arithmetically — the video twin of q_multimodal_decode.
+    "q_multimodal_video" -> ((s, d) =>
+      Multimodal.decodeVideoPartitions(s,
+          Multimodal.attachVideoPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_frames"), col("width"),
+          col("height"), col("duration_us"))
+        .orderBy("doc_id")),
+
     // ---- frame sampling: explode kept frame indices from metadata only.
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
@@ -1015,6 +1028,17 @@ object ExtensionQueries {
     "q_sketch_kmv" -> ((s, d) =>
       Sketches.kmvDistinctOf(s, Tables.events(s, d),
           "event_type", "user_id", k = 64)
+        .orderBy("event_type")),
+
+    // ---- HLL distinct sketch: the industry-standard mergeable counter,
+    // pure relational algebra (two map-side-combinable aggs). est_raw is
+    // exact binary-fraction double arithmetic, so it hash-matches DuckDB
+    // bit-for-bit; the ln-based corrected column is spec-bounded instead
+    // (transcendentals are not cross-engine-stable).
+    "q_sketch_hll" -> ((s, d) =>
+      Sketches.hllDistinct(s, Tables.events(s, d),
+          "event_type", "user_id", p = 8)
+        .select(col("event_type"), col("n_zero"), col("est_raw"))
         .orderBy("event_type")),
 
     // ---- exact lower-median per group via one window (deterministic
@@ -1811,6 +1835,30 @@ object ExtensionQueries {
          |       ELSE 63 * 4294967296.0 / mins[64] END AS est
          |FROM s ORDER BY event_type""".stripMargin,
 
+    // HLL replay: bucket = top 8 bits of the md5-derived 32-bit hash,
+    // rank = 25 - bitlength(low 24 bits) (bin() is the exact integer
+    // path in both engines); absent registers contribute 2^0 = 1.
+    // All-double arithmetic on binary fractions → bit-exact est_raw.
+    "q_sketch_hll" ->
+      s"""WITH r AS (
+         |  SELECT event_type,
+         |    ${hash32Sql("user_id::VARCHAR")} // 16777216 AS bucket,
+         |    CASE WHEN ${hash32Sql("user_id::VARCHAR")} % 16777216 = 0
+         |         THEN 25
+         |         ELSE 25 - length(bin(${hash32Sql("user_id::VARCHAR")} % 16777216))
+         |    END AS rank
+         |  FROM events),
+         |regs AS (
+         |  SELECT event_type, bucket, max(rank) AS m
+         |  FROM r GROUP BY event_type, bucket),
+         |g AS (
+         |  SELECT event_type, (256 - count(*))::BIGINT AS n_zero,
+         |    sum(1.0::DOUBLE / (1::BIGINT << m)) + (256 - count(*)) AS hsum
+         |  FROM regs GROUP BY event_type)
+         |SELECT event_type, n_zero,
+         |  ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256.0} / hsum AS est_raw
+         |FROM g ORDER BY event_type""".stripMargin,
+
     "q_skew_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2032,6 +2080,16 @@ object ExtensionQueries {
         |  1::BIGINT AS n_channels,
         |  (doc_id % 400 + 100)::BIGINT AS n_samples,
         |  ((doc_id % 400 + 100) * 125)::BIGINT AS duration_us
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // dims/frame count id-derived by attachVideoPayload; fps 10 =>
+    // duration_us = n_frames * 100_000
+    "q_multimodal_video" ->
+      """SELECT doc_id,
+        |  (doc_id % 6 + 2)::BIGINT AS n_frames,
+        |  (doc_id % 32 + 16)::BIGINT AS width,
+        |  ((doc_id * 5) % 32 + 16)::BIGINT AS height,
+        |  ((doc_id % 6 + 2) * 100000)::BIGINT AS duration_us
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -97,6 +97,38 @@ object Scratch {
     time("pq ADC + exact refine top-10")(
       noop(Pq.pqTopKRefined(encoded, col("codes"), col("embedding"),
         pqm, q, k = 10, overfetch = 8)))
+
+    // ---- Z-order pruning at 2M rows: the same 2-D box filter against a
+    // natural-order layout and a z-ordered layout (16k-row files ⇒
+    // file-granular row groups), measuring rows DECODED by the parquet
+    // scan (row groups surviving min/max pruning) and scan wall time.
+    // Numbers recorded in BASELINE.md.
+    import graft.operators.ZOrder
+    val zn = 2000000L
+    val zdf = spark.range(zn).select(col("id"),
+      pmod(hash(col("id"), lit(1)), lit(1024)).as("x"),
+      pmod(hash(col("id"), lit(2)), lit(1024)).as("y"),
+      md5(col("id").cast("string")).as("payload"))
+    time("plain write 2M (natural order)")(
+      zdf.write.mode("overwrite").option("maxRecordsPerFile", 16384L)
+        .parquet(s"$dir/zplain"))
+    time("z-ordered write 2M (10-bit x,y)")(
+      ZOrder.writeZOrdered(zdf, s"$dir/zord",
+        Seq(col("x"), col("y")), bits = 10, fileRows = 16384))
+    def boxScan(path: String, label: String): Unit = {
+      val df = spark.read.parquet(path)
+        .filter(col("x").between(100, 131) && col("y").between(200, 231))
+      val qe = df.queryExecution
+      val matched = time(s"box scan 32x32 ($label)")(
+        qe.executedPlan.execute().count())
+      val decoded = qe.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+      val ratio = zn.toDouble / math.max(1L, decoded)
+      println(f"[scratch] $label%s: rows decoded = $decoded%d of $zn%d, " +
+        f"matched = $matched%d (pruning ratio $ratio%.1f x)")
+    }
+    boxScan(s"$dir/zplain", "natural order")
+    boxScan(s"$dir/zord", "z-ordered")
     spark.stop()
   }
 }

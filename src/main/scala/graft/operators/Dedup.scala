@@ -356,23 +356,31 @@ object Dedup {
     }
     var prev = sig(edges)
     var it = 0
-    var converged = edges.isEmpty
+    var converged = prev._1 == 0L
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (!converged && it < maxIters) {
+      // each star's per-node min comes from a WINDOW over the node's
+      // edge partition — one shuffle per star where groupBy + re-join
+      // moved the same edges through the exchange twice (the join hashed
+      // every hot node's edges into one task anyway, so the skew
+      // exposure is unchanged; only the data movement halves)
       // large-star on the symmetric neighbor list
       val dir = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = dir.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = dir.join(mins, "u").filter(col("v") > col("u"))
+      val large = dir
+        .withColumn("m", least(col("u"), min("v").over(byU)))
+        .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      // small-star on edges oriented toward the smaller endpoint
+        .filter(col("u") =!= col("v"))
+      // small-star on edges oriented toward the smaller endpoint; the
+      // u→m star edges ride along into the round-end distinct (duplicate
+      // emissions are fine — distinct is the round's only dedup)
       val o = large.select(col("v").as("u"), col("u").as("v")) // u > v
-      val sMins = o.groupBy("u").agg(min("v").as("m"))
+        .withColumn("m", min("v").over(byU))
       val small = checkpointed(
-        o.join(sMins, "u").filter(col("v") =!= col("m"))
+        o.filter(col("v") =!= col("m"))
           .select(col("m").as("u"), col("v"))
-          .unionByName(sMins.select(col("m").as("u"), col("u").as("v")))
+          .unionByName(o.select(col("m").as("u"), col("u").as("v")))
           .filter(col("u") =!= col("v")).distinct())
       val cur = sig(small)
       converged = cur == prev

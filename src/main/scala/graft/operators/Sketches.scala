@@ -126,4 +126,65 @@ object Sketches {
           .as(s"p${(q * 100).round}")
       }: _*)
   }
+
+  /** HyperLogLog distinct estimate per group — the industry-standard
+    * mergeable counter (Flajolet et al. 2007), beside KMV for the
+    * oracle story.
+    *
+    * p=8 → m=256 registers. Hash is the same engine-portable md5-derived
+    * 32-bit [[tokenHash32]] the KMV sketch uses: bucket = top p bits,
+    * w = low (32-p) bits, rank = leading zeros of w (as a (32-p)-bit
+    * word) + 1 = (32-p) + 1 − bitlength(w). The whole sketch is plain
+    * relational algebra — two map-side-combinable aggregations (max-rank
+    * per register, then one row per group) — so at 100 TB the shuffle
+    * carries ≤ m rows per group per task and Catalyst keeps it in
+    * whole-stage codegen; no custom aggregator buffer to serialize.
+    *
+    * Cross-engine parity: `est_raw = α_m·m²/Σ 2^(−M_j)` is EXACT double
+    * arithmetic — every 2^(−rank) term is a binary fraction (multiple of
+    * 2^(−25)), their sum is order-independent and exactly representable,
+    * and α_m involves only literals and IEEE ops — so DuckDB reproduces
+    * it bit-for-bit (q_sketch_hll). The small-range linear-counting
+    * correction needs ln(), which is NOT cross-engine-stable (libm vs
+    * JVM), so the corrected `est` column is excluded from the oracle and
+    * its error bound asserted in SamplingSpec instead.
+    * Output: (groupCol, n_zero, est_raw, est). */
+  def hllDistinct(spark: SparkSession, df: DataFrame, groupCol: String,
+                  keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of [4,16]")
+    val m = 1 << p
+    val wBits = 32 - p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = tokenHash32(col(keyCol).cast("string"))
+    // Column./ is true division (double) — bucket must be the integer
+    // top-p-bits, so shift, don't divide
+    val bucket = shiftright(h, wBits).cast("int").as("_bucket")
+    val w = (h % lit(1L << wBits)).cast("long")
+    // bitlength via the binary-string length (exact integer path — never
+    // floor(log2(w)), whose float rounding misfires at powers of two)
+    val rank = when(w === 0L, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w))).as("_rank")
+    val registers = df
+      .select(col(groupCol).cast("string").as(groupCol), bucket, rank)
+      .groupBy(groupCol, "_bucket")
+      .agg(max(col("_rank")).as("_m"))
+    // absent registers hold rank 0: each contributes 2^0 = 1 to the
+    // harmonic sum and one zero-register toward linear counting
+    registers.groupBy(groupCol)
+      .agg(
+        (lit(m) - count(lit(1))).cast("long").as("n_zero"),
+        (sum(expr("1.0D / shiftleft(CAST(1 AS BIGINT), _m)"))
+          + (lit(m) - count(lit(1)))).as("_hsum"))
+      .select(col(groupCol), col("n_zero"),
+        (lit(alpha * m * m.toDouble) / col("_hsum")).as("est_raw"))
+      .withColumn("est",
+        when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero")))
+          .otherwise(col("est_raw")))
+  }
 }

@@ -278,6 +278,54 @@ object Streams {
       }
       .start()
 
+  /** Streaming chunker: the real ingest order is chunk → dedup → index,
+    * and this is its first stage — documents arrive on a stream,
+    * re-deliveries are dropped by WATERMARK-BOUNDED streaming dedup
+    * (`withWatermark` + `dropDuplicates` on (id, ts): Spark keeps dedup
+    * state only until the watermark passes the row's event time, so
+    * state is O(docs per horizon), not O(corpus) — the property that
+    * matters when the stream runs for months), then each micro-batch
+    * chunks map-side ([[graft.operators.Chunk.chunkByTokens]] — a pure
+    * generator, no shuffle) and lands in the chunk store.
+    *
+    * Each chunk carries a content digest so the downstream stages
+    * compose directly: `digest` feeds exact dedup / [[nearDedupStreamLsh]]
+    * and the chunk store is the input of [[upsertStreamBucketed]] /
+    * [[ivfUpsertStream]] indexing.
+    *
+    * Idempotent under micro-batch REPLAY (crash between output write and
+    * checkpoint commit): each batch writes its own `batch_id` partition
+    * with dynamic partition overwrite, so the replay overwrites its own
+    * output instead of appending twice (StreamsSpec pre-seeds the
+    * partition to prove it). */
+  def chunkStream(spark: SparkSession, docs: DataFrame, outDir: String,
+                  checkpointDir: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  tsCol: String = "ts", chunkTokens: Int = 64,
+                  stride: Int = 32, watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(Seq(idCol, tsCol))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Chunk
+            .chunkByTokens(batch, col(idCol), col(textCol),
+              chunkTokens, stride)
+            .withColumn("digest", md5(col("chunk_text")))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   // ---- hash-bucketed state-dir machinery (shared by the bucketed
   // upsert and the LSH dedup state table) ------------------------------
 

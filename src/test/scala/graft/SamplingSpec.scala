@@ -117,6 +117,34 @@ class SamplingSpec extends SparkSuite {
     assert(out2("big") === est)
   }
 
+  test("HLL sketch: error-bounded vs exact, partitioning-independent") {
+    import graft.operators.Sketches
+    // three cardinality regimes: linear-counting range (100), the
+    // crossover (~640 = 2.5m), and raw-HLL range (20000)
+    val rows = ((1 to 100).map(i => ("small", i.toLong)) ++
+      (1 to 640).map(i => ("mid", 10000L + i)) ++
+      (1 to 20000).map(i => ("big", 1000000L + i))).toDF("g", "key")
+    val full = Sketches.hllDistinct(spark, rows, "g", "key", p = 8)
+      .select("g", "est_raw", "est").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val out = full.view.mapValues(_._2).toMap
+    // p=8 → stderr ≈ 1.04/√256 = 6.5%; assert 3σ (deterministic hash, so
+    // a pass is stable — this bounds the implementation, not luck)
+    assert(math.abs(out("small") - 100) / 100.0 < 0.20)
+    assert(math.abs(out("mid") - 640) / 640.0 < 0.20)
+    assert(math.abs(out("big") - 20000) / 20000.0 < 0.20)
+    // linear counting engages below 2.5m (raw HLL is badly biased there —
+    // the correction must actually replace it) and stays within ~2σ of
+    // its own stderr at n=100
+    assert(full("small")._1 !== full("small")._2)
+    assert(math.abs(out("small") - 100) / 100.0 < 0.15)
+    // deterministic under different partitioning (map-side merge path)
+    val out2 = Sketches.hllDistinct(spark, rows.repartition(13), "g",
+        "key", p = 8)
+      .select("g", "est").as[(String, Double)].collect().toMap
+    assert(out2 === out)
+  }
+
   test("quantileSketch: exact below k, partitioning-independent above") {
     import graft.operators.Sketches
     // small group (< k): the sample IS the group → exact quartiles

@@ -481,6 +481,40 @@ class StreamsSpec extends SparkSuite {
       .select("doc_id").as[Long].collect() === Array(1L))
   }
 
+  test("chunkStream: watermarked dedup drops re-delivery, replay overwrites its own partition") {
+    val dir = Files.createTempDirectory("graft-chunk-stream-").toString
+    // pre-seed batch 0's output partition as if a crashed run committed
+    // its output but not the checkpoint — the replaying batch must
+    // OVERWRITE the partition (dynamic overwrite), not append beside it
+    Seq((99L, 0L, "stale", 1L, "deadbeef"))
+      .toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens", "digest")
+      .write.parquet(s"$dir/out/batch_id=0")
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = Streams.chunkStream(spark,
+      input.toDF().toDF("doc_id", "text", "ts"),
+      s"$dir/out", s"$dir/chk", chunkTokens = 4, stride = 2)
+    try {
+      input.addData(Seq((1L, "a b c d e f", ts(1)), (2L, "g h i", ts(1))))
+      q.processAllAvailable()
+      // doc 1 re-delivered with the same (id, ts): the watermarked
+      // streaming dedup must drop it — only doc 3 chunks this batch
+      input.addData(Seq((1L, "a b c d e f", ts(1)), (3L, "j k", ts(2))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    // stale pre-seeded row gone; re-delivered doc chunked exactly once
+    assert(!out.select("doc_id").as[Long].collect().contains(99L))
+    val byDoc = out.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    // 6 tokens @ (4, stride 2) → starts 0,2,4; 3 tokens → 0,2; 2 → 0
+    assert(byDoc === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // window content + digest survive the sink
+    val c1 = out.filter(col("doc_id") === 1 && col("chunk_idx") === 0)
+      .select("chunk_text", "n_tokens").as[(String, Long)].head()
+    assert(c1 === (("a b c d", 4L)))
+    assert(out.filter(col("digest") =!= md5(col("chunk_text"))).count() === 0)
+  }
+
   test("ivfUpsertStream: touched cells rewritten, drift triggers retrain") {
     import graft.operators.Ann
     val base = Files.createTempDirectory("graft-ivf-stream-").toString
