@@ -422,6 +422,34 @@ object ExtensionQueries {
         .limit(15)
     }),
 
+    // ---- unigram LM quality score: mean corpus-probability of a doc's
+    // tokens — the cheap LM-based quality signal (a doc of frequent,
+    // ordinary tokens scores high; rare-token noise scores low). p(t) =
+    // cnt(t)/total is exact double division; the per-doc mean folds in
+    // TERM-SORTED order (the q_bm25_rank trick) so float accumulation
+    // is cross-engine deterministic. Scale shape: unigram counts are one
+    // shuffle on term; the count join is a shuffle join (vocab is NOT
+    // broadcast-size at 100 TB); the per-doc regroup is the second
+    // corpus shuffle — linear, no n².
+    "q_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt")).head().getLong(0)
+      terms.join(counts, "term")
+        .withColumn("p", col("cnt").cast("double") / lit(total.toDouble))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sort_array(collect_list(struct(col("term"), col("p"))))
+            .as("arr"))
+        .withColumn("lm_score", floorRound6(
+          aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("p"))
+            / col("n_tokens")))
+        .select(col("doc_id"), col("n_tokens"), col("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     // ---- one-pass data profiling: every metric for every column in a
     // single aggregate (map-side partials), driver-sized unpivot to long
     // form. Exact distincts (Expand) for the oracle; KMV is the
@@ -1022,6 +1050,18 @@ object ExtensionQueries {
     "q_split_assign" -> ((s, d) =>
       Sampling.assignSplit(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
+
+    // ---- deterministic resampling to a target domain mix (40% web /
+    // 30% code / ... — the pretraining data-mixing step): largest
+    // upsample-free total T = min(n_d/p_d), per-domain keep rate
+    // p_d·T/n_d enforced by an integer hash threshold. One tiny count
+    // agg + a map-side filter; thresholds integer-exact vs the oracle.
+    "q_sample_mix" -> ((s, d) =>
+      Sampling.resampleToMix(Tables.documents(s, d), "lang", col("doc_id"),
+          Map("en" -> 0.3, "de" -> 0.2, "es" -> 0.2,
+            "fr" -> 0.15, "zh" -> 0.15))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
 
     // ---- KMV distinct sketch: deterministic mergeable distinct-count
     // (custom Aggregator; states are <=64 longs, map-side combined).
@@ -1822,6 +1862,42 @@ object ExtensionQueries {
          |       WHEN ${hash16Sql("doc_id::VARCHAR")} % 100 < 20 THEN 'val'
          |       ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // domain-mix replay: same T = min(n/p), same floor(p·T/n·2^16)
+    // integer thresholds, same 16-bit hash — all-DOUBLE arithmetic on
+    // integer counts, so thresholds match bit-for-bit
+    "q_sample_mix" ->
+      s"""WITH n AS (
+         |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+         |w AS (SELECT * FROM (VALUES
+         |    ('en', 0.3::DOUBLE), ('de', 0.2::DOUBLE), ('es', 0.2::DOUBLE),
+         |    ('fr', 0.15::DOUBLE), ('zh', 0.15::DOUBLE)) AS w(lang, p)),
+         |j AS (SELECT n.lang, n.n, w.p FROM n JOIN w USING (lang)
+         |      WHERE n.n > 0),
+         |t AS (SELECT min(n / p) AS t FROM j),
+         |thr AS (SELECT lang,
+         |    floor(p * (SELECT t FROM t) / n * 65536.0)::BIGINT AS thr
+         |  FROM j)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN thr USING (lang)
+         |WHERE ${hash16Sql("doc_id::VARCHAR")} < thr
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+         |  FROM documents),
+         |c AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term),
+         |tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+         |p AS (
+         |  SELECT t.doc_id, t.term,
+         |    c.cnt::DOUBLE / (SELECT tot FROM tot) AS p
+         |  FROM toks t JOIN c USING (term))
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  ${graft.functions.Rounding.floorRoundSql(
+              "list_sum(list(p ORDER BY term)) / count(*)", 6)} AS lm_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_sketch_kmv" ->
       s"""WITH h AS (

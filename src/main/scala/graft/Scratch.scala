@@ -28,7 +28,17 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // optional section filter: `runMain graft.Scratch zorder` runs only
+    // the z-order layout section (the ANN/PQ sections cost minutes)
+    val only = args.headOption
 
+    if (only.forall(_ == "ann")) runAnn(spark, noop)
+    if (only.forall(_ == "zorder")) runZOrder(spark)
+    spark.stop()
+  }
+
+  private def runAnn(spark: SparkSession,
+                     noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
     val n = 200000L; val dim = 64; val nClusters = 64
     // deterministic clustered corpus: center c = 10·e_{c mod dim} + jitter
     val corpus = spark.range(n).select(col("id").as("vec_id"),
@@ -97,13 +107,16 @@ object Scratch {
     time("pq ADC + exact refine top-10")(
       noop(Pq.pqTopKRefined(encoded, col("codes"), col("embedding"),
         pqm, q, k = 10, overfetch = 8)))
+  }
 
-    // ---- Z-order pruning at 2M rows: the same 2-D box filter against a
-    // natural-order layout and a z-ordered layout (16k-row files ⇒
-    // file-granular row groups), measuring rows DECODED by the parquet
-    // scan (row groups surviving min/max pruning) and scan wall time.
-    // Numbers recorded in BASELINE.md.
+  // ---- Z-order pruning at 2M rows: the same 2-D box filter against a
+  // natural-order layout and a z-ordered layout (16k-row files ⇒
+  // file-granular row groups), measuring rows DECODED by the parquet
+  // scan (row groups surviving min/max pruning) and scan wall time.
+  // Numbers recorded in BASELINE.md.
+  private def runZOrder(spark: SparkSession): Unit = {
     import graft.operators.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-z-")
     val zn = 2000000L
     val zdf = spark.range(zn).select(col("id"),
       pmod(hash(col("id"), lit(1)), lit(1024)).as("x"),
@@ -129,6 +142,5 @@ object Scratch {
     }
     boxScan(s"$dir/zplain", "natural order")
     boxScan(s"$dir/zord", "z-ordered")
-    spark.stop()
   }
 }

@@ -48,6 +48,39 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Deterministic resampling to a target domain mix — the data-mixing
+    * step of a pretraining pipeline ("40% web, 30% code, …") as a
+    * downsample-only acceptance filter.
+    *
+    * The largest total satisfying every target proportion without
+    * upsampling is T = min_d(n_d / p_d); each domain then keeps rows at
+    * rate p_d·T / n_d (the binding domain keeps everything). Acceptance
+    * is the md5-derived key hash under the rate threshold — map-side,
+    * reproducible on any layout, and stable per row as other domains
+    * grow. Domains absent from `targetWeights` are dropped (weights
+    * need not sum to 1; proportions are relative).
+    *
+    * Scale shape: one count aggregate (shuffle carries one row per
+    * domain), a driver-sized threshold map (#domains, same class as
+    * IVF centroids), then a map-side filter the scan can push. The
+    * thresholds are integer-exact against the SQL oracle: floor to a
+    * 16-bit threshold, compare the integer hash (q_sample_mix). */
+  def resampleToMix(df: DataFrame, domainCol: String, keyCol: Column,
+                    targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "targetWeights must be non-empty with positive weights")
+    val counts = df.groupBy(domainCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val present = targetWeights.filter { case (d, _) =>
+      counts.getOrElse(d, 0L) > 0L }
+    val t = present.map { case (d, p) => counts(d) / p }.min
+    val thresholds = present.map { case (d, p) =>
+      d -> math.floor(p * t / counts(d) * 65536.0).toLong }
+    val thrCol = thresholds.foldLeft(lit(-1L)) { case (acc, (d, thr)) =>
+      when(col(domainCol) === d, lit(thr)).otherwise(acc) }
+    df.filter(tokenHash16(keyCol.cast("string")) < thrCol)
+  }
+
   /** Token-budget shard packing: within each `groupCol` stream (ordered by
     * `orderCol`), assign rows to consecutive bins so each bin holds about
     * `budget` tokens (a row that crosses the boundary opens the next bin).

@@ -117,6 +117,32 @@ class SamplingSpec extends SparkSuite {
     assert(out2("big") === est)
   }
 
+  test("resampleToMix: binding domain whole, rates ~ target, growth shrinks subsets") {
+    val rows = ((1 to 300).map(i => (i.toLong, "a")) ++
+      (301 to 400).map(i => (i.toLong, "b"))).toDF("id", "dom")
+    val mix = Map("a" -> 0.5, "b" -> 0.5)
+    val out = Sampling.resampleToMix(rows, "dom", col("id"), mix)
+    val by = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // b is binding (100/0.5 < 300/0.5): keeps every row; a keeps ~1/3
+    assert(by("b") === 100L)
+    assert(math.abs(by("a") - 100L) < 25L)
+    // a domain with no target weight is dropped entirely
+    val withC = rows.unionByName(Seq((999L, "c")).toDF("id", "dom"))
+    assert(!Sampling.resampleToMix(withC, "dom", col("id"), mix)
+      .select("dom").as[String].collect().contains("c"))
+    // growing a NON-binding domain only lowers its threshold: the kept
+    // set shrinks to a SUBSET (per-row decisions stable, the audit
+    // property hash acceptance buys)
+    val aKept = out.filter(col("dom") === "a").select("id")
+      .as[Long].collect().toSet
+    val grown = rows.unionByName(
+      (401 to 700).map(i => (i.toLong, "a")).toDF("id", "dom"))
+    val aKept2 = Sampling.resampleToMix(grown, "dom", col("id"), mix)
+      .filter(col("dom") === "a").filter(col("id") <= 300)
+      .select("id").as[Long].collect().toSet
+    assert(aKept2.subsetOf(aKept))
+  }
+
   test("HLL sketch: error-bounded vs exact, partitioning-independent") {
     import graft.operators.Sketches
     // three cardinality regimes: linear-counting range (100), the
