@@ -2162,10 +2162,10 @@ object ExtensionQueries {
     // duration_us = n_frames * 100_000
     "q_multimodal_video" ->
       """SELECT doc_id,
-        |  (doc_id % 6 + 2)::BIGINT AS n_frames,
+        |  (doc_id % 4 + 1)::BIGINT AS n_frames,
         |  (doc_id % 32 + 16)::BIGINT AS width,
         |  ((doc_id * 5) % 32 + 16)::BIGINT AS height,
-        |  ((doc_id % 6 + 2) * 100000)::BIGINT AS duration_us
+        |  ((doc_id % 4 + 1) * 100000)::BIGINT AS duration_us
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->

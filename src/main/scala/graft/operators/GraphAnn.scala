@@ -92,23 +92,24 @@ object GraphAnn {
     results.dequeueAll.reverse.toSeq // max-heap drains worst-first
   }
 
-  /** Build one shard's NSW graph: insert id-ascending; each insert
-    * beam-searches the graph-so-far (width `efConstruction`), links to
-    * its `m` nearest results bidirectionally, and any endpoint pushed
-    * past `2m` edges keeps only its `2m` closest (hnswlib's level-0
-    * M0 = 2M cap) — degree stays bounded, so search cost does too. */
-  private def buildShard(shard: Int, rows: Array[(Long, Array[Double])],
-      m: Int, efConstruction: Int): Iterator[GraphNode] = {
-    val sorted = rows.sortBy(_._1) // shuffle fetch order is arbitrary
-    val vecs = mutable.LongMap.empty[Array[Double]]
-    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
-    val entry = sorted.head._1
-    sorted.foreach { case (id, vec) =>
+  /** Insert `adds` id-ascending into the (possibly empty) graph held in
+    * `vecs`/`adj`: each insert beam-searches the graph-so-far (width
+    * `efConstruction`) from `entry`, links to its `m` nearest results
+    * bidirectionally, and any endpoint pushed past `2m` edges keeps only
+    * its `2m` closest (hnswlib's level-0 M0 = 2M cap) — degree stays
+    * bounded, so search cost does too. Returns the new entry (the
+    * running min id — [[graphTopK]] enters at the min). */
+  private def insertAll(vecs: mutable.LongMap[Array[Double]],
+      adj: mutable.LongMap[mutable.ArrayBuffer[Long]], entry0: Long,
+      adds: Array[(Long, Array[Double])], m: Int,
+      efConstruction: Int): Long = {
+    var entry = entry0 // Long.MaxValue = empty graph
+    adds.sortBy(_._1).foreach { case (id, vec) =>
       // register the vector FIRST: neighbor pruning below computes
       // distances to the just-appended id. The beam can't reach id —
       // nothing links to it until after the search.
       vecs(id) = vec
-      if (id == entry) adj(id) = mutable.ArrayBuffer.empty
+      if (entry == Long.MaxValue) adj(id) = mutable.ArrayBuffer.empty
       else {
         val near = beamSearch(entry, vec, efConstruction, vecs, adj)
           .take(m).map(_._2)
@@ -122,10 +123,44 @@ object GraphAnn {
           }
         }
       }
+      if (id < entry) entry = id
     }
-    sorted.iterator.map { case (id, vec) =>
+    entry
+  }
+
+  /** Build one shard's NSW graph from scratch. */
+  private[graft] def buildShard(shard: Int,
+      rows: Array[(Long, Array[Double])],
+      m: Int, efConstruction: Int): Iterator[GraphNode] = {
+    val vecs = mutable.LongMap.empty[Array[Double]]
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    insertAll(vecs, adj, Long.MaxValue, rows, m, efConstruction)
+    rows.sortBy(_._1).iterator.map { case (id, vec) =>
       GraphNode(shard, id, vec, adj(id).toArray.sorted)
     }
+  }
+
+  /** Incremental insert into an existing shard graph — the HNSW insert
+    * lifecycle: load the stored adjacency, run the SAME insert
+    * discipline for the new ids only (O(|adds|·ef·M·log n), not a shard
+    * rebuild). Ids already present must not be passed (callers detect
+    * replacement and rebuild the shard deterministically instead —
+    * edge surgery on a pruned NSW graph is not well-defined). */
+  private[graft] def insertIntoShard(shard: Int, existing: Array[GraphNode],
+      adds: Array[(Long, Array[Double])], m: Int,
+      efConstruction: Int): Iterator[GraphNode] = {
+    val vecs = mutable.LongMap.empty[Array[Double]]
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    var entry = Long.MaxValue
+    existing.foreach { n =>
+      vecs(n.id) = n.vec
+      adj(n.id) = mutable.ArrayBuffer(n.neighbors: _*)
+      if (n.id < entry) entry = n.id
+    }
+    insertAll(vecs, adj, entry, adds, m, efConstruction)
+    (existing.iterator.map(_.id) ++ adds.iterator.map(_._1)).toArray.sorted
+      .iterator.map(id =>
+        GraphNode(shard, id, vecs(id), adj(id).toArray.sorted))
   }
 
   /** Build the sharded graph index: (shard, id, vec, neighbors) — one

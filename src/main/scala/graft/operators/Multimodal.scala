@@ -355,7 +355,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
       MediaRow(id, "gmj1", VideoCodec.encode(
-        nFrames = (id % 6 + 2).toInt,
+        nFrames = (id % 4 + 1).toInt,
         width = (id % 32 + 16).toInt, height = (id * 5 % 32 + 16).toInt,
         fpsX1000 = 10000, seed = id))
     }.toDF()

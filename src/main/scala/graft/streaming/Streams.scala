@@ -720,6 +720,116 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance for the sharded NSW graph index — the HNSW
+    * insert lifecycle ([[graft.operators.GraphAnn]]), completing the
+    * graph family's parity with [[ivfUpsertStream]] on the IVF side.
+    *
+    * Each micro-batch:
+    *   1. hash-shards its deduped rows (the same pure-function-of-id
+    *      sharding the build uses) and collects the touched shard ids
+    *      (≤ numShards ints on the driver);
+    *   2. reads ONLY the touched `shard=<s>` dirs (partition pruning)
+    *      and, per shard IN the executor: brand-new ids run the genuine
+    *      incremental insert — beam search from the stored entry, link m
+    *      nearest, 2m degree cap, O(|adds|·ef·M·log n_s), NOT a shard
+    *      rebuild; a batch that REPLACES an existing id triggers a
+    *      deterministic full rebuild of that shard over the merged rows
+    *      (edge surgery on a pruned NSW graph is not well-defined, and
+    *      the rebuild equals a from-scratch build of the same set —
+    *      the determinism GraphAnnSpec pins);
+    *   3. swaps ONLY the touched shard dirs (rename-aside, dot-prefixed
+    *      aside dirs, crash recovery on the next batch) — untouched
+    *      shards' files are never read, rewritten, or moved.
+    *
+    * `onBatch(batchId, nAdds, rebuiltShards)` exposes the maintenance
+    * metric stream. */
+  def graphUpsertStream(spark: SparkSession, src: DataFrame,
+                        indexDir: String, checkpointDir: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        numShards: Int = 8, m: Int = 16,
+                        efConstruction: Int = 100,
+                        onBatch: (Long, Long, Seq[Int]) => Unit =
+                          (_, _, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{GraphAnn, GraphNode}
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.hadoop.fs.Path
+          import spark.implicits._
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val base = indexDir.stripSuffix("/")
+          recoverAsideBuckets(fs, base, part = "shard")
+          val rows = batch.dropDuplicates(idCol)
+            .select(col(idCol).cast("long").as("id"),
+              col(vecCol).cast("array<double>").as("vec"))
+            .withColumn("shard",
+              pmod(hash(col("id")), lit(numShards)).cast("int"))
+            .persist()
+          val touched = rows.select("shard").distinct()
+            .collect().map(_.getInt(0)).sorted.toIndexedSeq
+          val nAdds = rows.count()
+          val existingShards = touched.filter(s =>
+            fs.exists(bucketPath(base, s, part = "shard")))
+          // adds ride tagged with null neighbors; stored nodes carry
+          // their adjacency — one union, one shuffle on shard
+          val addNodes = rows.select(col("shard"), col("id"), col("vec"),
+            lit(null).cast("array<bigint>").as("neighbors"))
+          val merged = (if (existingShards.nonEmpty)
+              spark.read.parquet(base)
+                .filter(col("shard").isin(existingShards.map(Int.box): _*))
+                .select("shard", "id", "vec", "neighbors")
+                .unionByName(addNodes)
+            else addNodes)
+            .repartition(math.max(touched.size, 1), col("shard"))
+            .as[GraphNode]
+            .mapPartitions { it =>
+              it.toArray.groupBy(_.shard).iterator.flatMap {
+                case (shard, nodes) =>
+                  val (stored, adds) = nodes.partition(_.neighbors != null)
+                  val addPairs = adds.map(n => (n.id, n.vec))
+                  val addIds = addPairs.map(_._1).toSet
+                  if (stored.exists(n => addIds(n.id)))
+                    // replacement: deterministic rebuild over the merged
+                    // set, new vector wins
+                    GraphAnn.buildShard(shard,
+                      stored.filterNot(n => addIds(n.id))
+                        .map(n => (n.id, n.vec)) ++ addPairs,
+                      m, efConstruction)
+                  else
+                    GraphAnn.insertIntoShard(shard, stored, addPairs,
+                      m, efConstruction)
+              }
+            }
+          // which touched shards take the rebuild path: those where an
+          // add id already exists in the stored shard (driver-sized —
+          // ≤ numShards ints). Computed BEFORE the swap replaces them.
+          val rebuilt: Seq[Int] =
+            if (existingShards.isEmpty) Seq.empty
+            else spark.read.parquet(base)
+              .filter(col("shard").isin(existingShards.map(Int.box): _*))
+              .select(col("shard"), col("id"))
+              .join(rows.select("id"), Seq("id"), "left_semi")
+              .select("shard").distinct()
+              .collect().map(_.getInt(0)).sorted.toSeq
+          val tmp = new Path(base + "__upserting")
+          fs.delete(tmp, true)
+          merged.toDF()
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(tmp.toString)
+          swapBuckets(fs, base, tmp, touched, part = "shard")
+          rows.unpersist()
+          onBatch(batchId, nAdds, rebuilt)
+        }
+        ()
+      }
+      .start()
+  }
+
   // ---- incremental collection build ----------------------------------
 
   /** Incremental index build: watch `srcDir` for new document parquet

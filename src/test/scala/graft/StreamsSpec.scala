@@ -672,6 +672,57 @@ class StreamsSpec extends SparkSuite {
     assert(reGot === reExpected, "post-retrain codes consistent with new centroids")
   }
 
+  test("graphUpsertStream: incremental insert, untouched shards untouched, replacement rebuilds") {
+    import graft.operators.GraphAnn
+    val dir = Files.createTempDirectory("graft-graph-stream-").toString
+    val idx = s"$dir/idx"
+    def shardOf(id: Long): Int = Seq(id).toDF("id")
+      .select(pmod(hash(col("id")), lit(4)).cast("int")).head().getInt(0)
+    def snapshot(except: Int): Map[String, Map[String, Long]] = {
+      val d = new java.io.File(idx)
+      d.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("shard=") && f.getName != s"shard=$except")
+        .map(s => s.getName -> s.listFiles().filter(_.isFile)
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    }
+    var metrics = Vector.empty[(Long, Long, Seq[Int])]
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = Streams.graphUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), idx, s"$dir/chk",
+      numShards = 4, m = 4, efConstruction = 16,
+      onBatch = (b, n, r) => metrics :+= ((b, n, r)))
+    try {
+      input.addData((0L until 32L).map(i => (i, Seq(i.toDouble, 0.0))))
+      q.processAllAvailable()
+      val g1 = GraphAnn.readGraphIndex(spark, idx)
+      assert(g1.count() === 32)
+      // exhaustive beam (ef >= shard size) == exact kNN: machinery proof
+      assert(GraphAnn.graphTopK(g1, Seq(5.2, 0.0), k = 3, ef = 64)
+        .select("vec_id").as[Long].collect() === Array(5L, 6L, 4L))
+      assert(metrics.last._2 === 32L && metrics.last._3.isEmpty)
+      // batch 2: ONE new id — every other shard's files must survive
+      // byte-untouched (names + mtimes), and no rebuild is reported
+      val sNew = shardOf(100L)
+      val before = snapshot(except = sNew)
+      input.addData(Seq((100L, Seq(100.0, 0.0))))
+      q.processAllAvailable()
+      assert(snapshot(except = sNew) === before,
+        "a single-shard insert must not rewrite other shards")
+      assert(metrics.last._2 === 1L && metrics.last._3.isEmpty)
+      // batch 3: REPLACE id 5 — its shard takes the deterministic
+      // rebuild path, exactly one stored copy, search sees the new vector
+      input.addData(Seq((5L, Seq(1000.0, 0.0))))
+      q.processAllAvailable()
+      assert(metrics.last._3 === Seq(shardOf(5L)))
+      val g3 = GraphAnn.readGraphIndex(spark, idx)
+      val five = g3.filter(col("id") === 5L)
+        .select("vec").as[Seq[Double]].collect()
+      assert(five.length === 1 && five.head.head === 1000.0)
+      assert(GraphAnn.graphTopK(g3, Seq(5.2, 0.0), k = 3, ef = 64)
+        .select("vec_id").as[Long].collect() === Array(6L, 4L, 7L))
+    } finally q.stop()
+  }
+
   test("incrementalCollection: file stream builds an embedded collection") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
