@@ -431,24 +431,10 @@ object ExtensionQueries {
     // shuffle on term; the count join is a shuffle join (vocab is NOT
     // broadcast-size at 100 TB); the per-doc regroup is the second
     // corpus shuffle — linear, no n².
-    "q_lm_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val terms = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-      val total = counts.agg(sum("cnt")).head().getLong(0)
-      terms.join(counts, "term")
-        .withColumn("p", col("cnt").cast("double") / lit(total.toDouble))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sort_array(collect_list(struct(col("term"), col("p"))))
-            .as("arr"))
-        .withColumn("lm_score", floorRound6(
-          aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("p"))
-            / col("n_tokens")))
-        .select(col("doc_id"), col("n_tokens"), col("lm_score"))
-        .orderBy("doc_id")
-    }),
+    "q_lm_score" -> ((s, d) =>
+      graft.operators.LmScore.lmScore(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
 
     // ---- one-pass data profiling: every metric for every column in a
     // single aggregate (map-side partials), driver-sized unpivot to long

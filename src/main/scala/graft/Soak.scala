@@ -125,6 +125,14 @@ object Soak {
     assertPlanSane("jaccardLsh", jacLsh)
     time("jaccardLsh (50k docs)") { noop(jacLsh) }
 
+    // ---- unigram LM scoring (two linear shuffles: term counts, per-doc
+    // regroup; count join is a shuffle join by design — vocab is not
+    // broadcast-size at corpus scale)
+    val lm = graft.operators.LmScore.lmScore(soakDocs,
+      col("doc_id"), col("text"))
+    assertPlanSane("lmScore", lm)
+    time("lmScore (50k docs)") { noop(lm) }
+
     // ---- IVF kNN join: train k=16 on the 20k corpus, 100-query batch
     val cents = time("kmeans train k=16, 3 iters") {
       Ann.kmeansCentroids(soakVecs, col("vec_id"), col("embedding"), 16, 3)

@@ -348,15 +348,26 @@ object Dedup {
       .select(least(col("id1"), col("id2")).cast("long").as("u"),
         greatest(col("id1"), col("id2")).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct())
-    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).head()
-      (r.getLong(0), r.getDecimal(1))
-    }
-    var prev = sig(edges)
+    // Fixpoint test WITHOUT a confirming round: the contraction's
+    // fixpoints are exactly the star forests rooted at component minima
+    // (Kiveris et al.) — (a) no node is both a center (u side) and a
+    // leaf (v side), AND (b) every leaf hangs under exactly ONE center
+    // (a leaf shared by two centers, e.g. (2,5),(3,5), still merges
+    // next round). Edges are distinct canonical u<v pairs, so a node's
+    // leaf-side appearance count IS its center count. Testable on the
+    // round's own output — where a changed-signature test needs one
+    // extra full round to observe stability, this exits the moment the
+    // forest forms. One node-keyed aggregate (map-side partials) + an
+    // isEmpty probe.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("u").as("n"), lit(1).as("c"), lit(0).as("l"))
+        .unionByName(e.select(col("v").as("n"), lit(0).as("c"), lit(1).as("l")))
+        .groupBy("n").agg(max("c").as("c"), max("l").as("l"),
+          sum("l").as("ln"))
+        .filter((col("c") === 1 && col("l") === 1) || col("ln") > 1)
+        .isEmpty
     var it = 0
-    var converged = prev._1 == 0L
+    var converged = isStarForest(edges)
     val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (!converged && it < maxIters) {
       // each star's per-node min comes from a WINDOW over the node's
@@ -382,9 +393,7 @@ object Dedup {
           .select(col("m").as("u"), col("v"))
           .unionByName(o.select(col("m").as("u"), col("u").as("v")))
           .filter(col("u") =!= col("v")).distinct())
-      val cur = sig(small)
-      converged = cur == prev
-      prev = cur
+      converged = isStarForest(small)
       edges = small
       it += 1
     }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.floorRound6
+import graft.functions.TextFunctions.tokens
+
+/** Unigram language-model quality score: the mean corpus-probability of
+  * a document's tokens — the cheap LM-based quality signal (a doc of
+  * frequent, ordinary tokens scores high; rare-token noise and
+  * gibberish score low). The trainable-model-free member of the quality
+  * family beside `TextFunctions.qualityScore`'s rule signals.
+  *
+  * p(t) = cnt(t)/total is exact double division, and the per-doc mean
+  * folds the probabilities in TERM-SORTED order (the q_bm25_rank trick)
+  * so float accumulation is deterministic across engines and layouts —
+  * hash-oracled as `q_lm_score`.
+  *
+  * Scale shape: unigram counts are one shuffle on term (map-side
+  * partial counts); the count join back to occurrences is a SHUFFLE
+  * join by design — the vocabulary of a 100 TB corpus is not
+  * broadcast-size (Catalyst may still broadcast at small scale, which
+  * is the right call there); the per-doc regroup is the second corpus
+  * shuffle. Linear throughout — no n² term anywhere. */
+object LmScore {
+
+  def lmScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val terms = df.select(idCol.as("doc_id"),
+      explode(tokens(textCol)).as("term"))
+    val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt")).head().getLong(0)
+    terms.join(counts, "term")
+      .withColumn("p", col("cnt").cast("double") / lit(total.toDouble))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("term"), col("p"))))
+          .as("arr"))
+      .withColumn("lm_score", floorRound6(
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("p"))
+          / col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("lm_score"))
+  }
+}

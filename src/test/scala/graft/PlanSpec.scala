@@ -67,6 +67,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("resampleToMix filter stage is map-side — no shuffle after the count agg") {
+    val df = graft.operators.Sampling.resampleToMix(
+      Tables.documents(spark, dir), "lang", col("doc_id"),
+      Map("en" -> 0.5, "de" -> 0.5))
+    // the domain-count aggregate ran eagerly inside the call; what the
+    // caller composes onto is a pure filter over the scan — at 100 TB
+    // the resample must not cost a shuffle of the corpus
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("written collection prunes doc_type partitions on the pre-filter") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-plan-").toString
