@@ -880,6 +880,22 @@ object ExtensionQueries {
     // bit-exact against an independent engine; PqSpec then covers only
     // the Lloyd's refinement. (Same proof pattern as
     // q_knn_join_exhaustive.)
+    // ---- SQ8 scalar quantization: the 8× compression tier beside PQ's
+    // 32× — per-dimension [min,max]→[0,255] grid, asymmetric midpoint
+    // distance over codes only. Deterministic rational arithmetic end to
+    // end (no trained codebooks), so train → encode → search is
+    // hash-oracled outright — the strongest proof class in the repo.
+    "q_ann_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.operators.Sq.trainSq(emb, col("embedding"))
+      graft.operators.Sq.sqTopK(
+          graft.operators.Sq.encodeSq(emb, col("embedding"), model),
+          col("codes"), model, queryVec(s, d), k = 20)
+        .withColumn("codes_str",
+          concat_ws(",", col("codes").cast("array<string>")))
+        .select(col("vec_id"), col("codes_str"), col("dist"))
+    }),
+
     "q_pq_adc" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = Pq.trainCodebooks(emb, col("vec_id"), col("embedding"),
@@ -1211,6 +1227,37 @@ object ExtensionQueries {
     // ADC distances (query→centroid sub-distances summed in subspace
     // order) from scratch. list(… ORDER BY sub) + list_sum keeps the
     // fold left-to-right for IEEE parity with the Scala reduce.
+    // SQ8 replay: per-dim min/max grid, floor-encode with 255 clamp,
+    // midpoint-reconstruction distance folded in dim order — the same
+    // array-expression style as the kNN oracles
+    "q_ann_sq8" ->
+      s"""WITH $qvCte,
+         |stats AS (
+         |  SELECT d, min(x) AS mn, (max(x) - min(x)) / 255.0::DOUBLE AS sc
+         |  FROM (SELECT unnest(embedding)::DOUBLE AS x,
+         |               unnest(range(0, len(embedding))) AS d
+         |        FROM embeddings)
+         |  GROUP BY d),
+         |g AS (SELECT list(mn ORDER BY d) AS mins, list(sc ORDER BY d) AS scs
+         |      FROM stats),
+         |c AS (
+         |  SELECT e.vec_id,
+         |    list_transform(generate_series(1, len(e.embedding)),
+         |      i -> CASE WHEN g.scs[i] = 0 THEN 0
+         |           ELSE least(255,
+         |             floor((e.embedding[i]::DOUBLE - g.mins[i]) / g.scs[i])::INT)
+         |           END) AS codes
+         |  FROM embeddings e, g)
+         |SELECT c.vec_id,
+         |  array_to_string(c.codes, ',') AS codes_str,
+         |  round(sqrt(list_sum(list_transform(
+         |    generate_series(1, len(q.qv)),
+         |    i -> (q.qv[i]::DOUBLE - (g.mins[i] + (c.codes[i]::DOUBLE + 0.5) * g.scs[i]))
+         |       * (q.qv[i]::DOUBLE - (g.mins[i] + (c.codes[i]::DOUBLE + 0.5) * g.scs[i]))))), 6)
+         |    AS dist
+         |FROM c, q, g
+         |ORDER BY dist, vec_id LIMIT 20""".stripMargin,
+
     "q_pq_adc" ->
       s"""WITH $qvCte,
          |seeds AS (

@@ -164,4 +164,46 @@ class PqSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("SQ8: codes in range, constant dim encodes 0, distortion <= scale/2") {
+    import graft.operators.Sq
+    val df = (0 until 100).map(i =>
+      (i.toLong, Seq(i.toDouble, 5.0, -i * 2.0))).toDF("vec_id", "embedding")
+    val m = Sq.trainSq(df, col("embedding"))
+    assert(m.mins.toSeq === Seq(0.0, 5.0, -198.0))
+    assert(m.scales(1) === 0.0) // constant dim
+    val enc = Sq.encodeSq(df, col("embedding"), m)
+    val codes = enc.select("codes").as[Seq[Int]].collect()
+    assert(codes.flatten.forall(c => c >= 0 && c <= 255))
+    assert(codes.forall(_(1) == 0), "constant dim must encode 0")
+    // midpoint reconstruction error is at most half a grid cell per dim
+    codes.zipWithIndex.foreach { case (cs, i) =>
+      val orig = Seq(i.toDouble, 5.0, -i * 2.0)
+      cs.indices.foreach { d =>
+        val recon = m.mins(d) + (cs(d) + 0.5) * m.scales(d)
+        assert(math.abs(recon - orig(d)) <= m.scales(d) / 2 + 1e-12,
+          s"row $i dim $d: |$recon - ${orig(d)}| > ${m.scales(d) / 2}")
+      }
+    }
+  }
+
+  test("SQ8 beats PQ recall at its finer grid; refine reaches full recall (sf0.001)") {
+    import graft.operators.Sq
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Knn.vectorAt(emb, col("vec_id"), 0L, col("embedding"))
+    val model = Sq.trainSq(emb, col("embedding"))
+    val encoded = Sq.encodeSq(emb, col("embedding"), model)
+    val exact = Knn.knnExact(emb, col("embedding"), q, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val sqOnly = Sq.sqTopK(encoded, col("codes"), model, q, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val refined = Sq.sqTopKRefined(encoded, col("codes"), col("embedding"),
+        model, q, k = 10, overfetch = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // 8-bit per-dim grid: codes-only search should already be near-exact
+    assert((sqOnly & exact).size / 10.0 >= 0.9,
+      s"SQ8 codes-only recall ${(sqOnly & exact).size / 10.0}")
+    assert((refined & exact).size / 10.0 === 1.0,
+      s"SQ8 refined recall ${(refined & exact).size / 10.0}")
+  }
 }
