@@ -1083,6 +1083,22 @@ object ExtensionQueries {
         .select(col("event_type"), col("n_zero"), col("est_raw"))
         .orderBy("event_type")),
 
+    // ---- Count-Min sketch: the additive mergeable FREQUENCY counter
+    // (heavy-hitter estimates) beside KMV/HLL's distinct counters. The
+    // 4×256 grid is one groupBy(row,bucket) with map-side partials —
+    // ≤1024 rows total regardless of corpus size — and the true-top-20
+    // probes broadcast-join it. Integer-exact ⇒ hash-oracled; the
+    // overestimate-only error bound is spec-asserted (SamplingSpec).
+    "q_sketch_cms" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+      val grid = Sketches.cmsCounters(toks, col("term"), d = 4, w = 256)
+      val probes = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term").asc).limit(20)
+      Sketches.cmsEstimate(grid, probes, "term", d = 4, w = 256)
+        .orderBy("term")
+    }),
+
     // ---- exact lower-median per group via one window (deterministic
     // tie/interpolation rules spelled out, unlike engine quantile()s).
     "q_median_manual" -> ((s, d) => {
@@ -1967,6 +1983,29 @@ object ExtensionQueries {
          |SELECT event_type, n_zero,
          |  ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256.0} / hsum AS est_raw
          |FROM g ORDER BY event_type""".stripMargin,
+
+    // CMS replay: same 4×256 grid from the same md5-derived addressing,
+    // exact integer counters, min over the 4 addressed cells.
+    "q_sketch_cms" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '')) AS term FROM documents),
+         |probes AS (
+         |  SELECT term, count(*)::BIGINT AS exact_cnt FROM toks
+         |  GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 20),
+         |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |grid AS (
+         |  SELECT r, ${hash32Sql("r::VARCHAR || ':' || term")} % 256 AS b,
+         |    count(*)::BIGINT AS c
+         |  FROM toks CROSS JOIN rws GROUP BY 1, 2),
+         |addr AS (
+         |  SELECT p.term, p.exact_cnt, r,
+         |    ${hash32Sql("r::VARCHAR || ':' || p.term")} % 256 AS b
+         |  FROM probes p CROSS JOIN rws)
+         |SELECT a.term, a.exact_cnt, min(g.c) AS cms_est
+         |FROM addr a JOIN grid g USING (r, b)
+         |GROUP BY a.term, a.exact_cnt
+         |ORDER BY term""".stripMargin,
 
     "q_skew_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -125,6 +125,47 @@ object Sketches {
           greatest(lit(1), ceil(lit(q) * size(col("_vals"))).cast("int")))
           .as(s"p${(q * 100).round}")
       }: _*)
+  }
+
+  /** Count-Min sketch grid (Cormode & Muthukrishnan 2005) — the additive
+    * mergeable FREQUENCY counter beside KMV/HLL's distinct counters.
+    *
+    * d×w counters: counter(r, h_r(x)) += 1 per key occurrence; a point
+    * estimate is the MIN of a key's d addressed counters. Collisions only
+    * ADD, so est ≥ exact always, with P[est > exact + 2N/w] ≤ 2^−d. The
+    * grid is plain relational algebra — one groupBy(row, bucket).count()
+    * whose map-side partials do all the work: the shuffle carries ≤ d·w
+    * rows per task and the finished grid is ≤ d·w rows TOTAL
+    * (broadcast-sized) no matter the corpus — the structure that lets a
+    * 100 TB stream keep approximate per-key counts in fixed memory.
+    * All-integer arithmetic on the md5-derived [[tokenHash32]] ⇒ the
+    * DuckDB oracle replays grid and estimates bit-for-bit (q_sketch_cms).
+    * Output: (cms_row, cms_bucket, cms_cnt). */
+  def cmsCounters(df: DataFrame, keyCol: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"cms d=$d w=$w out of range")
+    df.select(keyCol.cast("string").as("_k"))
+      .select(col("_k"), explode(sequence(lit(0), lit(d - 1))).as("cms_row"))
+      .withColumn("cms_bucket",
+        (tokenHash32(concat(col("cms_row").cast("string"), lit(":"),
+          col("_k"))) % w).cast("int"))
+      .groupBy("cms_row", "cms_bucket").agg(count(lit(1)).as("cms_cnt"))
+  }
+
+  /** Point-estimate `probes`' keys against a [[cmsCounters]] grid: min of
+    * the d addressed counters appended as `cms_est` (0 for a never-seen
+    * key whose buckets are all absent). Grid side broadcast (≤ d·w rows);
+    * every probe column passes through. */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, keyName: String,
+                  d: Int, w: Int): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    probes
+      .withColumn("cms_row", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("cms_bucket",
+        (tokenHash32(concat(col("cms_row").cast("string"), lit(":"),
+          col(keyName).cast("string"))) % w).cast("int"))
+      .join(broadcast(counters), Seq("cms_row", "cms_bucket"), "left")
+      .groupBy(probeCols.map(col): _*)
+      .agg(min(coalesce(col("cms_cnt"), lit(0L))).as("cms_est"))
   }
 
   /** HyperLogLog distinct estimate per group — the industry-standard

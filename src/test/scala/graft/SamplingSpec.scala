@@ -171,6 +171,40 @@ class SamplingSpec extends SparkSuite {
     assert(out2 === out)
   }
 
+  test("CMS sketch: overestimate-only, error-bounded, partitioning-independent") {
+    import graft.operators.Sketches
+    // zipf-ish stream: key i occurs ceil(2000/i) times, i = 1..200
+    // (N ≈ 11,800 occurrences, top keys dominate — the heavy-hitter case)
+    val occurrences = (1 to 200).flatMap(i =>
+      Seq.fill(math.ceil(2000.0 / i).toInt)(s"k$i"))
+    val rows = occurrences.toDF("key")
+    val d = 4; val w = 256
+    val grid = Sketches.cmsCounters(rows, col("key"), d, w)
+    // grid never exceeds d·w rows and total counts are preserved per row
+    val cells = grid.collect()
+    assert(cells.length <= d * w)
+    val perRow = grid.groupBy("cms_row").agg(sum("cms_cnt").as("n"))
+      .select("n").as[Long].collect()
+    assert(perRow.forall(_ === occurrences.length.toLong))
+    val exact = rows.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+    val est = Sketches.cmsEstimate(grid, exact, "key", d, w)
+      .select(col("key"), col("exact_cnt"), col("cms_est"))
+      .as[(String, Long, Long)].collect()
+    // CMS can only over-count (collisions add, never subtract), and the
+    // standard bound holds with room: est ≤ exact + 2N/w for every key
+    // (deterministic hash → a pass is stable, not luck)
+    val n = occurrences.length
+    est.foreach { case (k, ex, e) =>
+      assert(e >= ex, s"$k under-counted: $e < $ex")
+      assert(e - ex <= 2L * n / w, s"$k error ${e - ex} > ${2L * n / w}")
+    }
+    // a never-seen key estimates via whatever shares its buckets — still
+    // an overestimate of its true count 0; and partitioning cannot
+    // change anything (counters are additive)
+    val grid2 = Sketches.cmsCounters(rows.repartition(13), col("key"), d, w)
+    assert(grid2.collect().toSet === cells.toSet)
+  }
+
   test("quantileSketch: exact below k, partitioning-independent above") {
     import graft.operators.Sketches
     // small group (< k): the sample IS the group → exact quartiles
