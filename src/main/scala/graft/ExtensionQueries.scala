@@ -1083,6 +1083,21 @@ object ExtensionQueries {
         .select(col("event_type"), col("n_zero"), col("est_raw"))
         .orderBy("event_type")),
 
+    // ---- deterministic epoch shuffle: reproducible global training
+    // order per epoch — position = dense rank of md5("epoch:" || id)
+    // with id tiebreak. Balanced range sort on a uniform hash, positions
+    // via the dense-ids machinery (no single-partition window). Two
+    // epochs joined to show independent permutations. Integer-exact ⇒
+    // hash-oracled.
+    "q_shuffle_epoch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val e0 = Sampling.epochShuffle(s, docs, col("doc_id"), epoch = 0,
+        out = "pos_e0").select(col("doc_id"), col("pos_e0"))
+      val e1 = Sampling.epochShuffle(s, docs, col("doc_id"), epoch = 1,
+        out = "pos_e1").select(col("doc_id"), col("pos_e1"))
+      e0.join(e1, "doc_id").orderBy("doc_id")
+    }),
+
     // ---- Count-Min sketch: the additive mergeable FREQUENCY counter
     // (heavy-hitter estimates) beside KMV/HLL's distinct counters. The
     // 4×256 grid is one groupBy(row,bucket) with map-side partials —
@@ -1983,6 +1998,18 @@ object ExtensionQueries {
          |SELECT event_type, n_zero,
          |  ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256.0} / hsum AS est_raw
          |FROM g ORDER BY event_type""".stripMargin,
+
+    // epoch-shuffle replay: the permutation is a plain rank over the
+    // same md5-derived hash with the same id tiebreak.
+    "q_shuffle_epoch" ->
+      s"""SELECT doc_id,
+         |  (row_number() OVER (
+         |    ORDER BY ${hash32Sql("'0:' || doc_id::VARCHAR")}, doc_id)
+         |   - 1)::BIGINT AS pos_e0,
+         |  (row_number() OVER (
+         |    ORDER BY ${hash32Sql("'1:' || doc_id::VARCHAR")}, doc_id)
+         |   - 1)::BIGINT AS pos_e1
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // CMS replay: same 4×256 grid from the same md5-derived addressing,
     // exact integer counters, min over the 4 addressed cells.

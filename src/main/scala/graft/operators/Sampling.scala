@@ -95,4 +95,25 @@ object Sampling {
       .withColumn("bin",
         floor((col("cum_tokens") - tokenCountCol) / lit(budget)).cast("bigint"))
   }
+
+  /** Deterministic epoch shuffle — the training-data ORDERING step: a
+    * reproducible global permutation of the corpus per (epoch, id),
+    * independent of physical layout. Position = dense rank under
+    * (md5("epoch:id"), id) — the hash randomizes the order per epoch,
+    * the id tiebreak makes it total.
+    *
+    * Scale shape: one range-partitioned sort on a uniform 32-bit hash
+    * (balanced by construction — no skew regardless of id distribution),
+    * positions assigned by the [[graft.sources.Maintenance.withDenseIds]]
+    * machinery (per-partition row_number + broadcast offsets; no global
+    * single-partition window). Integer-exact, so the DuckDB oracle
+    * replays the permutation bit-for-bit (q_shuffle_epoch). */
+  def epochShuffle(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                   idCol: Column, epoch: Int,
+                   out: String = "pos"): DataFrame =
+    graft.sources.Maintenance.withDenseIdsBy(spark,
+        df.withColumn("_eh", graft.functions.TextFunctions.tokenHash32(
+          concat(lit(s"$epoch:"), idCol.cast("string")))),
+        Seq(col("_eh"), idCol), out)
+      .drop("_eh")
 }

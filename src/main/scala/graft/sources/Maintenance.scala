@@ -60,8 +60,16 @@ object Maintenance {
     * the physical split. The analogue of the reference's `id_to_label`
     * dense-int relabeling (hnswlib index metadata). */
   def withDenseIds(spark: SparkSession, df: DataFrame, orderCol: Column,
-                   out: String = "label_id"): DataFrame = {
-    val sorted = df.orderBy(orderCol.asc)
+                   out: String = "label_id"): DataFrame =
+    withDenseIdsBy(spark, df, Seq(orderCol), out)
+
+  /** [[withDenseIds]] over a composite order — same mechanism; the
+    * `orderCols` tuple must be unique as a whole (e.g. a hash plus the
+    * key as tiebreak, the epoch-shuffle shape). */
+  def withDenseIdsBy(spark: SparkSession, df: DataFrame,
+                     orderCols: Seq[Column], out: String): DataFrame = {
+    val asc = orderCols.map(_.asc)
+    val sorted = df.orderBy(asc: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
@@ -74,7 +82,7 @@ object Maintenance {
       .withColumn(out,
         element_at(typedlit(offsets), col("_pid")) +
           row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("_pid")).orderBy(orderCol.asc)).cast("long") - 1)
+            .partitionBy(col("_pid")).orderBy(asc: _*)).cast("long") - 1)
       .drop("_pid")
   }
 

@@ -171,6 +171,23 @@ class SamplingSpec extends SparkSuite {
     assert(out2 === out)
   }
 
+  test("epochShuffle: a permutation per epoch, epochs independent, layout-stable") {
+    val ids = (1L to 500L).toDF("id")
+    val e0 = Sampling.epochShuffle(spark, ids, col("id"), epoch = 0)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    // positions are exactly 0..n-1 (a permutation, no gaps or dups)
+    assert(e0.values.toSeq.sorted === (0L until 500L))
+    // a different epoch yields a genuinely different order
+    val e1 = Sampling.epochShuffle(spark, ids, col("id"), epoch = 1)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(e0 !== e1)
+    // and the permutation is a function of (epoch, id) only — physical
+    // layout can't change it
+    val e0b = Sampling.epochShuffle(spark, ids.repartition(17), col("id"),
+      epoch = 0).select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(e0b === e0)
+  }
+
   test("CMS sketch: overestimate-only, error-bounded, partitioning-independent") {
     import graft.operators.Sketches
     // zipf-ish stream: key i occurs ceil(2000/i) times, i = 1..200
