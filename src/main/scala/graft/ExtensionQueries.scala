@@ -1083,6 +1083,21 @@ object ExtensionQueries {
         .select(col("event_type"), col("n_zero"), col("est_raw"))
         .orderBy("event_type")),
 
+    // ---- Bloom-filter join pruning: the runtime-filter pattern made
+    // explicit — an m-bit bloom over the selective build side (top ~10%
+    // orders by price) prunes fact rows MAP-SIDE before the semi-join
+    // shuffle; the exact semi join over survivors removes false
+    // positives, so the result is bit-identical to the plain semi join
+    // (the oracle — the q_skew_join physical-rewrite proof pattern). At
+    // 100 TB the win is shuffle volume: only bloom-passing rows shuffle.
+    "q_bloom_join" -> ((s, d) => {
+      val hot = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+      graft.operators.BloomJoin.semiJoinPruned(
+          Tables.lineitem(s, d), col("l_orderkey"), hot, col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- deterministic epoch shuffle: reproducible global training
     // order per epoch — position = dense rank of md5("epoch:" || id)
     // with id tiebreak. Balanced range sort on a uniform hash, positions
@@ -1998,6 +2013,16 @@ object ExtensionQueries {
          |SELECT event_type, n_zero,
          |  ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256.0} / hsum AS est_raw
          |FROM g ORDER BY event_type""".stripMargin,
+
+    // bloom join: the oracle is the PLAIN semi join — the bloom stage is
+    // a pure physical prune (no false negatives), so any divergence is a
+    // bug in the filter.
+    "q_bloom_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 450000.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // epoch-shuffle replay: the permutation is a plain rank over the
     // same md5-derived hash with the same id tiebreak.
