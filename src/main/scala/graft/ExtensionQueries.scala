@@ -1083,6 +1083,19 @@ object ExtensionQueries {
         .select(col("event_type"), col("n_zero"), col("est_raw"))
         .orderBy("event_type")),
 
+    // ---- all-pairs TF-IDF cosine similarity join (AllPairs/PPJoin
+    // family): the sparse-LEXICAL-vector near-dup member beside MinHash
+    // (Jaccard/sets) and hyperplane LSH (dense cosine). Inverted-index
+    // self-join over df-valved shingles (Σ df² bounded by maxDf=10, the
+    // audited-valve pattern); rational N/df idf, term-sorted folds,
+    // floorRound6 cos ⇒ fully hash-oracled.
+    "q_tfidf_simjoin" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.SimJoin.tfidfCosinePairs(docs, col("doc_id"),
+          col("text"), nDocs = docs.count(), minCos = 0.5, maxDf = 10)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- Bloom-filter join pruning: the runtime-filter pattern made
     // explicit — an m-bit bloom over the selective build side (top ~10%
     // orders by price) prunes fact rows MAP-SIDE before the semi-join
@@ -2013,6 +2026,50 @@ object ExtensionQueries {
          |SELECT event_type, n_zero,
          |  ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256.0} / hsum AS est_raw
          |FROM g ORDER BY event_type""".stripMargin,
+
+    // simjoin replay: identical shingles, rational idf, term-ordered
+    // list_sum folds, and the same floor-round — every float op is
+    // correctly-rounded IEEE, so cos matches bit-for-bit.
+    "q_tfidf_simjoin" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |    '\\s+'), x -> x != '') AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [array_to_string(tk, ' ')] END) AS term
+         |  FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM sh
+         |  GROUP BY doc_id, term),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |keep AS (
+         |  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM sh
+         |  GROUP BY term HAVING count(DISTINCT doc_id) <= 10),
+         |w AS (
+         |  SELECT t.doc_id, t.term, k.df,
+         |    t.tf::DOUBLE * (SELECT n FROM nn)::DOUBLE / k.df::DOUBLE AS w
+         |  FROM tf t JOIN keep k USING (term)),
+         |norms AS (
+         |  SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY term))) AS norm
+         |  FROM w GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.term, a.w * b.w AS prod
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  WHERE a.df >= 2),
+         |dots AS (
+         |  SELECT id1, id2, list_sum(list(prod ORDER BY term)) AS dot
+         |  FROM p GROUP BY id1, id2),
+         |cosd AS (
+         |  SELECT id1, id2,
+         |    ${graft.functions.Rounding.floorRoundSql(
+              "dot / (n1.norm * n2.norm)", 6)} AS cos
+         |  FROM dots
+         |  JOIN norms n1 ON n1.doc_id = id1
+         |  JOIN norms n2 ON n2.doc_id = id2)
+         |SELECT id1, id2, cos FROM cosd WHERE cos >= 0.5::DOUBLE
+         |ORDER BY id1, id2""".stripMargin,
 
     // bloom join: the oracle is the PLAIN semi join — the bloom stage is
     // a pure physical prune (no false negatives), so any divergence is a
