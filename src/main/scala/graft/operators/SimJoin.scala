@@ -45,8 +45,11 @@ object SimJoin {
     require(maxDf >= 2, s"maxDf=$maxDf leaves no pairable terms")
     val terms = shingleTerms(docs, idCol, textCol, shingleN)
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val keep = terms.distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df straight off tf — one row per (id, term) already, so this is
+    // count(*), not count(distinct): ONE shingle pass over the corpus
+    // and the term shuffle carries the aggregated tf rows, not raw
+    // occurrences
+    val keep = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val w = tf.join(keep, "term")
       .select(col("id"), col("term"), col("df"),
@@ -81,7 +84,8 @@ object SimJoin {
     * run alongside a capped join so the drop is an audited decision. */
   def prunedTerms(docs: DataFrame, idCol: Column, textCol: Column,
                   maxDf: Long, shingleN: Int = 3): DataFrame =
-    shingleTerms(docs, idCol, textCol, shingleN).distinct()
+    shingleTerms(docs, idCol, textCol, shingleN)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
 }
