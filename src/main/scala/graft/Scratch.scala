@@ -34,7 +34,31 @@ object Scratch {
 
     if (only.forall(_ == "ann")) runAnn(spark, noop)
     if (only.forall(_ == "zorder")) runZOrder(spark)
+    if (only.forall(_ == "bloom")) runBloom(spark, noop)
     spark.stop()
+  }
+
+  /** Decompose q_bloom_join's cost at sf0.1: bitmap build, bloom-filter
+    * scan, pruned semi join, plain semi join. */
+  private def runBloom(spark: SparkSession,
+                       noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    import graft.operators.BloomJoin
+    val d = "/root/testdata/sf0.1"
+    val fact = Tables.lineitem(spark, d)
+    val hot = Tables.orders(spark, d).filter(col("o_totalprice") > 450000.0)
+    (1 to 2).foreach { round =>
+      val bits = time(s"buildBits m=2^16 k=4 (r$round)")(
+        BloomJoin.buildBits(hot, col("o_orderkey"), 1 << 16, 4))
+      time(s"bloom filter scan only (r$round)")(
+        noop(fact.filter(
+          BloomJoin.membershipTest(col("l_orderkey"), bits, 1 << 16, 4))))
+      time(s"semiJoinPruned e2e (r$round)")(
+        noop(BloomJoin.semiJoinPruned(fact, col("l_orderkey"),
+          hot, col("o_orderkey"))))
+      time(s"plain left_semi join (r$round)")(
+        noop(fact.join(hot.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")))
+    }
   }
 
   private def runAnn(spark: SparkSession,

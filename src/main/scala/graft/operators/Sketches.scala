@@ -143,12 +143,18 @@ object Sketches {
     * Output: (cms_row, cms_bucket, cms_cnt). */
   def cmsCounters(df: DataFrame, keyCol: Column, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"cms d=$d w=$w out of range")
+    // counters are additive, so occurrences pre-aggregate per DISTINCT
+    // key before any hashing — the d md5s run once per key, not once per
+    // occurrence (6M → 108k digests on the sf0.1 documents tokens), and
+    // the grid becomes a sum of counts. Bit-identical by associativity.
     df.select(keyCol.cast("string").as("_k"))
-      .select(col("_k"), explode(sequence(lit(0), lit(d - 1))).as("cms_row"))
+      .groupBy("_k").agg(count(lit(1)).as("_n"))
+      .select(col("_k"), col("_n"),
+        explode(sequence(lit(0), lit(d - 1))).as("cms_row"))
       .withColumn("cms_bucket",
         (tokenHash32(concat(col("cms_row").cast("string"), lit(":"),
           col("_k"))) % w).cast("int"))
-      .groupBy("cms_row", "cms_bucket").agg(count(lit(1)).as("cms_cnt"))
+      .groupBy("cms_row", "cms_bucket").agg(sum(col("_n")).as("cms_cnt"))
   }
 
   /** Point-estimate `probes`' keys against a [[cmsCounters]] grid: min of
