@@ -1087,8 +1087,10 @@ object ExtensionQueries {
     // family): the sparse-LEXICAL-vector near-dup member beside MinHash
     // (Jaccard/sets) and hyperplane LSH (dense cosine). Inverted-index
     // self-join over df-valved shingles (Σ df² bounded by maxDf=10, the
-    // audited-valve pattern); rational N/df idf, term-sorted folds,
-    // floorRound6 cos ⇒ fully hash-oracled.
+    // audited-valve pattern); the space is HASHED shingles via the
+    // native kernel — 8-byte join/fold keys, the q_ngram_jaccard
+    // precedent; rational N/df idf, hash-sorted folds, floorRound6 cos
+    // ⇒ fully hash-oracled.
     "q_tfidf_simjoin" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.operators.SimJoin.tfidfCosinePairs(docs, col("doc_id"),
@@ -2027,9 +2029,12 @@ object ExtensionQueries {
          |  ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256.0} / hsum AS est_raw
          |FROM g ORDER BY event_type""".stripMargin,
 
-    // simjoin replay: identical shingles, rational idf, term-ordered
-    // list_sum folds, and the same floor-round — every float op is
-    // correctly-rounded IEEE, so cos matches bit-for-bit.
+    // simjoin replay: identical shingles through the identical 32-bit
+    // md5 hash (nibble arithmetic — the HashedShingles contract),
+    // rational idf, hash-ordered list_sum folds (value tiebreak:
+    // fold-order-irrelevant among equal values), the same floor-round —
+    // every float op is correctly-rounded IEEE, so cos matches
+    // bit-for-bit.
     "q_tfidf_simjoin" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text),
@@ -2040,26 +2045,27 @@ object ExtensionQueries {
          |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
          |    ELSE [array_to_string(tk, ' ')] END) AS term
          |  FROM toks),
+         |hsh AS (SELECT doc_id, ${hash32Sql("term")} AS h FROM sh),
          |tf AS (
-         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM sh
-         |  GROUP BY doc_id, term),
+         |  SELECT doc_id, h, count(*)::BIGINT AS tf FROM hsh
+         |  GROUP BY doc_id, h),
          |nn AS (SELECT count(*) AS n FROM documents),
          |keep AS (
-         |  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM sh
-         |  GROUP BY term HAVING count(DISTINCT doc_id) <= 10),
+         |  SELECT h, count(*)::BIGINT AS df FROM tf
+         |  GROUP BY h HAVING count(*) <= 10),
          |w AS (
-         |  SELECT t.doc_id, t.term, k.df,
+         |  SELECT t.doc_id, t.h, k.df,
          |    t.tf::DOUBLE * (SELECT n FROM nn)::DOUBLE / k.df::DOUBLE AS w
-         |  FROM tf t JOIN keep k USING (term)),
+         |  FROM tf t JOIN keep k USING (h)),
          |norms AS (
-         |  SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY term))) AS norm
+         |  SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY h, w))) AS norm
          |  FROM w GROUP BY doc_id),
          |p AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.term, a.w * b.w AS prod
-         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.h, a.w * b.w AS prod
+         |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
          |  WHERE a.df >= 2),
          |dots AS (
-         |  SELECT id1, id2, list_sum(list(prod ORDER BY term)) AS dot
+         |  SELECT id1, id2, list_sum(list(prod ORDER BY h, prod)) AS dot
          |  FROM p GROUP BY id1, id2),
          |cosd AS (
          |  SELECT id1, id2,

@@ -35,7 +35,42 @@ object Scratch {
     if (only.forall(_ == "ann")) runAnn(spark, noop)
     if (only.forall(_ == "zorder")) runZOrder(spark)
     if (only.forall(_ == "bloom")) runBloom(spark, noop)
+    if (only.forall(_ == "simjoin")) runSimJoin(spark, noop)
     spark.stop()
+  }
+
+  /** Decompose q_tfidf_simjoin's cost at sf0.1 (5k docs): hashed tf,
+    * weights, inverted-index pair products, end-to-end. Mirrors the
+    * operator's hashed-shingle stages (SimJoin.tfidfCosinePairs). */
+  private def runSimJoin(spark: SparkSession,
+                         noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    import graft.operators.SimJoin
+    val d = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, d)
+    val n = docs.count()
+    (1 to 2).foreach { round =>
+      val tf = docs.select(col("doc_id").as("id"),
+          explode(graft.plans.HashedShingles.shingleHashes(
+            col("text"), 3, 8)).as("h"))
+        .groupBy("id", "h").agg(count(lit(1)).as("tf"))
+      time(s"tf over hashed shingles (r$round)")(noop(tf))
+      val keep = tf.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10)
+      val w = tf.join(keep, "h")
+        .select(col("id"), col("h"), col("df"),
+          (col("tf").cast("double") * lit(n.toDouble) /
+            col("df").cast("double")).as("w"))
+      time(s"weights join (r$round)")(noop(w))
+      val wp = w.filter(col("df") >= 2).select("h", "id", "w")
+      val prods = wp.as("a").join(wp.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          (col("a.w") * col("b.w")).as("prod"))
+      time(s"pair products (r$round)")(noop(prods))
+      time(s"e2e tfidfCosinePairs (r$round)")(
+        noop(SimJoin.tfidfCosinePairs(docs, col("doc_id"), col("text"),
+          nDocs = n, minCos = 0.5, maxDf = 10)))
+    }
   }
 
   /** Decompose q_bloom_join's cost at sf0.1: bitmap build, bloom-filter

@@ -11,12 +11,23 @@ import graft.functions.Rounding.floorRound6
   * hyperplane LSH ≈ cosine on dense embeddings; this scores cosine on
   * weighted shingle COUNTS, the classic AllPairs/PPJoin problem).
   *
-  * Everything is chosen for cross-engine bit parity (q_tfidf_simjoin):
-  * idf is the RATIONAL N/df (no log — transcendental libm results differ
-  * between engines, the repo-wide rule); norms and dots fold in
-  * TERM-SORTED order (the q_bm25_rank trick) because a plain float SUM's
-  * accumulation order is nondeterministic; cos = dot/(‖a‖·‖b‖) uses only
-  * correctly-rounded IEEE ops (sqrt, *, /) and lands in [[floorRound6]].
+  * The vector space is the HASHED shingle space — 32-bit md5-derived
+  * hashes from the native [[graft.plans.HashedShingles]] kernel, the
+  * q_ngram_jaccard feature-hashing precedent: the inverted-index
+  * self-join and every fold key become 8-byte longs instead of ~25-byte
+  * shingle strings (measured 3.6 → 2.2 s at sf0.1), and the DuckDB
+  * oracle replays the identical hash with nibble arithmetic. A 32-bit
+  * collision merges two shingles into one feature — standard feature
+  * hashing, replicated exactly by the oracle.
+  *
+  * Everything else is chosen for cross-engine bit parity
+  * (q_tfidf_simjoin): idf is the RATIONAL N/df (no log — transcendental
+  * libm results differ between engines, the repo-wide rule); norms and
+  * dots fold in HASH-SORTED order (the q_bm25_rank trick) because a
+  * plain float SUM's accumulation order is nondeterministic — sort ties
+  * on the value itself, which is fold-order-irrelevant among equal
+  * values; cos = dot/(‖a‖·‖b‖) uses only correctly-rounded IEEE ops
+  * (sqrt, *, /) and lands in [[floorRound6]].
   *
   * Scale shape: the inverted-index self-join generates Σ_t df(t)²
   * candidate products, so the df valve (`maxDf`) bounds per-term work
@@ -25,48 +36,49 @@ import graft.functions.Rounding.floorRound6
   * idf weight, and [[prunedTerms]] audits what the valve dropped so a
   * cap is always an audited decision. df=1 terms join nothing and are
   * skipped on the pair side (they still count toward norms). The rest is
-  * linear: tf one shuffle on (doc, term), norms one on doc, dots one on
+  * linear: tf one shuffle on (doc, hash), norms one on doc, dots one on
   * (id1, id2).
   */
 object SimJoin {
 
-  private def shingleTerms(docs: DataFrame, idCol: Column, textCol: Column,
-                           shingleN: Int): DataFrame =
+  private def hashedTerms(docs: DataFrame, idCol: Column, textCol: Column,
+                          shingleN: Int): DataFrame =
     docs.select(idCol.as("id"),
-      explode(Dedup.wordShingles(textCol, shingleN)).as("term"))
+      explode(graft.plans.HashedShingles.shingleHashes(textCol, shingleN, 8))
+        .as("h"))
 
   /** Pairs (id1 < id2) with TF-IDF cosine ≥ `minCos` over the df-valved
-    * shingle space. `nDocs` is the corpus size (the caller usually has
-    * it; passing it in keeps this a single-pass dataflow).
+    * hashed-shingle space. `nDocs` is the corpus size (the caller
+    * usually has it; passing it in keeps this a single-pass dataflow).
     * Output: (id1, id2, cos). */
   def tfidfCosinePairs(docs: DataFrame, idCol: Column, textCol: Column,
                        nDocs: Long, minCos: Double, maxDf: Long,
                        shingleN: Int = 3): DataFrame = {
     require(maxDf >= 2, s"maxDf=$maxDf leaves no pairable terms")
-    val terms = shingleTerms(docs, idCol, textCol, shingleN)
-    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    // df straight off tf — one row per (id, term) already, so this is
+    val tf = hashedTerms(docs, idCol, textCol, shingleN)
+      .groupBy("id", "h").agg(count(lit(1)).as("tf"))
+    // df straight off tf — one row per (id, h) already, so this is
     // count(*), not count(distinct): ONE shingle pass over the corpus
-    // and the term shuffle carries the aggregated tf rows, not raw
+    // and the hash shuffle carries the aggregated tf rows, not raw
     // occurrences
-    val keep = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val keep = tf.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val w = tf.join(keep, "term")
-      .select(col("id"), col("term"), col("df"),
+    val w = tf.join(keep, "h")
+      .select(col("id"), col("h"), col("df"),
         (col("tf").cast("double") * lit(nDocs.toDouble) /
           col("df").cast("double")).as("w"))
     val norms = w.groupBy("id")
-      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("arr"))
+      .agg(sort_array(collect_list(struct(col("h"), col("w")))).as("arr"))
       .select(col("id"),
         sqrt(aggregate(col("arr"), lit(0.0),
           (a, x) => a + x.getField("w") * x.getField("w"))).as("norm"))
-    val wp = w.filter(col("df") >= 2).select("term", "id", "w")
+    val wp = w.filter(col("df") >= 2).select("h", "id", "w")
     val prods = wp.as("a").join(wp.as("b"),
-        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.term").as("term"), (col("a.w") * col("b.w")).as("prod"))
+        col("a.h").as("h"), (col("a.w") * col("b.w")).as("prod"))
     val dots = prods.groupBy("id1", "id2")
-      .agg(sort_array(collect_list(struct(col("term"), col("prod"))))
+      .agg(sort_array(collect_list(struct(col("h"), col("prod"))))
         .as("arr"))
       .select(col("id1"), col("id2"),
         aggregate(col("arr"), lit(0.0),
@@ -79,12 +91,15 @@ object SimJoin {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
-  /** Audit view for the df valve: the terms `tfidfCosinePairs` excluded
-    * from the vector space (df > maxDf), with their document frequency —
-    * run alongside a capped join so the drop is an audited decision. */
+  /** Audit view for the df valve: the SHINGLE STRINGS the capped join
+    * excluded from the vector space (df > maxDf), with their document
+    * frequency — run alongside a capped join so the drop is an audited
+    * decision. Strings, not hashes: the audit is for human review, and
+    * hash collisions at worst split one audited row in two. */
   def prunedTerms(docs: DataFrame, idCol: Column, textCol: Column,
                   maxDf: Long, shingleN: Int = 3): DataFrame =
-    shingleTerms(docs, idCol, textCol, shingleN)
+    docs.select(idCol.as("id"),
+        explode(Dedup.wordShingles(textCol, shingleN)).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
