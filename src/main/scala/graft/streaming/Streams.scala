@@ -326,6 +326,79 @@ object Streams {
       }
       .start()
 
+  // ---- streaming Count-Min sketch maintenance -------------------------
+
+  /** Streaming Count-Min sketch maintenance — approximate per-key
+    * frequencies over an unbounded stream in fixed space, the
+    * incremental form of [[graft.operators.Sketches.cmsCounters]].
+    *
+    * Counters are ADDITIVE, so the stream needs no read-modify-write
+    * state: each micro-batch writes its own PARTIAL grid (≤ d·w rows)
+    * into a `batch_id=<b>` partition with dynamic partition overwrite —
+    * a crash-replayed batch overwrites its own partition and can never
+    * double-count (the chunkStream idempotency pattern; it IS the
+    * exactly-once answer for a counter, where upsert-style state would
+    * need a transactional read-modify-write). The queryable grid is
+    * merge-on-read ([[readCmsGrid]]); [[compactCms]] folds accumulated
+    * partials back into one baseline partition. Append partials →
+    * merge on read → compact is the lifecycle a production sketch
+    * store runs. */
+  def cmsStream(spark: SparkSession, keys: DataFrame, gridDir: String,
+                checkpointDir: String, keyCol: String = "term",
+                d: Int = 4, w: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Sketches.cmsCounters(batch, col(keyCol), d, w)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(gridDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Merge-on-read over the partial grids: one groupBy-sum over
+    * ≤ d·w rows per partial. Runs crashed-compaction recovery first so
+    * a reader never sees a half-swapped directory. */
+  def readCmsGrid(spark: SparkSession, gridDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, gridDir)
+    spark.read.parquet(gridDir)
+      .groupBy("cms_row", "cms_bucket")
+      .agg(sum(col("cms_cnt")).as("cms_cnt"))
+  }
+
+  /** Fold every accumulated partial into ONE `batch_id=-1` baseline
+    * partition (stream batch ids are non-negative, so the baseline can
+    * never collide with a live batch) via the whole-dir rename-aside
+    * swap with crash recovery. Run with the stream STOPPED — the same
+    * exclusive-maintenance contract as `Maintenance.compact`. */
+  def compactCms(spark: SparkSession, gridDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, gridDir)
+    val tmp = new org.apache.hadoop.fs.Path(gridDir + "__compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(gridDir)
+      .groupBy("cms_row", "cms_bucket")
+      .agg(sum(col("cms_cnt")).as("cms_cnt"))
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").parquet(tmp.toString)
+    val live = new org.apache.hadoop.fs.Path(gridDir)
+    val aside = new org.apache.hadoop.fs.Path(gridDir + "__old")
+    fs.delete(aside, true)
+    renameOrThrow(fs, live, aside)
+    renameOrThrow(fs, tmp, live)
+    fs.delete(aside, true)
+  }
+
   // ---- hash-bucketed state-dir machinery (shared by the bucketed
   // upsert and the LSH dedup state table) ------------------------------
 

@@ -515,6 +515,48 @@ class StreamsSpec extends SparkSuite {
     assert(out.filter(col("digest") =!= md5(col("chunk_text"))).count() === 0)
   }
 
+  test("cmsStream: partials per batch, merge == batch sketch, replay + compaction safe") {
+    import graft.operators.Sketches
+    val dir = Files.createTempDirectory("graft-cms-stream-").toString
+    // pre-seed batch 0's partition as if a crashed run committed output
+    // but not the checkpoint — the replaying batch must OVERWRITE it
+    // (dynamic overwrite), or the counter double-counts
+    Seq((0, 5, 999L)).toDF("cms_row", "cms_bucket", "cms_cnt")
+      .write.parquet(s"$dir/grid/batch_id=0")
+    val input = MemoryStream[String](spark)
+    val q = Streams.cmsStream(spark, input.toDF().toDF("term"),
+      s"$dir/grid", s"$dir/chk", keyCol = "term", d = 2, w = 16)
+    try {
+      input.addData("a", "b", "a"); q.processAllAvailable()
+      input.addData("b", "c"); q.processAllAvailable()
+    } finally q.stop()
+    // two live partials + none of the stale pre-seed
+    val partials = spark.read.parquet(s"$dir/grid")
+    assert(partials.select("batch_id").distinct().count() === 2)
+    assert(partials.filter(col("cms_cnt") === 999L).count() === 0)
+    // merged grid is BIT-EQUAL to the batch sketch of the full stream
+    val expected = Sketches.cmsCounters(
+        Seq("a", "b", "a", "b", "c").toDF("term"), col("term"), 2, 16)
+      .as[(Int, Int, Long)].collect().toSet
+    val merged = Streams.readCmsGrid(spark, s"$dir/grid")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(merged === expected)
+    // compaction folds to ONE baseline partition, grid unchanged
+    Streams.compactCms(spark, s"$dir/grid")
+    val after = spark.read.parquet(s"$dir/grid")
+    assert(after.select("batch_id").distinct().as[Long].collect().toSeq
+      === Seq(-1L))
+    assert(Streams.readCmsGrid(spark, s"$dir/grid")
+      .as[(Int, Int, Long)].collect().toSet === expected)
+    // estimates off the streamed grid match the batch path end-to-end
+    val probes = Seq(("a", 2L), ("b", 2L), ("c", 1L))
+      .toDF("term", "exact_cnt")
+    val est = Sketches.cmsEstimate(
+        Streams.readCmsGrid(spark, s"$dir/grid"), probes, "term", 2, 16)
+      .as[(String, Long, Long)].collect()
+    est.foreach { case (k, ex, e) => assert(e >= ex, s"$k under-counted") }
+  }
+
   test("ivfUpsertStream: touched cells rewritten, drift triggers retrain") {
     import graft.operators.Ann
     val base = Files.createTempDirectory("graft-ivf-stream-").toString
