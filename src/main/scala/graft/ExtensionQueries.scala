@@ -1083,6 +1083,28 @@ object ExtensionQueries {
         .select(col("event_type"), col("n_zero"), col("est_raw"))
         .orderBy("event_type")),
 
+    // ---- URL canonicalization (web-crawl curation): the dedup-key
+    // problem — one page, many spellings. URLs synthesized id-derived
+    // (the multimodal proof pattern: messy case, default port, tracking
+    // params, fragment), then normalized via split/filter/join array
+    // ops — no regex, so the oracle's list functions align exactly.
+    // Map-side, codegen'd; hash-oracled.
+    "q_url_normalize" -> ((s, d) => {
+      import graft.functions.UrlFunctions._
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/Articles/"), col("lang"), lit("/"),
+        pmod(col("doc_id"), lit(50)),
+        lit("?utm_source=feed&ref=rss&id="), col("doc_id"),
+        lit("#sec-"), pmod(col("doc_id"), lit(5)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          normalizeUrl(col("url")).as("url_norm"),
+          urlHost(col("url")).as("host"),
+          urlPathDepth(col("url")).as("path_depth"))
+        .orderBy("doc_id")
+    }),
+
     // ---- all-pairs TF-IDF cosine similarity join (AllPairs/PPJoin
     // family): the sparse-LEXICAL-vector near-dup member beside MinHash
     // (Jaccard/sets) and hyperplane LSH (dense cosine). Inverted-index
@@ -2028,6 +2050,49 @@ object ExtensionQueries {
          |SELECT event_type, n_zero,
          |  ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256.0} / hsum AS est_raw
          |FROM g ORDER BY event_type""".stripMargin,
+
+    // URL replay: identical synthesized URL, identical split/filter/
+    // join normalization via DuckDB's list functions (no regex on
+    // either side, so there is no dialect to diverge).
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'
+        |    || lang || '/' || (doc_id % 50)::VARCHAR
+        |    || '?utm_source=feed&ref=rss&id=' || doc_id::VARCHAR
+        |    || '#sec-' || (doc_id % 5)::VARCHAR AS url
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    lower(string_split(string_split(url, '#')[1], '://')[1]) AS scheme,
+        |    string_split(string_split(url, '#')[1], '://')[2] AS rest
+        |  FROM u),
+        |bq AS (
+        |  SELECT *, string_split(rest, '?')[1] AS beforeq,
+        |    CASE WHEN len(string_split(rest, '?')) > 1
+        |         THEN string_split(rest, '?')[2] ELSE NULL END AS qs
+        |  FROM s),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN ends_with(lower(string_split(beforeq, '/')[1]), ':443')
+        |           OR ends_with(lower(string_split(beforeq, '/')[1]), ':80')
+        |         THEN string_split(lower(string_split(beforeq, '/')[1]), ':')[1]
+        |         ELSE lower(string_split(beforeq, '/')[1]) END AS host,
+        |    list_filter(string_split(beforeq, '/')[2:], x -> x != '') AS segs,
+        |    list_filter(
+        |      CASE WHEN qs IS NULL THEN []::VARCHAR[]
+        |           ELSE list_filter(string_split(qs, '&'), p -> p != '') END,
+        |      p -> NOT starts_with(p, 'utm_')
+        |       AND NOT starts_with(p, 'ref=')) AS kept
+        |  FROM bq)
+        |SELECT doc_id,
+        |  scheme || '://' || host ||
+        |  CASE WHEN len(segs) > 0
+        |       THEN '/' || array_to_string(segs, '/') ELSE '' END ||
+        |  CASE WHEN len(kept) > 0
+        |       THEN '?' || array_to_string(kept, '&') ELSE '' END AS url_norm,
+        |  host, len(segs)::INT AS path_depth
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // simjoin replay: identical shingles through the identical 32-bit
     // md5 hash (nibble arithmetic — the HashedShingles contract),

@@ -134,4 +134,33 @@ class FunctionsSpec extends SparkSuite {
       .select(nfcNormalize(col("s"))).collect()
     assert(nul.head.isNullAt(0))
   }
+
+  test("normalizeUrl: case, default port, fragment, tracking params") {
+    import graft.functions.UrlFunctions._
+    val rows = Seq(
+      // messy everything → canonical
+      ("full", "HTTPS://WWW.Site.COM:443/A/b/?utm_source=x&ref=r&id=7#top"),
+      // already-canonical stays fixed-point
+      ("canon", "https://www.site.com/a/b?id=7"),
+      // no path, no params; default http port
+      ("bare", "HTTP://Site.COM:80"),
+      // non-default port survives; utm-only query disappears
+      ("port", "https://site.com:8080/x?utm_medium=m"))
+      .toDF("k", "url")
+      .select(col("k"), normalizeUrl(col("url")).as("n"),
+        urlHost(col("url")).as("h"), urlPathDepth(col("url")).as("d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    assert(rows("full") ===
+      (("https://www.site.com/A/b?id=7", "www.site.com", 2)))
+    assert(rows("canon") ===
+      (("https://www.site.com/a/b?id=7", "www.site.com", 2)))
+    assert(rows("bare") === (("http://site.com", "site.com", 0)))
+    assert(rows("port") === (("https://site.com:8080/x", "site.com:8080", 1)))
+    // normalization is idempotent: norm(norm(u)) == norm(u)
+    val once = Seq("HTTPS://WWW.Site.COM:443/A/b/?utm_source=x&id=7#f")
+      .toDF("url").select(normalizeUrl(col("url")).as("n"))
+    val twice = once.select(normalizeUrl(col("n"))).as[String].head()
+    assert(twice === once.as[String].head())
+  }
 }
