@@ -1065,6 +1065,16 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // ---- temperature-scaled resampling (alpha sampling, alpha = 0.5):
+    // proportions ∝ √n_d flatten the domain distribution toward
+    // uniform — the multilingual pretraining mix. sqrt is correctly-
+    // rounded IEEE, so thresholds stay integer-exact vs the oracle.
+    "q_sample_temperature" -> ((s, d) =>
+      Sampling.resampleTemperature(Tables.documents(s, d), "lang",
+          col("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // ---- KMV distinct sketch: deterministic mergeable distinct-count
     // (custom Aggregator; states are <=64 longs, map-side combined).
     "q_sketch_kmv" -> ((s, d) =>
@@ -1994,6 +2004,22 @@ object ExtensionQueries {
          |thr AS (SELECT lang,
          |    floor(p * (SELECT t FROM t) / n * 65536.0)::BIGINT AS thr
          |  FROM j)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN thr USING (lang)
+         |WHERE ${hash16Sql("doc_id::VARCHAR")} < thr
+         |ORDER BY doc_id""".stripMargin,
+
+    // temperature replay: same threshold arithmetic as q_sample_mix
+    // with w = sqrt(n) — every op correctly-rounded IEEE in both
+    // engines, same evaluation order.
+    "q_sample_temperature" ->
+      s"""WITH n AS (
+         |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n, sqrt(n::DOUBLE) AS w FROM n WHERE n > 0),
+         |t AS (SELECT min(n / w) AS t FROM w),
+         |thr AS (SELECT lang,
+         |    floor(w * (SELECT t FROM t) / n * 65536.0)::BIGINT AS thr
+         |  FROM w)
          |SELECT d.doc_id, d.lang
          |FROM documents d JOIN thr USING (lang)
          |WHERE ${hash16Sql("doc_id::VARCHAR")} < thr

@@ -81,6 +81,25 @@ object Sampling {
     df.filter(tokenHash16(keyCol.cast("string")) < thrCol)
   }
 
+  /** Temperature-scaled domain resampling — the multilingual "alpha
+    * sampling" step (XLM-R style): target proportions ∝ n_d^α flatten
+    * the natural domain distribution toward uniform, so low-resource
+    * domains keep everything while high-resource ones downsample. α is
+    * fixed at 0.5 (weights = √n_d) because sqrt is a correctly-rounded
+    * IEEE op the oracle replays bit-for-bit, while a general pow(n, α)
+    * is transcendental (the repo-wide no-log/pow rule). Delegates to
+    * [[resampleToMix]] with the derived weights — the count aggregate
+    * runs twice, but both are driver-sized (one row per domain);
+    * thresholds stay integer-exact (q_sample_temperature). */
+  def resampleTemperature(df: DataFrame, domainCol: String,
+                          keyCol: Column): DataFrame = {
+    val counts = df.groupBy(domainCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val weights = counts.collect {
+      case (d, n) if n > 0 => d -> math.sqrt(n.toDouble) }
+    resampleToMix(df, domainCol, keyCol, weights)
+  }
+
   /** Token-budget shard packing: within each `groupCol` stream (ordered by
     * `orderCol`), assign rows to consecutive bins so each bin holds about
     * `budget` tokens (a row that crosses the boundary opens the next bin).

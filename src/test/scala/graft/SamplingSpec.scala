@@ -171,6 +171,20 @@ class SamplingSpec extends SparkSuite {
     assert(out2 === out)
   }
 
+  test("resampleTemperature: flattens toward uniform, binding domain whole") {
+    // a: 400 rows, b: 100 → weights 20:10, T = min(√n) via n/w = 10;
+    // keep rates: b = 10·10/100 = 1.0 (everything), a = 20·10/400 = 0.5
+    val rows = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 500).map(i => (i.toLong, "b"))).toDF("id", "dom")
+    val by = Sampling.resampleTemperature(rows, "dom", col("id"))
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(by("b") === 100L)
+    assert(math.abs(by("a") - 200L) < 40L)
+    // output ratio 2:1 sits between natural 4:1 and uniform 1:1 — the
+    // flattening alpha-sampling buys
+    assert(by("a") > by("b") && by("a") < 4 * by("b"))
+  }
+
   test("epochShuffle: a permutation per epoch, epochs independent, layout-stable") {
     val ids = (1L to 500L).toDF("id")
     val e0 = Sampling.epochShuffle(spark, ids, col("id"), epoch = 0)
