@@ -39,19 +39,28 @@ object BloomJoin {
   private val powers: Column =
     typedlit((0 until 64).map(i => 1L << i))
 
-  /** Build the m-bit bloom bitmap over `build`'s keys as an array of
-    * m/64 longs. One pass over the build side; the OR-aggregate groups
-    * on ≤ m/64 words so map-side partials do all of the work. */
-  def buildBits(build: DataFrame, keyCol: Column,
-                mBits: Int, kHash: Int): Array[Long] = {
+  /** The bitmap as a RELATION of non-zero words (word, bits) — the
+    * OR-aggregate groups on ≤ m/64 words so map-side partials do all of
+    * the work. The distributable form: [[buildBits]] collects it, the
+    * streaming maintenance path persists per-batch partials of it
+    * (words OR-merge exactly as CMS counters add). */
+  def buildWords(build: DataFrame, keyCol: Column,
+                 mBits: Int, kHash: Int): DataFrame = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits=$mBits not a multiple of 64")
     require(kHash >= 1, s"kHash=$kHash < 1")
-    val words = build
+    build
       .select(explode(array(
         (0 until kHash).map(j => bitPos(j, keyCol, mBits)): _*)).as("p"))
       .select(shiftright(col("p"), 6).as("word"),
         element_at(powers, (col("p") % 64).cast("int") + 1).as("mask"))
       .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Build the m-bit bloom bitmap over `build`'s keys as an array of
+    * m/64 longs (one driver-sized collect of [[buildWords]]). */
+  def buildBits(build: DataFrame, keyCol: Column,
+                mBits: Int, kHash: Int): Array[Long] = {
+    val words = buildWords(build, keyCol, mBits, kHash)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val arr = new Array[Long](mBits / 64)
     words.foreach { case (w, b) => arr(w) = b }

@@ -399,6 +399,74 @@ object Streams {
     fs.delete(aside, true)
   }
 
+  /** Streaming Bloom-filter maintenance — the incremental form of
+    * [[graft.operators.BloomJoin.buildBits]], with [[cmsStream]]'s
+    * append-partials lifecycle: bloom words OR-merge exactly as CMS
+    * counters add, so each micro-batch writes its own partial word
+    * relation (≤ m/64 rows) into a `batch_id` partition with dynamic
+    * overwrite (replay overwrites its own partition; OR is idempotent
+    * anyway, so bloom state is doubly safe). [[readBloomBits]] ORs the
+    * partials into the query-side literal — a filter over keys ingested
+    * ACROSS the whole stream, e.g. "prune this scan to ids ever seen on
+    * the ingest stream". */
+  def bloomStream(spark: SparkSession, keys: DataFrame, bitsDir: String,
+                  checkpointDir: String, keyCol: String = "doc_id",
+                  mBits: Int = 1 << 16, kHash: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.BloomJoin.buildWords(batch, col(keyCol),
+              mBits, kHash)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bitsDir)
+        }
+        ()
+      }
+      .start()
+
+  /** OR-merge the streamed bloom partials into the bitmap literal
+    * (mBits/64 longs) for [[graft.operators.BloomJoin.membershipTest]].
+    * Runs crashed-compaction recovery first. */
+  def readBloomBits(spark: SparkSession, bitsDir: String,
+                    mBits: Int): Array[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, bitsDir)
+    val words = spark.read.parquet(bitsDir)
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val arr = new Array[Long](mBits / 64)
+    words.foreach { case (w, b) => arr(w) = b }
+    arr
+  }
+
+  /** Fold streamed bloom partials into one `batch_id=-1` baseline
+    * partition — [[compactCms]]'s contract (stream stopped) with an OR
+    * merge instead of a sum. */
+  def compactBloom(spark: SparkSession, bitsDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, bitsDir)
+    val tmp = new org.apache.hadoop.fs.Path(bitsDir + "__compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(bitsDir)
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").parquet(tmp.toString)
+    val live = new org.apache.hadoop.fs.Path(bitsDir)
+    val aside = new org.apache.hadoop.fs.Path(bitsDir + "__old")
+    fs.delete(aside, true)
+    renameOrThrow(fs, live, aside)
+    renameOrThrow(fs, tmp, live)
+    fs.delete(aside, true)
+  }
+
   // ---- hash-bucketed state-dir machinery (shared by the bucketed
   // upsert and the LSH dedup state table) ------------------------------
 

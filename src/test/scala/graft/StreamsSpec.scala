@@ -557,6 +557,38 @@ class StreamsSpec extends SparkSuite {
     est.foreach { case (k, ex, e) => assert(e >= ex, s"$k under-counted") }
   }
 
+  test("bloomStream: streamed bits == batch bits, replay safe, compaction preserves") {
+    import graft.operators.BloomJoin
+    val dir = Files.createTempDirectory("graft-bloom-stream-").toString
+    val mBits = 1 << 10
+    // pre-seed batch 0 with an all-ones word (a crashed run's garbage):
+    // replay must overwrite it or every membership test passes
+    Seq((0, -1L)).toDF("word", "bits")
+      .write.parquet(s"$dir/bits/batch_id=0")
+    val input = MemoryStream[Long](spark)
+    val q = Streams.bloomStream(spark, input.toDF().toDF("doc_id"),
+      s"$dir/bits", s"$dir/chk", mBits = mBits, kHash = 4)
+    try {
+      input.addData(1L to 50L: _*); q.processAllAvailable()
+      input.addData(51L to 80L: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.readBloomBits(spark, s"$dir/bits", mBits)
+    val batch = BloomJoin.buildBits((1L to 80L).toDF("doc_id"),
+      col("doc_id"), mBits, 4)
+    assert(streamed.toSeq === batch.toSeq)
+    // no false negatives over every key the stream ever saw
+    val misses = (1L to 80L).toDF("doc_id")
+      .filter(!BloomJoin.membershipTest(col("doc_id"), streamed, mBits, 4))
+      .count()
+    assert(misses === 0L)
+    // compaction folds to one baseline partition, bits unchanged
+    Streams.compactBloom(spark, s"$dir/bits")
+    assert(spark.read.parquet(s"$dir/bits")
+      .select("batch_id").distinct().as[Long].collect().toSeq === Seq(-1L))
+    assert(Streams.readBloomBits(spark, s"$dir/bits", mBits).toSeq
+      === batch.toSeq)
+  }
+
   test("ivfUpsertStream: touched cells rewritten, drift triggers retrain") {
     import graft.operators.Ann
     val base = Files.createTempDirectory("graft-ivf-stream-").toString
