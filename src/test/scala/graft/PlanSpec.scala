@@ -176,6 +176,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"), p) // buckets line up
   }
 
+  test("bloom membership filter is map-side; pruned join stays a semi join") {
+    import graft.operators.BloomJoin
+    val fact = Tables.lineitem(spark, dir)
+    val hot = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0)
+    val bits = BloomJoin.buildBits(hot, col("o_orderkey"), 1 << 12, 4)
+    // the membership test composes onto the scan with NO exchange — at
+    // 100 TB it prunes fact rows before any shuffle, which is the point
+    val p1 = plan(fact.filter(
+      BloomJoin.membershipTest(col("l_orderkey"), bits, 1 << 12, 4)))
+    assert(!p1.contains("Exchange"), p1)
+    val p2 = plan(BloomJoin.semiJoinPruned(fact, col("l_orderkey"),
+      hot, col("o_orderkey")))
+    assert(p2.contains("LeftSemi"), p2)
+  }
+
+  test("epochShuffle window is per-partition — no single-partition exchange") {
+    val df = graft.operators.Sampling.epochShuffle(spark,
+      Tables.documents(spark, dir), col("doc_id"), epoch = 0)
+    val p = plan(df)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("no declared query plans a cartesian product (BNLJ only where documented)") {
     // the one sanctioned BroadcastNestedLoopJoin: q_knn_join's documented
     // broadcast-corpus crossJoin (its scale path is q_knn_join_ivf)
