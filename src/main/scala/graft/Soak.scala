@@ -133,6 +133,15 @@ object Soak {
     assertPlanSane("lmScore", lm)
     time("lmScore (50k docs)") { noop(lm) }
 
+    // ---- TF-IDF cosine all-pairs join (Σ df² bounded by the df valve:
+    // a shingle in more than maxDf docs is excluded-and-auditable, so
+    // candidate work cannot go quadratic on a repetitive corpus — this
+    // 15-word-vocabulary soak set is exactly that worst case)
+    val sim = graft.operators.SimJoin.tfidfCosinePairs(soakDocs,
+      col("doc_id"), col("text"), nDocs = 50000L, minCos = 0.5, maxDf = 10)
+    assertPlanSane("tfidfCosinePairs", sim)
+    time("tfidfCosinePairs (50k docs, maxDf=10)") { noop(sim) }
+
     // ---- IVF kNN join: train k=16 on the 20k corpus, 100-query batch
     val cents = time("kmeans train k=16, 3 iters") {
       Ann.kmeansCentroids(soakVecs, col("vec_id"), col("embedding"), 16, 3)
