@@ -1065,6 +1065,18 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // ---- quality-weighted acceptance sampling: keep probability = the
+    // per-doc quality score (the curation acceptance step). Map-side
+    // integer-hash threshold per ROW — the q_sample_mix pattern with a
+    // per-row rate; quality itself is already oracled (q_text_quality),
+    // so the whole chain hash-matches.
+    "q_sample_weighted" -> ((s, d) =>
+      Sampling.weightedSample(
+          withQualityScore(Tables.documents(s, d), col("text")),
+          col("doc_id"), col("quality"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy("doc_id")),
+
     // ---- temperature-scaled resampling (alpha sampling, alpha = 0.5):
     // proportions ∝ √n_d flatten the domain distribution toward
     // uniform — the multilingual pretraining mix. sqrt is correctly-
@@ -1276,6 +1288,37 @@ object ExtensionQueries {
   private def hash16Sql(e: String): String = hashNSql(e, 4)
   private def hash32Sql(e: String): String = hashNSql(e, 8)
 
+  /** Shared CTE chain producing the per-doc quality relation
+    * `q(doc_id, quality)` — the DuckDB replay of
+    * [[graft.functions.TextFunctions.withQualityScore]], used by both
+    * the quality oracle and the weighted-sample oracle. */
+  private lazy val qualityCteSql: String =
+    s"""t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x != '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, toks, len(toks) AS n,
+       |    least(len(text)::DOUBLE / 500.0, 1.0) AS len_score,
+       |    len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+       |      / greatest(len(text)::DOUBLE, 1.0) AS punct_ratio,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      len(list_filter(toks, t -> list_contains($stopSql, t)))::DOUBLE
+       |        / len(toks)::DOUBLE ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+       |        / len(toks)::DOUBLE ELSE 0.0 END AS avg_tok_len
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id,
+       |    floor((len_score * 0.25
+       |      + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
+       |      + least(stop_ratio * 5.0, 1.0) * 0.25
+       |      + least(avg_tok_len / 10.0, 1.0)* 0.25) * 10000.0 + 0.5) / 10000.0
+       |      AS quality
+       |  FROM m)""".stripMargin
+
   /** Shared CTE chain producing the MinHash-LSH candidate pairs relation
     * `pairs(id1, id2)` — used by both the pair oracle and the
     * connected-components oracle. */
@@ -1452,30 +1495,18 @@ object ExtensionQueries {
     "q_text_langid" -> langIdSql,
 
     "q_text_quality" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    list_filter(string_split_regex(lower(text), '\\s+'),
-         |      x -> x != '') AS toks
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, text, toks, len(toks) AS n,
-         |    least(len(text)::DOUBLE / 500.0, 1.0) AS len_score,
-         |    len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-         |      / greatest(len(text)::DOUBLE, 1.0) AS punct_ratio,
-         |    CASE WHEN len(toks) > 0 THEN
-         |      len(list_filter(toks, t -> list_contains($stopSql, t)))::DOUBLE
-         |        / len(toks)::DOUBLE ELSE 0.0 END AS stop_ratio,
-         |    CASE WHEN len(toks) > 0 THEN
-         |      list_sum(list_transform(toks, t -> len(t)))::DOUBLE
-         |        / len(toks)::DOUBLE ELSE 0.0 END AS avg_tok_len
-         |  FROM t)
-         |SELECT doc_id,
-         |  floor((len_score * 0.25
-         |    + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
-         |    + least(stop_ratio * 5.0, 1.0) * 0.25
-         |    + least(avg_tok_len / 10.0, 1.0)* 0.25) * 10000.0 + 0.5) / 10000.0
-         |    AS quality
-         |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCteSql
+         |SELECT doc_id, quality FROM q ORDER BY doc_id""".stripMargin,
+
+    // weighted-sample replay: identical quality relation, acceptance =
+    // integer hash under floor(quality · 2^16) — the q_sample_mix
+    // threshold pattern with a per-ROW rate.
+    "q_sample_weighted" ->
+      s"""WITH $qualityCteSql
+         |SELECT doc_id, quality FROM q
+         |WHERE ${hash16Sql("doc_id::VARCHAR")}
+         |      < floor(quality * 65536.0)::BIGINT
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

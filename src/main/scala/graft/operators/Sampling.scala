@@ -81,6 +81,20 @@ object Sampling {
     df.filter(tokenHash16(keyCol.cast("string")) < thrCol)
   }
 
+  /** Quality-weighted acceptance sampling: keep a row with probability
+    * equal to its weight in [0,1] — "sample proportional to quality",
+    * the curation acceptance step (DCLM-style pipelines). Acceptance is
+    * the md5-derived key hash under floor(weight · 2^16) — map-side,
+    * layout-independent, per-row stable as the corpus grows, and
+    * integer-exact vs the oracle: the q_sample_mix threshold pattern
+    * with a per-ROW rate instead of a per-domain one
+    * (q_sample_weighted). Weights outside [0,1] clamp naturally: ≤ 0
+    * keeps nothing (hash ≥ 0), ≥ 1 keeps everything (hash < 2^16). */
+  def weightedSample(df: DataFrame, keyCol: Column,
+                     weightCol: Column): DataFrame =
+    df.filter(tokenHash16(keyCol.cast("string")) <
+      floor(weightCol * lit(65536.0)).cast("long"))
+
   /** Temperature-scaled domain resampling — the multilingual "alpha
     * sampling" step (XLM-R style): target proportions ∝ n_d^α flatten
     * the natural domain distribution toward uniform, so low-resource

@@ -171,6 +171,32 @@ class SamplingSpec extends SparkSuite {
     assert(out2 === out)
   }
 
+  test("weightedSample: rate tracks the weight, clamps at 0 and 1, stable") {
+    val rows = (1L to 4000L).map { i =>
+      (i, (i % 4) match {
+        case 0 => 0.0   // never kept
+        case 1 => 0.25
+        case 2 => 0.75
+        case 3 => 1.0   // always kept
+      })
+    }.toDF("id", "wt")
+    val kept = Sampling.weightedSample(rows, col("id"), col("wt"))
+      .groupBy("wt").count().as[(Double, Long)].collect().toMap
+    assert(!kept.contains(0.0))
+    assert(kept(1.0) === 1000L)
+    assert(math.abs(kept(0.25) - 250L) < 60L)
+    assert(math.abs(kept(0.75) - 750L) < 60L)
+    // per-row decisions are a pure function of (id, weight): growing the
+    // corpus cannot flip any existing row
+    val keptIds = Sampling.weightedSample(rows, col("id"), col("wt"))
+      .select("id").as[Long].collect().toSet
+    val grown = rows.unionByName(
+      (4001L to 5000L).map((_, 0.5)).toDF("id", "wt"))
+    val keptIds2 = Sampling.weightedSample(grown, col("id"), col("wt"))
+      .filter(col("id") <= 4000L).select("id").as[Long].collect().toSet
+    assert(keptIds2 === keptIds)
+  }
+
   test("resampleTemperature: flattens toward uniform, binding domain whole") {
     // a: 400 rows, b: 100 → weights 20:10, T = min(√n) via n/w = 10;
     // keep rates: b = 10·10/100 = 1.0 (everything), a = 20·10/400 = 0.5
