@@ -1127,6 +1127,37 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- per-host crawl cap: keep the best `k` docs per host by
+    // quality — the crawl-diversity quota (one domain must not dominate
+    // the corpus). Composition: urlHost ∘ quality ∘ ranked window; at
+    // scale the window swaps for the bounded-buffer TopK aggregator
+    // keyed on a dense host id (q_topk_per_group's physical shape).
+    "q_host_cap" -> ((s, d) => {
+      import graft.functions.UrlFunctions._
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/Articles/"), col("doc_id"))
+      withQualityScore(Tables.documents(s, d), col("text"))
+        .withColumn("host", urlHost(url))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(col("quality").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("host"), col("quality"), col("rn"))
+        .orderBy("host", "rn")
+    }),
+
+    // ---- hard-negative mining (embedding-training sampling): per
+    // query, the neighbors just past the positives — rn in (5, 15] —
+    // near enough to be confusable, far enough to be negatives. Pure
+    // composition over the batch kNN join; same oracle shape.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.knnJoin(emb.filter(col("vec_id") < 10), col("vec_id"),
+          col("embedding"), emb, col("vec_id"), col("embedding"), k = 15)
+        .filter(col("rn") > 5)
+        .orderBy("query_id", "rn")
+    }),
+
     // ---- all-pairs TF-IDF cosine similarity join (AllPairs/PPJoin
     // family): the sparse-LEXICAL-vector near-dup member beside MinHash
     // (Jaccard/sets) and hyperplane LSH (dense cosine). Inverted-index
@@ -2107,6 +2138,43 @@ object ExtensionQueries {
          |SELECT event_type, n_zero,
          |  ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256.0} / hsum AS est_raw
          |FROM g ORDER BY event_type""".stripMargin,
+
+    // host-cap replay: the synthesized URL's host reduces to
+    // 'www.' || lower(source) || '.example.com' (urlHost itself is
+    // oracled end-to-end by q_url_normalize); quality from the shared
+    // CTE; the cap is the window formulation.
+    "q_host_cap" ->
+      s"""WITH $qualityCteSql,
+         |j AS (
+         |  SELECT q.doc_id,
+         |    'www.' || lower(d.source) || '.example.com' AS host,
+         |    q.quality
+         |  FROM q JOIN documents d USING (doc_id))
+         |SELECT doc_id, host, quality, rn FROM (
+         |  SELECT doc_id, host, quality,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM j) t
+         |WHERE rn <= 10 ORDER BY host, rn""".stripMargin,
+
+    // hard negatives: the knnJoin oracle shape at k=15 with the
+    // positive prefix removed.
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS match_id,
+        |    round(sqrt(list_sum(list_transform(
+        |      generate_series(1, len(e.embedding)),
+        |      i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+        |         * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))), 6) AS dist
+        |  FROM q, embeddings e),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, match_id) AS rn FROM p)
+        |SELECT query_id, match_id, dist, rn FROM r
+        |WHERE rn > 5 AND rn <= 15 ORDER BY query_id, rn""".stripMargin,
 
     // URL replay: identical synthesized URL, identical split/filter/
     // join normalization via DuckDB's list functions (no regex on
