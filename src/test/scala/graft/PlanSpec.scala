@@ -200,9 +200,10 @@ class PlanSpec extends SparkSuite {
   }
 
   test("no declared query plans a cartesian product (BNLJ only where documented)") {
-    // the one sanctioned BroadcastNestedLoopJoin: q_knn_join's documented
-    // broadcast-corpus crossJoin (its scale path is q_knn_join_ivf)
-    val allowedBnlj = Set("q_knn_join")
+    // the sanctioned BroadcastNestedLoopJoins: q_knn_join's documented
+    // broadcast-corpus crossJoin (its scale path is q_knn_join_ivf) and
+    // q_hard_negatives, which composes over the same machinery
+    val allowedBnlj = Set("q_knn_join", "q_hard_negatives")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
