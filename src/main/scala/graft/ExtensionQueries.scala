@@ -2199,8 +2199,10 @@ object ExtensionQueries {
         |  FROM s),
         |h AS (
         |  SELECT *,
-        |    CASE WHEN ends_with(lower(string_split(beforeq, '/')[1]), ':443')
-        |           OR ends_with(lower(string_split(beforeq, '/')[1]), ':80')
+        |    CASE WHEN (scheme = 'https'
+        |           AND ends_with(lower(string_split(beforeq, '/')[1]), ':443'))
+        |           OR (scheme = 'http'
+        |           AND ends_with(lower(string_split(beforeq, '/')[1]), ':80'))
         |         THEN string_split(lower(string_split(beforeq, '/')[1]), ':')[1]
         |         ELSE lower(string_split(beforeq, '/')[1]) END AS host,
         |    list_filter(string_split(beforeq, '/')[2:], x -> x != '') AS segs,

@@ -31,11 +31,14 @@ object UrlFunctions {
   private def beforeQuery(url: Column): Column =
     element_at(split(afterScheme(url), "\\?", -1), 1)
 
-  /** Lowercased host with the default port stripped (":443"/":80");
-    * non-default ports survive. */
+  /** Lowercased host with the SCHEME'S default port stripped (https:443,
+    * http:80); any other port survives — https://x:80 is a genuinely
+    * different origin from https://x and must not merge with it. */
   def urlHost(url: Column): Column = {
     val hp = lower(element_at(split(beforeQuery(url), "/", -1), 1))
-    when(hp.endsWith(":443") || hp.endsWith(":80"),
+    val scheme = urlScheme(url)
+    when((scheme === "https" && hp.endsWith(":443")) ||
+         (scheme === "http" && hp.endsWith(":80")),
       element_at(split(hp, ":", -1), 1)).otherwise(hp)
   }
 

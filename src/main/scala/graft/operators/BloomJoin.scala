@@ -56,16 +56,26 @@ object BloomJoin {
       .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
   }
 
+  /** Assemble collected (word, bits) rows into the mBits/64-long bitmap;
+    * a word index outside the bitmap means the rows were written with a
+    * DIFFERENT mBits — fail loudly instead of corrupting the filter. */
+  private[graft] def wordsToBits(words: Array[(Int, Long)],
+                                 mBits: Int): Array[Long] = {
+    val arr = new Array[Long](mBits / 64)
+    words.foreach { case (w, b) =>
+      require(w >= 0 && w < arr.length,
+        s"word index $w outside mBits=$mBits/64 — bits built with a different mBits?")
+      arr(w) = b
+    }
+    arr
+  }
+
   /** Build the m-bit bloom bitmap over `build`'s keys as an array of
     * m/64 longs (one driver-sized collect of [[buildWords]]). */
   def buildBits(build: DataFrame, keyCol: Column,
-                mBits: Int, kHash: Int): Array[Long] = {
-    val words = buildWords(build, keyCol, mBits, kHash)
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val arr = new Array[Long](mBits / 64)
-    words.foreach { case (w, b) => arr(w) = b }
-    arr
-  }
+                mBits: Int, kHash: Int): Array[Long] =
+    wordsToBits(buildWords(build, keyCol, mBits, kHash)
+      .collect().map(r => (r.getInt(0), r.getLong(1))), mBits)
 
   /** Membership-test column: true iff all k of `key`'s bit positions are
     * set in `bits`. False ⇒ the key is provably absent from the build
@@ -88,8 +98,11 @@ object BloomJoin {
                      build: DataFrame, buildKey: Column,
                      mBits: Int = 1 << 16, kHash: Int = 4): DataFrame = {
     val bits = buildBits(build, buildKey, mBits, kHash)
+    // no distinct(): left-semi semantics ignore build-side duplicates,
+    // and a pre-dedup would add a full build-side shuffle to the exact
+    // operator whose point is cutting shuffle volume
     fact.filter(membershipTest(factKey, bits, mBits, kHash))
-      .join(build.select(buildKey.as("_bloom_bk")).distinct(),
+      .join(build.select(buildKey.as("_bloom_bk")),
         factKey === col("_bloom_bk"), "left_semi")
   }
 }

@@ -66,11 +66,24 @@ object Sampling {
     * thresholds are integer-exact against the SQL oracle: floor to a
     * 16-bit threshold, compare the integer hash (q_sample_mix). */
   def resampleToMix(df: DataFrame, domainCol: String, keyCol: Column,
-                    targetWeights: Map[String, Double]): DataFrame = {
+                    targetWeights: Map[String, Double]): DataFrame =
+    resampleToMix(df, domainCol, keyCol, targetWeights,
+      countsByDomain(df, domainCol))
+
+  /** One count pass per domain; NULL-domain rows are excluded (they can
+    * never match a named target weight — the SQL oracle's NULL join
+    * semantics — and `null.toString` would otherwise throw). */
+  private def countsByDomain(df: DataFrame,
+                             domainCol: String): Map[String, Long] =
+    df.groupBy(domainCol).count().collect()
+      .filterNot(_.isNullAt(0))
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+
+  private def resampleToMix(df: DataFrame, domainCol: String, keyCol: Column,
+                            targetWeights: Map[String, Double],
+                            counts: Map[String, Long]): DataFrame = {
     require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
       "targetWeights must be non-empty with positive weights")
-    val counts = df.groupBy(domainCol).count().collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
     val present = targetWeights.filter { case (d, _) =>
       counts.getOrElse(d, 0L) > 0L }
     val t = present.map { case (d, p) => counts(d) / p }.min
@@ -102,16 +115,15 @@ object Sampling {
     * fixed at 0.5 (weights = √n_d) because sqrt is a correctly-rounded
     * IEEE op the oracle replays bit-for-bit, while a general pow(n, α)
     * is transcendental (the repo-wide no-log/pow rule). Delegates to
-    * [[resampleToMix]] with the derived weights — the count aggregate
-    * runs twice, but both are driver-sized (one row per domain);
-    * thresholds stay integer-exact (q_sample_temperature). */
+    * [[resampleToMix]] with the derived weights AND the already-
+    * collected counts, so the corpus is scanned once; thresholds stay
+    * integer-exact (q_sample_temperature). */
   def resampleTemperature(df: DataFrame, domainCol: String,
                           keyCol: Column): DataFrame = {
-    val counts = df.groupBy(domainCol).count().collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val counts = countsByDomain(df, domainCol)
     val weights = counts.collect {
       case (d, n) if n > 0 => d -> math.sqrt(n.toDouble) }
-    resampleToMix(df, domainCol, keyCol, weights)
+    resampleToMix(df, domainCol, keyCol, weights, counts)
   }
 
   /** Token-budget shard packing: within each `groupCol` stream (ordered by

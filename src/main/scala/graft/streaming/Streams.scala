@@ -380,19 +380,27 @@ object Streams {
     * never collide with a live batch) via the whole-dir rename-aside
     * swap with crash recovery. Run with the stream STOPPED — the same
     * exclusive-maintenance contract as `Maintenance.compact`. */
-  def compactCms(spark: SparkSession, gridDir: String): Unit = {
+  def compactCms(spark: SparkSession, gridDir: String): Unit =
+    compactPartials(spark, gridDir,
+      _.groupBy("cms_row", "cms_bucket").agg(sum(col("cms_cnt")).as("cms_cnt")))
+
+  /** Shared compaction for partial-partition sketch stores ([[compactCms]],
+    * [[compactBloom]]): read live partials, `merge` them, write the
+    * merged baseline as `batch_id=-1` to a tmp layout, whole-dir
+    * rename-aside swap with crash recovery. One copy of the crash-window
+    * sequence — a recovery fix lands everywhere at once. */
+  private def compactPartials(spark: SparkSession, dir: String,
+                              merge: DataFrame => DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    recoverDirSwap(fs, gridDir)
-    val tmp = new org.apache.hadoop.fs.Path(gridDir + "__compacting")
+    recoverDirSwap(fs, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
     fs.delete(tmp, true)
-    spark.read.parquet(gridDir)
-      .groupBy("cms_row", "cms_bucket")
-      .agg(sum(col("cms_cnt")).as("cms_cnt"))
+    merge(spark.read.parquet(dir))
       .withColumn("batch_id", lit(-1L))
       .write.partitionBy("batch_id").parquet(tmp.toString)
-    val live = new org.apache.hadoop.fs.Path(gridDir)
-    val aside = new org.apache.hadoop.fs.Path(gridDir + "__old")
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val aside = new org.apache.hadoop.fs.Path(dir + "__old")
     fs.delete(aside, true)
     renameOrThrow(fs, live, aside)
     renameOrThrow(fs, tmp, live)
@@ -438,34 +446,18 @@ object Streams {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     recoverDirSwap(fs, bitsDir)
-    val words = spark.read.parquet(bitsDir)
-      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val arr = new Array[Long](mBits / 64)
-    words.foreach { case (w, b) => arr(w) = b }
-    arr
+    graft.operators.BloomJoin.wordsToBits(
+      spark.read.parquet(bitsDir)
+        .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))), mBits)
   }
 
   /** Fold streamed bloom partials into one `batch_id=-1` baseline
     * partition — [[compactCms]]'s contract (stream stopped) with an OR
     * merge instead of a sum. */
-  def compactBloom(spark: SparkSession, bitsDir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    recoverDirSwap(fs, bitsDir)
-    val tmp = new org.apache.hadoop.fs.Path(bitsDir + "__compacting")
-    fs.delete(tmp, true)
-    spark.read.parquet(bitsDir)
-      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
-      .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("batch_id").parquet(tmp.toString)
-    val live = new org.apache.hadoop.fs.Path(bitsDir)
-    val aside = new org.apache.hadoop.fs.Path(bitsDir + "__old")
-    fs.delete(aside, true)
-    renameOrThrow(fs, live, aside)
-    renameOrThrow(fs, tmp, live)
-    fs.delete(aside, true)
-  }
+  def compactBloom(spark: SparkSession, bitsDir: String): Unit =
+    compactPartials(spark, bitsDir,
+      _.groupBy("word").agg(expr("bit_or(bits)").as("bits")))
 
   // ---- hash-bucketed state-dir machinery (shared by the bucketed
   // upsert and the LSH dedup state table) ------------------------------

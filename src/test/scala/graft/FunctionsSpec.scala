@@ -145,7 +145,10 @@ class FunctionsSpec extends SparkSuite {
       // no path, no params; default http port
       ("bare", "HTTP://Site.COM:80"),
       // non-default port survives; utm-only query disappears
-      ("port", "https://site.com:8080/x?utm_medium=m"))
+      ("port", "https://site.com:8080/x?utm_medium=m"),
+      // a default-port NUMBER on the WRONG scheme is a distinct origin
+      // and must survive (https:80 is not https:443)
+      ("mismatch", "https://site.com:80/x"))
       .toDF("k", "url")
       .select(col("k"), normalizeUrl(col("url")).as("n"),
         urlHost(col("url")).as("h"), urlPathDepth(col("url")).as("d"))
@@ -157,6 +160,7 @@ class FunctionsSpec extends SparkSuite {
       (("https://www.site.com/a/b?id=7", "www.site.com", 2)))
     assert(rows("bare") === (("http://site.com", "site.com", 0)))
     assert(rows("port") === (("https://site.com:8080/x", "site.com:8080", 1)))
+    assert(rows("mismatch") === (("https://site.com:80/x", "site.com:80", 1)))
     // normalization is idempotent: norm(norm(u)) == norm(u)
     val once = Seq("HTTPS://WWW.Site.COM:443/A/b/?utm_source=x&id=7#f")
       .toDF("url").select(normalizeUrl(col("url")).as("n"))
