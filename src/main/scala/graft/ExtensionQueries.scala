@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsofJoin, Dedup, GraphAnn, GraphNode, Knn, Multimodal, Pq, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, GraphAnn, Knn, Multimodal, Pq, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -72,25 +72,35 @@ object ExtensionQueries {
 
   /** Session-scoped sharded NSW graph over the embeddings table (same
     * lifecycle + weak-session contract as [[ivfIndex]]): the cached value
-    * is the plain node data (id/vec/neighbors — ~1 MB at sf0.1, the
-    * driver-merge-sized object), never a DataFrame; the build is
-    * deterministic (GraphAnnSpec), so caching cannot change results. */
+    * is the PATH of a shard-partitioned on-disk index
+    * ([[GraphAnn.writeGraphIndex]]) — O(1) driver memory regardless of
+    * corpus size. Unlike the centroid/codebook caches (whose values are
+    * genuinely driver-sized: k centroids, m·ks codewords), a graph index
+    * is O(corpus) — vectors plus adjacency — so it must live where the
+    * search tasks run, not on the driver. Each query re-reads the
+    * partitioned parquet (one directory per shard = one search task's
+    * input); the build is deterministic (GraphAnnSpec), so caching
+    * cannot change results. */
   private val graphCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Seq[GraphNode]]]())
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
   private def graphIndex(s: SparkSession, d: String): DataFrame = {
     val perSession = graphCache.synchronized {
       graphCache.computeIfAbsent(s, _ =>
-        new java.util.concurrent.ConcurrentHashMap[String, Seq[GraphNode]]())
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
     }
-    val nodes = perSession.computeIfAbsent(d, { dir =>
-      GraphAnn.buildGraph(Tables.embeddings(s, dir), col("vec_id"),
-          col("embedding"), numShards = 8, m = 16, efConstruction = 100)
-        .as[GraphNode](org.apache.spark.sql.Encoders.product[GraphNode])
-        .collect().toSeq
+    val indexDir = perSession.computeIfAbsent(d, { dir =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-graph-index-").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scala.reflect.io.Directory(tmp).deleteRecursively(): Unit))
+      GraphAnn.writeGraphIndex(
+        GraphAnn.buildGraph(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), numShards = 8, m = 16, efConstruction = 100),
+        tmp.getAbsolutePath)
+      tmp.getAbsolutePath
     })
-    s.createDataset(nodes)(org.apache.spark.sql.Encoders.product[GraphNode])
-      .toDF()
+    GraphAnn.readGraphIndex(s, indexDir)
   }
 
   /** Session-scoped trained product quantizer over the embeddings table

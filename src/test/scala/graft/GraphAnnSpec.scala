@@ -80,6 +80,22 @@ class GraphAnnSpec extends SparkSuite {
     assert(gRecall >= 0.9, f"graph recall@10 = $gRecall%.2f")
   }
 
+  test("q_ann_graph serves from the partitioned on-disk index, not a " +
+      "driver-side collect") {
+    // The session cache must hold a PATH, not the nodes: the plan has to
+    // show a parquet scan of the shard-partitioned index (readGraphIndex)
+    // and no LocalTableScan (which is what a driver-collected
+    // createDataset re-distribution would plan). O(corpus) driver state
+    // is the one scale-killer this operator can have.
+    val df = SparkEntry.queries("q_ann_graph")(spark, "/root/testdata/sf0.001")
+    df.collect() // force execution so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-graph-index"),
+      "expected a parquet scan of the graft-graph-index temp dir")
+    assert(!plan.contains("LocalTableScan"),
+      "q_ann_graph must not re-distribute a driver-collected graph")
+  }
+
   test("write/read roundtrip preserves search results") {
     val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
       numShards = 4, m = 8, efConstruction = 40)
