@@ -103,6 +103,24 @@ object ExtensionQueries {
     GraphAnn.readGraphIndex(s, indexDir)
   }
 
+  /** Session-scoped documents row count (same weak-session contract as
+    * [[ivfIndex]]; the cached value is one Long). q_tfidf_simjoin's idf
+    * needs N as a literal; without the cache every bench/verify
+    * invocation paid a full scan-and-count action before the measured
+    * dataflow even built (ADVICE round 5). Data dirs are immutable for a
+    * session's lifetime, so the count cannot go stale. */
+  private val docCountCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]())
+  private def docCount(s: SparkSession, d: String): Long = {
+    val perSession = docCountCache.synchronized {
+      docCountCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+    }
+    perSession.computeIfAbsent(d,
+      dir => Long.box(Tables.documents(s, dir).count())).longValue()
+  }
+
   /** Session-scoped trained product quantizer over the embeddings table
     * (same lifecycle + weak-session contract as [[ivfIndex]]): codebooks
     * are deterministic, so caching cannot change any query's result. */
@@ -1179,7 +1197,7 @@ object ExtensionQueries {
     "q_tfidf_simjoin" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.operators.SimJoin.tfidfCosinePairs(docs, col("doc_id"),
-          col("text"), nDocs = docs.count(), minCos = 0.5, maxDf = 10)
+          col("text"), nDocs = docCount(s, d), minCos = 0.5, maxDf = 10)
         .orderBy("id1", "id2")
     }),
 
@@ -2083,10 +2101,14 @@ object ExtensionQueries {
 
     // temperature replay: same threshold arithmetic as q_sample_mix
     // with w = sqrt(n) — every op correctly-rounded IEEE in both
-    // engines, same evaluation order.
+    // engines, same evaluation order. WHERE lang IS NOT NULL mirrors
+    // countsByDomain's null filter: both sides must define the binding
+    // domain t = min(n/w) over the same set, or a NULL group could shift
+    // every threshold (latent — testdata has no NULL langs).
     "q_sample_temperature" ->
       s"""WITH n AS (
-         |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+         |  SELECT lang, count(*)::BIGINT AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
          |w AS (SELECT lang, n, sqrt(n::DOUBLE) AS w FROM n WHERE n > 0),
          |t AS (SELECT min(n / w) AS t FROM w),
          |thr AS (SELECT lang,

@@ -97,6 +97,15 @@ object BloomJoin {
   def semiJoinPruned(fact: DataFrame, factKey: Column,
                      build: DataFrame, buildKey: Column,
                      mBits: Int = 1 << 16, kHash: Int = 4): DataFrame = {
+    // xxhash64 is type-sensitive (int 5 and bigint 5 hash differently):
+    // mismatched key types would turn every probe into a bloom false
+    // negative — a silently near-empty result the exact semi join can't
+    // recover. Fail loudly instead.
+    val factType = fact.select(factKey).schema.head.dataType
+    val buildType = build.select(buildKey).schema.head.dataType
+    require(factType == buildType,
+      s"semiJoinPruned key types must match (xxhash64 is type-sensitive): " +
+        s"fact=$factType vs build=$buildType — cast both to one type first")
     val bits = buildBits(build, buildKey, mBits, kHash)
     // no distinct(): left-semi semantics ignore build-side duplicates,
     // and a pre-dedup would add a full build-side shuffle to the exact

@@ -47,6 +47,19 @@ class BloomJoinSpec extends SparkSuite {
     assert(survivors <= 150L, s"$survivors survivors — filter not pruning")
   }
 
+  test("mismatched key types fail loudly instead of silently dropping rows") {
+    // xxhash64 is type-sensitive: int 5 and bigint 5 hash to different
+    // positions, so an int-vs-bigint key pair would make every probe a
+    // bloom false negative — a silently near-empty semi join. The
+    // operator must reject the call instead.
+    val intBuild = build.select(col("bk").cast("int").as("bk"))
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoinPruned(fact, col("k"), intBuild, col("bk"),
+        mBits, kHash)
+    }
+    assert(e.getMessage.contains("type"))
+  }
+
   test("bits are a pure function of the key set (layout-independent)") {
     val bits = BloomJoin.buildBits(build, col("bk"), mBits, kHash)
     val bits2 = BloomJoin.buildBits(build.repartition(13), col("bk"),
