@@ -36,7 +36,55 @@ object Scratch {
     if (only.forall(_ == "zorder")) runZOrder(spark)
     if (only.forall(_ == "bloom")) runBloom(spark, noop)
     if (only.forall(_ == "simjoin")) runSimJoin(spark, noop)
+    if (only.forall(_ == "graphlayers")) runGraphLayers(spark, noop)
     spark.stop()
+  }
+
+  /** Layered-vs-flat HNSW cost at 200k: distance evaluations per search
+    * and wall time, maxLevel=3 (hierarchical descent) against maxLevel=0
+    * (the round-5 flat NSW), same m/efConstruction/ef budgets, plus
+    * top-10 agreement between the two. Numbers land in BASELINE.md. */
+  private def runGraphLayers(spark: SparkSession,
+                             noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    import graft.operators.{GraphAnn, GraphNode}
+    import spark.implicits._
+    val n = 200000L; val dim = 64; val nClusters = 64
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          ((col("id") * 31 + j * 7) % 100).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val q = Knn.vectorAt(corpus, col("vec_id"), 4242L, col("embedding"))
+    val qArr = q.toArray
+    Seq(0, 3).foreach { maxLevel =>
+      val g = time(s"graph build S=32 m=16 ef=100 maxLevel=$maxLevel") {
+        val b = GraphAnn.buildGraph(corpus, col("vec_id"), col("embedding"),
+          numShards = 32, m = 16, efConstruction = 100, maxLevel = maxLevel)
+        b.persist().count(); b
+      }
+      (1 to 2).foreach { r =>
+        time(s"graphTopK ef=100 maxLevel=$maxLevel (r$r)")(
+          noop(GraphAnn.graphTopK(g, q, k = 10, ef = 100)))
+      }
+      // distance evaluations, summed over the 32 per-shard searches —
+      // the budget-independent cost metric (wall time at 200k is mostly
+      // job overhead)
+      val evals = g.as[GraphNode].repartition(col("shard"))
+        .mapPartitions { it =>
+          it.toArray.groupBy(_.shard).iterator.map { case (_, nodes) =>
+            GraphAnn.countDistEvals(nodes, qArr, ef = 100) }
+        }.reduce(_ + _)
+      println(f"[scratch] dist evals maxLevel=$maxLevel: $evals%d " +
+        f"(${evals / 32.0}%.0f per shard of ${n / 32}%d)")
+      val top = GraphAnn.graphTopK(g, q, k = 10, ef = 100)
+        .select("vec_id").as[Long].collect().toSet
+      g.unpersist()
+      val exact = Knn.knnExact(corpus, col("embedding"), q, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      println(s"[scratch] recall@10 maxLevel=$maxLevel: " +
+        s"${(top & exact).size / 10.0}")
+    }
   }
 
   /** Decompose q_tfidf_simjoin's cost at sf0.1 (5k docs): hashed tf,

@@ -5,17 +5,21 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** One vertex of a sharded small-world graph: `neighbors` are ids within
-  * the same shard (edges never cross shards). Top-level case class so the
-  * product encoder never captures a SparkSession (see spark-perf-traps
-  * note 5 / BatchEncode). */
+/** One vertex of a sharded hierarchical small-world graph: `neighbors`
+  * are the layer-0 edges, `layers(i)` the edges at layer i+1 (a node of
+  * level L carries L upper-layer lists; `layers.length` IS the node's
+  * level). All edge endpoints are ids within the same shard — edges
+  * never cross shards. Top-level case class so the product encoder
+  * never captures a SparkSession (see spark-perf-traps note 5 /
+  * BatchEncode). */
 case class GraphNode(shard: Int, id: Long, vec: Array[Double],
-                     neighbors: Array[Long])
+                     neighbors: Array[Long], layers: Array[Array[Long]])
 
-/** Partition-local navigable-small-world graph ANN — the HNSW-class
-  * counterpart of the reference's actual index (hnswlib via ChromaDB,
-  * M=16 / ef_construction=100, decoded from the reference's
-  * chroma_db_store header; BASELINE.md rows 4–5).
+/** Partition-local hierarchical navigable-small-world graph ANN — the
+  * HNSW counterpart of the reference's actual index (hnswlib via
+  * ChromaDB, M=16 / ef_construction=100 / max_level=3 / mult=1/ln(16),
+  * decoded from the reference's chroma_db_store header; BASELINE.md
+  * rows 4–5).
   *
   * A beam-searched proximity graph is pointer-chasing: it cannot span
   * executors, and a driver-side graph caps out at one machine's RAM —
@@ -23,30 +27,34 @@ case class GraphNode(shard: Int, id: Long, vec: Array[Double],
   * Spark-native shape is the standard sharded-HNSW architecture:
   *
   *  1. hash-shard the corpus (uniform by construction — no hot shard);
-  *  2. per shard, build an independent NSW graph IN the executor
-  *     (`mapPartitions` — the genuine per-partition-imperative case:
-  *     greedy insert, beam width `efConstruction`, bidirectional edges
-  *     pruned to a degree cap, exactly hnswlib's layer-0 discipline);
-  *  3. a query beam-searches every shard in parallel (one task per
-  *     shard, each touching only its own ~n/S vectors) and ships its
-  *     local top-`ef` — the driver merge sees `ef × S` rows through
-  *     `TakeOrderedAndProject`, never the corpus.
+  *  2. per shard, build an independent HNSW graph IN the executor
+  *     (`mapPartitions` — the genuine per-partition-imperative case):
+  *     each node draws a geometric level (P(level ≥ k) = m^-k, the
+  *     hnswlib mult = 1/ln(m) distribution, derived DETERMINISTICALLY
+  *     from the id hash — no RNG state), upper layers link ≤ m
+  *     neighbors, layer 0 links ≤ 2m (hnswlib's M0 = 2M);
+  *  3. a query enters each shard at its top-level node, greedy-descends
+  *     the upper layers (ef=1 — O(log n) hops straight to the right
+  *     neighborhood), then beam-searches layer 0 with width `ef`; each
+  *     shard ships its local top-`ef`, so `ef × S` rows reach the
+  *     driver's `TakeOrderedAndProject` merge — never the corpus.
   *
-  * Search work is Σ_shards O(ef·M·log n_s) distance evaluations versus
-  * IVF's probed-cell scan — sub-linear per shard where IVF is linear
-  * per probed cell. The trade: every shard is searched (S beam
-  * searches), so shard count tunes latency-vs-fanout; at 100 TB,
-  * S = executors and each beam search rides where its shard's parquet
-  * partition already lives ([[writeGraphIndex]] partitions by shard).
+  * The upper layers are what the flat round-5 NSW lacked: entry at a
+  * fixed stored node pays O(log n) extra layer-0 beam hops per search
+  * at shard sizes in the 10⁶–10⁷ range; the layered descent replaces
+  * those wide layer-0 hops with ef=1 hops on geometrically sparser
+  * graphs (measured distance-evaluation counts in BASELINE.md).
   *
   * Determinism: insert order is id-ascending within a shard (sorted
-  * after the shuffle — fetch order is NOT deterministic), every
-  * candidate ordering ties on id, and hash-sharding is a pure function
-  * of the id — the built edge set is identical on any cluster layout
-  * (asserted in GraphAnnSpec). Approximate ⇒ rows-only correctness per
-  * SURVEY §5.2; with `ef` ≥ shard size the beam is exhaustive over the
-  * (connected by construction) shard graph, so results EQUAL brute
-  * force — the machinery proof, same pattern as q_knn_join_exhaustive.
+  * after the shuffle — fetch order is NOT deterministic), node levels
+  * are a pure function of the id (splitmix64 trials, one per level),
+  * every candidate ordering ties on id, and hash-sharding is a pure
+  * function of the id — the built edge set is identical on any cluster
+  * layout (asserted in GraphAnnSpec). Approximate ⇒ rows-only
+  * correctness per SURVEY §5.2; with `ef` ≥ shard size the layer-0 beam
+  * is exhaustive over the (connected by construction) shard graph, so
+  * results EQUAL brute force — the machinery proof, same pattern as
+  * q_knn_join_exhaustive.
   */
 object GraphAnn {
 
@@ -61,9 +69,31 @@ object GraphAnn {
     s
   }
 
-  /** hnswlib's layer-0 greedy beam: walk from `entry`, keep the best
-    * `ef` seen, stop when the closest open candidate is worse than the
-    * worst kept result. Returns (distSq, id) ascending. */
+  /** splitmix64 finalizer — the avalanche step behind the level draw. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic hnswlib level draw: level ≥ k iff k independent
+    * 1/m-probability trials all pass — the geometric distribution
+    * mult = 1/ln(m) samples, with the id hash as the "randomness" so the
+    * level is a pure function of (id, m) and identical on rebuild. */
+  private[graft] def levelOf(id: Long, m: Int, maxLevel: Int): Int = {
+    var lvl = 0
+    while (lvl < maxLevel &&
+        java.lang.Long.remainderUnsigned(
+          mix64(id + lvl * 0x9e3779b97f4a7c15L), m) == 0L)
+      lvl += 1
+    lvl
+  }
+
+  /** hnswlib's greedy beam on ONE layer: walk from `entry`, keep the
+    * best `ef` seen, stop when the closest open candidate is worse than
+    * the worst kept result. `ef = 1` is the upper-layer greedy descent.
+    * Returns (distSq, id) ascending. */
   private def beamSearch(entry: Long, query: Array[Double], ef: Int,
       vecs: mutable.LongMap[Array[Double]],
       adj: mutable.LongMap[mutable.ArrayBuffer[Long]]): Seq[(Double, Long)] = {
@@ -92,52 +122,107 @@ object GraphAnn {
     results.dequeueAll.reverse.toSeq // max-heap drains worst-first
   }
 
-  /** Insert `adds` id-ascending into the (possibly empty) graph held in
-    * `vecs`/`adj`: each insert beam-searches the graph-so-far (width
-    * `efConstruction`) from `entry`, links to its `m` nearest results
-    * bidirectionally, and any endpoint pushed past `2m` edges keeps only
-    * its `2m` closest (hnswlib's level-0 M0 = 2M cap) — degree stays
-    * bounded, so search cost does too. Returns the new entry (the
-    * running min id — [[graphTopK]] enters at the min). */
-  private def insertAll(vecs: mutable.LongMap[Array[Double]],
-      adj: mutable.LongMap[mutable.ArrayBuffer[Long]], entry0: Long,
-      adds: Array[(Long, Array[Double])], m: Int,
-      efConstruction: Int): Long = {
-    var entry = entry0 // Long.MaxValue = empty graph
-    adds.sortBy(_._1).foreach { case (id, vec) =>
-      // register the vector FIRST: neighbor pruning below computes
-      // distances to the just-appended id. The beam can't reach id —
-      // nothing links to it until after the search.
-      vecs(id) = vec
-      if (entry == Long.MaxValue) adj(id) = mutable.ArrayBuffer.empty
-      else {
-        val near = beamSearch(entry, vec, efConstruction, vecs, adj)
-          .take(m).map(_._2)
-        adj(id) = mutable.ArrayBuffer(near: _*)
-        near.foreach { nb =>
-          val edges = adj(nb); edges += id
-          if (edges.length > 2 * m) {
-            val kept = edges.map(e => (l2sq(vecs(nb), vecs(e)), e))
-              .sorted(byDistThenId).take(2 * m).map(_._2)
-            adj(nb) = kept
-          }
-        }
+  /** The in-memory shard graph under construction/search: vectors, the
+    * layer-0 adjacency, one adjacency map per upper layer, and the
+    * entry point (highest-level node, ties on min id — DERIVABLE from
+    * stored data, so search needs no persisted entry pointer). */
+  private final class ShardGraph(maxLevel: Int) {
+    val vecs = mutable.LongMap.empty[Array[Double]]
+    val adj0 = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val adjUpper: Array[mutable.LongMap[mutable.ArrayBuffer[Long]]] =
+      Array.fill(maxLevel)(mutable.LongMap.empty)
+    var entryId: Long = Long.MaxValue // MaxValue = empty graph
+    var entryLevel: Int = -1
+
+    def load(nodes: Array[GraphNode]): Unit = nodes.foreach { n =>
+      vecs(n.id) = n.vec
+      adj0(n.id) = mutable.ArrayBuffer(n.neighbors: _*)
+      val lvl = if (n.layers == null) 0 else n.layers.length
+      var l = 1
+      while (l <= lvl) {
+        adjUpper(l - 1)(n.id) = mutable.ArrayBuffer(n.layers(l - 1): _*)
+        l += 1
       }
-      if (id < entry) entry = id
+      maybePromoteEntry(n.id, lvl)
     }
-    entry
+
+    def maybePromoteEntry(id: Long, lvl: Int): Unit =
+      if (lvl > entryLevel || (lvl == entryLevel && id < entryId)) {
+        entryId = id; entryLevel = lvl
+      }
+
+    /** Greedy ef=1 descent from the entry through layers above `toLayer`;
+      * returns the layer-(toLayer) entry node. */
+    def descend(query: Array[Double], toLayer: Int): Long = {
+      var cur = entryId
+      var l = entryLevel
+      while (l > toLayer) {
+        cur = beamSearch(cur, query, 1, vecs, adjUpper(l - 1)).head._2
+        l -= 1
+      }
+      cur
+    }
+
+    def node(shard: Int, id: Long): GraphNode = {
+      val lvl = (maxLevel to 1 by -1).find(l => adjUpper(l - 1).contains(id))
+        .getOrElse(0)
+      GraphNode(shard, id, vecs(id), adj0(id).toArray.sorted,
+        (1 to lvl).map(l => adjUpper(l - 1)(id).toArray.sorted).toArray)
+    }
   }
 
-  /** Build one shard's NSW graph from scratch. */
+  /** Insert `adds` id-ascending into the shard graph: each insert draws
+    * its deterministic level, greedy-descends the layers above it, then
+    * per layer beam-searches (width `efConstruction`) and links to its
+    * nearest results bidirectionally — ≤ m edges on upper layers
+    * (hnswlib maxM = M), ≤ 2m on layer 0 (maxM0 = 2M); any endpoint
+    * pushed past its cap keeps only its closest — degree stays bounded,
+    * so search cost does too. */
+  private def insertAll(g: ShardGraph, adds: Array[(Long, Array[Double])],
+      m: Int, efConstruction: Int, maxLevel: Int): Unit =
+    adds.sortBy(_._1).foreach { case (id, vec) =>
+      val lvl = levelOf(id, m, maxLevel)
+      // register the vector FIRST: neighbor pruning below computes
+      // distances to the just-appended id. The beam can't reach id —
+      // nothing links to it until after each layer's search.
+      g.vecs(id) = vec
+      if (g.entryId == Long.MaxValue) {
+        g.adj0(id) = mutable.ArrayBuffer.empty
+        (1 to lvl).foreach(l => g.adjUpper(l - 1)(id) = mutable.ArrayBuffer.empty)
+      } else {
+        var cur = g.descend(vec, math.min(lvl, g.entryLevel))
+        // layers above the current top that only this node occupies
+        (g.entryLevel + 1 to lvl).foreach(l =>
+          g.adjUpper(l - 1)(id) = mutable.ArrayBuffer.empty)
+        var l = math.min(lvl, g.entryLevel)
+        while (l >= 0) {
+          val adj = if (l == 0) g.adj0 else g.adjUpper(l - 1)
+          val cap = if (l == 0) 2 * m else m
+          val res = beamSearch(cur, vec, efConstruction, g.vecs, adj)
+          val near = res.take(m).map(_._2)
+          adj(id) = mutable.ArrayBuffer(near: _*)
+          near.foreach { nb =>
+            val edges = adj(nb); edges += id
+            if (edges.length > cap) {
+              val kept = edges.map(e => (l2sq(g.vecs(nb), g.vecs(e)), e))
+                .sorted(byDistThenId).take(cap).map(_._2)
+              adj(nb) = kept
+            }
+          }
+          cur = res.head._2
+          l -= 1
+        }
+      }
+      g.maybePromoteEntry(id, lvl)
+    }
+
+  /** Build one shard's HNSW graph from scratch. */
   private[graft] def buildShard(shard: Int,
       rows: Array[(Long, Array[Double])],
-      m: Int, efConstruction: Int): Iterator[GraphNode] = {
-    val vecs = mutable.LongMap.empty[Array[Double]]
-    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
-    insertAll(vecs, adj, Long.MaxValue, rows, m, efConstruction)
-    rows.sortBy(_._1).iterator.map { case (id, vec) =>
-      GraphNode(shard, id, vec, adj(id).toArray.sorted)
-    }
+      m: Int, efConstruction: Int, maxLevel: Int = 3): Iterator[GraphNode] = {
+    val g = new ShardGraph(maxLevel)
+    insertAll(g, rows, m, efConstruction, maxLevel)
+    rows.sortBy(_._1).iterator.map { case (id, _) => g.node(shard, id) }
   }
 
   /** Incremental insert into an existing shard graph — the HNSW insert
@@ -145,31 +230,25 @@ object GraphAnn {
     * discipline for the new ids only (O(|adds|·ef·M·log n), not a shard
     * rebuild). Ids already present must not be passed (callers detect
     * replacement and rebuild the shard deterministically instead —
-    * edge surgery on a pruned NSW graph is not well-defined). */
+    * edge surgery on a pruned HNSW graph is not well-defined). */
   private[graft] def insertIntoShard(shard: Int, existing: Array[GraphNode],
       adds: Array[(Long, Array[Double])], m: Int,
-      efConstruction: Int): Iterator[GraphNode] = {
-    val vecs = mutable.LongMap.empty[Array[Double]]
-    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
-    var entry = Long.MaxValue
-    existing.foreach { n =>
-      vecs(n.id) = n.vec
-      adj(n.id) = mutable.ArrayBuffer(n.neighbors: _*)
-      if (n.id < entry) entry = n.id
-    }
-    insertAll(vecs, adj, entry, adds, m, efConstruction)
+      efConstruction: Int, maxLevel: Int = 3): Iterator[GraphNode] = {
+    val g = new ShardGraph(maxLevel)
+    g.load(existing)
+    insertAll(g, adds, m, efConstruction, maxLevel)
     (existing.iterator.map(_.id) ++ adds.iterator.map(_._1)).toArray.sorted
-      .iterator.map(id =>
-        GraphNode(shard, id, vecs(id), adj(id).toArray.sorted))
+      .iterator.map(id => g.node(shard, id))
   }
 
-  /** Build the sharded graph index: (shard, id, vec, neighbors) — one
-    * self-contained NSW graph per shard, `numShards` ≈ executor count at
-    * scale (each build task holds one shard: n/S vectors + 3m·n/S edge
-    * ids in memory, the same budget a hash-join build side gets). */
+  /** Build the sharded graph index: (shard, id, vec, neighbors, layers)
+    * — one self-contained HNSW graph per shard, `numShards` ≈ executor
+    * count at scale (each build task holds one shard: n/S vectors +
+    * ~3m·n/S edge ids in memory, the same budget a hash-join build side
+    * gets). */
   def buildGraph(df: DataFrame, idCol: Column, vecCol: Column,
                  numShards: Int = 32, m: Int = 16,
-                 efConstruction: Int = 100): DataFrame = {
+                 efConstruction: Int = 100, maxLevel: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(idCol.cast("long").as("id"),
@@ -182,37 +261,38 @@ object GraphAnn {
         // own independent graph
         it.toArray.groupBy(_._3).iterator.flatMap { case (shard, rows) =>
           buildShard(shard, rows.map(r => (r._1, r._2.toArray)),
-            m, efConstruction)
+            m, efConstruction, maxLevel)
         }
       }
       .toDF()
   }
 
-  /** Beam-search every shard, merge the per-shard top-`ef` on the
-    * driver. Output: (vec_id, dist) — dist rounded L2 like
-    * [[Knn.knnExact]], ties on id. `ef` caps per-shard work AND what
-    * each search task ships (ef × numShards rows total reach the
-    * `TakeOrderedAndProject` merge — never the corpus). */
+  /** Search every shard: greedy-descend that shard's upper layers from
+    * its top node (ef=1 — the O(log n) hops), then beam-search layer 0
+    * with width `ef`; merge the per-shard top-`ef` on the driver.
+    * Output: (vec_id, dist) — dist rounded L2 like [[Knn.knnExact]],
+    * ties on id. `ef` caps per-shard work AND what each search task
+    * ships (ef × numShards rows total reach the `TakeOrderedAndProject`
+    * merge — never the corpus). */
   def graphTopK(graph: DataFrame, query: Seq[Double], k: Int,
                 ef: Int = 100): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
     val q = query.toArray
     val efEff = math.max(ef, k)
-    graph.select(col("shard"), col("id"), col("vec"), col("neighbors"))
+    graph.select(col("shard"), col("id"), col("vec"), col("neighbors"),
+        col("layers"))
       .as[GraphNode]
       .repartition(col("shard")) // keep each shard's graph whole
       .mapPartitions { it =>
         it.toArray.groupBy(_.shard).iterator.flatMap { case (_, nodes) =>
-          val vecs = mutable.LongMap.empty[Array[Double]]
-          val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
-          var entry = Long.MaxValue
-          nodes.foreach { n =>
-            vecs(n.id) = n.vec
-            adj(n.id) = mutable.ArrayBuffer(n.neighbors: _*)
-            if (n.id < entry) entry = n.id
-          }
-          beamSearch(entry, q, efEff, vecs, adj)
+          val maxLevel = nodes.iterator
+            .map(n => if (n.layers == null) 0 else n.layers.length)
+            .foldLeft(0)(math.max)
+          val g = new ShardGraph(maxLevel)
+          g.load(nodes)
+          val entry0 = g.descend(q, 0)
+          beamSearch(entry0, q, efEff, g.vecs, g.adj0)
             .map { case (d2, id) => (id, d2) }
         }
       }
@@ -221,6 +301,54 @@ object GraphAnn {
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
       .select("vec_id", "dist")
+  }
+
+  /** Count of distance evaluations one shard-local search performs —
+    * the comparable cost metric for the layered-vs-flat measurement
+    * (BASELINE.md): every l2sq against a new candidate counts, both in
+    * the descent and the layer-0 beam. Driver-side over a collected
+    * shard; measurement harness only, not a query path. */
+  private[graft] def countDistEvals(nodes: Array[GraphNode],
+      query: Array[Double], ef: Int): Long = {
+    val maxLevel = nodes.iterator
+      .map(n => if (n.layers == null) 0 else n.layers.length)
+      .foldLeft(0)(math.max)
+    val g = new ShardGraph(maxLevel)
+    g.load(nodes)
+    var evals = 0L
+    def beam(entry: Long, ef2: Int,
+        adj: mutable.LongMap[mutable.ArrayBuffer[Long]]): Seq[(Double, Long)] = {
+      val visited = mutable.HashSet[Long](entry)
+      val candidates =
+        mutable.PriorityQueue.empty[(Double, Long)](byDistThenId.reverse)
+      val results = mutable.PriorityQueue.empty[(Double, Long)](byDistThenId)
+      evals += 1
+      val d0 = (l2sq(query, g.vecs(entry)), entry)
+      candidates.enqueue(d0); results.enqueue(d0)
+      var done = false
+      while (!done && candidates.nonEmpty) {
+        val closest = candidates.dequeue()
+        if (results.size >= ef2 && byDistThenId.gt(closest, results.head))
+          done = true
+        else adj.getOrElse(closest._2, mutable.ArrayBuffer.empty).foreach { nb =>
+          if (!visited(nb)) {
+            visited += nb
+            evals += 1
+            val cand = (l2sq(query, g.vecs(nb)), nb)
+            if (results.size < ef2 || byDistThenId.lt(cand, results.head)) {
+              candidates.enqueue(cand); results.enqueue(cand)
+              if (results.size > ef2) results.dequeue()
+            }
+          }
+        }
+      }
+      results.dequeueAll.reverse.toSeq
+    }
+    var cur = g.entryId
+    var l = g.entryLevel
+    while (l > 0) { cur = beam(cur, 1, g.adjUpper(l - 1)).head._2; l -= 1 }
+    beam(cur, math.max(ef, 1), g.adj0)
+    evals
   }
 
   /** Persist the index partitioned by shard: each search task's input is

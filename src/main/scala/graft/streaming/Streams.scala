@@ -881,7 +881,7 @@ object Streams {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         numShards: Int = 8, m: Int = 16,
-                        efConstruction: Int = 100,
+                        efConstruction: Int = 100, maxLevel: Int = 3,
                         onBatch: (Long, Long, Seq[Int]) => Unit =
                           (_, _, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -911,11 +911,12 @@ object Streams {
           // adds ride tagged with null neighbors; stored nodes carry
           // their adjacency — one union, one shuffle on shard
           val addNodes = rows.select(col("shard"), col("id"), col("vec"),
-            lit(null).cast("array<bigint>").as("neighbors"))
+            lit(null).cast("array<bigint>").as("neighbors"),
+            lit(null).cast("array<array<bigint>>").as("layers"))
           val merged = (if (existingShards.nonEmpty)
               spark.read.parquet(base)
                 .filter(col("shard").isin(existingShards.map(Int.box): _*))
-                .select("shard", "id", "vec", "neighbors")
+                .select("shard", "id", "vec", "neighbors", "layers")
                 .unionByName(addNodes)
             else addNodes)
             .repartition(math.max(touched.size, 1), col("shard"))
@@ -932,10 +933,10 @@ object Streams {
                     GraphAnn.buildShard(shard,
                       stored.filterNot(n => addIds(n.id))
                         .map(n => (n.id, n.vec)) ++ addPairs,
-                      m, efConstruction)
+                      m, efConstruction, maxLevel)
                   else
                     GraphAnn.insertIntoShard(shard, stored, addPairs,
-                      m, efConstruction)
+                      m, efConstruction, maxLevel)
               }
             }
           // which touched shards take the rebuild path: those where an

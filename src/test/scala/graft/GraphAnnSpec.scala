@@ -80,6 +80,48 @@ class GraphAnnSpec extends SparkSuite {
     assert(gRecall >= 0.9, f"graph recall@10 = $gRecall%.2f")
   }
 
+  test("hierarchical layers: geometric level distribution, stored " +
+      "per-node, upper-degree capped at m") {
+    val m = 16
+    // level is a pure function of (id, m): P(level >= k) = m^-k — over
+    // 100k ids expect ~6250 at level>=1, ~390 at level>=2 (1% tolerance
+    // bands around the geometric expectation)
+    val counts = (0L until 100000L)
+      .map(id => graft.operators.GraphAnn.levelOf(id, m, 3))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val ge1 = 100000 - counts.getOrElse(0, 0)
+    assert(ge1 > 5000 && ge1 < 7500, s"level>=1 count $ge1 not ~6250")
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = m, efConstruction = 40)
+    val layered = g.select(col("id"), size(col("layers")).as("lvl"),
+        col("layers"))
+      .as[(Long, Int, Seq[Seq[Long]])].collect()
+    // stored level must equal the deterministic draw for every node
+    layered.foreach { case (id, lvl, layers) =>
+      assert(lvl === graft.operators.GraphAnn.levelOf(id, m, 3), s"id $id")
+      layers.foreach(l => assert(l.size <= m,
+        s"id $id upper-layer degree ${l.size} > m"))
+    }
+    assert(layered.exists(_._2 >= 1), "no node drew an upper layer")
+  }
+
+  test("flat graph (maxLevel=0) and layered graph agree on exhaustive " +
+      "search") {
+    // ef >= shard size makes both exhaustive — the layered descent must
+    // change the entry point only, never the result set
+    val flat = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40, maxLevel = 0)
+    val layered = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40, maxLevel = 3)
+    assert(flat.select(max(size(col("layers")))).as[Int].head() === 0)
+    val q = Knn.vectorAt(emb, col("vec_id"), 7L, col("embedding"))
+    val a = GraphAnn.graphTopK(flat, q, k = 10, ef = 2000)
+      .as[(Long, Double)].collect()
+    val b = GraphAnn.graphTopK(layered, q, k = 10, ef = 2000)
+      .as[(Long, Double)].collect()
+    assert(a === b)
+  }
+
   test("q_ann_graph serves from the partitioned on-disk index, not a " +
       "driver-side collect") {
     // The session cache must hold a PATH, not the nodes: the plan has to
