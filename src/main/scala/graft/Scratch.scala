@@ -37,7 +37,41 @@ object Scratch {
     if (only.forall(_ == "bloom")) runBloom(spark, noop)
     if (only.forall(_ == "simjoin")) runSimJoin(spark, noop)
     if (only.forall(_ == "graphlayers")) runGraphLayers(spark, noop)
+    if (only.contains("annmatrix")) runAnnMatrix(spark)
     spark.stop()
+  }
+
+  /** Unified ANN tier table (AnnMatrix) on both corpora: the 2k
+    * near-uniform sf0.1 embeddings (the adversarial case for every
+    * index) and the 200k clustered synthetic corpus (the favorable
+    * case). Markdown rows land in BASELINE.md. Not in the no-arg run:
+    * costs minutes of index builds. */
+  private def runAnnMatrix(spark: SparkSession): Unit = {
+    import graft.operators.AnnMatrix
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nEmb = emb.count()
+    val r1 = time("annmatrix sf0.1 (2k near-uniform)") {
+      AnnMatrix.run(emb, col("vec_id"), col("embedding"),
+        queryIds = 0L until 10L)
+    }
+    println("[scratch] sf0.1 near-uniform, 10 queries, k=10:")
+    println(AnnMatrix.render(r1, nEmb))
+
+    val n = 200000L; val dim = 64; val nClusters = 64
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          ((col("id") * 31 + j * 7) % 100).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val r2 = time("annmatrix 200k clustered") {
+      AnnMatrix.run(corpus, col("vec_id"), col("embedding"),
+        queryIds = Seq(4242L, 77L, 123456L, 9999L, 31415L),
+        b = AnnMatrix.Budgets(ivfK = 64, nProbe = 4, graphShards = 32,
+          kmeansIters = 5))
+    }
+    println("[scratch] 200k clustered (64 true clusters), 5 queries, k=10:")
+    println(AnnMatrix.render(r2, n))
   }
 
   /** Layered-vs-flat HNSW cost at 200k: distance evaluations per search
@@ -46,7 +80,7 @@ object Scratch {
     * top-10 agreement between the two. Numbers land in BASELINE.md. */
   private def runGraphLayers(spark: SparkSession,
                              noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
-    import graft.operators.{GraphAnn, GraphNode}
+    import graft.operators.GraphAnn
     import spark.implicits._
     val n = 200000L; val dim = 64; val nClusters = 64
     val corpus = spark.range(n).select(col("id").as("vec_id"),
@@ -56,7 +90,6 @@ object Scratch {
         .as("embedding"))
       .localCheckpoint(eager = true)
     val q = Knn.vectorAt(corpus, col("vec_id"), 4242L, col("embedding"))
-    val qArr = q.toArray
     Seq(0, 3).foreach { maxLevel =>
       val g = time(s"graph build S=32 m=16 ef=100 maxLevel=$maxLevel") {
         val b = GraphAnn.buildGraph(corpus, col("vec_id"), col("embedding"),
@@ -70,11 +103,7 @@ object Scratch {
       // distance evaluations, summed over the 32 per-shard searches —
       // the budget-independent cost metric (wall time at 200k is mostly
       // job overhead)
-      val evals = g.as[GraphNode].repartition(col("shard"))
-        .mapPartitions { it =>
-          it.toArray.groupBy(_.shard).iterator.map { case (_, nodes) =>
-            GraphAnn.countDistEvals(nodes, qArr, ef = 100) }
-        }.reduce(_ + _)
+      val evals = GraphAnn.distEvalsTotal(g, q, ef = 100)
       println(f"[scratch] dist evals maxLevel=$maxLevel: $evals%d " +
         f"(${evals / 32.0}%.0f per shard of ${n / 32}%d)")
       val top = GraphAnn.graphTopK(g, q, k = 10, ef = 100)

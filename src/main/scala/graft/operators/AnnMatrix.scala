@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unified ANN recall/cost harness: every index tier the library ships —
+  * exact brute force, IVF, IVF-PQ (residual, refined), SQ8 (refined),
+  * and the sharded hierarchical graph — measured on the SAME corpus,
+  * the SAME query set, and comparable probe budgets, reporting the
+  * three numbers that actually decide an index choice:
+  *
+  *  - recall@k vs brute force (averaged over the query set);
+  *  - rows distance-evaluated per query (the probe budget actually
+  *    spent — cell sizes for IVF tiers, corpus size for full-scan
+  *    tiers, beam evaluations for the graph);
+  *  - bytes read per evaluated row (8·dim for exact/refine scans,
+  *    m codes for PQ, dim for SQ8 — the compression axis that rows
+  *    alone hides).
+  *
+  * Each tier was previously recall-asserted in its own spec at its own
+  * budget (GraphAnnSpec / KnnSpec / PqSpec); this harness is the single
+  * table the round-5 verdict asked for, and AnnMatrixSpec gates every
+  * tier's recall on the sf0.1 corpus so a regression in any one fails
+  * the build. Wall time is deliberately NOT part of the gates — at test
+  * scale it is job overhead; Scratch's `annmatrix` section records it
+  * at 200k where it means something.
+  */
+object AnnMatrix {
+
+  /** One tier's measured row. `rowsScanned` is per query (averaged);
+    * recall is recall@k vs exact averaged over the query set. */
+  case class TierResult(tier: String, recall: Double, rowsScanned: Double,
+                        bytesPerRow: Double, buildSec: Double,
+                        queriesSec: Double)
+
+  /** Budgets for one run. Equalize across tiers by scanned fraction:
+    * nProbe/ivfK is the IVF fraction; the graph's fraction is measured
+    * (distEvalsTotal / n) rather than configured. */
+  case class Budgets(k: Int = 10, ivfK: Int = 8, nProbe: Int = 2,
+                     pqM: Int = 8, pqKs: Int = 16,
+                     graphShards: Int = 8, graphM: Int = 16,
+                     graphEf: Int = 100, sqOverfetch: Int = 4,
+                     kmeansIters: Int = 3, pqIters: Int = 2)
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Run every tier. `corpus` must carry `idCol` (long) and `vecCol`
+    * (array<double>); `queryIds` select the query vectors from the
+    * corpus itself (self-queries — recall@k counts the neighborhood,
+    * and every tier sees the identical queries). */
+  def run(corpus: DataFrame, idCol: Column, vecCol: Column,
+          queryIds: Seq[Long], b: Budgets = Budgets()): Seq[TierResult] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(vecCol.cast("array<double>"))).first().getInt(0)
+    val n = corpus.count().toDouble
+    val queries: Seq[(Long, Seq[Double])] = queryIds.map(qid =>
+      (qid, Knn.vectorAt(corpus, idCol, qid, vecCol)))
+
+    def topIds(df: DataFrame): Set[Long] =
+      df.select(col("vec_id").cast("long")).as[Long].collect().toSet
+
+    // ---- exact baseline (also the truth sets)
+    val (truth, exactSec) = timed {
+      queries.map { case (qid, q) =>
+        qid -> topIds(Knn.knnExact(corpus, vecCol, q, b.k)) }.toMap
+    }
+
+    def recallOf(tops: Map[Long, Set[Long]]): Double =
+      queries.map { case (qid, _) =>
+        (tops(qid) & truth(qid)).size.toDouble / b.k }.sum / queries.size
+
+    val results = Seq.newBuilder[TierResult]
+    results += TierResult("exact", 1.0, n, 8.0 * dim, 0.0, exactSec)
+
+    // ---- IVF (exact distances inside probed cells)
+    val (ivfIdx, ivfBuildSec) = timed {
+      val cents = Ann.kmeansCentroids(corpus, idCol, vecCol,
+        k = b.ivfK, iters = b.kmeansIters)
+      val indexed = Ann.assignCells(corpus, idCol, vecCol, cents)
+        .persist()
+      indexed.count()
+      (indexed, cents)
+    }
+    val (indexed, cents) = ivfIdx
+    val cellSizes: Map[Int, Long] = indexed.groupBy(col("cell").cast("int"))
+      .count().as[(Int, Long)].collect().toMap
+    def probedRows(q: Seq[Double]): Double =
+      Ann.probeCells(cents, q, b.nProbe)
+        .map(c => cellSizes.getOrElse(c.asInstanceOf[Number].intValue(), 0L))
+        .sum.toDouble
+    val (ivfTops, ivfSec) = timed {
+      queries.map { case (qid, q) =>
+        qid -> topIds(Ann.ivfTopK(indexed, col("cell"), vecCol, cents, q,
+          b.k, b.nProbe)) }.toMap
+    }
+    val ivfRows = queries.map { case (_, q) => probedRows(q) }.sum / queries.size
+    results += TierResult("ivf", recallOf(ivfTops), ivfRows, 8.0 * dim,
+      ivfBuildSec, ivfSec)
+
+    // ---- IVF-PQ (residual codes inside probed cells; ADC, no refine —
+    // the declared q_ann_ivfpq shape)
+    val (pqModel, pqBuildSec) = timed {
+      Pq.trainResidual(indexed, idCol, vecCol, cents, m = b.pqM,
+        ks = b.pqKs, iters = b.pqIters)
+    }
+    val encoded = Pq.encodeResidual(indexed, vecCol, cents, pqModel).persist()
+    encoded.count()
+    val (ivfPqTops, ivfPqSec) = timed {
+      queries.map { case (qid, q) =>
+        qid -> topIds(Pq.ivfPqTopK(encoded, col("codes"), cents, pqModel, q,
+          b.k, b.nProbe)) }.toMap
+    }
+    results += TierResult("ivf-pq", recallOf(ivfPqTops), ivfRows,
+      b.pqM.toDouble, pqBuildSec, ivfPqSec)
+
+    // ---- SQ8 (full scan over 1-byte/dim codes + exact refine)
+    val (sqPair, sqBuildSec) = timed {
+      val model = Sq.trainSq(corpus, vecCol)
+      val enc = Sq.encodeSq(corpus, vecCol, model).persist()
+      enc.count()
+      (model, enc)
+    }
+    val (sqModel, sqEncoded) = sqPair
+    val (sqTops, sqSec) = timed {
+      queries.map { case (qid, q) =>
+        qid -> topIds(Sq.sqTopKRefined(sqEncoded, col("codes"), vecCol,
+          sqModel, q, b.k, b.sqOverfetch)) }.toMap
+    }
+    results += TierResult("sq8", recallOf(sqTops),
+      n + b.k * b.sqOverfetch, dim.toDouble, sqBuildSec, sqSec)
+
+    // ---- sharded hierarchical graph
+    val (graph, graphBuildSec) = timed {
+      val g = GraphAnn.buildGraph(corpus, idCol, vecCol,
+        numShards = b.graphShards, m = b.graphM, efConstruction = 100)
+        .persist()
+      g.count(); g
+    }
+    val (graphTops, graphSec) = timed {
+      queries.map { case (qid, q) =>
+        qid -> topIds(GraphAnn.graphTopK(graph, q, b.k, b.graphEf)) }.toMap
+    }
+    val graphRows = queries.map { case (_, q) =>
+      GraphAnn.distEvalsTotal(graph, q, b.graphEf).toDouble
+    }.sum / queries.size
+    results += TierResult("graph", recallOf(graphTops), graphRows, 8.0 * dim,
+      graphBuildSec, graphSec)
+
+    indexed.unpersist(); encoded.unpersist(); sqEncoded.unpersist()
+    graph.unpersist()
+    results.result()
+  }
+
+  def render(rows: Seq[TierResult], n: Long): String =
+    rows.map(r =>
+      f"| ${r.tier}%-6s | ${r.recall}%.2f | ${r.rowsScanned}%.0f " +
+      f"(${100 * r.rowsScanned / n}%.1f%%) | ${r.bytesPerRow}%.0f " +
+      f"| ${r.buildSec}%.1f s | ${r.queriesSec}%.1f s |"
+    ).mkString("\n")
+}

@@ -351,6 +351,24 @@ object GraphAnn {
     evals
   }
 
+  /** Total distance evaluations one query costs across every shard of
+    * `graph` — [[countDistEvals]] run where each shard lives, summed.
+    * Measurement harness (Scratch / AnnMatrix), not a query path. */
+  private[graft] def distEvalsTotal(graph: DataFrame, query: Seq[Double],
+                                    ef: Int): Long = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val q = query.toArray
+    graph.select(col("shard"), col("id"), col("vec"), col("neighbors"),
+        col("layers"))
+      .as[GraphNode]
+      .repartition(col("shard"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_.shard).iterator.map { case (_, nodes) =>
+          countDistEvals(nodes, q, ef) }
+      }.reduce(_ + _)
+  }
+
   /** Persist the index partitioned by shard: each search task's input is
     * one directory, and a rebuilt shard swaps in file-atomically — the
     * same layout contract as [[Ann.writePartitioned]]. */
