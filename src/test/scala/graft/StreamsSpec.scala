@@ -797,6 +797,72 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("e2e ingest: chunk -> digest dedup -> graph index; a full replay " +
+      "rebuilds byte-identical index state") {
+    // The production chain the individual lifecycles compose into:
+    // doc stream → chunkStream (chunk store, replay-idempotent) →
+    // digest dedup → embed → graphUpsertStream (shard-swapped HNSW).
+    import graft.operators.GraphAnn
+    import graft.sources.HrPipeline.featureHashEmbedding
+    val base = Files.createTempDirectory("graft-e2e-ingest-").toString
+    val chunkDir = s"$base/chunks"; val idx = s"$base/idx"
+    // stage A: chunk the doc stream. Docs 1 and 2 share an identical
+    // leading chunk; doc 1 is re-delivered (crash-replay at the source)
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val qa = Streams.chunkStream(spark,
+      input.toDF().toDF("doc_id", "text", "ts"),
+      chunkDir, s"$base/chkA", chunkTokens = 4, stride = 4)
+    try {
+      input.addData(Seq((1L, "a b c d e f g h", ts(1)),
+        (2L, "a b c d x y z w", ts(1))))
+      qa.processAllAvailable()
+      input.addData(Seq((1L, "a b c d e f g h", ts(1)), // re-delivery
+        (3L, "p q r s", ts(2))))
+      qa.processAllAvailable()
+    } finally qa.stop()
+    // stage B: file-stream the chunk store, dedup on content digest,
+    // embed, upsert into the graph index
+    def runIndex(chk: String): Unit = {
+      val schema = spark.read.parquet(chunkDir).schema
+      val src = spark.readStream.schema(schema).parquet(chunkDir)
+        .dropDuplicates("digest")
+        .select(expr("xxhash64(digest)").as("vec_id"),
+          featureHashEmbedding(col("chunk_text"), 8).as("embedding"))
+      val qb = Streams.graphUpsertStream(spark, src, idx, chk,
+        numShards = 4, m = 4, efConstruction = 16)
+      try qb.processAllAvailable() finally qb.stop()
+    }
+    runIndex(s"$base/chkB1")
+    val g1 = GraphAnn.readGraphIndex(spark, idx)
+    // 4 distinct chunks: the shared "a b c d" indexed exactly ONCE, the
+    // re-delivered doc 1 not indexed twice
+    assert(g1.count() === 4)
+    def state(): Seq[(Int, Long, Seq[Double], Seq[Long], Seq[Seq[Long]])] =
+      GraphAnn.readGraphIndex(spark, idx)
+        .select(col("shard"), col("id"), col("vec"), col("neighbors"),
+          col("layers"))
+        .as[(Int, Long, Seq[Double], Seq[Long], Seq[Seq[Long]])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val s1 = state()
+    // searching the index finds the chunk whose embedding we query
+    val probe = spark.read.parquet(chunkDir)
+      .filter(col("chunk_text") === "p q r s")
+      .select(featureHashEmbedding(col("chunk_text"), 8))
+      .as[Seq[Double]].head()
+    val hit = GraphAnn.graphTopK(g1, probe, k = 1, ef = 16)
+      .select("vec_id").as[Long].head()
+    val want = spark.read.parquet(chunkDir)
+      .filter(col("chunk_text") === "p q r s")
+      .select(expr("xxhash64(digest)")).as[Long].head()
+    assert(hit === want)
+    // mid-chain crash replay, worst case: a FRESH checkpoint replays the
+    // ENTIRE chunk store into the live index. Every row is a
+    // replacement, so every touched shard takes the deterministic
+    // rebuild path — state must come back byte-identical.
+    runIndex(s"$base/chkB2")
+    assert(state() === s1, "replayed ingest must rebuild identical state")
+  }
+
   test("incrementalCollection: file stream builds an embedded collection") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
