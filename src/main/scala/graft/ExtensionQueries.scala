@@ -121,6 +121,35 @@ object ExtensionQueries {
       dir => Long.box(Tables.documents(s, dir).count())).longValue()
   }
 
+  /** Session-scoped persisted minhash band table over the documents
+    * table (same weak-session contract as [[ivfIndex]]; the cached value
+    * is a table NAME). Write-once bucketed layout: every bucketed-dedup
+    * query over the same dir reuses the pre-shuffled band index —
+    * the recurring-ingest lifecycle [[Dedup.writeBandTable]] documents. */
+  private val bandTableCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def bandTable(s: SparkSession, d: String): String = {
+    val perSession = bandTableCache.synchronized {
+      bandTableCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      val name = "graft_band_" + (dir.hashCode.toLong & 0xffffffffL)
+      // a FRESH JVM's in-memory catalog cannot see (or overwrite) a
+      // previous run's managed-table directory — drop both the catalog
+      // entry and any stale location before the write
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, name)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      Dedup.writeBandTable(Tables.documents(s, dir), col("doc_id"),
+        col("text"), name)
+      name
+    })
+  }
+
   /** Session-scoped trained product quantizer over the embeddings table
     * (same lifecycle + weak-session contract as [[ivfIndex]]): codebooks
     * are deterministic, so caching cannot change any query's result. */
@@ -295,6 +324,15 @@ object ExtensionQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
           col("text"))
+        .orderBy("id1", "id2")),
+
+    // ---- the SAME pairs served from the persisted BUCKETED band table
+    // (write-once layout, session-cached): the groupBy rides the
+    // bucketed scan's hash distribution, so the only Exchange left is
+    // the final pair distinct — the recurring-dedup shuffle eliminated
+    // (PlanSpec-asserted). Identical output ⇒ identical oracle.
+    "q_dedup_minhash_bucketed" -> ((s, d) =>
+      Dedup.lshPairsFromBandTable(s, bandTable(s, d))
         .orderBy("id1", "id2")),
 
     // ---- salted skew join: hot keys spread across `salts` reducers; the
@@ -1610,6 +1648,12 @@ object ExtensionQueries {
     // shingle, then 8 affine slots (37j+101)·h + (1009j+9176) mod 1e9+7,
     // band key = (sig[2b] % 2^31-1) * 2000000011 + sig[2b+1]
     "q_dedup_minhash" ->
+      s"""WITH $lshPairsCte
+         |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin,
+
+    // bucketed-table variant: bucketing is a physical layout, so the
+    // oracle is the identical LSH replay
+    "q_dedup_minhash_bucketed" ->
       s"""WITH $lshPairsCte
          |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin,
 

@@ -38,7 +38,32 @@ object Scratch {
     if (only.forall(_ == "simjoin")) runSimJoin(spark, noop)
     if (only.forall(_ == "graphlayers")) runGraphLayers(spark, noop)
     if (only.contains("annmatrix")) runAnnMatrix(spark)
+    if (only.forall(_ == "encode")) runEncode(spark, noop)
     spark.stop()
+  }
+
+  /** External-encoder seam throughput: 100k ~10-token docs through
+    * BatchEncode.withEmbedding with the real ProjectionEncoder kernel in
+    * the reference's 5,000-doc batches (vector_db.py:144-160 semantics).
+    * The docs/s row lands in BASELINE.md — it measures the seam the way
+    * a model swap would see it (per-executor weight load + one matmul
+    * pass per batch). */
+  private def runEncode(spark: SparkSession,
+                        noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    import graft.operators.BatchEncode
+    val n = 100000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(i =>
+        concat(lit("tok"), (col("id") + i) % 5000)): _*).as("text"))
+      .localCheckpoint(eager = true)
+    (1 to 2).foreach { r =>
+      val t0 = System.nanoTime()
+      noop(BatchEncode.withEmbedding(docs, "text",
+        new BatchEncode.ProjectionEncoder(dim = 64), batchSize = 5000))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] ProjectionEncoder 100k docs batch=5000 (r$r): " +
+        f"$sec%.2f s  (${n / sec}%.0f docs/s)")
+    }
   }
 
   /** Unified ANN tier table (AnnMatrix) on both corpora: the 2k

@@ -142,6 +142,47 @@ object Soak {
     assertPlanSane("tfidfCosinePairs", sim)
     time("tfidfCosinePairs (50k docs, maxDf=10)") { noop(sim) }
 
+    // ---- simjoin under SURVIVING-term skew: 6,000 of the 50k docs open
+    // with one identical shingle that stays under maxDf — the df valve
+    // keeps it, so its C(6000,2) ≈ 18M pair products land on ONE shuffle
+    // key. AQE cannot split a self-join fused into its upstream h
+    // distribution (SimJoinSpec), so the skewGuard salting must bound
+    // the straggler: the salted run is timed against the unguarded one.
+    {
+      val tuned = Seq(
+        // the surviving wp side is hot-doc-sized → would broadcast; force
+        // the shuffled path a corpus-scale run takes
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        // 6,000 docs share the hot leading shingle; the other 44k carry
+        // unique tokens (df=1 shingles join nothing) — the pair work is
+        // exactly the hot key's C(6000,2), all on one shuffle key
+        val hotDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+          when(col("id") < 6000,
+              concat(lit("alpha beta gamma tail"), col("id")))
+            .otherwise(concat(lit("u"), col("id"), lit(" v"), col("id"),
+              lit(" w"), col("id"))).as("text"))
+        val simHot = graft.operators.SimJoin.tfidfCosinePairs(hotDocs,
+          col("doc_id"), col("text"), nDocs = 50000L, minCos = 0.0,
+          maxDf = 6500, skewGuard = true, skewSalts = 16)
+        assertPlanSane("tfidfCosinePairs hot-term salted", simHot)
+        require(simHot.queryExecution.executedPlan.toString.contains("_salt"),
+          "skewGuard did not salt the soak-scale pair join")
+        time("tfidfCosinePairs hot-term SALTED x16 (6k-hot/50k)") {
+          noop(simHot) }
+        val simUnguarded = graft.operators.SimJoin.tfidfCosinePairs(hotDocs,
+          col("doc_id"), col("text"), nDocs = 50000L, minCos = 0.0,
+          maxDf = 6500)
+        time("tfidfCosinePairs hot-term UNGUARDED (6k-hot/50k)") {
+          noop(simUnguarded) }
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
     // ---- IVF kNN join: train k=16 on the 20k corpus, 100-query batch
     val cents = time("kmeans train k=16, 3 iters") {
       Ann.kmeansCentroids(soakVecs, col("vec_id"), col("embedding"), 16, 3)

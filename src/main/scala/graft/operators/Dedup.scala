@@ -88,6 +88,38 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("id1"), y.as("id2")))))
 
+  /** The exploded (id, band_idx, band_key) relation every LSH family
+    * groups or joins on — the PERSISTABLE form of the minhash index
+    * (see [[writeBandTable]]). Signature map-side: one md5 pass +
+    * arithmetic per doc, `bands` output rows each. */
+  def bandRows(df: DataFrame, idCol: Column, textCol: Column,
+               n: Int = 3, numHashes: Int = 8,
+               bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "trailing signature slots would be silently ignored otherwise")
+    val rPerBand = numHashes / bands
+    val hashed = df.select(idCol.as("id"),
+      graft.plans.HashedShingles.shingleHashes(textCol, n, 4).as("hv"))
+    hashed.select(col("id"),
+        minhashFromHashes(col("hv"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, rPerBand))
+          .as(Seq("band_idx", "band_key")))
+  }
+
+  /** Bucket-grouped pair generation over a band-row relation — shared by
+    * the one-shot and bucketed-table entry points. Cost is Σ bucket² in
+    * *pairs emitted*, not in recomputed hashes. */
+  private def pairsFromBandRows(rows: DataFrame): DataFrame =
+    rows
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairArray(col("ids"))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+
   /** MinHash-LSH candidate pairs (id1 < id2, distinct).
     *
     * Shape: signature map-side (one md5 pass + arithmetic), ONE shuffle of
@@ -97,23 +129,53 @@ object Dedup {
     * cost is Σ bucket² in *pairs emitted*, not in recomputed hashes. */
   def lshCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, numHashes: Int = 8,
-                        bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
-        "trailing signature slots would be silently ignored otherwise")
-    val rPerBand = numHashes / bands
-    val hashed = df.select(idCol.as("id"),
-      graft.plans.HashedShingles.shingleHashes(textCol, n, 4).as("hv"))
-    val sig = hashed.select(col("id"),
-      minhashFromHashes(col("hv"), numHashes).as("sig"))
-    sig.select(col("id"),
-        posexplode(bandKeys(col("sig"), bands, rPerBand))
-          .as(Seq("band_idx", "band_key")))
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairArray(col("ids"))).as("p"))
-      .select(col("p.id1"), col("p.id2"))
+                        bands: Int = 4): DataFrame =
+    pairsFromBandRows(bandRows(df, idCol, textCol, n, numHashes, bands))
+
+  /** Persist the minhash band index BUCKETED (and sorted) by the band
+    * key — the [[graft.sources.Bucketing]] pattern applied to the dedup
+    * family's recurring shuffle. Every later near-dedup pass over the
+    * same corpus (the common case: dedup re-runs per ingest wave) then
+    * reads pre-shuffled buckets instead of re-hashing and re-shuffling
+    * n·bands rows: [[lshPairsFromBandTable]] plans NO Exchange before
+    * pair emission, and [[lshPairsAgainstBandTable]] shuffles only the
+    * (small) incoming batch. At 100 TB the one-time layout cost replaces
+    * the dominant repeated shuffle — same argument as the fact-table
+    * bucketing, asserted in PlanSpec. */
+  def writeBandTable(df: DataFrame, idCol: Column, textCol: Column,
+                     table: String, n: Int = 3, numHashes: Int = 8,
+                     bands: Int = 4, buckets: Int = 32): Unit =
+    bandRows(df, idCol, textCol, n, numHashes, bands)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band_idx", "band_key")
+      .sortBy("band_idx", "band_key")
+      .saveAsTable(table)
+
+  /** [[lshCandidatePairs]] served from a persisted band table: the
+    * groupBy runs bucket-local (the bucketed scan already provides the
+    * (band_idx, band_key) hash distribution), so the only Exchange in
+    * the plan is the final pair distinct. Output is IDENTICAL to the
+    * one-shot operator over the same corpus (same oracle). */
+  def lshPairsFromBandTable(spark: org.apache.spark.sql.SparkSession,
+                            table: String): DataFrame =
+    pairsFromBandRows(spark.table(table))
+
+  /** Recurring-ingest candidate pairs: an incoming batch against the
+    * stored corpus band table. Only the batch side is hashed and
+    * shuffled (its band rows are batch-sized); the stored side reads
+    * its buckets in place. Emits (id1 < id2) with id1/id2 drawn from
+    * either side, distinct. */
+  def lshPairsAgainstBandTable(spark: org.apache.spark.sql.SparkSession,
+                               table: String, newDocs: DataFrame,
+                               idCol: Column, textCol: Column,
+                               n: Int = 3, numHashes: Int = 8,
+                               bands: Int = 4): DataFrame = {
+    val newRows = bandRows(newDocs, idCol, textCol, n, numHashes, bands)
+      .withColumnRenamed("id", "new_id")
+    spark.table(table).join(newRows, Seq("band_idx", "band_key"))
+      .filter(col("id") =!= col("new_id"))
+      .select(least(col("id"), col("new_id")).as("id1"),
+        greatest(col("id"), col("new_id")).as("id2"))
       .distinct()
   }
 

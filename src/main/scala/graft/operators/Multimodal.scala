@@ -75,6 +75,16 @@ object Multimodal {
     * production path. Both formats round-trip dimensions exactly (JPEG
     * is lossy in pixels, never in geometry). */
   object ImageCodec {
+    // ImageIO wraps plain byte streams in a DISK-backed
+    // FileCacheImageInputStream by default: every decode/encode creates
+    // and deletes a temp file, and 32 executor threads contend on the
+    // temp directory — the measured 2× run-to-run variance of the
+    // multimodal bench rows. Memory-cached streams are strictly better
+    // for in-heap byte arrays. Set once when the codec object loads in
+    // each executor JVM (VideoCodec delegates here, so this covers
+    // every ImageIO call in the repo).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Deterministic RGB image: pixel (x, y) = f(seed, x, y). Pixels go
       * in via ONE bulk setRGB (per-pixel setRGB pays sync + color-model
       * conversion per call — ~17M calls across a 5k-doc query). */

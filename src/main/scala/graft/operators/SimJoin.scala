@@ -50,10 +50,29 @@ object SimJoin {
   /** Pairs (id1 < id2) with TF-IDF cosine ≥ `minCos` over the df-valved
     * hashed-shingle space. `nDocs` is the corpus size (the caller
     * usually has it; passing it in keeps this a single-pass dataflow).
-    * Output: (id1, id2, cos). */
+    * Output: (id1, id2, cos).
+    *
+    * Straggler control is two-tier. The df valve is the primary bound:
+    * a surviving term contributes ≤ C(maxDf, 2) pair products, so at
+    * the default-small maxDf no single term can straggle. When a caller
+    * raises maxDf into the thousands, one surviving hot term CAN put
+    * C(df, 2) products on one shuffle key — and AQE's skew split cannot
+    * help here: the pair self-join reuses the upstream tf⋈df join's
+    * hash distribution on `h`, so the joins fuse into one stage and the
+    * pair join's children are never ENSURE_REQUIREMENTS shuffle stages
+    * (the only shape OptimizeSkewedJoin rewrites; an explicit
+    * repartition doesn't qualify either — REPARTITION_BY_COL origins
+    * are excluded. Verified empirically in SimJoinSpec). `skewGuard`
+    * therefore applies the repo's explicit [[SkewJoin]] salting to the
+    * pair join: the left occurrence splits each term's rows across
+    * `skewSalts` sub-keys map-side, the right occurrence replicates
+    * `skewSalts`×, so the hot term's quadratic product spreads over
+    * `skewSalts` reducers deterministically — identical output
+    * (parity-asserted), bounded straggler (soak-measured). */
   def tfidfCosinePairs(docs: DataFrame, idCol: Column, textCol: Column,
                        nDocs: Long, minCos: Double, maxDf: Long,
-                       shingleN: Int = 3): DataFrame = {
+                       shingleN: Int = 3, skewGuard: Boolean = false,
+                       skewSalts: Int = 8): DataFrame = {
     require(maxDf >= 2, s"maxDf=$maxDf leaves no pairable terms")
     val tf = hashedTerms(docs, idCol, textCol, shingleN)
       .groupBy("id", "h").agg(count(lit(1)).as("tf"))
@@ -73,10 +92,26 @@ object SimJoin {
         sqrt(aggregate(col("arr"), lit(0.0),
           (a, x) => a + x.getField("w") * x.getField("w"))).as("norm"))
     val wp = w.filter(col("df") >= 2).select("h", "id", "w")
-    val prods = wp.as("a").join(wp.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.h").as("h"), (col("a.w") * col("b.w")).as("prod"))
+    val prods = if (!skewGuard)
+      wp.as("a").join(wp.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          col("a.h").as("h"), (col("a.w") * col("b.w")).as("prod"))
+    else {
+      // salted self-join: a-side rows carry salt = hash(id) mod S
+      // (map-side split), b-side replicated once per salt — each (a, b)
+      // pair matches on exactly one (h, salt) key, so the result is
+      // identical and the hot key's products spread across S reducers
+      val a = wp.withColumn("_salt",
+        pmod(xxhash64(col("id")), lit(skewSalts)))
+      val b = wp.withColumn("_salt",
+        explode(sequence(lit(0L), lit(skewSalts - 1L))))
+      a.as("a").join(b.as("b"),
+          col("a.h") === col("b.h") && col("a._salt") === col("b._salt") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          col("a.h").as("h"), (col("a.w") * col("b.w")).as("prod"))
+    }
     val dots = prods.groupBy("id1", "id2")
       .agg(sort_array(collect_list(struct(col("h"), col("prod"))))
         .as("arr"))

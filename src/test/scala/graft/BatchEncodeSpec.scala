@@ -50,6 +50,36 @@ class BatchEncodeSpec extends SparkSuite {
     }
   }
 
+  test("ProjectionEncoder: real external kernel — deterministic, batch-" +
+      "size invariant, unit-norm, distribution-shipped") {
+    val enc = new BatchEncode.ProjectionEncoder(dim = 16)
+    // parity across batch sizes AND partitionings: the kernel must not
+    // depend on how Spark slices the work (retry/speculation contract)
+    val a = BatchEncode.withEmbedding(docs.repartition(3), "text", enc,
+        batchSize = 2)
+      .select(col("doc_id"), col("embedding"))
+    val b = BatchEncode.withEmbedding(docs.coalesce(1), "text", enc,
+        batchSize = 5000)
+      .select(col("doc_id"), col("embedding"))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    val rows = a.as[(Long, Seq[Double])].collect().toMap
+    // identical texts → identical vectors; distinct texts → distinct
+    assert(rows(1L) === rows(3L))
+    assert(rows(1L) !== rows(2L))
+    // sentence-encoder contract: unit L2 norm for non-empty text
+    rows.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"norm $n")
+    }
+    // the embedding is cosine-meaningful: shared-token docs sit closer
+    // than disjoint ones
+    def cos(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val shared = cos(rows(1L), rows(4L))   // disjoint vocab
+    val self = cos(rows(1L), rows(3L))     // identical
+    assert(self > shared)
+  }
+
   test("null text encodes as empty string (zero vector)") {
     val withNull = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

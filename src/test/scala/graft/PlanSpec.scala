@@ -176,6 +176,52 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"), p) // buckets line up
   }
 
+  test("bucketed band table: dedup pair generation plans no band-key " +
+      "exchange; incremental pass shuffles only the batch side") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    spark.sql("DROP TABLE IF EXISTS b_bands")
+    val whDir = new java.io.File("spark-warehouse/b_bands")
+    if (whDir.exists()) {
+      java.nio.file.Files.walk(whDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val docs = Tables.documents(spark, dir)
+    Dedup.writeBandTable(docs, col("doc_id"), col("text"), "b_bands",
+      buckets = 4)
+    // full-corpus pair generation: the groupBy rides the bucketed scan's
+    // (band_idx, band_key) distribution — the ONLY exchange left is the
+    // final pair distinct, which is pair-sized, not corpus-sized
+    val pairs = Dedup.lshPairsFromBandTable(spark, "b_bands")
+    pairs.collect()
+    // the adaptive plan string echoes the initial plan too — count
+    // exchanges in the FINAL section only
+    val p = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected only the distinct's exchange:\n$p")
+    assert(p.contains("Bucketed: true"), p)
+    // output identical to the one-shot operator (same corpus, same
+    // params) — bucketing is a physical layout, not a semantic change
+    val oneShot = Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"))
+    assert(pairs.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(pairs).count() === 0)
+    // recurring-ingest form: incoming batch vs the stored table — the
+    // stored side must read its buckets with no exchange of its own
+    val batch = docs.filter(col("doc_id") < 10)
+    val inc = Dedup.lshPairsAgainstBandTable(spark, "b_bands", batch,
+      col("doc_id"), col("text"))
+    inc.collect()
+    val pi = inc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(pi.contains("Bucketed: true"), pi)
+    // one exchange for the batch side of the join + one for the final
+    // distinct — the corpus-sized stored side moves nothing
+    val incExchanges = "Exchange hashpartitioning".r.findAllIn(pi).length
+    assert(incExchanges <= 2, s"stored side should not shuffle:\n$pi")
+  }
+
   test("bloom membership filter is map-side; pruned join stays a semi join") {
     import graft.operators.BloomJoin
     val fact = Tables.lineitem(spark, dir)

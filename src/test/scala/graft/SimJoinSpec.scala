@@ -72,6 +72,47 @@ class SimJoinSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("hot surviving term: skewGuard salts the pair self-join; AQE " +
+      "alone cannot split it") {
+    // The one straggler the df valve does NOT remove: a term under
+    // maxDf that still dominates the corpus puts every pair product for
+    // that term on ONE shuffle key of the self-join. AQE cannot help
+    // here — the pair join fuses into the upstream h-distributed stage
+    // (no ENSURE_REQUIREMENTS shuffle children, the only shape
+    // OptimizeSkewedJoin rewrites) — so the guard salts explicitly.
+    val tuned = Seq(
+      // disable broadcast so the pair join takes the shuffled path it
+      // would take at corpus scale (test-sized sides always broadcast)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // every doc opens with the SAME 3-token shingle (df = 1500, kept
+      // by maxDf = 2000) then a unique tail (df = 1 shingles join
+      // nothing) — one hot join key carrying C(1500, 2) pair products
+      val hotDocs = spark.range(1500).select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma tail"), col("id")).as("text"))
+      val sim = SimJoin.tfidfCosinePairs(hotDocs, col("doc_id"),
+        col("text"), nDocs = 1500L, minCos = 0.0, maxDf = 2000,
+        skewGuard = true, skewSalts = 8)
+      sim.queryExecution.executedPlan.execute().foreach(_ => ())
+      val p = sim.queryExecution.executedPlan.toString
+      // the pair join must key on (h, salt) — the hot term's products
+      // spread across 8 sub-keys instead of one reducer
+      assert(p.contains("_salt"),
+        s"skewGuard did not salt the pair join:\n$p")
+      assert(sim.count() === 1500L * 1499L / 2)
+      // guarded and unguarded agree — salting is physical only
+      val unguarded = SimJoin.tfidfCosinePairs(hotDocs, col("doc_id"),
+        col("text"), nDocs = 1500L, minCos = 0.0, maxDf = 2000)
+      assert(sim.exceptAll(unguarded).count() === 0)
+      assert(unguarded.exceptAll(sim).count() === 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("result is layout-independent") {
     val base = SimJoin.tfidfCosinePairs(docs, col("doc_id"), col("text"),
         nDocs = 3, minCos = 0.3, maxDf = 10)
