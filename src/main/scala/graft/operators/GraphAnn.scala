@@ -171,13 +171,34 @@ object GraphAnn {
     }
   }
 
+  /** hnswlib's neighbor-selection heuristic (select_neighbors_heuristic,
+    * the library default): walk candidates by increasing distance to the
+    * query and KEEP one only if it is closer to the query than to every
+    * neighbor already kept. On clustered data this is what preserves
+    * navigability — plain keep-the-m-closest links a node only into its
+    * own cluster, and beams can never cross between clusters (measured:
+    * 0.74 → see BASELINE.md round-6 heuristic row). Deterministic given
+    * the (dist, id)-ordered candidate list. The closest candidate is
+    * always kept, so the graph stays connected. */
+  private def selectHeuristic(cands: Seq[(Double, Long)], m: Int,
+      vecs: mutable.LongMap[Array[Double]]): Seq[(Double, Long)] = {
+    val kept = mutable.ArrayBuffer.empty[(Double, Long)]
+    val it = cands.iterator
+    while (kept.size < m && it.hasNext) {
+      val (d, c) = it.next()
+      if (kept.forall { case (_, k) => l2sq(vecs(c), vecs(k)) > d })
+        kept += ((d, c))
+    }
+    kept.toSeq
+  }
+
   /** Insert `adds` id-ascending into the shard graph: each insert draws
     * its deterministic level, greedy-descends the layers above it, then
-    * per layer beam-searches (width `efConstruction`) and links to its
-    * nearest results bidirectionally — ≤ m edges on upper layers
-    * (hnswlib maxM = M), ≤ 2m on layer 0 (maxM0 = 2M); any endpoint
-    * pushed past its cap keeps only its closest — degree stays bounded,
-    * so search cost does too. */
+    * per layer beam-searches (width `efConstruction`) and links to the
+    * [[selectHeuristic]] pick of its results bidirectionally — ≤ m edges
+    * on upper layers (hnswlib maxM = M), ≤ 2m on layer 0 (maxM0 = 2M);
+    * any endpoint pushed past its cap re-selects with the same heuristic
+    * — degree stays bounded, so search cost does too. */
   private def insertAll(g: ShardGraph, adds: Array[(Long, Array[Double])],
       m: Int, efConstruction: Int, maxLevel: Int): Unit =
     adds.sortBy(_._1).foreach { case (id, vec) =>
@@ -199,14 +220,15 @@ object GraphAnn {
           val adj = if (l == 0) g.adj0 else g.adjUpper(l - 1)
           val cap = if (l == 0) 2 * m else m
           val res = beamSearch(cur, vec, efConstruction, g.vecs, adj)
-          val near = res.take(m).map(_._2)
+          val near = selectHeuristic(res, m, g.vecs).map(_._2)
           adj(id) = mutable.ArrayBuffer(near: _*)
           near.foreach { nb =>
             val edges = adj(nb); edges += id
             if (edges.length > cap) {
-              val kept = edges.map(e => (l2sq(g.vecs(nb), g.vecs(e)), e))
-                .sorted(byDistThenId).take(cap).map(_._2)
-              adj(nb) = kept
+              val kept = selectHeuristic(
+                edges.map(e => (l2sq(g.vecs(nb), g.vecs(e)), e))
+                  .sorted(byDistThenId).toSeq, cap, g.vecs).map(_._2)
+              adj(nb) = mutable.ArrayBuffer(kept: _*)
             }
           }
           cur = res.head._2
