@@ -1308,6 +1308,28 @@ object ExtensionQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // ---- batch kNN join over the sharded hierarchical graph: the graph
+    // family's knnJoinIvf counterpart — corpus-partitioned, query batch
+    // broadcast, one balanced top-k shuffle. Approximate ⇒ rows-only;
+    // the machinery is hash-PROVEN by q_graph_join_exhaustive below.
+    "q_ann_graph_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      GraphAnn.graphKnnJoin(emb.filter(col("vec_id") < 10), col("vec_id"),
+          col("embedding"), graphIndex(s, d), k = 5, ef = 100)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ---- graph join machinery HASH-PROVEN: ef >= shard size makes every
+    // per-shard beam exhaustive, so the join must EQUAL exact knnJoin —
+    // oracled against the SAME DuckDB SQL as q_knn_join (the
+    // q_knn_join_exhaustive proof pattern applied to the graph tier).
+    "q_graph_join_exhaustive" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      GraphAnn.graphKnnJoin(emb.filter(col("vec_id") < 10), col("vec_id"),
+          col("embedding"), graphIndex(s, d), k = 5, ef = 4000)
+        .orderBy("query_id", "rn")
+    }),
+
     // ---- token-budget shard packing: running token sum per source cut
     // into ~1000-token bins; one window over one shuffle.
     "q_pack_token_budget" -> ((s, d) =>
@@ -2565,6 +2587,9 @@ object ExtensionQueries {
 
     // exhaustive-probe IVF join must equal brute force — same oracle
     "q_knn_join_exhaustive" -> knnJoinOracleSql,
+
+    // exhaustive-beam graph join must equal brute force — same oracle
+    "q_graph_join_exhaustive" -> knnJoinOracleSql,
 
     "q_pack_token_budget" ->
       """WITH t AS (

@@ -373,6 +373,63 @@ object GraphAnn {
     evals
   }
 
+  /** Batch kNN join over the sharded hierarchical graph — the graph
+    * family's counterpart of [[Knn.knnJoinIvf]]. Every query must search
+    * every shard (a hash-sharded graph has no routing structure above
+    * the shard level), so the query BATCH ships to each shard task as a
+    * broadcast — bounded by `maxBatch` (query batches are request-sized;
+    * the CORPUS-sized graph is what stays partitioned and never moves).
+    * Each shard task loads its graph once and runs all queries through
+    * it: per-shard work Q × O(ef·M·log n_s), emitted rows ≤ ef per
+    * (query, shard), then ONE balanced shuffle on query_id for the
+    * global per-query top-k ([[TopK.topKPerGroup]], the bounded-buffer
+    * aggregator every batch join here uses). Output matches
+    * [[Knn.knnJoin]]: (query_id, match_id, dist, rn). With `ef` ≥ shard
+    * size the beams are exhaustive and the result EQUALS brute force —
+    * the q_knn_join_exhaustive machinery-proof pattern, hash-oracled as
+    * q_graph_join_exhaustive. */
+  def graphKnnJoin(queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                   graph: DataFrame, k: Int, ef: Int = 100,
+                   maxBatch: Int = 100000): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(qIdCol.cast("long"), qVecCol.cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.length <= maxBatch,
+      s"${qRows.length} queries exceed maxBatch=$maxBatch — a graph join " +
+        "replicates the batch to every shard; chunk the batch or raise " +
+        "the cap consciously")
+    val bq = spark.sparkContext.broadcast(qRows)
+    val efEff = math.max(ef, k)
+    val perShard = graph
+      .select(col("shard"), col("id"), col("vec"), col("neighbors"),
+        col("layers"))
+      .as[GraphNode]
+      .repartition(col("shard"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_.shard).iterator.flatMap { case (_, nodes) =>
+          val maxLevel = nodes.iterator
+            .map(n => if (n.layers == null) 0 else n.layers.length)
+            .foldLeft(0)(math.max)
+          val g = new ShardGraph(maxLevel)
+          g.load(nodes)
+          bq.value.iterator.flatMap { case (qid, q) =>
+            val entry0 = g.descend(q, 0)
+            beamSearch(entry0, q, efEff, g.vecs, g.adj0)
+              .map { case (d2, id) => (qid, id, d2) }
+          }
+        }
+      }
+      .toDF("query_id", "match_id", "_d2")
+      .select(col("query_id"), col("match_id"),
+        (-round(sqrt(col("_d2")), 6)).as("negdist"))
+    TopK.topKPerGroup(spark, perShard, "query_id", "match_id", "negdist", k)
+      .select(col("query_id"), col("match_id"),
+        (-col("negdist")).as("dist"), col("rn"))
+  }
+
   /** Total distance evaluations one query costs across every shard of
     * `graph` — [[countDistEvals]] run where each shard lives, summed.
     * Measurement harness (Scratch / AnnMatrix), not a query path. */

@@ -138,6 +138,35 @@ class GraphAnnSpec extends SparkSuite {
       "q_ann_graph must not re-distribute a driver-collected graph")
   }
 
+  test("graphKnnJoin: exhaustive ef EQUALS exact knnJoin bit-for-bit; " +
+      "pruned ef keeps high recall; batch cap throws") {
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Knn.knnJoin(q, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k = 5)
+      .select("query_id", "match_id", "dist", "rn")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val exhaustive = GraphAnn.graphKnnJoin(q, col("vec_id"),
+        col("embedding"), g, k = 5, ef = 4000)
+      .select("query_id", "match_id", "dist", "rn")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(exhaustive === exact)
+    val pruned = GraphAnn.graphKnnJoin(q, col("vec_id"), col("embedding"),
+        g, k = 5, ef = 100)
+      .select("query_id", "match_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = exact.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.keys.toSeq.map(qid =>
+      (pruned(qid) & truth(qid)).size.toDouble / 5).sum / truth.size
+    assert(recall >= 0.9, f"batch-join recall $recall%.2f")
+    intercept[IllegalArgumentException] {
+      GraphAnn.graphKnnJoin(q, col("vec_id"), col("embedding"), g,
+        k = 5, maxBatch = 2)
+    }
+  }
+
   test("write/read roundtrip preserves search results") {
     val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
       numShards = 4, m = 8, efConstruction = 40)
