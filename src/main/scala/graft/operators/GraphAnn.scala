@@ -256,7 +256,13 @@ object GraphAnn {
   private[graft] def insertIntoShard(shard: Int, existing: Array[GraphNode],
       adds: Array[(Long, Array[Double])], m: Int,
       efConstruction: Int, maxLevel: Int = 3): Iterator[GraphNode] = {
-    val g = new ShardGraph(maxLevel)
+    // size the layer array by the DEEPEST stored node too: an index
+    // written with a larger maxLevel must load without out-of-bounds
+    // (new inserts still cap their own levels at this call's maxLevel)
+    val effMax = math.max(maxLevel, existing.iterator
+      .map(n => if (n.layers == null) 0 else n.layers.length)
+      .foldLeft(0)(math.max))
+    val g = new ShardGraph(effMax)
     g.load(existing)
     insertAll(g, adds, m, efConstruction, maxLevel)
     (existing.iterator.map(_.id) ++ adds.iterator.map(_._1)).toArray.sorted
