@@ -90,15 +90,20 @@ object ExtensionQueries {
         new java.util.concurrent.ConcurrentHashMap[String, String]())
     }
     val indexDir = perSession.computeIfAbsent(d, { dir =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-graph-index-").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        scala.reflect.io.Directory(tmp).deleteRecursively(): Unit))
+      // DETERMINISTIC per-data-dir path (content-hashed, format-versioned):
+      // session churn reuses/overwrites one directory per dir instead of
+      // accumulating a fresh temp dir + shutdown hook per (session, dir) —
+      // the data dirs are immutable for the JVM's lifetime and the build
+      // is deterministic, so an existing index is always the right one.
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft-graph-index-v2-$tag")
       GraphAnn.writeGraphIndex(
         GraphAnn.buildGraph(Tables.embeddings(s, dir), col("vec_id"),
           col("embedding"), numShards = 8, m = 16, efConstruction = 100),
-        tmp.getAbsolutePath)
-      tmp.getAbsolutePath
+        path.toString)
+      path.toString
     })
     GraphAnn.readGraphIndex(s, indexDir)
   }
@@ -135,7 +140,11 @@ object ExtensionQueries {
         new java.util.concurrent.ConcurrentHashMap[String, String]())
     }
     perSession.computeIfAbsent(d, { dir =>
-      val name = "graft_band_" + (dir.hashCode.toLong & 0xffffffffL)
+      // full md5 of the dir, not String.hashCode: a 32-bit name collision
+      // across data dirs would silently serve pairs from the wrong corpus
+      val name = "graft_band_" + java.security.MessageDigest
+        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       // a FRESH JVM's in-memory catalog cannot see (or overwrite) a
       // previous run's managed-table directory — drop both the catalog
       // entry and any stale location before the write

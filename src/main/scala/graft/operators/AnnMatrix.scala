@@ -102,13 +102,17 @@ object AnnMatrix {
       ivfBuildSec, ivfSec)
 
     // ---- IVF-PQ (residual codes inside probed cells; ADC, no refine —
-    // the declared q_ann_ivfpq shape)
-    val (pqModel, pqBuildSec) = timed {
-      Pq.trainResidual(indexed, idCol, vecCol, cents, m = b.pqM,
-        ks = b.pqKs, iters = b.pqIters)
+    // the declared q_ann_ivfpq shape). Build time covers train AND the
+    // full-corpus encode+materialize, so the column is comparable with
+    // the IVF tier's train+assign+materialize
+    val (pqPair, pqBuildSec) = timed {
+      val model = Pq.trainResidual(indexed, idCol, vecCol, cents,
+        m = b.pqM, ks = b.pqKs, iters = b.pqIters)
+      val enc = Pq.encodeResidual(indexed, vecCol, cents, model).persist()
+      enc.count()
+      (model, enc)
     }
-    val encoded = Pq.encodeResidual(indexed, vecCol, cents, pqModel).persist()
-    encoded.count()
+    val (pqModel, encoded) = pqPair
     val (ivfPqTops, ivfPqSec) = timed {
       queries.map { case (qid, q) =>
         qid -> topIds(Pq.ivfPqTopK(encoded, col("codes"), cents, pqModel, q,

@@ -161,22 +161,27 @@ object Dedup {
     pairsFromBandRows(spark.table(table))
 
   /** Recurring-ingest candidate pairs: an incoming batch against the
-    * stored corpus band table. Only the batch side is hashed and
-    * shuffled (its band rows are batch-sized); the stored side reads
-    * its buckets in place. Emits (id1 < id2) with id1/id2 drawn from
-    * either side, distinct. */
+    * stored corpus band table PLUS the batch's own internal pairs —
+    * an ingest wave containing two near-identical new docs must flag
+    * them even when neither resembles the stored corpus, or the dup
+    * slips through and poisons every future wave. Only the batch side
+    * is hashed and shuffled (its band rows are batch-sized, and both
+    * the join and the intra-batch grouping reuse ONE computation of
+    * them); the stored side reads its buckets in place. Emits
+    * (id1 < id2) drawn from either side, distinct. */
   def lshPairsAgainstBandTable(spark: org.apache.spark.sql.SparkSession,
                                table: String, newDocs: DataFrame,
                                idCol: Column, textCol: Column,
                                n: Int = 3, numHashes: Int = 8,
                                bands: Int = 4): DataFrame = {
     val newRows = bandRows(newDocs, idCol, textCol, n, numHashes, bands)
-      .withColumnRenamed("id", "new_id")
-    spark.table(table).join(newRows, Seq("band_idx", "band_key"))
+    val vsStored = spark.table(table)
+      .join(newRows.withColumnRenamed("id", "new_id"),
+        Seq("band_idx", "band_key"))
       .filter(col("id") =!= col("new_id"))
       .select(least(col("id"), col("new_id")).as("id1"),
         greatest(col("id"), col("new_id")).as("id2"))
-      .distinct()
+    vsStored.unionByName(pairsFromBandRows(newRows)).distinct()
   }
 
   // ---- SimHash --------------------------------------------------------

@@ -93,15 +93,20 @@ object GraphAnn {
   /** hnswlib's greedy beam on ONE layer: walk from `entry`, keep the
     * best `ef` seen, stop when the closest open candidate is worse than
     * the worst kept result. `ef = 1` is the upper-layer greedy descent.
-    * Returns (distSq, id) ascending. */
+    * Returns (distSq, id) ascending. `evals`, when non-null, accumulates
+    * the distance-evaluation count in slot 0 (one per visited node) — so
+    * the measurement harness counts exactly the algorithm queries run,
+    * not a copy that can drift. */
   private def beamSearch(entry: Long, query: Array[Double], ef: Int,
       vecs: mutable.LongMap[Array[Double]],
-      adj: mutable.LongMap[mutable.ArrayBuffer[Long]]): Seq[(Double, Long)] = {
+      adj: mutable.LongMap[mutable.ArrayBuffer[Long]],
+      evals: Array[Long] = null): Seq[(Double, Long)] = {
     val visited = mutable.HashSet[Long](entry)
     // candidates: min-heap (reverse of max ordering); results: max-heap
     val candidates =
       mutable.PriorityQueue.empty[(Double, Long)](byDistThenId.reverse)
     val results = mutable.PriorityQueue.empty[(Double, Long)](byDistThenId)
+    if (evals != null) evals(0) += 1
     val d0 = (l2sq(query, vecs(entry)), entry)
     candidates.enqueue(d0); results.enqueue(d0)
     var done = false
@@ -111,6 +116,7 @@ object GraphAnn {
       else adj.getOrElse(closest._2, mutable.ArrayBuffer.empty).foreach { nb =>
         if (!visited(nb)) {
           visited += nb
+          if (evals != null) evals(0) += 1
           val cand = (l2sq(query, vecs(nb)), nb)
           if (results.size < ef || byDistThenId.lt(cand, results.head)) {
             candidates.enqueue(cand); results.enqueue(cand)
@@ -225,10 +231,20 @@ object GraphAnn {
           near.foreach { nb =>
             val edges = adj(nb); edges += id
             if (edges.length > cap) {
-              val kept = selectHeuristic(
-                edges.map(e => (l2sq(g.vecs(nb), g.vecs(e)), e))
-                  .sorted(byDistThenId).toSeq, cap, g.vecs).map(_._2)
-              adj(nb) = mutable.ArrayBuffer(kept: _*)
+              // hnswlib's shrink: heuristic-select, then FILL the
+              // remaining capacity with the closest pruned candidates
+              // (keepPrunedConnections) — the endpoint keeps its full
+              // degree, which lowers the chance a pruned edge was some
+              // node's last in-edge
+              val cands = edges
+                .map(e => (l2sq(g.vecs(nb), g.vecs(e)), e))
+                .sorted(byDistThenId).toSeq
+              val diverse = selectHeuristic(cands, cap, g.vecs)
+              val keptSet = diverse.map(_._2).toSet
+              val fill = cands.filterNot(c => keptSet(c._2))
+                .take(cap - diverse.size)
+              adj(nb) = mutable.ArrayBuffer(
+                (diverse ++ fill).sorted(byDistThenId).map(_._2): _*)
             }
           }
           cur = res.head._2
@@ -295,6 +311,14 @@ object GraphAnn {
       .toDF()
   }
 
+  /** Backfill the `layers` column for indexes written by the pre-layers
+    * flat-NSW format (no such column): they load as all-level-0 graphs
+    * and search exactly as they did when written — a format upgrade,
+    * not a break. Used by every read path that selects `layers`. */
+  private[graft] def withLayers(df: DataFrame): DataFrame =
+    if (df.columns.contains("layers")) df
+    else df.withColumn("layers", lit(null).cast("array<array<bigint>>"))
+
   /** Search every shard: greedy-descend that shard's upper layers from
     * its top node (ef=1 — the O(log n) hops), then beam-search layer 0
     * with width `ef`; merge the per-shard top-`ef` on the driver.
@@ -308,7 +332,8 @@ object GraphAnn {
     import spark.implicits._
     val q = query.toArray
     val efEff = math.max(ef, k)
-    graph.select(col("shard"), col("id"), col("vec"), col("neighbors"),
+    withLayers(graph)
+      .select(col("shard"), col("id"), col("vec"), col("neighbors"),
         col("layers"))
       .as[GraphNode]
       .repartition(col("shard")) // keep each shard's graph whole
@@ -334,8 +359,9 @@ object GraphAnn {
   /** Count of distance evaluations one shard-local search performs —
     * the comparable cost metric for the layered-vs-flat measurement
     * (BASELINE.md): every l2sq against a new candidate counts, both in
-    * the descent and the layer-0 beam. Driver-side over a collected
-    * shard; measurement harness only, not a query path. */
+    * the descent and the layer-0 beam. Runs the SAME [[beamSearch]] the
+    * queries run (instrumented via its counter slot, not a copy that
+    * could drift). Measurement harness only, not a query path. */
   private[graft] def countDistEvals(nodes: Array[GraphNode],
       query: Array[Double], ef: Int): Long = {
     val maxLevel = nodes.iterator
@@ -343,40 +369,15 @@ object GraphAnn {
       .foldLeft(0)(math.max)
     val g = new ShardGraph(maxLevel)
     g.load(nodes)
-    var evals = 0L
-    def beam(entry: Long, ef2: Int,
-        adj: mutable.LongMap[mutable.ArrayBuffer[Long]]): Seq[(Double, Long)] = {
-      val visited = mutable.HashSet[Long](entry)
-      val candidates =
-        mutable.PriorityQueue.empty[(Double, Long)](byDistThenId.reverse)
-      val results = mutable.PriorityQueue.empty[(Double, Long)](byDistThenId)
-      evals += 1
-      val d0 = (l2sq(query, g.vecs(entry)), entry)
-      candidates.enqueue(d0); results.enqueue(d0)
-      var done = false
-      while (!done && candidates.nonEmpty) {
-        val closest = candidates.dequeue()
-        if (results.size >= ef2 && byDistThenId.gt(closest, results.head))
-          done = true
-        else adj.getOrElse(closest._2, mutable.ArrayBuffer.empty).foreach { nb =>
-          if (!visited(nb)) {
-            visited += nb
-            evals += 1
-            val cand = (l2sq(query, g.vecs(nb)), nb)
-            if (results.size < ef2 || byDistThenId.lt(cand, results.head)) {
-              candidates.enqueue(cand); results.enqueue(cand)
-              if (results.size > ef2) results.dequeue()
-            }
-          }
-        }
-      }
-      results.dequeueAll.reverse.toSeq
-    }
+    val evals = Array(0L)
     var cur = g.entryId
     var l = g.entryLevel
-    while (l > 0) { cur = beam(cur, 1, g.adjUpper(l - 1)).head._2; l -= 1 }
-    beam(cur, math.max(ef, 1), g.adj0)
-    evals
+    while (l > 0) {
+      cur = beamSearch(cur, query, 1, g.vecs, g.adjUpper(l - 1), evals).head._2
+      l -= 1
+    }
+    beamSearch(cur, query, math.max(ef, 1), g.vecs, g.adj0, evals)
+    evals(0)
   }
 
   /** Batch kNN join over the sharded hierarchical graph — the graph
@@ -399,17 +400,20 @@ object GraphAnn {
                    maxBatch: Int = 100000): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
+    // collect at most maxBatch+1 rows: the guard must fire BEFORE an
+    // oversized batch is materialized on the driver, not after
     val qRows: Array[(Long, Array[Double])] = queries
       .select(qIdCol.cast("long"), qVecCol.cast("array<double>"))
+      .limit(maxBatch + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(qRows.length <= maxBatch,
-      s"${qRows.length} queries exceed maxBatch=$maxBatch — a graph join " +
+      s"query batch exceeds maxBatch=$maxBatch — a graph join " +
         "replicates the batch to every shard; chunk the batch or raise " +
         "the cap consciously")
     val bq = spark.sparkContext.broadcast(qRows)
     val efEff = math.max(ef, k)
-    val perShard = graph
+    val perShard = withLayers(graph)
       .select(col("shard"), col("id"), col("vec"), col("neighbors"),
         col("layers"))
       .as[GraphNode]
@@ -444,7 +448,8 @@ object GraphAnn {
     val spark = graph.sparkSession
     import spark.implicits._
     val q = query.toArray
-    graph.select(col("shard"), col("id"), col("vec"), col("neighbors"),
+    withLayers(graph)
+      .select(col("shard"), col("id"), col("vec"), col("neighbors"),
         col("layers"))
       .as[GraphNode]
       .repartition(col("shard"))
@@ -463,5 +468,5 @@ object GraphAnn {
 
   def readGraphIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame =
-    spark.read.parquet(dir)
+    withLayers(spark.read.parquet(dir))
 }

@@ -914,7 +914,7 @@ object Streams {
             lit(null).cast("array<bigint>").as("neighbors"),
             lit(null).cast("array<array<bigint>>").as("layers"))
           val merged = (if (existingShards.nonEmpty)
-              spark.read.parquet(base)
+              GraphAnn.withLayers(spark.read.parquet(base))
                 .filter(col("shard").isin(existingShards.map(Int.box): _*))
                 .select("shard", "id", "vec", "neighbors", "layers")
                 .unionByName(addNodes)

@@ -78,6 +78,32 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((1L, 4L))) // unrelated content shares no band
   }
 
+  test("lshPairsAgainstBandTable flags batch-vs-stored AND intra-batch " +
+      "near-dups") {
+    spark.sql("DROP TABLE IF EXISTS dedup_band_inc")
+    val whDir = new java.io.File("spark-warehouse/dedup_band_inc")
+    if (whDir.exists()) {
+      java.nio.file.Files.walk(whDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    Dedup.writeBandTable(docs, col("doc_id"), col("text"),
+      "dedup_band_inc", buckets = 2)
+    // doc 100 duplicates stored doc 1; docs 200 and 201 duplicate EACH
+    // OTHER but nothing stored — the wave must flag both kinds, or the
+    // intra-batch dup slips through and poisons future waves
+    val batch = Seq(
+      (100L, docs.filter(col("doc_id") === 1).select("text").as[String].head()),
+      (200L, "zeta eta theta iota kappa entirely novel content here"),
+      (201L, "zeta eta theta iota kappa entirely novel content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshPairsAgainstBandTable(spark, "dedup_band_inc",
+        batch, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)), s"batch-vs-stored pair missing: $pairs")
+    assert(pairs.contains((200L, 201L)), s"intra-batch pair missing: $pairs")
+  }
+
   test("simhash: identical texts identical, near-dups within small Hamming") {
     val h = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap

@@ -167,6 +167,24 @@ class GraphAnnSpec extends SparkSuite {
     }
   }
 
+  test("pre-layers index format (no layers column) reads and searches " +
+      "unchanged") {
+    // an index written by the round-5 flat-NSW binary has columns
+    // (shard, id, vec, neighbors) only — it must load as an all-level-0
+    // graph and search exactly as it did when written
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40, maxLevel = 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph-oldfmt").toString
+    GraphAnn.writeGraphIndex(g.drop("layers"), dir)
+    val q = Knn.vectorAt(emb, col("vec_id"), 11L, col("embedding"))
+    val fromOld = GraphAnn.graphTopK(GraphAnn.readGraphIndex(spark, dir),
+      q, k = 10, ef = 64).as[(Long, Double)].collect()
+    val fromNew = GraphAnn.graphTopK(g, q, k = 10, ef = 64)
+      .as[(Long, Double)].collect()
+    assert(fromOld === fromNew)
+  }
+
   test("write/read roundtrip preserves search results") {
     val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
       numShards = 4, m = 8, efConstruction = 40)

@@ -213,13 +213,44 @@ class PlanSpec extends SparkSuite {
     val inc = Dedup.lshPairsAgainstBandTable(spark, "b_bands", batch,
       col("doc_id"), col("text"))
     inc.collect()
-    val pi = inc.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    assert(pi.contains("Bucketed: true"), pi)
-    // one exchange for the batch side of the join + one for the final
-    // distinct — the corpus-sized stored side moves nothing
-    val incExchanges = "Exchange hashpartitioning".r.findAllIn(pi).length
-    assert(incExchanges <= 2, s"stored side should not shuffle:\n$pi")
+    // every exchange is BATCH- or pair-sized (the join's batch side, the
+    // intra-batch band grouping, the distincts) — the corpus-sized
+    // stored side moves nothing: the join's left (stored-table) subtree
+    // must contain no shuffle, asserted structurally on the final
+    // adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val finalPlan = inc.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // query stages are LEAVES of the main tree with their subtree in
+    // .plan — recurse through them or collect sees only the root stage
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val storedSides = allNodes(finalPlan).collect {
+      case j: SortMergeJoinExec => j.left
+      case j: ShuffledHashJoinExec => j.left
+      // a batch small enough to broadcast is the best case: the stored
+      // side streams straight out of its buckets (streamed side = the
+      // child opposite the build side)
+      case j: BroadcastHashJoinExec =>
+        if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+          j.left else j.right
+    }
+    assert(storedSides.nonEmpty, finalPlan.toString)
+    storedSides.foreach { l =>
+      val shuffles = allNodes(l).collect {
+        case e: ShuffleExchangeLike => e
+        case s: ShuffleQueryStageExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"stored side should not shuffle:\n$finalPlan")
+    }
   }
 
   test("bloom membership filter is map-side; pruned join stays a semi join") {
