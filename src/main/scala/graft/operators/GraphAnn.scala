@@ -52,9 +52,14 @@ case class GraphNode(shard: Int, id: Long, vec: Array[Double],
   * function of the id — the built edge set is identical on any cluster
   * layout (asserted in GraphAnnSpec). Approximate ⇒ rows-only
   * correctness per SURVEY §5.2; with `ef` ≥ shard size the layer-0 beam
-  * is exhaustive over the (connected by construction) shard graph, so
-  * results EQUAL brute force — the machinery proof, same pattern as
-  * q_knn_join_exhaustive.
+  * is exhaustive over the shard graph, so results EQUAL brute force —
+  * the machinery proof, same pattern as q_knn_join_exhaustive. (Caveat
+  * shared with hnswlib itself: every insert links bidirectionally and
+  * pruning keeps full degree via the keepPruned fill, but degree-capped
+  * pruning can in principle drop a node's last in-edge and strand it
+  * from the beam — exhaustive-equals-exact is an empirical property of
+  * the built graph, held across all tested corpora and scale factors,
+  * not a structural guarantee.)
   */
 object GraphAnn {
 
