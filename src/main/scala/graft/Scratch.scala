@@ -242,7 +242,6 @@ object Scratch {
       noop(graft.operators.GraphAnn.graphTopK(graph, q, k = 10, ef = 100)))
     time("graphTopK ef=100 top-10 (2nd)")(
       noop(graft.operators.GraphAnn.graphTopK(graph, q, k = 10, ef = 100)))
-    graph.unpersist()
 
     val queries = corpus.filter(col("vec_id") % 2000 === 0) // 100 queries
     time("knnJoin broadcast (100 q)")(
@@ -252,6 +251,10 @@ object Scratch {
       noop(Knn.knnJoinIvf(queries, col("vec_id"), col("embedding"),
         idx, col("vec_id"), col("embedding"), centsLocal, k = 10,
         nProbe = 4)))
+    time("graphKnnJoin ef=100 (100 q)")(
+      noop(graft.operators.GraphAnn.graphKnnJoin(queries, col("vec_id"),
+        col("embedding"), graph, k = 10, ef = 100)))
+    graph.unpersist()
 
     // ---- PQ at 200k: codebook train, the native-kernel encode pass
     // (8 subspaces × 16 codes), and an ADC query over codes only
