@@ -84,28 +84,49 @@ object ExtensionQueries {
   private val graphCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
-  private def graphIndex(s: SparkSession, d: String): DataFrame = {
+  private def graphIndexDir(s: SparkSession, d: String): String = {
     val perSession = graphCache.synchronized {
       graphCache.computeIfAbsent(s, _ =>
         new java.util.concurrent.ConcurrentHashMap[String, String]())
     }
-    val indexDir = perSession.computeIfAbsent(d, { dir =>
+    perSession.computeIfAbsent(d, { dir =>
       // DETERMINISTIC per-data-dir path (content-hashed, format-versioned):
-      // session churn reuses/overwrites one directory per dir instead of
-      // accumulating a fresh temp dir + shutdown hook per (session, dir) —
-      // the data dirs are immutable for the JVM's lifetime and the build
-      // is deterministic, so an existing index is always the right one.
+      // session churn reuses one directory per dir instead of accumulating
+      // a fresh temp dir + shutdown hook per (session, dir) — the data
+      // dirs are immutable for the JVM's lifetime and the build is
+      // deterministic, so an existing index is always the right one.
+      // Publication is ATOMIC: build into a unique staging dir, then
+      // rename into the deterministic path — a concurrent session (or
+      // second JVM) either sees the complete versioned dir and reuses it,
+      // or races the rename and falls back to its own staging copy;
+      // nobody ever scans a half-written index (ADVICE round 6).
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft-graph-index-v2-$tag")
-      GraphAnn.writeGraphIndex(
-        GraphAnn.buildGraph(Tables.embeddings(s, dir), col("vec_id"),
-          col("embedding"), numShards = 8, m = 16, efConstruction = 100),
-        path.toString)
-      path.toString
+      if (java.nio.file.Files.exists(path)) path.toString
+      else {
+        val staging = java.nio.file.Files.createTempDirectory(
+          path.getParent, s"graft-graph-index-v2-$tag-stage-")
+        GraphAnn.writeGraphIndex(
+          GraphAnn.buildGraph(Tables.embeddings(s, dir), col("vec_id"),
+            col("embedding"), numShards = 8, m = 16, efConstruction = 100),
+          staging.toString)
+        try {
+          java.nio.file.Files.move(staging, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          path.toString
+        } catch {
+          // another builder won the rename: both builds are
+          // deterministic-identical, so serving from our staging copy is
+          // equally correct (and cheaper than deleting + re-listing)
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.AccessDeniedException =>
+            staging.toString
+        }
+      }
     })
-    GraphAnn.readGraphIndex(s, indexDir)
   }
 
   /** Session-scoped documents row count (same weak-session contract as
@@ -877,8 +898,11 @@ object ExtensionQueries {
     // Approximate ⇒ rows-only; determinism, the exhaustive-beam==exact
     // machinery proof, and recall >= IVF-PQ are asserted in GraphAnnSpec.
     "q_ann_graph" -> ((s, d) => {
-      val hits = GraphAnn.graphTopK(graphIndex(s, d), queryVec(s, d),
-        k = 10, ef = 100)
+      // served EXCHANGE-FREE from the persisted index: shard-dir-aligned
+      // read, no repartition over the corpus-sized graph (GraphAnnSpec
+      // plan assertion)
+      val hits = GraphAnn.graphTopKIndexed(s, graphIndexDir(s, d),
+        queryVec(s, d), k = 10, ef = 100)
       hits.join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
           Seq("vec_id"))
         .select(col("vec_id"), col("label"), col("dist"))
@@ -1323,8 +1347,9 @@ object ExtensionQueries {
     // the machinery is hash-PROVEN by q_graph_join_exhaustive below.
     "q_ann_graph_join" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      GraphAnn.graphKnnJoin(emb.filter(col("vec_id") < 10), col("vec_id"),
-          col("embedding"), graphIndex(s, d), k = 5, ef = 100)
+      GraphAnn.graphKnnJoinIndexed(emb.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), graphIndexDir(s, d), k = 5,
+          ef = 100)
         .orderBy("query_id", "rn")
     }),
 
@@ -1334,8 +1359,9 @@ object ExtensionQueries {
     // q_knn_join_exhaustive proof pattern applied to the graph tier).
     "q_graph_join_exhaustive" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      GraphAnn.graphKnnJoin(emb.filter(col("vec_id") < 10), col("vec_id"),
-          col("embedding"), graphIndex(s, d), k = 5, ef = 4000)
+      GraphAnn.graphKnnJoinIndexed(emb.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), graphIndexDir(s, d), k = 5,
+          ef = 4000)
         .orderBy("query_id", "rn")
     }),
 

@@ -332,16 +332,29 @@ object GraphAnn {
     * ships (ef × numShards rows total reach the `TakeOrderedAndProject`
     * merge — never the corpus). */
   def graphTopK(graph: DataFrame, query: Seq[Double], k: Int,
-                ef: Int = 100): DataFrame = {
-    val spark = graph.sparkSession
+                ef: Int = 100): DataFrame =
+    graphTopKNodes(shardWhole(graph), query, k, ef)
+
+  /** [[graphTopK]] served straight from a persisted index directory via
+    * [[readGraphIndexAligned]]: each task reads exactly one shard
+    * directory, so the plan carries NO Exchange over the corpus-sized
+    * graph — the serving path a persisted store should use (the
+    * DataFrame overload must re-shuffle, because an arbitrary frame
+    * gives no shard-wholeness guarantee). Plan-asserted in GraphAnnSpec. */
+  def graphTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       query: Seq[Double], k: Int, ef: Int = 100): DataFrame =
+    graphTopKNodes(readGraphIndexAligned(spark, dir), query, k, ef)
+
+  /** Core search over a node stream whose every partition holds only
+    * WHOLE shards — guaranteed either by [[shardWhole]]'s shuffle or by
+    * [[readGraphIndexAligned]]'s per-directory read. */
+  private def graphTopKNodes(nodes: org.apache.spark.sql.Dataset[GraphNode],
+                             query: Seq[Double], k: Int, ef: Int): DataFrame = {
+    val spark = nodes.sparkSession
     import spark.implicits._
     val q = query.toArray
     val efEff = math.max(ef, k)
-    withLayers(graph)
-      .select(col("shard"), col("id"), col("vec"), col("neighbors"),
-        col("layers"))
-      .as[GraphNode]
-      .repartition(col("shard")) // keep each shard's graph whole
+    nodes
       .mapPartitions { it =>
         it.toArray.groupBy(_.shard).iterator.flatMap { case (_, nodes) =>
           val maxLevel = nodes.iterator
@@ -359,6 +372,20 @@ object GraphAnn {
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
       .select("vec_id", "dist")
+  }
+
+  /** The typed node stream every DataFrame-overload search runs over: an
+    * arbitrary frame gives no shard-wholeness guarantee, so it pays one
+    * full shuffle on `shard` to make every shard's graph whole. */
+  private def shardWhole(graph: DataFrame)
+      : org.apache.spark.sql.Dataset[GraphNode] = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    withLayers(graph)
+      .select(col("shard"), col("id"), col("vec"), col("neighbors"),
+        col("layers"))
+      .as[GraphNode]
+      .repartition(col("shard"))
   }
 
   /** Count of distance evaluations one shard-local search performs —
@@ -402,8 +429,25 @@ object GraphAnn {
     * q_graph_join_exhaustive. */
   def graphKnnJoin(queries: DataFrame, qIdCol: Column, qVecCol: Column,
                    graph: DataFrame, k: Int, ef: Int = 100,
-                   maxBatch: Int = 100000): DataFrame = {
-    val spark = graph.sparkSession
+                   maxBatch: Int = 100000): DataFrame =
+    graphKnnJoinNodes(queries, qIdCol, qVecCol, shardWhole(graph), k, ef,
+      maxBatch)
+
+  /** [[graphKnnJoin]] served straight from a persisted index directory
+    * ([[readGraphIndexAligned]]): the corpus-sized graph side plans NO
+    * Exchange — the only shuffle left is the bounded per-query top-k
+    * merge (≤ ef rows per (query, shard)). Plan-asserted in
+    * GraphAnnSpec. */
+  def graphKnnJoinIndexed(queries: DataFrame, qIdCol: Column,
+                          qVecCol: Column, dir: String, k: Int,
+                          ef: Int = 100, maxBatch: Int = 100000): DataFrame =
+    graphKnnJoinNodes(queries, qIdCol, qVecCol,
+      readGraphIndexAligned(queries.sparkSession, dir), k, ef, maxBatch)
+
+  private def graphKnnJoinNodes(queries: DataFrame, qIdCol: Column,
+      qVecCol: Column, nodes: org.apache.spark.sql.Dataset[GraphNode],
+      k: Int, ef: Int, maxBatch: Int): DataFrame = {
+    val spark = nodes.sparkSession
     import spark.implicits._
     // collect at most maxBatch+1 rows: the guard must fire BEFORE an
     // oversized batch is materialized on the driver, not after
@@ -418,11 +462,7 @@ object GraphAnn {
         "the cap consciously")
     val bq = spark.sparkContext.broadcast(qRows)
     val efEff = math.max(ef, k)
-    val perShard = withLayers(graph)
-      .select(col("shard"), col("id"), col("vec"), col("neighbors"),
-        col("layers"))
-      .as[GraphNode]
-      .repartition(col("shard"))
+    val perShard = nodes
       .mapPartitions { it =>
         it.toArray.groupBy(_.shard).iterator.flatMap { case (_, nodes) =>
           val maxLevel = nodes.iterator
@@ -474,4 +514,52 @@ object GraphAnn {
   def readGraphIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame =
     withLayers(spark.read.parquet(dir))
+
+  /** Read the persisted index SHARD-ALIGNED: one single-partition read
+    * per `shard=N` directory, concatenated with an RDD union — every
+    * resulting partition holds exactly one whole shard, and NOTHING in
+    * the lineage is a shuffle. A plain partitioned-parquet read carries
+    * no partitioning metadata Spark can trust — scan splits may slice a
+    * shard across tasks, and a partial shard is a broken graph — which
+    * is why the DataFrame search overloads must `repartition(shard)` per
+    * invocation. This read makes that exchange structurally unnecessary:
+    * at 100 TB the index never moves, each search task does one
+    * data-local directory read.
+    *
+    * The concatenation is `sparkContext.union`, not DataFrame union:
+    * Spark's UnionExec folds an all-single-partition union INTO one
+    * partition (observed on the 4.x planner — `SinglePartition` output,
+    * one task reading every shard serially), while RDD union GUARANTEES
+    * partition concatenation. The shard count bounds read parallelism
+    * (= #shards tasks), which is the intended serving layout —
+    * `numShards` ≈ executor count at build time. */
+  def readGraphIndexAligned(spark: org.apache.spark.sql.SparkSession,
+                            dir: String)
+      : org.apache.spark.sql.Dataset[GraphNode] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map(_.getPath)
+      .sortBy(_.getName.stripPrefix("shard=").toInt)
+    require(shardDirs.nonEmpty,
+      s"no shard=* directories under $dir — not a writeGraphIndex layout")
+    val perShard = shardDirs.map { p =>
+      val shard = p.getName.stripPrefix("shard=").toInt
+      withLayers(spark.read.parquet(p.toString))
+        .withColumn("shard", lit(shard))
+        .select(col("shard"), col("id"), col("vec"), col("neighbors"),
+          col("layers"))
+        .as[GraphNode]
+        .coalesce(1)
+        .rdd
+    }
+    val union = spark.sparkContext.union(perShard.toIndexedSeq)
+    // the name is the only place the lineage surfaces in a SQL plan
+    // (ExternalRDDScan) — GraphAnnSpec asserts on it to prove the
+    // serving path reads this on-disk index
+    union.setName(s"graft-graph-aligned:$dir")
+    spark.createDataset(union)
+  }
 }

@@ -131,11 +131,111 @@ class GraphAnnSpec extends SparkSuite {
     // is the one scale-killer this operator can have.
     val df = SparkEntry.queries("q_ann_graph")(spark, "/root/testdata/sf0.001")
     df.collect() // force execution so the adaptive plan is final
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("graft-graph-index"),
-      "expected a parquet scan of the graft-graph-index temp dir")
-    assert(!plan.contains("LocalTableScan"),
+    import org.apache.spark.sql.execution.{ExternalRDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val scanRdds = allNodes(df.queryExecution.executedPlan).collect {
+      case e: ExternalRDDScanExec[_] => e.rdd
+    }
+    assert(scanRdds.exists(r => r.name != null &&
+        r.name.contains("graft-graph-index")),
+      "expected the shard-aligned read of the graft-graph-index temp " +
+        s"dir, found RDDs: ${scanRdds.map(_.name).mkString(", ")}")
+    assert(!df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
       "q_ann_graph must not re-distribute a driver-collected graph")
+  }
+
+  /** Count shuffle exchanges STRUCTURALLY in the final adaptive plan,
+    * recursing through query stages (whose subtrees are invisible to
+    * both `collect` and — in Spark 4's ResultQueryStage printing — the
+    * plan string). Runs the frame first: the final plan only exists
+    * after execution, and `df.count()` would be a different query. */
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    allNodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
+  test("graphTopKIndexed: NO Exchange anywhere in the plan; results " +
+      "equal the repartitioning DataFrame path") {
+    // the round-6 scale finding: graphTopK(readGraphIndex(...)) pays a
+    // full corpus-sized shuffle per invocation because a plain parquet
+    // read gives no shard-wholeness guarantee. The aligned read (one
+    // coalesce(1) scan per shard=N dir, unioned — all narrow) makes the
+    // exchange structurally unnecessary; the final top-k is a
+    // TakeOrderedAndProject, so the WHOLE plan is exchange-free.
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph-aligned").toString
+    GraphAnn.writeGraphIndex(g, dir)
+    val q = Knn.vectorAt(emb, col("vec_id"), 13L, col("embedding"))
+    val viaAligned = GraphAnn.graphTopKIndexed(spark, dir, q, k = 10, ef = 64)
+    val viaShuffle = GraphAnn.graphTopK(GraphAnn.readGraphIndex(spark, dir),
+      q, k = 10, ef = 64).as[(Long, Double)].collect()
+    assert(viaAligned.as[(Long, Double)].collect() === viaShuffle)
+    assert(countShuffles(viaAligned) === 0,
+      "graphTopKIndexed must plan no Exchange over the graph:\n" +
+        viaAligned.queryExecution.executedPlan)
+  }
+
+  test("graphKnnJoinIndexed: the ONLY Exchange is the bounded per-query " +
+      "top-k merge; results equal the repartitioning path") {
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph-aligned-join").toString
+    GraphAnn.writeGraphIndex(g, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    val viaAligned = GraphAnn.graphKnnJoinIndexed(q, col("vec_id"),
+      col("embedding"), dir, k = 5, ef = 100)
+    val viaShuffle = GraphAnn.graphKnnJoin(q, col("vec_id"),
+        col("embedding"), GraphAnn.readGraphIndex(spark, dir), k = 5,
+        ef = 100)
+      .select("query_id", "match_id", "dist", "rn")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(viaAligned.select("query_id", "match_id", "dist", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+      .sortBy(r => (r._1, r._4)) === viaShuffle)
+    val exchanges = countShuffles(viaAligned)
+    assert(exchanges === 1,
+      s"expected exactly the top-k merge Exchange, found $exchanges:\n" +
+        viaAligned.queryExecution.executedPlan)
+  }
+
+  test("every shard graph is connected: layer-0 BFS from the entry " +
+      "reaches the whole shard") {
+    // the exhaustive-beam==exact machinery proof rests on shard
+    // connectivity, which degree-capped pruning cannot structurally
+    // guarantee (a pruned edge could be some node's last in-edge) —
+    // check it directly so a stranded node is diagnosed here, not as an
+    // opaque hash mismatch in verify (ADVICE round 6)
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 8, m = 16, efConstruction = 100)
+    val nodes = g.select(col("shard"), col("id"), col("neighbors"))
+      .as[(Int, Long, Seq[Long])].collect()
+    nodes.groupBy(_._1).foreach { case (shard, rows) =>
+      val adj = rows.map(r => r._2 -> r._3).toMap
+      val seen = scala.collection.mutable.HashSet(rows.head._2)
+      val frontier = scala.collection.mutable.Queue(rows.head._2)
+      while (frontier.nonEmpty)
+        adj(frontier.dequeue()).foreach(nb =>
+          if (seen.add(nb)) frontier.enqueue(nb))
+      assert(seen.size === rows.length,
+        s"shard $shard: BFS reached ${seen.size} of ${rows.length} nodes")
+    }
   }
 
   test("graphKnnJoin: exhaustive ef EQUALS exact knnJoin bit-for-bit; " +
