@@ -162,23 +162,42 @@ object ExtensionQueries {
     }
     perSession.computeIfAbsent(d, { dir =>
       // full md5 of the dir, not String.hashCode: a 32-bit name collision
-      // across data dirs would silently serve pairs from the wrong corpus
-      val name = "graft_band_" + java.security.MessageDigest
-        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      // a FRESH JVM's in-memory catalog cannot see (or overwrite) a
-      // previous run's managed-table directory — drop both the catalog
-      // entry and any stale location before the write
-      s.sql(s"DROP TABLE IF EXISTS $name")
+      // across data dirs would silently serve pairs from the wrong corpus.
+      // The name also carries a per-JVM nonce: a managed bucketed table's
+      // files live under the shared warehouse path, and a deterministic
+      // name would let a FRESH JVM recursively delete a directory another
+      // JVM is still scanning (ADVICE round 6) — with the nonce, no JVM
+      // can ever name (hence delete) another JVM's live table.
+      val name = "graft_band_" + jvmNonce + "_" +
+        java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      // Intra-JVM: sessions sharing this warehouse reuse a COMPLETE
+      // previous write (deterministic build ⇒ identical content) instead
+      // of dropping a table a sibling session may be reading; only a
+      // partial write (no _SUCCESS — nothing can be scanning it) is
+      // cleaned and rebuilt.
       val loc = new org.apache.hadoop.fs.Path(
         s.sessionState.conf.warehousePath, name)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(loc, true)
-      Dedup.writeBandTable(Tables.documents(s, dir), col("doc_id"),
-        col("text"), name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val complete =
+        fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+      if (!(complete && s.catalog.tableExists(name))) {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        fs.delete(loc, true)
+        Dedup.writeBandTable(Tables.documents(s, dir), col("doc_id"),
+          col("text"), name)
+      }
       name
     })
   }
+
+  /** One random suffix per JVM for shared-warehouse table names — see
+    * [[bandTable]]. Drawn once at class-init (not per call), so every
+    * session in this JVM shares it and the per-dir reuse still works. */
+  private val jvmNonce: String =
+    java.lang.Long.toHexString(
+      new java.security.SecureRandom().nextLong() & Long.MaxValue)
 
   /** Session-scoped trained product quantizer over the embeddings table
     * (same lifecycle + weak-session contract as [[ivfIndex]]): codebooks
@@ -413,7 +432,7 @@ object ExtensionQueries {
     // it and the doc side never reshuffles for the join.
     "q_tfidf_top_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      val n = docCount(s, d)
       val terms = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -484,15 +503,16 @@ object ExtensionQueries {
     "q_bm25_rank" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val kws = Seq("join", "filter", "window", "scan")
-      val nDocs = docs.count()
+      val nDocs = docCount(s, d)
       val terms = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val dls = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val (totTok, nDls) = {
-        val r = dls.agg(sum(col("dl")), count(lit(1))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      val avgdl = totTok.toDouble / nDls
+      // avgdl as a lazy 1-row broadcast aggregate (scalar-subquery shape,
+      // one double division = the oracle's sum(dl)::DOUBLE / count(*)):
+      // the query stays single-action instead of paying an eager
+      // agg().head() before the measured dataflow builds
+      val stats = dls.agg(
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       val tf = terms.filter(col("term").isin(kws: _*))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = terms.filter(col("term").isin(kws: _*))
@@ -505,8 +525,9 @@ object ExtensionQueries {
         ((lit(nDocs.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5))) *
           (tfD * lit(2.2)) /
           (tfD + lit(1.2) *
-            (lit(1.0) - lit(0.75) + lit(0.75) * dlD / lit(avgdl)))
+            (lit(1.0) - lit(0.75) + lit(0.75) * dlD / col("avgdl")))
       tf.join(broadcast(dfreq), "term").join(dls, "doc_id")
+        .crossJoin(broadcast(stats))
         .withColumn("ts", termScore)
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("term"), col("ts"))))

@@ -79,11 +79,11 @@ object Multimodal {
     // FileCacheImageInputStream by default: every decode/encode creates
     // and deletes a temp file, and 32 executor threads contend on the
     // temp directory — the measured 2× run-to-run variance of the
-    // multimodal bench rows. Memory-cached streams are strictly better
-    // for in-heap byte arrays. Set once when the codec object loads in
-    // each executor JVM (VideoCodec delegates here, so this covers
-    // every ImageIO call in the repo).
-    javax.imageio.ImageIO.setUseCache(false)
+    // multimodal bench rows. Both entry points below therefore hand
+    // ImageIO an explicitly MEMORY-cached stream, which sidesteps the
+    // disk cache per call WITHOUT mutating the process-global
+    // `ImageIO.setUseCache` flag (a host application embedding this
+    // library keeps its own ImageIO defaults — ADVICE round 6).
 
     /** Deterministic RGB image: pixel (x, y) = f(seed, x, y). Pixels go
       * in via ONE bulk setRGB (per-pixel setRGB pays sync + color-model
@@ -104,14 +104,20 @@ object Multimodal {
       }
       img.setRGB(0, 0, width, height, px, 0, width)
       val out = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, format, out),
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try require(javax.imageio.ImageIO.write(img, format, ios),
         s"no ImageIO writer for format '$format'")
+      finally ios.close() // close flushes the memory cache into `out`
       out.toByteArray
     }
 
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself —
+      // except when it returns null (no matching reader)
+      val img = javax.imageio.ImageIO.read(iis)
+      if (img == null) iis.close()
       require(img != null, "undecodable image payload")
       img
     }

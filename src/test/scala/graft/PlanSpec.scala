@@ -278,9 +278,12 @@ class PlanSpec extends SparkSuite {
 
   test("no declared query plans a cartesian product (BNLJ only where documented)") {
     // the sanctioned BroadcastNestedLoopJoins: q_knn_join's documented
-    // broadcast-corpus crossJoin (its scale path is q_knn_join_ivf) and
-    // q_hard_negatives, which composes over the same machinery
-    val allowedBnlj = Set("q_knn_join", "q_hard_negatives")
+    // broadcast-corpus crossJoin (its scale path is q_knn_join_ivf),
+    // q_hard_negatives, which composes over the same machinery, and
+    // q_bm25_rank's ONE-ROW broadcast avgdl aggregate (the
+    // scalar-subquery shape — replaces a per-invocation eager
+    // agg().head(); broadcasting one row is free at any scale)
+    val allowedBnlj = Set("q_knn_join", "q_hard_negatives", "q_bm25_rank")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
