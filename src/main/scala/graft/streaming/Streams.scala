@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -239,7 +239,8 @@ object Streams {
     * [[upsertStreamBucketed]] once the index outgrows a per-batch
     * rewrite, or MERGE INTO on a transactional table format. */
   def upsertStream(spark: SparkSession, src: DataFrame, indexDir: String,
-                   checkpointDir: String, key: String = "doc_id")
+                   checkpointDir: String, key: String = "doc_id",
+                   deleteCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     src.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -256,15 +257,22 @@ object Streams {
         // renames left the index aside at __old — restore it before merging
         if (!fs.exists(target) && fs.exists(old)) renameOrThrow(fs, old, target)
         val deduped = batch.dropDuplicates(key) // last-write-wins per batch
+          .withColumn("_del", tombstoneFlag(deleteCol))
+        val ups = deduped.filter(!col("_del"))
+          .drop("_del").drop(deleteCol.toSeq: _*)
         // "first batch" ONLY when the index genuinely doesn't exist; any
         // other read failure (transient FS error, corrupt footer) must fail
         // the batch — a catch-all here would silently overwrite the whole
-        // persisted collection with one micro-batch
+        // persisted collection with one micro-batch. Anti side = ALL
+        // batch keys (upserts AND tombstones — the per-id delete
+        // lifecycle, vector_db.py:99); union side = upserts only.
         val merged =
           if (fs.exists(target))
-            graft.sources.HrPipeline
-              .upsertByKey(spark.read.parquet(indexDir), deduped, key)
-          else deduped
+            spark.read.parquet(indexDir)
+              .join(deduped.select(col(key).as("_bk")),
+                col(key) === col("_bk"), "left_anti")
+              .unionByName(ups)
+          else ups
         // the write below lazily READS target, so it must complete before
         // the swap touches target
         merged.write.mode("overwrite").parquet(tmp.toString)
@@ -534,6 +542,14 @@ object Streams {
     fs.delete(tmp, true)
   }
 
+  /** The tombstone predicate for the CDC-shaped ingest streams: when
+    * `deleteCol` is set, rows whose boolean flag is true are DELETIONS —
+    * only their key is consulted, the payload is ignored, and the flag
+    * column never reaches storage. Null flags count as upserts. */
+  private def tombstoneFlag(deleteCol: Option[String]): Column =
+    deleteCol.map(c => coalesce(col(c).cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
+
   /** Bucketed incremental streaming upsert — the scale path past
     * [[upsertStream]]'s whole-index rewrite (O(index) per micro-batch).
     *
@@ -542,8 +558,10 @@ object Streams {
     *   1. buckets its deduped rows and collects the touched bucket ids
     *      (≤ nBuckets ints on the driver);
     *   2. reads ONLY the touched bucket directories (partition pruning on
-    *      the `bucket` column) and merges via
-    *      [[graft.sources.HrPipeline.upsertByKey]];
+    *      the `bucket` column), drops every batch key's prior copy, and
+    *      re-inserts the upsert rows ([[graft.sources.HrPipeline
+    *      .upsertByKey]]'s anti-join-then-union, with the anti side
+    *      widened to DELETE keys);
     *   3. rewrites and swaps ONLY the touched bucket dirs — untouched
     *      buckets' files are never read, rewritten, or moved
     *      (StreamsSpec asserts their names+mtimes survive a batch).
@@ -551,10 +569,19 @@ object Streams {
     * scale `nBuckets` is sized so a bucket ≈ a few HDFS blocks. The swap
     * is rename-aside per bucket with crash recovery; aside dirs are
     * dot-prefixed so partition discovery never sees a half-swapped state.
-    * With a transactional table format this collapses to MERGE INTO. */
+    * With a transactional table format this collapses to MERGE INTO.
+    *
+    * `deleteCol`: optional boolean tombstone flag — the per-id DELETE
+    * lifecycle (the reference's whole-collection
+    * `client.delete_collection`, `vector_db.py:99`, refined to row
+    * granularity). A deletion touches exactly its key's bucket; a bucket
+    * whose rows are all deleted disappears from the layout (the swap
+    * finds no fresh dir and removes it). Replay-safe like upserts:
+    * deleting an absent key is a no-op rewrite of its bucket. */
   def upsertStreamBucketed(spark: SparkSession, src: DataFrame,
                            indexDir: String, checkpointDir: String,
-                           key: String = "doc_id", nBuckets: Int = 16)
+                           key: String = "doc_id", nBuckets: Int = 16,
+                           deleteCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     src.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -564,18 +591,27 @@ object Streams {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val base = indexDir.stripSuffix("/")
-        val deduped = batch.dropDuplicates(key) // last-write-wins per batch
+        // last-write-wins per batch; a key is EITHER an upsert or a
+        // tombstone after the dedup, never both
+        val deduped = batch.dropDuplicates(key)
+          .withColumn("_del", tombstoneFlag(deleteCol))
           .withColumn("bucket", pmod(hash(col(key)), lit(nBuckets)))
         val touched = deduped.select("bucket").distinct()
           .collect().map(_.getInt(0)).sorted.toIndexedSeq
         recoverAsideBuckets(fs, base)
+        val ups = deduped.filter(!col("_del"))
+          .drop("_del").drop(deleteCol.toSeq: _*)
         val existing = touched.filter(b => fs.exists(bucketPath(base, b)))
         val merged =
-          if (existing.isEmpty) deduped
-          else graft.sources.HrPipeline.upsertByKey(
-            spark.read.parquet(base)
-              .filter(col("bucket").isin(touched.map(Int.box): _*)),
-            deduped, key)
+          if (existing.isEmpty) ups
+          // upsertByKey's shape with the anti side = ALL batch keys
+          // (upserts AND tombstones) and the union side = upserts only —
+          // with no tombstones this IS upsertByKey
+          else spark.read.parquet(base)
+            .filter(col("bucket").isin(touched.map(Int.box): _*))
+            .join(deduped.select(col(key).as("_bk")),
+              col(key) === col("_bk"), "left_anti")
+            .unionByName(ups)
         val tmp = new Path(base + "__upserting")
         fs.delete(tmp, true)
         // the write READS the touched buckets of target, so it must finish
@@ -731,13 +767,22 @@ object Streams {
     *     swap of data + centroids (the O(index) rebuild, deliberately
     *     rare — the reference's `needs_rebuild` lifecycle, streaming).
     *
-    * `onBatch(batchId, drift, retrained)` exposes the metric stream. */
+    * `onBatch(batchId, drift, retrained)` exposes the metric stream.
+    *
+    * `deleteCol`: optional boolean tombstone flag (the per-id DELETE
+    * lifecycle — `vector_db.py:99` refined to row granularity). A
+    * deleted id's cell comes from the same column-pruned (id, cell)
+    * lookup relocation already pays — cell is a function of the VALUE,
+    * and a tombstone carries none — so deletes add no extra index pass;
+    * only the cells holding deleted ids are rewritten. Tombstones may
+    * carry a null vector. A delete-only batch reports drift 0.0. */
   def ivfUpsertStream(spark: SparkSession, src: DataFrame, indexDir: String,
                       checkpointDir: String, idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       driftThreshold: Double = Double.PositiveInfinity,
                       retrainIters: Int = 3,
                       onBatch: (Long, Double, Boolean) => Unit = (_, _, _) => (),
+                      deleteCol: Option[String] = None,
                       // post-assignment row transform (batch-with-cell,
                       // current centroids) => stored rows — the IVF-PQ
                       // composition point: pass Pq.encodeResidual here and
@@ -766,6 +811,11 @@ object Streams {
           recoverDirSwap(fs, dataDir)
           recoverDirSwap(fs, centsDir)
           val cents = spark.read.parquet(centsDir)
+          // a key is EITHER an upsert or a tombstone after the dedup
+          val raw = batch.dropDuplicates(idCol)
+            .withColumn("_del", tombstoneFlag(deleteCol)).persist()
+          val ups = raw.filter(!col("_del"))
+            .drop("_del").drop(deleteCol.toSeq: _*)
           // NOTE: `df.observe` + `Observation.get` DEADLOCKS here — the
           // foreachBatch body runs inside the micro-batch's nested SQL
           // execution, whose listener event (the only thing that
@@ -774,9 +824,10 @@ object Streams {
           // batch is persisted anyway for the multi-pass merge, so the
           // drift metric is one driver-sized aggregate over it instead.
           val assignedRaw = Ann.assignCellsWithDist(
-            batch.dropDuplicates(idCol), col(vecCol), cents).persist()
+            ups, col(vecCol), cents).persist()
           val assigned = enrich(assignedRaw.drop("cdist"), cents)
-          val drift = assignedRaw.agg(avg(col("cdist"))).head().getDouble(0)
+          val driftRow = assignedRaw.agg(avg(col("cdist"))).head()
+          val drift = if (driftRow.isNullAt(0)) 0.0 else driftRow.getDouble(0)
           val newCells = assignedRaw.select("cell").distinct()
             .collect().map(_.getInt(0)).toSet
           // a re-ingested key whose updated vector lands in a DIFFERENT
@@ -785,24 +836,28 @@ object Streams {
           // old copies needs a key lookup: one column-pruned (id, cell)
           // pass over the index per batch, the inherent price of key
           // relocation on a value-partitioned layout (the key-partitioned
-          // upsertStreamBucketed never pays it)
+          // upsertStreamBucketed never pays it). Tombstoned ids ride the
+          // SAME lookup — it is also how a delete finds its cell.
           val oldCells =
             if (!fs.exists(new org.apache.hadoop.fs.Path(dataDir)))
               Set.empty[Int]
             else spark.read.parquet(dataDir)
               .select(col(idCol), col("cell"))
-              .join(assignedRaw.select(col(idCol).as("_uk")),
+              .join(raw.select(col(idCol).as("_uk")),
                 col(idCol) === col("_uk"), "left_semi")
               .select("cell").distinct()
               .collect().map(_.getInt(0)).toSet
           val touched = (newCells ++ oldCells).toIndexedSeq.sorted
           val existing = touched.filter(c =>
             fs.exists(bucketPath(dataDir, c, part = "cell")))
+          // anti side = ALL batch ids (upserts AND tombstones); union
+          // side = the assigned upserts — a tombstoned id simply never
+          // comes back
           val merged =
             if (existing.isEmpty) assigned
             else spark.read.parquet(dataDir)
               .filter(col("cell").isin(touched.map(Int.box): _*))
-              .join(assignedRaw.select(col(idCol).as("_uk")),
+              .join(raw.select(col(idCol).as("_uk")),
                 col(idCol) === col("_uk"), "left_anti")
               .unionByName(assigned, allowMissingColumns = true)
           val tmp = new Path(dataDir + "__upserting")
@@ -810,7 +865,7 @@ object Streams {
           merged.write.mode("overwrite").partitionBy("cell")
             .parquet(tmp.toString)
           swapBuckets(fs, dataDir, tmp, touched, part = "cell")
-          assignedRaw.unpersist()
+          assignedRaw.unpersist(); raw.unpersist()
           val retrain = drift > driftThreshold
           if (retrain) {
             // O(index) rebuild: re-learn cells from ALL current vectors,
@@ -875,7 +930,18 @@ object Streams {
     *      shards' files are never read, rewritten, or moved.
     *
     * `onBatch(batchId, nAdds, rebuiltShards)` exposes the maintenance
-    * metric stream. */
+    * metric stream.
+    *
+    * `deleteCol`: optional boolean tombstone flag (the per-id DELETE
+    * lifecycle — `vector_db.py:99` refined to row granularity).
+    * Tombstones may carry a null vector; each hash-shards by id exactly
+    * like an insert, and a shard holding a deleted id takes the
+    * deterministic-rebuild path over its surviving rows — the same rule
+    * as replacement, because edge surgery on a pruned HNSW graph is not
+    * well-defined (removing a node's edges can strand its neighbors'
+    * only route). Only the touched shards are rewritten; a shard whose
+    * nodes are all deleted disappears from the layout. Deleting an
+    * absent id is a no-op rewrite of its shard. */
   def graphUpsertStream(spark: SparkSession, src: DataFrame,
                         indexDir: String, checkpointDir: String,
                         idCol: String = "vec_id",
@@ -883,7 +949,8 @@ object Streams {
                         numShards: Int = 8, m: Int = 16,
                         efConstruction: Int = 100, maxLevel: Int = 3,
                         onBatch: (Long, Long, Seq[Int]) => Unit =
-                          (_, _, _) => ())
+                          (_, _, _) => (),
+                        deleteCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{GraphAnn, GraphNode}
     src.writeStream
@@ -897,20 +964,25 @@ object Streams {
             spark.sparkContext.hadoopConfiguration)
           val base = indexDir.stripSuffix("/")
           recoverAsideBuckets(fs, base, part = "shard")
-          val rows = batch.dropDuplicates(idCol)
+          // a key is EITHER an upsert or a tombstone after the dedup;
+          // tombstones keep a null vec — that null IS their tag on the
+          // wire (stored: neighbors≠null; add: vec≠null; delete: vec=null)
+          val allRows = batch.dropDuplicates(idCol)
+            .withColumn("_del", tombstoneFlag(deleteCol))
             .select(col(idCol).cast("long").as("id"),
-              col(vecCol).cast("array<double>").as("vec"))
+              when(!col("_del"), col(vecCol).cast("array<double>")).as("vec"))
             .withColumn("shard",
               pmod(hash(col("id")), lit(numShards)).cast("int"))
             .persist()
-          val touched = rows.select("shard").distinct()
+          val rows = allRows.filter(col("vec").isNotNull)
+          val touched = allRows.select("shard").distinct()
             .collect().map(_.getInt(0)).sorted.toIndexedSeq
           val nAdds = rows.count()
           val existingShards = touched.filter(s =>
             fs.exists(bucketPath(base, s, part = "shard")))
-          // adds ride tagged with null neighbors; stored nodes carry
-          // their adjacency — one union, one shuffle on shard
-          val addNodes = rows.select(col("shard"), col("id"), col("vec"),
+          // adds and tombstones ride tagged with null neighbors; stored
+          // nodes carry their adjacency — one union, one shuffle on shard
+          val addNodes = allRows.select(col("shard"), col("id"), col("vec"),
             lit(null).cast("array<bigint>").as("neighbors"),
             lit(null).cast("array<array<bigint>>").as("layers"))
           val merged = (if (existingShards.nonEmpty)
@@ -924,14 +996,17 @@ object Streams {
             .mapPartitions { it =>
               it.toArray.groupBy(_.shard).iterator.flatMap {
                 case (shard, nodes) =>
-                  val (stored, adds) = nodes.partition(_.neighbors != null)
+                  val (live, tombstones) =
+                    nodes.partition(n => n.vec != null || n.neighbors != null)
+                  val delIds = tombstones.map(_.id).toSet
+                  val (stored, adds) = live.partition(_.neighbors != null)
                   val addPairs = adds.map(n => (n.id, n.vec))
                   val addIds = addPairs.map(_._1).toSet
-                  if (stored.exists(n => addIds(n.id)))
-                    // replacement: deterministic rebuild over the merged
-                    // set, new vector wins
+                  if (stored.exists(n => addIds(n.id) || delIds(n.id)))
+                    // replacement or deletion: deterministic rebuild over
+                    // the surviving set, new vector wins, deleted ids gone
                     GraphAnn.buildShard(shard,
-                      stored.filterNot(n => addIds(n.id))
+                      stored.filterNot(n => addIds(n.id) || delIds(n.id))
                         .map(n => (n.id, n.vec)) ++ addPairs,
                       m, efConstruction, maxLevel)
                   else
@@ -940,14 +1015,15 @@ object Streams {
               }
             }
           // which touched shards take the rebuild path: those where an
-          // add id already exists in the stored shard (driver-sized —
-          // ≤ numShards ints). Computed BEFORE the swap replaces them.
+          // add OR tombstone id already exists in the stored shard
+          // (driver-sized — ≤ numShards ints). Computed BEFORE the swap
+          // replaces them.
           val rebuilt: Seq[Int] =
             if (existingShards.isEmpty) Seq.empty
             else spark.read.parquet(base)
               .filter(col("shard").isin(existingShards.map(Int.box): _*))
               .select(col("shard"), col("id"))
-              .join(rows.select("id"), Seq("id"), "left_semi")
+              .join(allRows.select("id"), Seq("id"), "left_semi")
               .select("shard").distinct()
               .collect().map(_.getInt(0)).sorted.toSeq
           val tmp = new Path(base + "__upserting")
@@ -956,7 +1032,7 @@ object Streams {
             .write.mode("overwrite").partitionBy("shard")
             .parquet(tmp.toString)
           swapBuckets(fs, base, tmp, touched, part = "shard")
-          rows.unpersist()
+          allRows.unpersist()
           onBatch(batchId, nAdds, rebuilt)
         }
         ()

@@ -338,6 +338,151 @@ class StreamsSpec extends SparkSuite {
     assert(out.map(_._1) === (0L to 7L).toArray)
   }
 
+  test("upsertStreamBucketed: tombstone deletes its key; only that bucket " +
+      "rewritten; deleting an absent key is replay-safe") {
+    val base = Files.createTempDirectory("graft-bdel-").toString
+    val idx = s"$base/idx"
+    def snapshot(): Map[String, Map[String, Long]] = {
+      val d = new java.io.File(idx)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles().filter(_.isFile)
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    }
+    val input = MemoryStream[(Long, String, Boolean)](spark)
+    val q = Streams.upsertStreamBucketed(spark,
+      input.toDF().toDF("doc_id", "text", "op_delete"), idx, s"$base/chk",
+      nBuckets = 4, deleteCol = Some("op_delete"))
+    try {
+      input.addData((0L to 15L).map(i => (i, "v1", false)))
+      q.processAllAvailable()
+      val before = snapshot()
+      val bDel = Seq(3L).toDF("doc_id")
+        .select(pmod(hash(col("doc_id")), lit(4))).as[Int].head()
+      input.addData(Seq((3L, "ignored", true))) // tombstone for key 3
+      q.processAllAvailable()
+      val after = snapshot()
+      before.foreach { case (dir, files) =>
+        if (dir == s"bucket=$bDel")
+          assert(after(dir) !== files, s"touched $dir was not rewritten")
+        else assert(after(dir) === files, s"untouched $dir was rewritten")
+      }
+      // the delete-col never reaches storage
+      assert(!spark.read.parquet(idx).columns.contains("op_delete"))
+      // deleting an id that is (now) absent: a no-op rewrite, no error —
+      // the crash-replay shape, where the tombstone batch re-runs
+      input.addData(Seq((3L, "ignored", true)))
+      q.processAllAvailable()
+      // mixed batch: delete one key, upsert another in the same trigger
+      input.addData(Seq((7L, "", true), (2L, "v2", false)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(idx).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1) === (0L to 15L).filterNot(i => i == 3L || i == 7L))
+    assert(out.find(_._1 == 2L).get._2 === "v2")
+  }
+
+  test("ivfUpsertStream: tombstone finds its cell via the key lookup and " +
+      "removes the id; delete-only batch reports drift 0") {
+    import graft.operators.Ann
+    val base = Files.createTempDirectory("graft-ivf-del-").toString
+    val idx = s"$base/idx"
+    val corpus = (0 until 20).map { i =>
+      val ctr = if (i % 2 == 0) 0.0 else 10.0
+      (i.toLong, Seq(ctr + (i % 5) * 0.01, ctr))
+    }.toDF("vec_id", "embedding")
+    Ann.buildIvfIndex(corpus, col("vec_id"), col("embedding"), idx,
+      k = 2, iters = 4)
+    def cellSnapshot(): Map[String, Map[String, Long]] = {
+      val d = new java.io.File(s"$idx/data")
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(b => b.getName -> b.listFiles().filter(_.isFile)
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    }
+    val drifts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // tombstones carry a NULL vector — only the id matters
+    val input = MemoryStream[(Long, Option[Seq[Double]], Boolean)](spark)
+    val q = Streams.ivfUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding", "op_delete"), idx,
+      s"$base/chk", deleteCol = Some("op_delete"),
+      onBatch = (_, d, _) => drifts.synchronized { drifts += d })
+    try {
+      val before = cellSnapshot()
+      // id 4 lives in the ctr=0 cell: its tombstone must rewrite exactly
+      // that cell (found via the (id, cell) lookup — the tombstone has no
+      // vector to assign from)
+      input.addData(Seq((4L, None, true)))
+      q.processAllAvailable()
+      val after = cellSnapshot()
+      val changed = before.keys.filter(k => after(k) != before(k)).toSeq
+      assert(changed.length === 1, s"exactly one cell rewritten: $changed")
+      assert(drifts.toSeq === Seq(0.0), s"delete-only drift: $drifts")
+      // mixed batch: delete in one cell, upsert into the other
+      input.addData(Seq((5L, None, true), (100L, Some(Seq(0.3, 0.0)), false)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val (data, cents) = Ann.readIvfIndex(spark, idx)
+    val ids = data.select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(4L) && !ids.contains(5L) && ids.contains(100L))
+    assert(data.count() === 19) // 20 - 2 deleted + 1 added
+    // deleted ids are unreachable through search; the new id is reachable
+    val hit = Ann.ivfTopK(data, col("cell"), col("embedding"), cents,
+      Seq(0.3, 0.0), k = 1, nProbe = 2)
+    assert(hit.select("vec_id").as[Long].head() === 100L)
+  }
+
+  test("graphUpsertStream: tombstone delete rebuilds only its shard; " +
+      "untouched shards byte-identical; search never returns the deleted id") {
+    import graft.operators.GraphAnn
+    val dir = Files.createTempDirectory("graft-graph-del-").toString
+    val idx = s"$dir/idx"
+    def shardOf(id: Long): Int = Seq(id).toDF("id")
+      .select(pmod(hash(col("id")), lit(4)).cast("int")).head().getInt(0)
+    def snapshot(except: Int): Map[String, Map[String, Long]] = {
+      val d = new java.io.File(idx)
+      d.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("shard=") && f.getName != s"shard=$except")
+        .map(s => s.getName -> s.listFiles().filter(_.isFile)
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    }
+    var metrics = Vector.empty[(Long, Long, Seq[Int])]
+    val input = MemoryStream[(Long, Option[Seq[Double]], Boolean)](spark)
+    val q = Streams.graphUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding", "op_delete"), idx, s"$dir/chk",
+      numShards = 4, m = 4, efConstruction = 16,
+      deleteCol = Some("op_delete"),
+      onBatch = (b, n, r) => metrics :+= ((b, n, r)))
+    try {
+      input.addData((0L until 32L).map(i => (i, Some(Seq(i.toDouble, 0.0)), false)))
+      q.processAllAvailable()
+      // delete id 5: its shard takes the rebuild path, every other
+      // shard's files survive byte-untouched
+      val sDel = shardOf(5L)
+      val before = snapshot(except = sDel)
+      input.addData(Seq((5L, None, true)))
+      q.processAllAvailable()
+      assert(snapshot(except = sDel) === before,
+        "a single-shard delete must not rewrite other shards")
+      assert(metrics.last._2 === 0L && metrics.last._3 === Seq(sDel))
+      val g = GraphAnn.readGraphIndex(spark, idx)
+      assert(g.count() === 31)
+      assert(g.filter(col("id") === 5L).count() === 0)
+      // no surviving node's adjacency references the deleted id — the
+      // rebuild is over the surviving set, not edge surgery
+      assert(g.filter(array_contains(col("neighbors"), 5L)).count() === 0)
+      // exhaustive beam == exact kNN over the survivors
+      assert(GraphAnn.graphTopK(g, Seq(5.2, 0.0), k = 3, ef = 64)
+        .select("vec_id").as[Long].collect() === Array(6L, 4L, 7L))
+      // the deleted-then-reinserted lifecycle: id 5 comes back
+      input.addData(Seq((5L, Some(Seq(5.0, 0.0)), false)))
+      q.processAllAvailable()
+      assert(GraphAnn.readGraphIndex(spark, idx).count() === 32)
+      assert(GraphAnn.graphTopK(GraphAnn.readGraphIndex(spark, idx),
+        Seq(5.2, 0.0), k = 1, ef = 64)
+        .select("vec_id").as[Long].head() === 5L)
+    } finally q.stop()
+  }
+
   test("nearDedupStreamLsh catches a near-dup pair SimHash bucketing misses") {
     val base = "the quick brown fox jumps over the lazy dog near the old " +
       "stone bridge while evening light fades slowly across the quiet " +
