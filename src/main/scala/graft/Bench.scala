@@ -45,8 +45,26 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // known-noisy rows, with measured run-to-run bands (multi-run evidence
+    // in BASELINE.md) — so a regression diff over the artifact can be
+    // mechanical: a reading inside its band is noise, outside it is real
+    val varianceNote = Seq(
+      "q_dedup_components_star" ->
+        "2.3-3.5s across runs; iterative-join variance, plan stable",
+      "q_multimodal_video" ->
+        "2.26-3.55s post-ImageIO-fix band (pre-fix 4.8-11.4s)",
+      "q_multimodal_decode" -> "1.37-2.18s post-ImageIO-fix band",
+      "q_dedup_minhash" ->
+        "0.91-4.65s; one-shot GC/JIT spikes, see BASELINE.md bandbench",
+      "q_dedup_minhash_bucketed" ->
+        "0.80-0.99s steady-state; round-6 2.86s reading was single-run noise",
+      "q_ngram_jaccard" -> "2.1-4.1s across runs; valved plan stable",
+      "q_rank_composite" ->
+        "0.2-0.8s; sub-second rows read +-0.5s under heavy neighbors")
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"variance_note":$varianceNote,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the artifact to a file: stdout capture has truncated the
     // per-query tail before (round-2 BENCH artifact lost ~13 queries), and
