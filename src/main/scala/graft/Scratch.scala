@@ -40,7 +40,147 @@ object Scratch {
     if (only.contains("annmatrix")) runAnnMatrix(spark)
     if (only.forall(_ == "encode")) runEncode(spark, noop)
     if (only.contains("bandbench")) runBandBench(spark, noop)
+    if (only.contains("graphsoak")) runGraphSoak(spark, noop)
+    if (only.contains("frontier")) runFrontier(spark)
     spark.stop()
+  }
+
+  /** recommendBudgets on the 200k clustered corpus, swept 1-in-4
+    * hash-sampled (50k) — the scale path a user would run on a big
+    * corpus: the frontier estimates the recall curve at 1/4 the cost,
+    * then pickBudgets names the operating point. Table lands in
+    * BASELINE.md (VERDICT round-6 item 7). */
+  private def runFrontier(spark: SparkSession): Unit = {
+    import graft.operators.AnnMatrix
+    val n = 200000L; val dim = 64; val nClusters = 64
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          ((col("id") * 31 + j * 7) % 100).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val frontier = time("recommendBudgets 200k sampled 1-in-4") {
+      AnnMatrix.recommendBudgets(corpus, col("vec_id"), col("embedding"),
+        queryIds = Seq(4242L, 77L, 123456L, 9999L, 31415L), k = 10,
+        nProbes = Seq(1, 2, 4, 8, 16), efs = Seq(16, 32, 64, 128),
+        sampleOneIn = 4,
+        b = AnnMatrix.Budgets(ivfK = 64, graphShards = 32, kmeansIters = 5))
+    }
+    println("[scratch] frontier (50k sample of 200k clustered, 5 queries):")
+    println(AnnMatrix.renderFrontier(frontier, n / 4))
+    Seq(0.8, 0.95).foreach { t =>
+      AnnMatrix.pickBudgets(frontier, t).toSeq.sortBy(_._1).foreach {
+        case (tier, r) =>
+          println(f"[scratch] pick@$t%.2f: $tier%-6s budget=${r.budget}%4d " +
+            f"recall=${r.recall}%.2f rows=${r.rowsScanned}%.0f")
+      }
+    }
+  }
+
+  /** Graph ANN at 1M × 384-dim (the reference's real dimensionality,
+    * config.py:16 — all-MiniLM-L6-v2 emits 384): build + persist the
+    * sharded hierarchical index, then measure the batch join on the
+    * exchange-free indexed path against the repartition path it replaced
+    * (round-6 VERDICT item 6: quantify the per-invocation exchange share
+    * at a size where it means something), with shuffle bytes observed by
+    * a task-metrics listener, per-shard memory footprint (the
+    * `it.toArray` holds one whole shard per task), and recall@10 vs
+    * brute force. Numbers land in BASELINE.md. */
+  private def runGraphSoak(spark: SparkSession,
+                           noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    import graft.operators.GraphAnn
+    import spark.implicits._
+    val n = 1000000L; val dim = 384; val nClusters = 256; val shards = 64
+    // clustered like real embedding corpora: center c = 10·e_{c mod dim}
+    // + hash jitter. All arithmetic in vec_id — identical every run.
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          pmod(hash(col("id"), j), lit(1000)).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true) // ~3 GB; measure operators, not gen
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graphsoak-").toString
+
+    val g = time(s"graph build S=$shards m=16 efC=100 (1M x 384)") {
+      val b = GraphAnn.buildGraph(corpus, col("vec_id"), col("embedding"),
+        numShards = shards, m = 16, efConstruction = 100)
+      b.persist().count(); b
+    }
+    time("writeGraphIndex (partitionBy shard)")(
+      GraphAnn.writeGraphIndex(g, dir))
+    g.unpersist()
+
+    // per-shard memory: one task materializes one whole shard as
+    // Array[GraphNode] — the bytes that must fit in an executor's task
+    // slot. Measured (JVM object graph) and raw-vector arithmetic.
+    val shard0 = GraphAnn.readGraphIndexAligned(spark, dir)
+      .filter(_.shard == 0).collect()
+    val est = org.apache.spark.util.SizeEstimator.estimate(shard0)
+    println(f"[scratch] shard 0: ${shard0.length}%d nodes; JVM est " +
+      f"${est / 1e6}%.0f MB; raw vectors " +
+      f"${shard0.length.toLong * dim * 8 / 1e6}%.0f MB " +
+      f"(x$shards shards = ${n * dim * 8 / 1e9}%.1f GB corpus)")
+
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.queryExecution.executedPlan.execute().foreach(_ => ())
+      val p = df.queryExecution.executedPlan.toString
+      "(?m)^\\s*(?:[+:\\-\\s]*)Exchange ".r
+        .findAllIn(p.split("== Initial Plan ==").head).length
+    }
+    def shuffled[T](f: => T): (T, Long) = {
+      val written = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { val r = f; Thread.sleep(2000); (r, written.get) }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    // single query: indexed path plans ZERO exchanges at 1M too
+    val q = Knn.vectorAt(corpus, col("vec_id"), 4242L, col("embedding"))
+    val single = GraphAnn.graphTopKIndexed(spark, dir, q, k = 10, ef = 100)
+    require(exchanges(single) == 0,
+      "graphTopKIndexed planned an Exchange at 1M")
+    (1 to 2).foreach(r => time(s"graphTopKIndexed ef=100 (r$r)")(
+      noop(GraphAnn.graphTopKIndexed(spark, dir, q, k = 10, ef = 100))))
+    val exact = Knn.knnExact(corpus, col("embedding"), q, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = GraphAnn.graphTopKIndexed(spark, dir, q, k = 10, ef = 100)
+      .select("vec_id").as[Long].collect().toSet
+    println(s"[scratch] recall@10 at 1M x 384: ${(approx & exact).size / 10.0}")
+
+    // batch join, 1000 queries: the exchange-free serving path vs the
+    // repartition path — the shuffle-bytes delta IS the per-invocation
+    // tax item 1 removed (at 1M×384 the graph+vectors ≈ 3.2 GB moving
+    // through an exchange per batch on the old path)
+    val queries = corpus.filter(col("vec_id") % 1000 === 0)
+      .localCheckpoint(eager = true)
+    val idxJoin = GraphAnn.graphKnnJoinIndexed(queries, col("vec_id"),
+      col("embedding"), dir, k = 10, ef = 100, maxBatch = 2000)
+    require(exchanges(idxJoin) == 1,
+      "indexed batch join must plan exactly the bounded top-k merge")
+    val repart = GraphAnn.readGraphIndex(spark, dir)
+    Seq(1, 2).foreach { r =>
+      val (_, bIdx) = shuffled {
+        time(s"graphKnnJoinIndexed 1000q ef=100 (r$r)")(
+          noop(GraphAnn.graphKnnJoinIndexed(queries, col("vec_id"),
+            col("embedding"), dir, k = 10, ef = 100, maxBatch = 2000)))
+      }
+      val (_, bRep) = shuffled {
+        time(s"graphKnnJoin REPARTITION path (r$r)")(
+          noop(GraphAnn.graphKnnJoin(queries, col("vec_id"),
+            col("embedding"), repart, k = 10, ef = 100, maxBatch = 2000)))
+      }
+      println(f"[scratch] shuffle bytes r$r: indexed ${bIdx / 1e6}%.0f MB " +
+        f"vs repartition ${bRep / 1e6}%.0f MB " +
+        f"(exchange share removed: ${(bRep - bIdx) / 1e6}%.0f MB/batch)")
+    }
   }
 
   /** Reconcile the q_dedup_minhash vs q_dedup_minhash_bucketed bench
