@@ -919,10 +919,12 @@ object ExtensionQueries {
     // Approximate ⇒ rows-only; determinism, the exhaustive-beam==exact
     // machinery proof, and recall >= IVF-PQ are asserted in GraphAnnSpec.
     "q_ann_graph" -> ((s, d) => {
-      // served EXCHANGE-FREE from the persisted index: shard-dir-aligned
-      // read, no repartition over the corpus-sized graph (GraphAnnSpec
-      // plan assertion)
-      val hits = GraphAnn.graphTopKIndexed(s, graphIndexDir(s, d),
+      // served EXCHANGE-FREE from the persisted index via the RESIDENT
+      // tier: shard-dir-aligned read, no repartition over the
+      // corpus-sized graph, and repeat queries skip the parquet decode
+      // entirely (executor-side shard cache, fingerprint-invalidated —
+      // GraphAnnSpec plan + cache assertions)
+      val hits = GraphAnn.graphTopKResident(s, graphIndexDir(s, d),
         queryVec(s, d), k = 10, ef = 100)
       hits.join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
           Seq("vec_id"))
@@ -1368,7 +1370,7 @@ object ExtensionQueries {
     // the machinery is hash-PROVEN by q_graph_join_exhaustive below.
     "q_ann_graph_join" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      GraphAnn.graphKnnJoinIndexed(emb.filter(col("vec_id") < 10),
+      GraphAnn.graphKnnJoinResident(emb.filter(col("vec_id") < 10),
           col("vec_id"), col("embedding"), graphIndexDir(s, d), k = 5,
           ef = 100)
         .orderBy("query_id", "rn")

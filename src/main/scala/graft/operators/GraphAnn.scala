@@ -137,7 +137,7 @@ object GraphAnn {
     * layer-0 adjacency, one adjacency map per upper layer, and the
     * entry point (highest-level node, ties on min id — DERIVABLE from
     * stored data, so search needs no persisted entry pointer). */
-  private final class ShardGraph(maxLevel: Int) {
+  private[operators] final class ShardGraph(maxLevel: Int) {
     val vecs = mutable.LongMap.empty[Array[Double]]
     val adj0 = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
     val adjUpper: Array[mutable.LongMap[mutable.ArrayBuffer[Long]]] =
@@ -444,13 +444,11 @@ object GraphAnn {
     graphKnnJoinNodes(queries, qIdCol, qVecCol,
       readGraphIndexAligned(queries.sparkSession, dir), k, ef, maxBatch)
 
-  private def graphKnnJoinNodes(queries: DataFrame, qIdCol: Column,
-      qVecCol: Column, nodes: org.apache.spark.sql.Dataset[GraphNode],
-      k: Int, ef: Int, maxBatch: Int): DataFrame = {
-    val spark = nodes.sparkSession
-    import spark.implicits._
-    // collect at most maxBatch+1 rows: the guard must fire BEFORE an
-    // oversized batch is materialized on the driver, not after
+  /** Collect the query batch driver-side, guarded BEFORE an oversized
+    * batch is materialized (limit maxBatch+1, then require) — shared by
+    * every batch-join flavor. */
+  private def collectQueryBatch(queries: DataFrame, qIdCol: Column,
+      qVecCol: Column, maxBatch: Int): Array[(Long, Array[Double])] = {
     val qRows: Array[(Long, Array[Double])] = queries
       .select(qIdCol.cast("long"), qVecCol.cast("array<double>"))
       .limit(maxBatch + 1)
@@ -460,6 +458,15 @@ object GraphAnn {
       s"query batch exceeds maxBatch=$maxBatch — a graph join " +
         "replicates the batch to every shard; chunk the batch or raise " +
         "the cap consciously")
+    qRows
+  }
+
+  private def graphKnnJoinNodes(queries: DataFrame, qIdCol: Column,
+      qVecCol: Column, nodes: org.apache.spark.sql.Dataset[GraphNode],
+      k: Int, ef: Int, maxBatch: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val qRows = collectQueryBatch(queries, qIdCol, qVecCol, maxBatch)
     val bq = spark.sparkContext.broadcast(qRows)
     val efEff = math.max(ef, k)
     val perShard = nodes
@@ -561,5 +568,145 @@ object GraphAnn {
     // serving path reads this on-disk index
     union.setName(s"graft-graph-aligned:$dir")
     spark.createDataset(union)
+  }
+
+  // ---- resident serving tier ------------------------------------------
+
+  /** Executor-side cache of LOADED shard graphs for the resident serving
+    * paths. The indexed paths are exchange-free but still decode the
+    * whole parquet index per invocation (measured 8–11 s/query at
+    * 1M × 384, BASELINE.md round 7 — all decode); a serving deployment
+    * keeps its shards resident across queries, which is what every
+    * in-memory vector store (hnswlib's mmap'd layout included,
+    * header.bin forensics in BASELINE.md) does.
+    *
+    * Key = shard directory path; value = (fingerprint, graph). The
+    * fingerprint is the shard dir's file listing (name:length:mtime)
+    * hashed DRIVER-side at invocation — a shard rewritten by the
+    * streaming upserters (dir-swap publishes new file names) reloads on
+    * its next query, while an unchanged shard's task leaves its input
+    * iterator unconsumed so the parquet files are never even opened
+    * (FileScanRDD opens lazily). At most one graph per served shard dir
+    * stays cached — the resident working set a serving executor is
+    * sized for. On a cluster each executor caches only the shards
+    * scheduled onto it; a locality miss is a reload, never a wrong
+    * answer. */
+  private[graft] object ResidentCache {
+    private val graphs = new java.util.concurrent.ConcurrentHashMap[
+      String, (String, ShardGraph)]()
+    /** Total cold loads — observable cache behavior for GraphAnnSpec. */
+    private[graft] val loads = new java.util.concurrent.atomic.AtomicLong
+    private[operators] def getOrLoad(key: String, fingerprint: String,
+        load: () => Array[GraphNode]): ShardGraph =
+      graphs.compute(key, (_, cur) =>
+        if (cur != null && cur._1 == fingerprint) cur
+        else {
+          loads.incrementAndGet()
+          val nodes = load()
+          val maxLevel = nodes.iterator
+            .map(n => if (n.layers == null) 0 else n.layers.length)
+            .foldLeft(0)(math.max)
+          val g = new ShardGraph(maxLevel)
+          g.load(nodes)
+          (fingerprint, g)
+        })._2
+    def clear(): Unit = graphs.clear()
+  }
+
+  /** One (shard, dirPath, fingerprint) per shard=N directory, listed
+    * driver-side per invocation — the staleness check is one FS listing,
+    * not a data read. */
+  private def shardDirsFingerprinted(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Int, String, String)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .sortBy(_.getPath.getName.stripPrefix("shard=").toInt)
+    require(dirs.nonEmpty,
+      s"no shard=* directories under $dir — not a writeGraphIndex layout")
+    dirs.toIndexedSeq.map { d =>
+      val listing = fs.listStatus(d.getPath).filter(_.isFile)
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .sorted.mkString("|")
+      (d.getPath.getName.stripPrefix("shard=").toInt, d.getPath.toString,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** Per-shard search over the resident cache: each task looks its shard
+    * up by (path, fingerprint) and only on a miss consumes its parquet
+    * input. Same partition-per-shard union shape as
+    * [[readGraphIndexAligned]] — no shuffle anywhere in the lineage. */
+  private def residentRdd[T: scala.reflect.ClassTag](
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      perShard: ShardGraph => Iterator[T]): org.apache.spark.rdd.RDD[T] = {
+    import spark.implicits._
+    val rdds = shardDirsFingerprinted(spark, dir).map {
+      case (shard, path, fp) =>
+        withLayers(spark.read.parquet(path))
+          .withColumn("shard", lit(shard))
+          .select(col("shard"), col("id"), col("vec"), col("neighbors"),
+            col("layers"))
+          .as[GraphNode]
+          .coalesce(1)
+          .rdd
+          .mapPartitions { it =>
+            perShard(ResidentCache.getOrLoad(path, fp, () => it.toArray))
+          }
+    }
+    val union = spark.sparkContext.union(rdds.toIndexedSeq)
+    union.setName(s"graft-graph-resident:$dir")
+    union
+  }
+
+  /** [[graphTopKIndexed]] from the executor-resident cache: first query
+    * per (shard, index version) decodes that shard, every later one runs
+    * beam-only. Results are IDENTICAL to the indexed path (same stored
+    * graph, same search). */
+  def graphTopKResident(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, query: Seq[Double], k: Int,
+                        ef: Int = 100): DataFrame = {
+    import spark.implicits._
+    val q = query.toArray
+    val efEff = math.max(ef, k)
+    spark.createDataset(residentRdd(spark, dir, g =>
+        if (g.vecs.isEmpty) Iterator.empty
+        else beamSearch(g.descend(q, 0), q, efEff, g.vecs, g.adj0)
+          .iterator.map { case (d2, id) => (id, d2) }))
+      .toDF("vec_id", "_d2")
+      .withColumn("dist", round(sqrt(col("_d2")), 6))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "dist")
+  }
+
+  /** [[graphKnnJoinIndexed]] from the executor-resident cache — the
+    * recurring-batch serving shape: only the request-sized query batch
+    * moves (broadcast), the graph decodes once per index version, and
+    * the one shuffle is the bounded per-query top-k merge. */
+  def graphKnnJoinResident(queries: DataFrame, qIdCol: Column,
+                           qVecCol: Column, dir: String, k: Int,
+                           ef: Int = 100, maxBatch: Int = 100000)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = collectQueryBatch(queries, qIdCol, qVecCol, maxBatch)
+    val bq = spark.sparkContext.broadcast(qRows)
+    val efEff = math.max(ef, k)
+    val perShard = spark.createDataset(residentRdd(spark, dir, g =>
+        if (g.vecs.isEmpty) Iterator.empty
+        else bq.value.iterator.flatMap { case (qid, q) =>
+          beamSearch(g.descend(q, 0), q, efEff, g.vecs, g.adj0)
+            .map { case (d2, id) => (qid, id, d2) }
+        }))
+      .toDF("query_id", "match_id", "_d2")
+      .select(col("query_id"), col("match_id"),
+        (-round(sqrt(col("_d2")), 6)).as("negdist"))
+    TopK.topKPerGroup(spark, perShard, "query_id", "match_id", "negdist", k)
+      .select(col("query_id"), col("match_id"),
+        (-col("negdist")).as("dist"), col("rn"))
   }
 }

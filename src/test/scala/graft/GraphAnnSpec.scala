@@ -297,4 +297,55 @@ class GraphAnnSpec extends SparkSuite {
       q, k = 10).as[(Long, Double)].collect()
     assert(after === before)
   }
+
+  test("resident serving: identical to indexed, repeats never reload, " +
+      "a rewritten index version reloads and serves the new data") {
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 4, m = 8, efConstruction = 40)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-resident").toString
+    GraphAnn.writeGraphIndex(g, dir)
+    GraphAnn.ResidentCache.clear()
+    val q = Knn.vectorAt(emb, col("vec_id"), 5L, col("embedding"))
+    val indexed = GraphAnn.graphTopKIndexed(spark, dir, q, k = 10)
+      .as[(Long, Double)].collect()
+    val resident = GraphAnn.graphTopKResident(spark, dir, q, k = 10)
+      .as[(Long, Double)].collect()
+    assert(resident === indexed)
+    val loadsAfterFirst = GraphAnn.ResidentCache.loads.get()
+    assert(loadsAfterFirst === 4L, "one cold load per shard")
+    // repeats (single-query AND batch join) serve warm: zero new loads
+    val again = GraphAnn.graphTopKResident(spark, dir, q, k = 10)
+      .as[(Long, Double)].collect()
+    assert(again === indexed)
+    val queries = emb.filter(col("vec_id") < 5)
+    val joinIdx = GraphAnn.graphKnnJoinIndexed(queries, col("vec_id"),
+      col("embedding"), dir, k = 5).as[(Long, Long, Double, Int)]
+      .collect().sortBy(r => (r._1, r._4))
+    val joinRes = GraphAnn.graphKnnJoinResident(queries, col("vec_id"),
+      col("embedding"), dir, k = 5).as[(Long, Long, Double, Int)]
+      .collect().sortBy(r => (r._1, r._4))
+    assert(joinRes === joinIdx)
+    assert(GraphAnn.ResidentCache.loads.get() === loadsAfterFirst,
+      "warm serves must not reload any shard")
+    // a new index VERSION under the same dir (dir-swap publishes new
+    // files, like the streaming upserters): the fingerprint flips, the
+    // resident tier reloads, and the answer reflects the new corpus —
+    // a planted near-exact neighbor of the query must now win
+    val planted = Seq((990001L, q.map(_ + 1e-4))).toDF("vec_id", "embedding")
+    val g2 = GraphAnn.buildGraph(
+      emb.select(col("vec_id"), col("embedding")).unionByName(planted),
+      col("vec_id"), col("embedding"), numShards = 4, m = 8,
+      efConstruction = 40)
+    GraphAnn.writeGraphIndex(g2, dir)
+    val afterRewrite = GraphAnn.graphTopKResident(spark, dir, q, k = 10,
+      ef = 200).as[(Long, Double)].collect()
+    val freshIndexed = GraphAnn.graphTopKIndexed(spark, dir, q, k = 10,
+      ef = 200).as[(Long, Double)].collect()
+    assert(afterRewrite === freshIndexed)
+    assert(afterRewrite.map(_._1).contains(990001L),
+      "the planted near-exact twin must surface after the reload")
+    assert(GraphAnn.ResidentCache.loads.get() > loadsAfterFirst,
+      "rewritten shards must reload")
+  }
 }
