@@ -129,6 +129,21 @@ object ExtensionQueries {
     })
   }
 
+  /** Epoch-MICROSECONDS from the events `ts` column, adaptive to the
+    * driver testdata's parquet physical type, which has changed across
+    * rounds: TIMESTAMP(NANOS) reads as epoch-nanos LONG under the
+    * `nanosAsLong` legacy flag (rounds ≤6), TIMESTAMP(MICROS) reads as
+    * TIMESTAMP/TIMESTAMP_NTZ (round 7 regeneration). The DuckDB oracle
+    * side (`epoch_us(ts)`) is representation-agnostic already; this makes
+    * the Spark side match. NTZ→TIMESTAMP cast relies on the UTC session
+    * timezone every entry point pins (Verify/Bench/SparkSuite). */
+  private def eventTsUs(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   /** Session-scoped documents row count (same weak-session contract as
     * [[ivfIndex]]; the cached value is one Long). q_tfidf_simjoin's idf
     * needs N as a literal; without the cache every bench/verify
@@ -297,23 +312,25 @@ object ExtensionQueries {
 
     // ---- event-time tumbling window (batch form of the streaming agg in
     // graft.streaming): hourly buckets over epoch-µs; one shuffle on
-    // (bucket, event_type). `ts` is epoch-nanos (nanosAsLong read).
-    "q_events_window" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("bucket_sec",
-          expr("(ts div 1000000000) div 3600") * 3600)
+    // (bucket, event_type).
+    "q_events_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.withColumn("ts_us", eventTsUs(ev))
+        .withColumn("bucket_sec", expr("(ts_us div 1000000) div 3600") * 3600)
         .groupBy(col("bucket_sec"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
-        .orderBy("bucket_sec", "event_type")),
+        .orderBy("bucket_sec", "event_type")
+    }),
 
     // ---- sessionization: 30-min-gap sessions per user. Two windows over
     // one shuffle on user_id (lag + running sum share the partitioning).
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us").asc, col("event_id").asc)
-      Tables.events(s, d)
-        .withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.events(s, d)
+      ev
+        .withColumn("ts_us", eventTsUs(ev))
         .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
         .withColumn("new_session",
           when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
