@@ -306,6 +306,10 @@ class GraphAnnSpec extends SparkSuite {
       .createTempDirectory("graft-resident").toString
     GraphAnn.writeGraphIndex(g, dir)
     GraphAnn.ResidentCache.clear()
+    // `loads` is a JVM-lifetime counter (clear() empties the MAP only):
+    // earlier tests in the suite run declared q_ann_graph* keys through
+    // the resident tier, so assert DELTAS, never absolute counts
+    val loads0 = GraphAnn.ResidentCache.loads.get()
     val q = Knn.vectorAt(emb, col("vec_id"), 5L, col("embedding"))
     val indexed = GraphAnn.graphTopKIndexed(spark, dir, q, k = 10)
       .as[(Long, Double)].collect()
@@ -313,7 +317,7 @@ class GraphAnnSpec extends SparkSuite {
       .as[(Long, Double)].collect()
     assert(resident === indexed)
     val loadsAfterFirst = GraphAnn.ResidentCache.loads.get()
-    assert(loadsAfterFirst === 4L, "one cold load per shard")
+    assert(loadsAfterFirst - loads0 === 4L, "one cold load per shard")
     // repeats (single-query AND batch join) serve warm: zero new loads
     val again = GraphAnn.graphTopKResident(spark, dir, q, k = 10)
       .as[(Long, Double)].collect()
