@@ -42,7 +42,173 @@ object Scratch {
     if (only.contains("bandbench")) runBandBench(spark, noop)
     if (only.contains("graphsoak")) runGraphSoak(spark, noop)
     if (only.contains("frontier")) runFrontier(spark)
+    if (only.contains("streamsoak")) runStreamSoak(spark)
     spark.stop()
+  }
+
+  /** Streaming ingest → graph-serve e2e at soak scale (round-6 VERDICT
+    * item 9): the chunk → digest-dedup → graph-index chain from
+    * StreamsSpec's toy e2e, driven over the 50k-doc soak corpus with a
+    * mid-stream crash between ingest waves and a worst-case full
+    * checkpoint-loss replay. Asserts (crashing on violation):
+    *  - exactly-once ingest across the crash: the final indexed id set
+    *    EQUALS the distinct-digest set of the chunk store;
+    *  - the full fresh-checkpoint replay (checkpoint lost entirely;
+    *    every row a replacement → every shard takes the deterministic
+    *    rebuild path) leaves the live index BYTE-IDENTICAL to an
+    *    independent single-batch build of the same chunk store into an
+    *    empty index — the toy-spec identity at 50k. (The wave-built
+    *    index itself is NOT expected byte-equal: HNSW edges depend on
+    *    insertion order; the contract is that a full rebuild is a
+    *    deterministic function of the surviving (id, vec) SET.)
+    *  - search over the wave-built index returns the probe's own chunk.
+    * Reports per-wave wall, rebuilt-shard counts, dedup state-store
+    * size, and index size — the BASELINE.md rows. */
+  private def runStreamSoak(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams
+    import graft.operators.GraphAnn
+    import graft.sources.HrPipeline.featureHashEmbedding
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-streamsoak-").toString
+    val srcDir = s"$base/src"; val chunkDir = s"$base/chunks"
+    val ingestDir = s"$base/ingest"; val idx = s"$base/idx"
+    val nDocs = 50000L
+    // event times within a 300 s span — safely inside chunkStream's
+    // 10-minute watermark horizon so no wave can drop late rows
+    val docs = Soak.genDocs(spark, nDocs)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id") % 300))
+    time("generate+write 50k docs (10 files)")(
+      docs.repartition(10).write.mode("overwrite").parquet(srcDir))
+
+    // ---- stage A: chunk the doc stream (5 micro-batches of 2 files)
+    val schemaA = spark.read.parquet(srcDir).schema
+    val qa = Streams.chunkStream(spark,
+      spark.readStream.schema(schemaA).option("maxFilesPerTrigger", 2)
+        .parquet(srcDir),
+      chunkDir, s"$base/chkA", chunkTokens = 32, stride = 32)
+    time("stage A: chunkStream 50k docs, 5 batches") {
+      try qa.processAllAvailable() finally qa.stop()
+    }
+    val chunks = spark.read.parquet(chunkDir)
+    val nChunks = chunks.count()
+    val nDigests = chunks.select("digest").distinct().count()
+    println(s"[scratch] chunk store: $nChunks chunks, $nDigests distinct digests")
+
+    // ---- stage B: digest-dedup + embed + graph upsert, arriving in 5
+    // waves (one wave = one micro-batch = one chunk-store batch_id
+    // partition revealed to the file source). Crash mid-stream: the
+    // query is STOPPED after wave 3 and restarted on the same
+    // checkpoint for waves 4-5 — exactly-once must hold across it.
+    val dim = 32; val shards = 16
+    def startIndexQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val schemaB = spark.read.parquet(chunkDir).schema
+      val src = spark.readStream.schema(schemaB).parquet(ingestDir)
+        .dropDuplicates("digest")
+        .select(expr("xxhash64(digest)").as("vec_id"),
+          featureHashEmbedding(col("chunk_text"), dim).as("embedding"))
+      Streams.graphUpsertStream(spark, src, idx, s"$base/chkB",
+        numShards = shards, m = 8, efConstruction = 40,
+        onBatch = (bid, adds, rebuilt) => println(
+          s"[scratch]   batch $bid: $adds adds, rebuilt shards = $rebuilt"))
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // the actual batch_id=* partitions stage A produced (don't assume a
+    // trigger count), numerically ordered
+    val waves = fs.listStatus(new org.apache.hadoop.fs.Path(chunkDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName)
+      .sortBy(_.stripPrefix("batch_id=").toLong).toIndexedSeq
+    println(s"[scratch] chunk-store waves: ${waves.mkString(", ")}")
+    def reveal(wave: String): Unit = org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$chunkDir/$wave"),
+      fs, new org.apache.hadoop.fs.Path(s"$ingestDir/$wave"),
+      false, spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ingestDir))
+    val (before, after) = waves.splitAt(math.max(1, waves.size * 3 / 5))
+    var qb = startIndexQuery()
+    before.foreach { w =>
+      time(s"stage B wave $w (ingest + index)") {
+        reveal(w); qb.processAllAvailable()
+      }
+    }
+    time("CRASH: stop the index query mid-stream")(qb.stop())
+    qb = startIndexQuery()
+    after.foreach { w =>
+      time(s"stage B wave $w (after restart)") {
+        reveal(w); qb.processAllAvailable()
+      }
+    }
+    qb.stop()
+
+    // order-insensitive content hash: per-row xxhash64 summed in
+    // DECIMAL(38,0) — a LONG sum overflows under ANSI mode (Spark 4
+    // default) and kills the job
+    def indexState(dir: String): (Long, String) = {
+      val df = GraphAnn.readGraphIndex(spark, dir)
+        .select(col("shard"), col("id"), col("vec"), col("neighbors"),
+          col("layers"))
+      (df.count(),
+        df.select(xxhash64(col("shard"), col("id"), col("vec"),
+          col("neighbors"), col("layers")).cast("decimal(38,0)").as("h"))
+          .agg(sum(col("h"))).head.getDecimal(0).toString)
+    }
+    val (rows1, hash1) = indexState(idx)
+    require(rows1 == nDigests,
+      s"exactly-once across the crash: indexed $rows1 != $nDigests digests")
+    println(s"[scratch] index after crash+restart: $rows1 nodes, hash=$hash1")
+
+    // search sanity: the probe chunk's own id must be the top hit
+    val probeRow = chunks.orderBy("digest").limit(1)
+      .select(col("chunk_text"), expr("xxhash64(digest)").as("vec_id"))
+      .head
+    val probeVec = spark.range(1).select(
+        featureHashEmbedding(lit(probeRow.getString(0)), dim).as("e"))
+      .as[Seq[Double]].head
+    val hit = GraphAnn.graphTopKIndexed(spark, idx, probeVec, k = 1, ef = 64)
+      .select("vec_id").as[Long].head()
+    require(hit == probeRow.getLong(1),
+      s"probe chunk not found: got $hit want ${probeRow.getLong(1)}")
+
+    // ---- worst-case crash: checkpoint lost entirely. A fresh
+    // checkpoint replays the WHOLE chunk store into the live index in
+    // one batch — every row is a replacement, every shard rebuilds
+    // deterministically from the surviving (id, vec) set.
+    def fullRun(chk: String, intoDir: String): Unit = {
+      val schemaB = spark.read.parquet(chunkDir).schema
+      val src = spark.readStream.schema(schemaB).parquet(ingestDir)
+        .dropDuplicates("digest")
+        .select(expr("xxhash64(digest)").as("vec_id"),
+          featureHashEmbedding(col("chunk_text"), dim).as("embedding"))
+      val q = Streams.graphUpsertStream(spark, src, intoDir, chk,
+        numShards = shards, m = 8, efConstruction = 40)
+      try q.processAllAvailable() finally q.stop()
+    }
+    time("full checkpoint-loss replay (1 batch, all shards rebuild)")(
+      fullRun(s"$base/chkB2", idx))
+    val (rows2, hash2) = indexState(idx)
+    require(rows2 == rows1,
+      s"replay changed the indexed id set: $rows1 -> $rows2")
+    // independent ground truth: the same chunk store built in a single
+    // batch into an EMPTY index. rebuild-of-live == build-from-empty is
+    // the byte-identity the toy spec pins; here at 50k.
+    time("independent single-batch build (empty index)")(
+      fullRun(s"$base/chkB3", s"$base/idxFresh"))
+    val (rowsF, hashF) = indexState(s"$base/idxFresh")
+    require(rows2 == rowsF && hash2 == hashF,
+      s"replayed live index must be byte-identical to the fresh build: " +
+        s"($rows2,$hash2) vs ($rowsF,$hashF)")
+    println(s"[scratch] replayed index: $rows2 nodes, hash=$hash2 " +
+      s"(byte-identical to the independent fresh build)")
+
+    def duBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+    }
+    println(f"[scratch] dedup state store (chkB)  = ${duBytes(s"$base/chkB/state") / 1048576.0}%8.1f MB for $nDigests%d digests")
+    println(f"[scratch] index on disk             = ${duBytes(idx) / 1048576.0}%8.1f MB / $shards%d shards")
   }
 
   /** recommendBudgets on the 200k clustered corpus, swept 1-in-4

@@ -28,6 +28,27 @@ object Soak {
     r
   }
 
+  /** The deterministic soak document corpus (hash-mixed ~unique texts,
+    * 15–70 tokens, 5 langs × 10 sources) — shared by the batch soak and
+    * the streaming soak (`Scratch streamsoak`). Everything is arithmetic
+    * in doc_id: no RNG, identical on every run. */
+  def genDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    val vocab = Seq("batch", "part", "spark", "line", "column", "order",
+      "small", "sort", "fast", "value", "scan", "hash", "slow", "group",
+      "agg", "filter", "query", "big", "key", "window", "row", "table",
+      "stream", "merge", "data", "vector", "index", "probe", "shuffle",
+      "plan")
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(15) + col("id") % 56), i =>
+        element_at(typedlit(vocab),
+          pmod(hash(col("id"), i), lit(vocab.size)).cast("int") + 1)),
+        " ").as("text"),
+      element_at(typedlit(Seq("zh", "en", "ko", "de", "fr")),
+        (col("id") % 5).cast("int") + 1).as("lang"),
+      concat(lit("src"), (col("id") % 10).cast("string")).as("source"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,11 +75,6 @@ object Soak {
     }
 
     val dir = java.nio.file.Files.createTempDirectory("graft-soak-").toString
-    val vocab = Seq("batch", "part", "spark", "line", "column", "order",
-      "small", "sort", "fast", "value", "scan", "hash", "slow", "group",
-      "agg", "filter", "query", "big", "key", "window", "row", "table",
-      "stream", "merge", "data", "vector", "index", "probe", "shuffle",
-      "plan")
     val nDocs = 50000L
     // token i of doc d = vocab[hash(d, i) mod |vocab|] — hash-mixed so
     // texts are effectively unique (an earlier arithmetic generator was
@@ -66,15 +82,7 @@ object Soak {
     // pair EMISSION itself quadratic in cluster size — recorded in
     // BASELINE.md as the dup-heavy stress case; mitigation there is
     // exactDedup BEFORE any near-dup pass). Length 15 + (d mod 56).
-    val docs = spark.range(nDocs).select(
-      col("id").as("doc_id"),
-      array_join(transform(sequence(lit(0), lit(15) + col("id") % 56), i =>
-        element_at(typedlit(vocab),
-          pmod(hash(col("id"), i), lit(vocab.size)).cast("int") + 1)),
-        " ").as("text"),
-      element_at(typedlit(Seq("zh", "en", "ko", "de", "fr")),
-        (col("id") % 5).cast("int") + 1).as("lang"),
-      concat(lit("src"), (col("id") % 10).cast("string")).as("source"))
+    val docs = genDocs(spark, nDocs)
     time("generate+write documents (50k)") {
       docs.write.mode("overwrite").parquet(s"$dir/documents")
     }

@@ -110,9 +110,22 @@ object Dedup {
 
   /** Bucket-grouped pair generation over a band-row relation — shared by
     * the one-shot and bucketed-table entry points. Cost is Σ bucket² in
-    * *pairs emitted*, not in recomputed hashes. */
-  private def pairsFromBandRows(rows: DataFrame): DataFrame =
-    rows
+    * *pairs emitted*, not in recomputed hashes.
+    *
+    * `pinWidth` (one-shot path only): fixed-N repartition on the band
+    * key before the groupBy, so the pair-EMISSION stage keeps full
+    * cluster width — AQE sizes the groupBy exchange by its input bytes,
+    * but emission output is Σ bucket², quadratically larger (the
+    * jaccardPairs rule, measured round 7). The bucketed-table path MUST
+    * NOT pin: its whole point is that the pre-bucketed scan plans no
+    * exchange at all (PlanSpec-asserted). */
+  private def pairsFromBandRows(rows: DataFrame,
+                                pinWidth: Boolean = false): DataFrame =
+    (if (pinWidth)
+       rows.repartition(
+         rows.sparkSession.sessionState.conf.numShufflePartitions,
+         col("band_idx"), col("band_key"))
+     else rows)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -130,7 +143,8 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, numHashes: Int = 8,
                         bands: Int = 4): DataFrame =
-    pairsFromBandRows(bandRows(df, idCol, textCol, n, numHashes, bands))
+    pairsFromBandRows(bandRows(df, idCol, textCol, n, numHashes, bands),
+      pinWidth = true)
 
   /** Persist the minhash band index BUCKETED (and sorted) by the band
     * key — the [[graft.sources.Bucketing]] pattern applied to the dedup
@@ -255,11 +269,21 @@ object Dedup {
         blockCols, "left_semi")
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
+    // EXPLICIT fixed-N repartition on the block key: AQE sizes
+    // post-shuffle partitions by the join's INPUT bytes, but a blocked
+    // pair join's OUTPUT is quadratic in its input — at sf1 the
+    // coalesced exchange serialized 5.5M per-pair array_intersects onto
+    // 2 cores (519 s; measured round 7, BASELINE.md). A user repartition
+    // with an explicit count is never coalesced, so the quadratic stage
+    // keeps full cluster width. HashPartitioning(blockCols, N) satisfies
+    // the join's clustering requirement — no extra exchange is added.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val distributed = gated.repartition(nPart, blockCols.map(col): _*)
     // merge hint: a broadcast self-join would compute the expensive shingle
     // pipeline independently per side; as a sort-merge join both sides
     // produce the IDENTICAL shuffle, which AQE dedups via ReusedExchange —
     // the pipeline runs once (measured 3.2× end-to-end)
-    gated.as("a").join(gated.as("b").hint("merge"), cond)
+    distributed.as("a").join(distributed.as("b").hint("merge"), cond)
       .withColumn("inter",
         size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
       .withColumn("uni",
@@ -300,8 +324,15 @@ object Dedup {
     val sh = df.select(idCol.as("id"),
       array_distinct(
         graft.plans.HashedShingles.shingleHashes(textCol, n, 8)).as("sh"))
+    // pin the fetch-join distributions at fixed N (the jaccardPairs
+    // rule): candidate-pair rows are slim, so AQE would coalesce these
+    // exchanges by byte size and serialize the per-pair intersect
+    // scoring that runs AFTER the arrays are attached
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     pairs
+      .repartition(nPart, col("id1"))
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .repartition(nPart, col("id2"))
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("inter",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
@@ -574,7 +605,12 @@ object Dedup {
     * [[cosineNearDupPairsNative]] when pair counts grow. */
   def cosineNearDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
                          blockCol: Column, threshold: Double): DataFrame = {
+    // fixed-N repartition on the block key — the jaccardPairs rule: the
+    // pair join's output is quadratic in its input, so AQE's input-sized
+    // coalescing would serialize the per-pair scoring onto few cores
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val v = df.select(idCol.as("id"), blockCol.as("blk"), vecCol.as("v"))
+      .repartition(nPart, col("blk"))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cos", floorRound6(cosine(col("a.v"), col("b.v"))))
@@ -602,6 +638,9 @@ object Dedup {
         array_repeat(when(col("_nrm") > 0, col("_nrm")), size(col("_v"))),
         (x, nn) => x / nn))
       .select(col("id"), col("blk"), col("v"))
+      // fixed-N repartition: quadratic-output join, the jaccardPairs rule
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("blk"))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cos", floorRound6(
@@ -685,6 +724,11 @@ object Dedup {
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band_idx").as("band_idx"),
         col("bb.band_key").as("band_key"))
+      // fixed-N pin: pair emission from the grouped buckets is
+      // Σ bucket² — quadratically larger than this exchange's input, so
+      // AQE's byte-sized coalescing must not narrow it (jaccardPairs rule)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band_idx"), col("band_key"))
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     (v, buckets)
@@ -713,6 +757,11 @@ object Dedup {
       .select(explode(pairArray(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
+      // fixed-N fan-out before the vector-fetch joins (jaccardLsh rule):
+      // slim pair rows would be AQE-coalesced and the per-pair squared-L2
+      // scoring serialized onto few cores
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id1"))
     cand
       .join(v.select(col("id"), col("nv")).as("x"), col("id1") === col("x.id"))
       .join(v.select(col("id"), col("nv")).as("y"), col("id2") === col("y.id"))
