@@ -60,7 +60,13 @@ object Bench {
         "0.80-0.99s steady-state; round-6 2.86s reading was single-run noise",
       "q_ngram_jaccard" -> "2.1-4.1s across runs; valved plan stable",
       "q_rank_composite" ->
-        "0.2-0.8s; sub-second rows read +-0.5s under heavy neighbors")
+        "0.2-0.8s; sub-second rows read +-0.5s under heavy neighbors",
+      "q_ann_graph" ->
+        "0.8-1.5s; round-7 indexed serve trades the corpus exchange for a per-invocation index decode (BASELINE.md graphsoak: 9MB vs 1.6GB shuffle at 1M)",
+      "q_ann_graph_join" ->
+        "0.9-1.5s; same indexed-serve decode trade as q_ann_graph",
+      "q_graph_join_exhaustive" ->
+        "0.6-1.9s; ef=4000 exhaustive beams over the indexed read - decode + full-shard evals by design (hash-proof key)")
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val line =
