@@ -70,62 +70,190 @@ object ExtensionQueries {
     (Ann.assignByLiteral(emb, col("embedding"), centsLocal), cents)
   }
 
-  /** Session-scoped sharded NSW graph over the embeddings table (same
-    * lifecycle + weak-session contract as [[ivfIndex]]): the cached value
-    * is the PATH of a shard-partitioned on-disk index
-    * ([[GraphAnn.writeGraphIndex]]) — O(1) driver memory regardless of
-    * corpus size. Unlike the centroid/codebook caches (whose values are
-    * genuinely driver-sized: k centroids, m·ks codewords), a graph index
-    * is O(corpus) — vectors plus adjacency — so it must live where the
-    * search tasks run, not on the driver. Each query re-reads the
-    * partitioned parquet (one directory per shard = one search task's
-    * input); the build is deterministic (GraphAnnSpec), so caching
-    * cannot change results. */
-  private val graphCache = java.util.Collections.synchronizedMap(
+  /** Content fingerprint of a data dir's embeddings source (file sizes +
+    * mtimes, recursive one level): the deterministic cross-JVM index
+    * paths below must INVALIDATE when the driver regenerates testdata in
+    * place between rounds (it has — the round-7 events.ts retype) — a
+    * tag over the dir NAME alone would keep serving an index built from
+    * the previous generation of the data. One stat call per file; no
+    * data read. */
+  private def embFingerprint(d: String): String = {
+    val root = new java.io.File(s"${d.stripSuffix("/")}/embeddings.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(s"$d|", ",", "")
+  }
+
+  /** Deterministic cross-JVM persisted-artifact directory under the
+    * JVM temp dir, shared by every persisted index tier. The path is
+    * content-FINGERPRINTED ([[embFingerprint]], format-versioned via the
+    * prefix): session churn reuses one directory per data GENERATION
+    * instead of accumulating a temp dir per (session, dir), and an
+    * in-place testdata regeneration changes the fingerprint and so the
+    * path — a stale artifact is never reused. Publication is ATOMIC:
+    * `build` writes into a unique staging dir which is then renamed into
+    * the deterministic path — a concurrent session (or second JVM)
+    * either sees the complete versioned dir and reuses it, or races the
+    * rename and falls back to its own staging copy; nobody ever scans a
+    * half-written artifact (ADVICE round 6). Deterministic builds make
+    * every outcome identical. */
+  private val persistDirCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
-  private def graphIndexDir(s: SparkSession, d: String): String = {
-    val perSession = graphCache.synchronized {
-      graphCache.computeIfAbsent(s, _ =>
+  private def persistedDir(s: SparkSession, prefix: String, d: String)
+      (build: String => Unit): String = {
+    val perSession = persistDirCache.synchronized {
+      persistDirCache.computeIfAbsent(s, _ =>
         new java.util.concurrent.ConcurrentHashMap[String, String]())
     }
-    perSession.computeIfAbsent(d, { dir =>
-      // DETERMINISTIC per-data-dir path (content-hashed, format-versioned):
-      // session churn reuses one directory per dir instead of accumulating
-      // a fresh temp dir + shutdown hook per (session, dir) — the data
-      // dirs are immutable for the JVM's lifetime and the build is
-      // deterministic, so an existing index is always the right one.
-      // Publication is ATOMIC: build into a unique staging dir, then
-      // rename into the deterministic path — a concurrent session (or
-      // second JVM) either sees the complete versioned dir and reuses it,
-      // or races the rename and falls back to its own staging copy;
-      // nobody ever scans a half-written index (ADVICE round 6).
+    perSession.computeIfAbsent(s"$prefix|$d", { _ =>
       val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(embFingerprint(d).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft-graph-index-v2-$tag")
+        System.getProperty("java.io.tmpdir"), s"$prefix-$tag")
       if (java.nio.file.Files.exists(path)) path.toString
       else {
         val staging = java.nio.file.Files.createTempDirectory(
-          path.getParent, s"graft-graph-index-v2-$tag-stage-")
-        GraphAnn.writeGraphIndex(
-          GraphAnn.buildGraph(Tables.embeddings(s, dir), col("vec_id"),
-            col("embedding"), numShards = 8, m = 16, efConstruction = 100),
-          staging.toString)
+          path.getParent, s"$prefix-$tag-stage-")
+        build(staging.toString)
         try {
           java.nio.file.Files.move(staging, path,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           path.toString
         } catch {
-          // another builder won the rename: both builds are
-          // deterministic-identical, so serving from our staging copy is
-          // equally correct (and cheaper than deleting + re-listing)
           case _: java.nio.file.FileAlreadyExistsException |
                _: java.nio.file.DirectoryNotEmptyException |
                _: java.nio.file.AccessDeniedException =>
             staging.toString
         }
       }
+    })
+  }
+
+  /** Sharded NSW graph index over the embeddings table, persisted via
+    * [[persistedDir]]: the cached value is the PATH of a
+    * shard-partitioned on-disk index ([[GraphAnn.writeGraphIndex]]) —
+    * O(1) driver memory regardless of corpus size. Unlike the
+    * centroid/codebook caches (whose values are genuinely driver-sized),
+    * a graph index is O(corpus) — vectors plus adjacency — so it must
+    * live where the search tasks run, not on the driver. */
+  private def graphIndexDir(s: SparkSession, d: String): String =
+    persistedDir(s, "graft-graph-index-v2", d) { stg =>
+      GraphAnn.writeGraphIndex(
+        GraphAnn.buildGraph(Tables.embeddings(s, d), col("vec_id"),
+          col("embedding"), numShards = 8, m = 16, efConstruction = 100),
+        stg)
+    }
+
+  /** Session-scoped PERSISTED IVF index over the embeddings table — the
+    * cell-partitioned on-disk layout of [[Ann.buildIvfIndex]], with the
+    * same deterministic-path + atomic-staging-rename publication contract
+    * as [[graphIndexDir]]. Serving scans PRUNE to the probed cell
+    * directories (the probe filter becomes a PartitionFilter — PlanSpec),
+    * so a top-k reads nProbe/k of the corpus files instead of scanning
+    * everything: at 100 TB, the difference between an index and a cache
+    * of centroids. Trained with the same parameters as the in-session
+    * [[ivfIndex]] (k=8, iters=3, deterministic k-means), so both paths
+    * produce identical assignments and identical query results. */
+  private def ivfIndexDir(s: SparkSession, d: String): String =
+    persistedDir(s, "graft-ivf-index-v1", d) { stg =>
+      Ann.buildIvfIndex(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), stg, k = 8, iters = 3)
+    }
+
+  /** Persisted CODES-ONLY PQ store: (vec_id, label, codes), sorted by
+    * vec_id within partitions so the refine fetch's pushed-down id
+    * filter prunes row groups. The ADC serving scan reads m small ints
+    * per row — never the vectors ([[Pq.pqTopKRefinedFetch]] fetches only
+    * the candidates). Codebooks are the session-cached deterministic
+    * [[pqModel]], so codes are identical across builders. */
+  private def pqCodesDir(s: SparkSession, d: String): String =
+    persistedDir(s, "graft-pq-codes-v1", d) { stg =>
+      Pq.encode(Tables.embeddings(s, d), col("embedding"), pqModel(s, d))
+        .select(col("vec_id"), col("label"), col("codes"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(stg)
+    }
+
+  /** Persisted IVF-PQ store: residual codes partitioned by cell — the
+    * probe filter partition-prunes AND the pruned scan reads only codes;
+    * the two compressions compose on disk exactly as [[Pq.ivfPqTopK]]'s
+    * scaladoc promises. Built from the persisted IVF index, so cell
+    * assignments agree with [[ivfIndexDir]] by construction. */
+  private def ivfPqCodesDir(s: SparkSession, d: String): String =
+    persistedDir(s, "graft-ivfpq-codes-v1", d) { stg =>
+      val (data, cents) = Ann.readIvfIndex(s, ivfIndexDir(s, d))
+      Pq.encodeResidual(data.withColumn("cell", col("cell").cast("int")),
+          col("embedding"), cents, ivfPqModel(s, d))
+        .select(col("vec_id"), col("label"), col("cell"), col("codes"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(stg)
+    }
+
+  /** Session-scoped SQ8 model (per-dim min/scale — driver-sized, same
+    * weak-session contract as [[pqModel]]; training is a deterministic
+    * aggregate, so caching cannot change results). */
+  private val sqModelCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, graft.operators.Sq.SqModel]]())
+  private def sqModel(s: SparkSession, d: String): graft.operators.Sq.SqModel = {
+    val perSession = sqModelCache.synchronized {
+      sqModelCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Sq.SqModel]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      graft.operators.Sq.trainSq(Tables.embeddings(s, dir), col("embedding"))
+    })
+  }
+
+  /** Persisted SQ8 codes store: (vec_id, codes) — the serving scan reads
+    * one byte-class int per dimension instead of a float, and never
+    * re-trains or re-encodes per invocation. */
+  private def sqCodesDir(s: SparkSession, d: String): String =
+    persistedDir(s, "graft-sq8-codes-v1", d) { stg =>
+      graft.operators.Sq.encodeSq(Tables.embeddings(s, d), col("embedding"),
+          sqModel(s, d))
+        .select(col("vec_id"), col("codes"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(stg)
+    }
+
+  /** Session-scoped cell-BUCKETED corpus table built from the persisted
+    * IVF index (same shared-warehouse naming + reuse contract as
+    * [[bandTable]]: per-JVM nonce, _SUCCESS-gated reuse). The batch kNN
+    * join's corpus side rides this bucketed scan with NO exchange — only
+    * the |queries|×nProbe probe side shuffles to the bucket layout
+    * (PlanSpec `Bucketed: true` assertion): the recurring-serving shape
+    * where the one-time layout replaces the per-batch corpus shuffle. */
+  private val ivfBucketCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def ivfBucketTable(s: SparkSession, d: String): String = {
+    val perSession = ivfBucketCache.synchronized {
+      ivfBucketCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      val name = "graft_ivfb_" + jvmNonce + "_" +
+        java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val complete =
+        fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+      if (!(complete && s.catalog.tableExists(name))) {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        fs.delete(loc, true)
+        val (data, _) = Ann.readIvfIndex(s, ivfIndexDir(s, d))
+        graft.sources.Bucketing.writeBucketed(
+          data.withColumn("cell", col("cell").cast("int")),
+          name, "cell", buckets = 8)
+      }
+      name
     })
   }
 
@@ -924,8 +1052,13 @@ object ExtensionQueries {
     // with q_knn_join_ivf via [[ivfIndex]] — train once, query many, the
     // lifecycle a persisted ANN store actually has.
     "q_ann_ivf" -> ((s, d) => {
-      val (indexed, cents) = ivfIndex(s, d)
-      Ann.ivfTopK(indexed, col("cell"), col("embedding"), cents,
+      // served from the PERSISTED cell-partitioned index: the probe
+      // filter prunes the scan to nProbe of the cell directories
+      // (PartitionFilters, PlanSpec-asserted) — no full-corpus scan, no
+      // per-invocation cell re-assignment. Same deterministic training
+      // as the in-session path, so results are identical.
+      val (data, cents) = Ann.readIvfIndex(s, ivfIndexDir(s, d))
+      Ann.ivfTopK(data, col("cell"), col("embedding"), cents,
           queryVec(s, d), k = 10, nProbe = 2)
         .select(col("vec_id"), col("label"), col("dist"))
     }),
@@ -956,9 +1089,16 @@ object ExtensionQueries {
     // shape (shuffled hash join, no corpus broadcast) asserted in PlanSpec
     // and recall in KnnSpec.
     "q_knn_join_ivf" -> ((s, d) => {
-      val (indexed, cents) = ivfIndex(s, d)
-      Knn.knnJoinIvf(indexed.filter(col("vec_id") < 10), col("vec_id"),
-          col("embedding"), indexed, col("vec_id"), col("embedding"),
+      // corpus side served from the cell-BUCKETED table: the bucketed
+      // scan joins with NO corpus-side exchange (PlanSpec `Bucketed:
+      // true`) — only the |queries|×nProbe probe side shuffles. Same
+      // persisted centroids as q_ann_ivf, so assignments agree.
+      val (_, cents) = Ann.readIvfIndex(s, ivfIndexDir(s, d))
+      val corpus = s.table(ivfBucketTable(s, d))
+      Knn.knnJoinIvf(
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"),
+          corpus, col("vec_id"), col("embedding"),
           cents, k = 5, nProbe = 3)
         .orderBy("query_id", "rn")
     }),
@@ -985,11 +1125,15 @@ object ExtensionQueries {
     // rows-only check; lossless-codebook equivalence with exact kNN and
     // recall are asserted in PqSpec.
     "q_ann_pq" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val model = pqModel(s, d)
-      val encoded = Pq.encode(emb, col("embedding"), model)
-      Pq.pqTopKRefined(encoded, col("codes"), col("embedding"), model,
-          queryVec(s, d), k = 10, overfetch = 8)
+      // served from the persisted codes-only store: the ADC scan reads m
+      // ints per row with NO vector payload, then the exact refine
+      // fetches just the k×overfetch candidates from the vector table by
+      // a pushed-down id filter (PlanSpec). The candidate collect is
+      // bounded at k×overfetch rows — the one driver-sized set a top-k
+      // serve holds. Deterministic codebooks ⇒ identical results.
+      Pq.pqTopKRefinedFetch(s.read.parquet(pqCodesDir(s, d)), col("codes"),
+          Tables.embeddings(s, d), "vec_id", col("embedding"),
+          pqModel(s, d), queryVec(s, d), k = 10, overfetch = 8)
         .select(col("vec_id"), col("label"), col("dist"))
     }),
 
@@ -1002,11 +1146,13 @@ object ExtensionQueries {
     // (v − centroid[cell]). Approximate ⇒ rows-only; the lossless-
     // residual equivalence with exact kNN is asserted in PqSpec.
     "q_ann_ivfpq" -> ((s, d) => {
-      val (indexed, cents) = ivfIndex(s, d)
-      val model = ivfPqModel(s, d)
-      val encoded = Pq.encodeResidual(indexed, col("embedding"), cents, model)
-      Pq.ivfPqTopK(encoded, col("codes"), cents, model,
-          queryVec(s, d), k = 10, nProbe = 4)
+      // served from the persisted cell-partitioned codes store: the
+      // probe filter PRUNES to nProbe cell directories and the pruned
+      // scan reads only codes — no per-invocation re-encode, no vector
+      // payload; the two compressions compose on disk (PlanSpec).
+      val (_, cents) = Ann.readIvfIndex(s, ivfIndexDir(s, d))
+      Pq.ivfPqTopK(s.read.parquet(ivfPqCodesDir(s, d)), col("codes"),
+          cents, ivfPqModel(s, d), queryVec(s, d), k = 10, nProbe = 4)
         .select(col("vec_id"), col("label"), col("dist"))
     }),
 
@@ -1025,11 +1171,13 @@ object ExtensionQueries {
     // end (no trained codebooks), so train → encode → search is
     // hash-oracled outright — the strongest proof class in the repo.
     "q_ann_sq8" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val model = graft.operators.Sq.trainSq(emb, col("embedding"))
-      graft.operators.Sq.sqTopK(
-          graft.operators.Sq.encodeSq(emb, col("embedding"), model),
-          col("codes"), model, queryVec(s, d), k = 20)
+      // served from the persisted codes store: no per-invocation
+      // re-train or re-encode — the scan reads one small int per
+      // dimension. Training and encode are deterministic, so the
+      // hash-oracle replay (which recomputes both from the embeddings
+      // table in SQL) still matches byte-for-byte.
+      graft.operators.Sq.sqTopK(s.read.parquet(sqCodesDir(s, d)),
+          col("codes"), sqModel(s, d), queryVec(s, d), k = 20)
         .withColumn("codes_str",
           concat_ws(",", col("codes").cast("array<string>")))
         .select(col("vec_id"), col("codes_str"), col("dist"))

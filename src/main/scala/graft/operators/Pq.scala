@@ -215,6 +215,29 @@ object Pq {
       .drop("adc")
   }
 
+  /** [[pqTopKRefined]] against a SEPARATED layout — a codes-only store
+    * plus the vector table: ADC overfetch runs over the codes scan (m
+    * small ints per row, no vector payload), then the k×overfetch
+    * candidate ids are collected (bounded — the one driver-sized set a
+    * top-k serve holds) and fetched from the vector table via a
+    * pushed-down id filter (row-group pruning on a vec_id-sorted
+    * layout), with exact L2 on just those rows. The serving shape of a
+    * persisted PQ store at corpus scale: the big scan never reads
+    * vectors, and the vector read never scans. */
+  def pqTopKRefinedFetch(codes: DataFrame, codesCol: Column,
+                         vectors: DataFrame, idName: String,
+                         vecCol: Column, model: PqModel,
+                         query: Seq[Double], k: Int, overfetch: Int = 4,
+                         tieBreak: String = "vec_id"): DataFrame = {
+    val candIds = codes.withColumn("adc",
+        round(adcDist(codesCol, adcTable(model, query)), 6))
+      .orderBy(col("adc").asc, col(tieBreak).asc)
+      .limit(k * overfetch)
+      .select(col(idName)).collect().map(_.get(0)).toSeq
+    Knn.knnExact(vectors.filter(col(idName).isin(candIds: _*)), vecCol,
+      query, k, preFilter = None, tieBreak = tieBreak)
+  }
+
   // ---- IVF-PQ: residual quantization inside IVF cells ----------------
 
   /** Train PQ over residuals (vector − its cell centroid): within one

@@ -120,6 +120,46 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_ann_ivf serves from the persisted index with a PRUNED scan") {
+    val p = plan(SparkEntry.queries("q_ann_ivf")(spark, dir))
+    // the probe filter must reach the index scan as a PartitionFilter
+    // over the cell directories — the query reads nProbe of the k cells,
+    // never the whole corpus (the 100 TB serving contract)
+    val partFilters = p.split("PartitionFilters: \\[").drop(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(partFilters.exists(f => f.contains("cell") && f.nonEmpty), p)
+  }
+
+  test("q_knn_join_ivf corpus side rides the bucketed scan — no exchange") {
+    val p = plan(SparkEntry.queries("q_knn_join_ivf")(spark, dir))
+    // the declared batch-join key serves the corpus from the
+    // cell-bucketed table: probe side shuffles to the bucket layout, the
+    // corpus side reads pre-bucketed files with no Exchange
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.split("ShuffledHashJoin")(1).contains("Bucketed: true"), p)
+  }
+
+  test("q_ann_ivfpq: pruned cell scan over codes — no vector payload") {
+    val p = plan(SparkEntry.queries("q_ann_ivfpq")(spark, dir))
+    val partFilters = p.split("PartitionFilters: \\[").drop(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(partFilters.exists(_.contains("cell")), p)
+    // the ADC scan reads codes, never the embedding column
+    assert(!p.contains("embedding"), p)
+  }
+
+  test("q_ann_pq refine: candidate fetch is a pushed-down id filter") {
+    val p = plan(SparkEntry.queries("q_ann_pq")(spark, dir))
+    // the returned plan is the refine phase: the vector read must carry
+    // the bounded candidate-id In filter into the parquet scan
+    assert(p.contains("In(vec_id"), p)
+  }
+
+  test("q_ann_sq8 serves from the codes store — no embedding read") {
+    val p = plan(SparkEntry.queries("q_ann_sq8")(spark, dir))
+    assert(!p.contains("embedding"), p)
+  }
+
   test("knnJoinIvf over a cell-bucketed corpus: no corpus-side exchange") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_ivf_corpus")
