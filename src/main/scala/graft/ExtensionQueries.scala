@@ -822,7 +822,10 @@ object ExtensionQueries {
     // 0.51). Blocks from the data itself — the only
     // option on a real corpus. Approximate (cell-blocked) ⇒ rows-only.
     "q_semantic_dedup" -> ((s, d) => {
-      val (indexed, _) = ivfIndex(s, d)
+      // blocks served from the persisted cell-partitioned index — no
+      // per-invocation corpus re-assignment (same deterministic cells)
+      val (data, _) = Ann.readIvfIndex(s, ivfIndexDir(s, d))
+      val indexed = data.withColumn("cell", col("cell").cast("int"))
       val drop = Dedup.cosineNearDupPairsNative(indexed, col("vec_id"),
           col("embedding"), col("cell"), threshold = 0.4)
         .select(col("id2").as("drop_id")).distinct()

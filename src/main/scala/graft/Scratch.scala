@@ -43,7 +43,91 @@ object Scratch {
     if (only.contains("graphsoak")) runGraphSoak(spark, noop)
     if (only.contains("frontier")) runFrontier(spark)
     if (only.contains("streamsoak")) runStreamSoak(spark)
+    if (only.contains("ivfserve")) runIvfServe(spark)
     spark.stop()
+  }
+
+  /** Persisted-serving decomposition at 200k×64 (round 7): what each ANN
+    * tier's on-disk layout buys at query time —
+    *  - IVF: rows DECODED by the pruned cell scan (PartitionFilters) vs
+    *    the full corpus, and wall vs brute force;
+    *  - PQ: codes-store bytes vs raw vector bytes (the m-ints-per-row
+    *    compression), and the fetch-refine wall vs the carried-vector
+    *    refine over the same store.
+    * Numbers land in BASELINE.md. */
+  private def runIvfServe(spark: SparkSession): Unit = {
+    import graft.operators.{Ann, Knn, Pq}
+    val n = 200000L; val dim = 64; val nClusters = 64
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          ((col("id") * 31 + j * 7) % 100).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfserve-")
+    val query: Seq[Double] = corpus.filter(col("vec_id") === 4242L)
+      .select(col("embedding")).collect()(0).getSeq[Double](0)
+
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+
+    // raw layout for the brute-force baseline + byte comparison
+    time("write raw corpus parquet")(
+      corpus.write.mode("overwrite").parquet(s"$dir/raw"))
+    val raw = spark.read.parquet(s"$dir/raw")
+
+    time("buildIvfIndex 200k k=64 iters=3")(
+      Ann.buildIvfIndex(corpus, col("vec_id"), col("embedding"),
+        s"$dir/ivf", k = 64, iters = 3))
+    val (data, cents) = Ann.readIvfIndex(spark, s"$dir/ivf")
+
+    // brute force over the raw layout
+    val bf = Knn.knnExact(raw, col("embedding"), query, 10,
+      preFilter = None)
+    time("brute-force top-10 (full scan)")(bf.collect())
+
+    // pruned serve: nProbe=4 of 64 cells
+    val pruned = Ann.ivfTopK(data, col("cell"), col("embedding"), cents,
+      query, k = 10, nProbe = 4)
+    val qe = pruned.queryExecution
+    time("ivfTopK nProbe=4/64 (pruned scan)")(
+      qe.executedPlan.execute().foreach(_ => ()))
+    val decoded = qe.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    println(f"[scratch] IVF pruned scan decoded $decoded%d of $n%d rows " +
+      f"(${n.toDouble / math.max(1L, decoded)}%.1f x fewer)")
+
+    // PQ codes store: bytes + serve shapes
+    val model = time("trainCodebooks m=8 ks=256 iters=3")(
+      Pq.trainCodebooks(corpus, col("vec_id"), col("embedding"),
+        m = 8, ks = 256, iters = 3))
+    time("write codes-only store")(
+      Pq.encode(corpus, col("embedding"), model)
+        .select(col("vec_id"), col("codes"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(s"$dir/pqcodes"))
+    val rawB = dirBytes(s"$dir/raw"); val codeB = dirBytes(s"$dir/pqcodes")
+    println(f"[scratch] bytes on disk: raw $rawB%d, codes $codeB%d " +
+      f"(${rawB.toDouble / codeB}%.1f x smaller)")
+    val codes = spark.read.parquet(s"$dir/pqcodes")
+    time("pqTopKRefinedFetch (codes scan + id fetch)")(
+      Pq.pqTopKRefinedFetch(codes, col("codes"), raw, "vec_id",
+        col("embedding"), model, query, k = 10, overfetch = 8).collect())
+    // the carried-vector form over a combined store (codes + vectors in
+    // one scan) — what the separated layout replaces
+    time("write combined codes+vector store")(
+      Pq.encode(corpus, col("embedding"), model)
+        .write.mode("overwrite").parquet(s"$dir/pqboth"))
+    val both = spark.read.parquet(s"$dir/pqboth")
+    time("pqTopKRefined (vectors carried in scan)")(
+      Pq.pqTopKRefined(both, col("codes"), col("embedding"), model,
+        query, k = 10, overfetch = 8).collect())
+    println(f"[scratch] combined-store bytes: ${dirBytes(s"$dir/pqboth")}%d")
   }
 
   /** Streaming ingest → graph-serve e2e at soak scale (round-6 VERDICT
