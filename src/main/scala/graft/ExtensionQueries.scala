@@ -97,7 +97,11 @@ object ExtensionQueries {
     * either sees the complete versioned dir and reuses it, or races the
     * rename and falls back to its own staging copy; nobody ever scans a
     * half-written artifact (ADVICE round 6). Deterministic builds make
-    * every outcome identical. */
+    * every outcome identical. The PREFIX is the format/params version:
+    * the fingerprint tracks only the source data, so any change to a
+    * builder's parameters or on-disk layout MUST bump its prefix (v1 →
+    * v2) or stale-format artifacts from earlier binaries would be
+    * served. */
   private val persistDirCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())

@@ -44,7 +44,93 @@ object Scratch {
     if (only.contains("frontier")) runFrontier(spark)
     if (only.contains("streamsoak")) runStreamSoak(spark)
     if (only.contains("ivfserve")) runIvfServe(spark)
+    if (only.contains("ivfsoak")) runIvfSoak(spark)
     spark.stop()
+  }
+
+  /** IVF/PQ serving soak at 1M × 384-dim (the reference's real
+    * dimensionality; same deterministic clustered corpus as
+    * [[runGraphSoak]]) — the scale evidence for the round-7 persisted
+    * serving tier at honest byte sizes (hash jitter is incompressible,
+    * unlike the 200k section's repetitive synthetic). Patterns measured:
+    *  - persisted IVF build (k=256, iters=2) + partition-pruned serve
+    *    (nProbe=8/256): rows decoded vs corpus, wall vs brute force,
+    *    recall@10 of the probe budget;
+    *  - PQ codebooks trained on a DETERMINISTIC 5% SAMPLE then encoding
+    *    the full corpus — the train-on-sample pattern a 100 TB corpus
+    *    requires (FAISS practice; training never scans everything);
+    *  - codes-only store bytes vs raw vectors, ADC + bounded-fetch
+    *    refine wall over 1M codes.
+    * Run with SPARK_DRIVER_MEM=48g (the localCheckpoint'd corpus is
+    * ~3 GB raw, as in graphsoak). */
+  private def runIvfSoak(spark: SparkSession): Unit = {
+    import graft.operators.{Ann, Knn, Pq}
+    val n = 1000000L; val dim = 384; val nClusters = 256
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          pmod(hash(col("id"), j), lit(1000)).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsoak-")
+    def dirBytes(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val query: Seq[Double] = corpus.filter(col("vec_id") === 4242L)
+      .select(col("embedding")).collect()(0).getSeq[Double](0)
+
+    time("write raw corpus 1M x 384")(
+      corpus.write.mode("overwrite").parquet(s"$dir/raw"))
+    val raw = spark.read.parquet(s"$dir/raw")
+    val rawB = dirBytes(s"$dir/raw")
+
+    time("buildIvfIndex 1M k=256 iters=2")(
+      Ann.buildIvfIndex(corpus, col("vec_id"), col("embedding"),
+        s"$dir/ivf", k = 256, iters = 2))
+    val (data, cents) = Ann.readIvfIndex(spark, s"$dir/ivf")
+
+    val bfTop = time("brute-force top-10 (full raw scan)")(
+      Knn.knnExact(raw, col("embedding"), query, 10, preFilter = None)
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
+    val pruned = Ann.ivfTopK(data, col("cell"), col("embedding"), cents,
+      query, k = 10, nProbe = 8)
+    val qe = pruned.queryExecution
+    val ivfTop = time("ivfTopK nProbe=8/256 (pruned scan)")(
+      pruned.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // second run on the warm decode path (the serve-many steady state)
+    time("ivfTopK nProbe=8/256 (repeat)")(
+      Ann.ivfTopK(data, col("cell"), col("embedding"), cents,
+        query, k = 10, nProbe = 8).collect())
+    qe.executedPlan.execute().foreach(_ => ())
+    val decoded = qe.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    println(f"[scratch] IVF pruned scan decoded $decoded%d of $n%d rows " +
+      f"(${n.toDouble / math.max(1L, decoded)}%.1f x fewer); " +
+      f"recall@10 = ${(bfTop & ivfTop).size / 10.0}%.2f")
+
+    // train-on-sample PQ: deterministic 5% (xxhash64 threshold), encode 1M
+    val sample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(20)) === 0)
+    val model = time("trainCodebooks m=8 ks=256 on 5% sample")(
+      Pq.trainCodebooks(sample, col("vec_id"), col("embedding"),
+        m = 8, ks = 256, iters = 3))
+    time("encode 1M + write codes-only store")(
+      Pq.encode(corpus, col("embedding"), model)
+        .select(col("vec_id"), col("codes"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(s"$dir/codes"))
+    val codeB = dirBytes(s"$dir/codes")
+    println(f"[scratch] bytes on disk: raw $rawB%d, codes $codeB%d " +
+      f"(${rawB.toDouble / codeB}%.1f x smaller)")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val pqTop = time("pqTopKRefinedFetch over 1M codes")(
+      Pq.pqTopKRefinedFetch(codes, col("codes"), raw, "vec_id",
+          col("embedding"), model, query, k = 10, overfetch = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
+    println(f"[scratch] PQ fetch-refine recall@10 = " +
+      f"${(bfTop & pqTop).size / 10.0}%.2f (sample-trained codebooks)")
   }
 
   /** Persisted-serving decomposition at 200k×64 (round 7): what each ANN
