@@ -201,4 +201,26 @@ object Ann {
                    dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"${dir.stripSuffix("/")}/data"),
       spark.read.parquet(s"${dir.stripSuffix("/")}/centroids"))
+
+  /** Cell-size balance of an assigned corpus or persisted index — the
+    * diagnostic behind nProbe sizing: [[ivfTopK]]'s cost is the SUM of
+    * the probed cells' sizes, so a skewed layout (maxToMean ≫ 1 —
+    * k-means underfit from too few iterations, or post-train data
+    * drift) silently turns the nominal nProbe/k scan fraction into
+    * something much larger (BASELINE.md's 1M soak measured 6× pruning
+    * where balanced cells would give 32×). One aggregation, k rows to
+    * the driver; pairs with [[assignCellsWithDist]]'s cdist drift
+    * signal as the maintenance dashboard for a persisted IVF store. */
+  case class CellStats(cells: Int, minSize: Long, maxSize: Long,
+                       meanSize: Double, medianSize: Long,
+                       maxToMean: Double)
+  def cellStats(indexed: DataFrame,
+                cellCol: Column = col("cell")): CellStats = {
+    val sizes = indexed.groupBy(cellCol.cast("int").as("cell")).count()
+      .select(col("count")).collect().map(_.getLong(0)).sorted
+    require(sizes.nonEmpty, "cellStats over an empty layout")
+    val mean = sizes.sum.toDouble / sizes.length
+    CellStats(sizes.length, sizes.head, sizes.last, mean,
+      sizes(sizes.length / 2), sizes.last / mean)
+  }
 }

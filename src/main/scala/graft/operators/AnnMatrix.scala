@@ -40,7 +40,8 @@ object AnnMatrix {
                      pqM: Int = 8, pqKs: Int = 16,
                      graphShards: Int = 8, graphM: Int = 16,
                      graphEf: Int = 100, sqOverfetch: Int = 4,
-                     kmeansIters: Int = 3, pqIters: Int = 2)
+                     kmeansIters: Int = 3, pqIters: Int = 2,
+                     pqOverfetch: Int = 8)
 
   private def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime(); val r = f
@@ -121,6 +122,31 @@ object AnnMatrix {
     results += TierResult("ivf-pq", recallOf(ivfPqTops), ivfRows,
       b.pqM.toDouble, pqBuildSec, ivfPqSec)
 
+    // ---- PQ-alone fetch-refine (the declared q_ann_pq serving shape:
+    // full ADC scan over a codes-only store, then exact refine of the
+    // k×overfetch candidates fetched by id). Its regime is byte-bounded
+    // candidate generation — on jitter/near-uniform corpora the
+    // quantization error exceeds inter-neighbor distances and recall is
+    // governed by overfetch (BASELINE.md ivfsoak), which is exactly what
+    // this row makes visible next to the other tiers.
+    val (pqPlainPair, pqPlainBuildSec) = timed {
+      val model = Pq.trainCodebooks(corpus, idCol, vecCol,
+        m = b.pqM, ks = b.pqKs, iters = b.pqIters)
+      val codesOnly = Pq.encode(corpus, vecCol, model)
+        .select(idCol.cast("long").as("vec_id"), col("codes")).persist()
+      codesOnly.count()
+      (model, codesOnly)
+    }
+    val (pqPlainModel, codesOnly) = pqPlainPair
+    val (pqTops, pqSec) = timed {
+      queries.map { case (qid, q) =>
+        qid -> topIds(Pq.pqTopKRefinedFetch(codesOnly, col("codes"),
+          corpus, "vec_id", vecCol, pqPlainModel, q,
+          b.k, b.pqOverfetch)) }.toMap
+    }
+    results += TierResult("pq", recallOf(pqTops),
+      n + b.k * b.pqOverfetch, b.pqM.toDouble, pqPlainBuildSec, pqSec)
+
     // ---- SQ8 (full scan over 1-byte/dim codes + exact refine)
     val (sqPair, sqBuildSec) = timed {
       val model = Sq.trainSq(corpus, vecCol)
@@ -154,8 +180,8 @@ object AnnMatrix {
     results += TierResult("graph", recallOf(graphTops), graphRows, 8.0 * dim,
       graphBuildSec, graphSec)
 
-    indexed.unpersist(); encoded.unpersist(); sqEncoded.unpersist()
-    graph.unpersist()
+    indexed.unpersist(); encoded.unpersist(); codesOnly.unpersist()
+    sqEncoded.unpersist(); graph.unpersist()
     results.result()
   }
 

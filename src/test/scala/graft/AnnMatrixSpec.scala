@@ -9,8 +9,9 @@ import graft.operators.AnnMatrix
   * budget. A recall regression in ANY tier fails the build here, where
   * the per-tier specs (GraphAnnSpec / KnnSpec / PqSpec) each gate only
   * their own machinery. Floors sit under the measured values in
-  * BASELINE.md's round-6 table (graph/sq8 1.00, ivf 0.59, ivf-pq 0.25)
-  * with slack for corpus regeneration, not for regressions. */
+  * BASELINE.md's round-6 table (graph/sq8 1.00, ivf 0.59, ivf-pq 0.25;
+  * round 7 adds the pq fetch-refine serving tier at 0.53) with slack
+  * for corpus regeneration, not for regressions. */
 class AnnMatrixSpec extends SparkSuite {
 
   test("every ANN tier clears its recall floor at the declared budget") {
@@ -21,7 +22,7 @@ class AnnMatrixSpec extends SparkSuite {
     info(AnnMatrix.render(rows, emb.count()))
     assert(byTier("exact").recall === 1.0)
     val floors = Map("graph" -> 0.95, "sq8" -> 0.95,
-      "ivf" -> 0.45, "ivf-pq" -> 0.15)
+      "ivf" -> 0.45, "ivf-pq" -> 0.15, "pq" -> 0.40)
     floors.foreach { case (tier, floor) =>
       assert(byTier(tier).recall >= floor,
         f"$tier recall ${byTier(tier).recall}%.2f under floor $floor")
@@ -30,6 +31,10 @@ class AnnMatrixSpec extends SparkSuite {
     // the corpus), and ivf-pq reads codes, not vectors
     assert(byTier("ivf").rowsScanned < 0.5 * byTier("exact").rowsScanned)
     assert(byTier("ivf-pq").bytesPerRow < 16)
+    // the pq serving tier reads codes (m bytes/row), never vectors, and
+    // its exact refine buys it a higher floor than ADC-only ivf-pq
+    assert(byTier("pq").bytesPerRow < 16)
+    assert(byTier("pq").recall >= byTier("ivf-pq").recall)
   }
 
   test("recommendBudgets sweeps a usable recall/cost frontier and " +

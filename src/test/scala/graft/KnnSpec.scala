@@ -329,4 +329,19 @@ class KnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(nat2 === hof.map { case (id, c) => (id, c * 10 + 3) })
   }
+
+  test("cellStats: balance diagnostic flags a skewed layout") {
+    // balanced: the tight synthetic clusters, one cell each
+    val bal = Ann.cellStats(clustered)
+    assert(bal.cells === 3)
+    assert(bal.minSize === 2L && bal.maxSize === 3L)
+    assert(bal.maxToMean < 1.2)
+    // skewed: 9 of 10 rows in one cell — maxToMean must scream
+    val skewed = spark.range(10).select(col("id").as("vec_id"),
+      when(col("id") === 0, 1).otherwise(7).as("cell"))
+    val sk = Ann.cellStats(skewed)
+    assert(sk.cells === 2)
+    assert(sk.maxSize === 9L)
+    assert(sk.maxToMean > 1.7)
+  }
 }
