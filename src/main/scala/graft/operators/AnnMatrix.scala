@@ -206,6 +206,10 @@ object AnnMatrix {
                        nProbes: Seq[Int] = Seq(1, 2, 4, 8),
                        efs: Seq[Int] = Seq(16, 32, 64, 128),
                        sampleOneIn: Int = 1,
+                       // PQ's recall lever (BASELINE.md ivfsoak): the
+                       // exact-refine candidate multiplier. Empty = skip
+                       // the pq sweep (codebook training dominates).
+                       overfetches: Seq[Int] = Seq.empty,
                        b: Budgets = Budgets()): Seq[FrontierRow] = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -251,8 +255,25 @@ object AnnMatrix {
         GraphAnn.distEvalsTotal(graph, q, ef).toDouble }.sum / queries.size
       FrontierRow("graph", ef, recallOf(tops), rows)
     }
+    val pqFrontier = if (overfetches.isEmpty) Seq.empty else {
+      val model = Pq.trainCodebooks(sampled, idCol, vecCol,
+        m = b.pqM, ks = b.pqKs, iters = b.pqIters)
+      val codesOnly = Pq.encode(sampled, vecCol, model)
+        .select(idCol.cast("long").as("vec_id"), col("codes")).persist()
+      val nS = codesOnly.count().toDouble
+      val rows = overfetches.map { of =>
+        val tops = queries.map { case (qid, q) =>
+          qid -> topIds(Pq.pqTopKRefinedFetch(codesOnly, col("codes"),
+            sampled, "vec_id", vecCol, model, q, k, of)) }.toMap
+        // cost: the full codes scan is fixed; the knob buys exact-refine
+        // rows, so the frontier's row count is what actually varies
+        FrontierRow("pq", of, recallOf(tops), nS + k.toDouble * of)
+      }
+      codesOnly.unpersist()
+      rows
+    }
     indexed.unpersist(); graph.unpersist(); sampled.unpersist()
-    ivfFrontier ++ graphFrontier
+    ivfFrontier ++ graphFrontier ++ pqFrontier
   }
 
   /** The operating point per tier: the CHEAPEST budget whose recall meets

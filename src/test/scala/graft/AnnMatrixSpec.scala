@@ -43,12 +43,19 @@ class AnnMatrixSpec extends SparkSuite {
     val n = emb.count()
     val frontier = AnnMatrix.recommendBudgets(emb, col("vec_id"),
       col("embedding"), queryIds = 0L until 8L,
-      nProbes = Seq(1, 2, 4, 8), efs = Seq(16, 64))
+      nProbes = Seq(1, 2, 4, 8), efs = Seq(16, 64),
+      overfetches = Seq(2, 16))
     info(AnnMatrix.renderFrontier(frontier, n))
     val ivf = frontier.filter(_.tier == "ivf").sortBy(_.budget)
     val graph = frontier.filter(_.tier == "graph").sortBy(_.budget)
     assert(ivf.map(_.budget) === Seq(1, 2, 4, 8))
     assert(graph.map(_.budget) === Seq(16, 64))
+    // pq's knob: exact refine over ADC candidates — a wider overfetch
+    // refines a SUPERSET of candidates, so recall is monotone in it
+    val pq = frontier.filter(_.tier == "pq").sortBy(_.budget)
+    assert(pq.map(_.budget) === Seq(2, 16))
+    assert(pq.last.recall >= pq.head.recall)
+    assert(pq.map(_.rowsScanned) === pq.map(_.rowsScanned).sorted)
     // cost is monotone in the knob: more probes / wider beam never
     // evaluates fewer rows
     assert(ivf.map(_.rowsScanned) === ivf.map(_.rowsScanned).sorted)
