@@ -61,7 +61,10 @@ object Bench {
       .mkString("[", ",", "]")
     // known-noisy rows, with measured run-to-run bands (multi-run evidence
     // in BASELINE.md) — so a regression diff over the artifact can be
-    // mechanical: a reading inside its band is noise, outside it is real
+    // mechanical: a reading inside its band is noise, outside it is real.
+    // Bands are SINGLE-PASS spreads; the per-key medians this artifact
+    // now reports sit inside them (medians mute the spikes the bands
+    // describe), so the bands remain the outer noise envelope.
     val varianceNote = Seq(
       "q_dedup_components_star" ->
         "2.3-3.5s across runs; iterative-join variance, plan stable",
