@@ -246,6 +246,48 @@ class StreamsSpec extends SparkSuite {
     assert(out === Array((1L, "v1"), (2L, "v2"), (3L, "v1")))
   }
 
+  test("PQ codes store maintenance: encode-in-stream composes with the " +
+      "keyed upsert (insert, replace, tombstone)") {
+    // the round-7 persisted codes-only serving store, maintained by the
+    // generic keyed upsert: codes are a MAP-SIDE deterministic function
+    // of the vector under frozen codebooks, so Pq.encode composes
+    // directly onto the streaming source and the streamed store must
+    // equal a from-scratch batch encode of the surviving corpus
+    import graft.operators.Pq
+    val base = Files.createTempDirectory("graft-codes-upsert-").toString
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(j => ((i * 31 + j * 7) % 10).toDouble)
+    val train = (0L until 64L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val model = Pq.trainCodebooks(train, col("vec_id"), col("embedding"),
+      m = 2, ks = 4, iters = 2)
+    val input = MemoryStream[(Long, Seq[Double], Boolean)](spark)
+    val src = input.toDF().toDF("vec_id", "embedding", "del")
+    val q = Streams.upsertStream(spark,
+      Pq.encode(src, col("embedding"), model)
+        .select(col("vec_id"), col("codes"), col("del")),
+      s"$base/codes", s"$base/chk", key = "vec_id",
+      deleteCol = Some("del"))
+    try {
+      input.addData(Seq((1L, vec(1), false), (2L, vec(2), false)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/codes").count() === 2)
+      // replace 2 with a DIFFERENT vector, insert 3, tombstone 1
+      input.addData(Seq((2L, vec(20), false), (3L, vec(3), false),
+        (1L, vec(1), true)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(s"$base/codes")
+      .select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val expected = Pq.encode(
+        Seq((2L, vec(20)), (3L, vec(3))).toDF("vec_id", "embedding"),
+        col("embedding"), model)
+      .select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(stored === expected)
+  }
+
   test("upsertStreamBucketed: only touched bucket dirs are rewritten") {
     val base = Files.createTempDirectory("graft-bupsert-").toString
     val idx = s"$base/idx"
