@@ -39,7 +39,10 @@ object Bench {
     // 84-272 s, BASELINE.md round 7), so a single pass is a sample of
     // host noise as much as of the engine — the median across passes is
     // the comparable per-key statistic.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // clamped to >=1: zero/negative passes would leave the median index
+    // out of bounds (ADVICE round 7)
+    val nRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // wall-clock guard: on a badly stalled host, degrade to fewer passes
     // (min 1) instead of running unboundedly — a median over 2 passes
     // beats a truncated artifact if the harness enforces a timeout
@@ -94,8 +97,12 @@ object Bench {
         "0.6-1.9s; ef=4000 exhaustive beams over the indexed read - decode + full-shard evals by design (hash-proof key)")
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // "statistic" names what "value" IS since round 7 (a sum of per-key
+    // MEDIANS across `runs` passes, not a single-pass wall total as in
+    // rounds <=6) — cross-round artifact readers compare like with like
+    // by checking this field (ADVICE round 7)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"runs":${passes.length},"pass_totals":$passTotals,"queries":$qs,"variance_note":$varianceNote,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","statistic":"sum_of_per_key_medians","warmup_sec":$warmupSec,"runs":${passes.length},"pass_totals":$passTotals,"queries":$qs,"variance_note":$varianceNote,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the artifact to a file: stdout capture has truncated the
     // per-query tail before (round-2 BENCH artifact lost ~13 queries), and

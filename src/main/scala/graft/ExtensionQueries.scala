@@ -71,16 +71,25 @@ object ExtensionQueries {
   }
 
   /** Content fingerprint of a data dir's embeddings source (file sizes +
-    * mtimes, recursive one level): the deterministic cross-JVM index
-    * paths below must INVALIDATE when the driver regenerates testdata in
-    * place between rounds (it has — the round-7 events.ts retype) — a
-    * tag over the dir NAME alone would keep serving an index built from
-    * the previous generation of the data. One stat call per file; no
-    * data read. */
+    * mtimes, non-recursive — parquet dirs hold their part files at one
+    * level): the deterministic cross-JVM index paths below must
+    * INVALIDATE when the driver regenerates testdata in place between
+    * rounds (it has — the round-7 events.ts retype) — a tag over the dir
+    * NAME alone would keep serving an index built from the previous
+    * generation of the data. One stat call per file; no data read. Fails
+    * fast on a missing or unlistable source: a silent empty fingerprint
+    * would mint a deterministic-looking cache path whose build then dies
+    * later with a far more confusing error (ADVICE round 7). */
   private def embFingerprint(d: String): String = {
     val root = new java.io.File(s"${d.stripSuffix("/")}/embeddings.parquet")
+    require(root.exists,
+      s"embeddings source missing: $root — bad data dir '$d'?")
     val files =
-      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+      if (root.isDirectory) {
+        val listed = root.listFiles()
+        require(listed != null, s"cannot list $root (IO/permission error)")
+        listed.sortBy(_.getName)
+      } else Array(root)
     files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString(s"$d|", ",", "")
   }
@@ -111,29 +120,42 @@ object ExtensionQueries {
       persistDirCache.computeIfAbsent(s, _ =>
         new java.util.concurrent.ConcurrentHashMap[String, String]())
     }
-    perSession.computeIfAbsent(s"$prefix|$d", { _ =>
+    // get / build / putIfAbsent — NOT computeIfAbsent: a multi-minute
+    // Spark index build must not run under a CHM bin lock (it would block
+    // unrelated keys in the bin), and a builder that resolves a DEPENDENT
+    // persisted dir (ivf-pq builds from the ivf index) would re-enter
+    // this same map, which computeIfAbsent's contract forbids (ADVICE
+    // round 7). A lost race costs one redundant deterministic build whose
+    // publication the atomic staging-rename already arbitrates.
+    val key = s"$prefix|$d"
+    val cached = perSession.get(key)
+    if (cached != null) cached
+    else {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(embFingerprint(d).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"$prefix-$tag")
-      if (java.nio.file.Files.exists(path)) path.toString
-      else {
-        val staging = java.nio.file.Files.createTempDirectory(
-          path.getParent, s"$prefix-$tag-stage-")
-        build(staging.toString)
-        try {
-          java.nio.file.Files.move(staging, path,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          path.toString
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.DirectoryNotEmptyException |
-               _: java.nio.file.AccessDeniedException =>
-            staging.toString
+      val resolved =
+        if (java.nio.file.Files.exists(path)) path.toString
+        else {
+          val staging = java.nio.file.Files.createTempDirectory(
+            path.getParent, s"$prefix-$tag-stage-")
+          build(staging.toString)
+          try {
+            java.nio.file.Files.move(staging, path,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            path.toString
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException |
+                 _: java.nio.file.AccessDeniedException =>
+              staging.toString
+          }
         }
-      }
-    })
+      val prior = perSession.putIfAbsent(key, resolved)
+      if (prior != null) prior else resolved
+    }
   }
 
   /** Sharded NSW graph index over the embeddings table, persisted via
@@ -186,15 +208,20 @@ object ExtensionQueries {
     * the two compressions compose on disk exactly as [[Pq.ivfPqTopK]]'s
     * scaladoc promises. Built from the persisted IVF index, so cell
     * assignments agree with [[ivfIndexDir]] by construction. */
-  private def ivfPqCodesDir(s: SparkSession, d: String): String =
+  private def ivfPqCodesDir(s: SparkSession, d: String): String = {
+    // resolve the dependency OUTSIDE the build lambda: the ivf-pq store
+    // is derived from the ivf index, and the explicit ordering keeps the
+    // builder from nesting one persistedDir resolution inside another
+    val ivfDir = ivfIndexDir(s, d)
     persistedDir(s, "graft-ivfpq-codes-v1", d) { stg =>
-      val (data, cents) = Ann.readIvfIndex(s, ivfIndexDir(s, d))
+      val (data, cents) = Ann.readIvfIndex(s, ivfDir)
       Pq.encodeResidual(data.withColumn("cell", col("cell").cast("int")),
           col("embedding"), cents, ivfPqModel(s, d))
         .select(col("vec_id"), col("label"), col("cell"), col("codes"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(stg)
     }
+  }
 
   /** Session-scoped SQ8 model (per-dim min/scale — driver-sized, same
     * weak-session contract as [[pqModel]]; training is a deterministic

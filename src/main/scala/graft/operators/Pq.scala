@@ -219,23 +219,52 @@ object Pq {
     * plus the vector table: ADC overfetch runs over the codes scan (m
     * small ints per row, no vector payload), then the k×overfetch
     * candidate ids are collected (bounded — the one driver-sized set a
-    * top-k serve holds) and fetched from the vector table via a
-    * pushed-down id filter (row-group pruning on a vec_id-sorted
-    * layout), with exact L2 on just those rows. The serving shape of a
-    * persisted PQ store at corpus scale: the big scan never reads
-    * vectors, and the vector read never scans. */
+    * top-k serve holds) and fetched from the vector table, with exact L2
+    * on just those rows. The serving shape of a persisted PQ store at
+    * corpus scale: the big scan never reads vectors, and the vector read
+    * never scans.
+    *
+    * EAGER, unlike the other top-k builders: the ADC scan and the
+    * bounded candidate collect run at CALL time (the candidate set must
+    * exist before the fetch plan can be built), so the returned
+    * DataFrame's plan covers only the refine — callers timing "the
+    * query" must time this call, not just the returned frame's action.
+    * Fails fast on an empty codes store rather than silently returning
+    * an empty result.
+    *
+    * The fetch itself adapts to the candidate count: up to
+    * `fetchIsinCutoff` ids it is a pushed-down `IN` filter (row-group
+    * pruning on a vec_id-sorted layout); past it — a k=1000×16 serve
+    * would otherwise build a 16k-literal predicate the parquet reader
+    * can't prune with and Catalyst is slow to plan — the ids become a
+    * broadcast LEFT SEMI join (one driver-sized hash table, still no
+    * corpus shuffle). */
   def pqTopKRefinedFetch(codes: DataFrame, codesCol: Column,
                          vectors: DataFrame, idName: String,
                          vecCol: Column, model: PqModel,
                          query: Seq[Double], k: Int, overfetch: Int = 4,
-                         tieBreak: String = "vec_id"): DataFrame = {
-    val candIds = codes.withColumn("adc",
+                         tieBreak: String = "vec_id",
+                         fetchIsinCutoff: Int = 1000): DataFrame = {
+    val candRows = codes.withColumn("adc",
         round(adcDist(codesCol, adcTable(model, query)), 6))
       .orderBy(col("adc").asc, col(tieBreak).asc)
       .limit(k * overfetch)
-      .select(col(idName)).collect().map(_.get(0)).toSeq
-    Knn.knnExact(vectors.filter(col(idName).isin(candIds: _*)), vecCol,
-      query, k, preFilter = None, tieBreak = tieBreak)
+      .select(col(idName)).collect()
+    require(candRows.nonEmpty,
+      s"pqTopKRefinedFetch: empty ADC candidate set — is the codes store empty?")
+    val fetched =
+      if (candRows.length <= fetchIsinCutoff)
+        vectors.filter(col(idName).isin(candRows.map(_.get(0)).toSeq: _*))
+      else {
+        val spark = vectors.sparkSession
+        val candDf = spark.createDataFrame(
+          java.util.Arrays.asList(candRows: _*),
+          org.apache.spark.sql.types.StructType(
+            Seq(codes.select(col(idName)).schema.head)))
+        vectors.join(broadcast(candDf), Seq(idName), "left_semi")
+      }
+    Knn.knnExact(fetched, vecCol, query, k, preFilter = None,
+      tieBreak = tieBreak)
   }
 
   // ---- IVF-PQ: residual quantization inside IVF cells ----------------

@@ -31,10 +31,13 @@ class AnnMatrixSpec extends SparkSuite {
     // the corpus), and ivf-pq reads codes, not vectors
     assert(byTier("ivf").rowsScanned < 0.5 * byTier("exact").rowsScanned)
     assert(byTier("ivf-pq").bytesPerRow < 16)
-    // the pq serving tier reads codes (m bytes/row), never vectors, and
-    // its exact refine buys it a higher floor than ADC-only ivf-pq
+    // the pq serving tier reads codes (m bytes/row), never vectors. Its
+    // recall is gated by its own absolute floor above — NOT against the
+    // ivf-pq tier: the two are independently tuned (exact-refine
+    // overfetch vs probed-cell ADC) and the inequality can flip under
+    // corpus regeneration, making a cross-tier gate a latent flake
+    // rather than a regression signal on either tier (ADVICE round 7).
     assert(byTier("pq").bytesPerRow < 16)
-    assert(byTier("pq").recall >= byTier("ivf-pq").recall)
   }
 
   test("recommendBudgets sweeps a usable recall/cost frontier and " +

@@ -69,6 +69,47 @@ class PqSpec extends SparkSuite {
     assert(out === exact)
   }
 
+  test("pqTopKRefinedFetch: semi-join fetch past the isin cutoff — same " +
+      "result, no giant In-literal in the plan") {
+    val encoded = Pq.encode(base, col("embedding"), losslessModel)
+      .select(col("vec_id"), col("codes"))
+    // cutoff 0 forces every candidate through the broadcast semi-join
+    // path; the default path is the isin literal — both must agree with
+    // exact kNN (lossless codebook)
+    val viaIsin = Pq.pqTopKRefinedFetch(encoded, col("codes"), base,
+      "vec_id", col("embedding"), losslessModel, query, k = 3,
+      overfetch = 4)
+    val viaSemi = Pq.pqTopKRefinedFetch(encoded, col("codes"), base,
+      "vec_id", col("embedding"), losslessModel, query, k = 3,
+      overfetch = 4, fetchIsinCutoff = 0)
+    val a = viaIsin.select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val b = viaSemi.select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a === b)
+    val exact = Knn.knnExact(base, col("embedding"), query, k = 3)
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(b === exact)
+    // plan shape: the semi-join path carries a LeftSemi join and no
+    // multi-value In filter; the isin path is the inverse
+    val semiPlan = viaSemi.queryExecution.optimizedPlan.toString
+    assert(semiPlan.contains("LeftSemi"), semiPlan)
+    assert(!semiPlan.contains(" IN ("), semiPlan)
+    val isinPlan = viaIsin.queryExecution.optimizedPlan.toString
+    assert(!isinPlan.contains("LeftSemi"), isinPlan)
+  }
+
+  test("pqTopKRefinedFetch fails fast on an empty codes store") {
+    val encoded = Pq.encode(base, col("embedding"), losslessModel)
+      .select(col("vec_id"), col("codes")).filter(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      Pq.pqTopKRefinedFetch(encoded, col("codes"), base, "vec_id",
+        col("embedding"), losslessModel, query, k = 3)
+    }
+    assert(e.getMessage.contains("codes store"))
+  }
+
   test("trainCodebooks: Lloyd's iterations do not increase distortion") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def distortion(model: PqModel): Double = {
