@@ -22,6 +22,25 @@ class GraphAnnSpec extends SparkSuite {
     assert(run(3) === run(7))
   }
 
+  test("oversized shard fails fast with the shard-count-sizing message " +
+      "instead of materializing past the byte cap") {
+    val g = GraphAnn.buildGraph(emb.limit(200), col("vec_id"),
+      col("embedding"), numShards = 2, m = 4, efConstruction = 20)
+    val q = Knn.vectorAt(emb, col("vec_id"), 0L, col("embedding"))
+    val prop = "graft.graph.maxShardBytes"
+    System.setProperty(prop, "4096") // ~a handful of 64-dim nodes
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        GraphAnn.graphTopK(g, q, k = 5, ef = 50).collect()
+      }
+      val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      assert(msg.contains("numShards"), msg)
+      assert(msg.contains("maxShardBytes"), msg)
+    } finally System.clearProperty(prop)
+    // with the cap restored to the default the same search succeeds
+    assert(GraphAnn.graphTopK(g, q, k = 5, ef = 50).count() === 5)
+  }
+
   test("degree cap holds: no node exceeds 2m neighbors") {
     val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
       numShards = 4, m = 8, efConstruction = 40)
