@@ -184,7 +184,8 @@ object ExtensionQueries {
     * [[ivfIndex]] (k=8, iters=3, deterministic k-means), so both paths
     * produce identical assignments and identical query results. */
   private def ivfIndexDir(s: SparkSession, d: String): String =
-    persistedDir(s, "graft-ivf-index-v1", d) { stg =>
+    // v3: farthest-first k-means seeding changed cell assignments
+    persistedDir(s, "graft-ivf-index-v3", d) { stg =>
       Ann.buildIvfIndex(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), stg, k = 8, iters = 3)
     }
@@ -213,7 +214,8 @@ object ExtensionQueries {
     // is derived from the ivf index, and the explicit ordering keeps the
     // builder from nesting one persistedDir resolution inside another
     val ivfDir = ivfIndexDir(s, d)
-    persistedDir(s, "graft-ivfpq-codes-v1", d) { stg =>
+    // v3: residual codes follow the ivf index's seeding change
+    persistedDir(s, "graft-ivfpq-codes-v3", d) { stg =>
       val (data, cents) = Ann.readIvfIndex(s, ivfDir)
       Pq.encodeResidual(data.withColumn("cell", col("cell").cast("int")),
           col("embedding"), cents, ivfPqModel(s, d))

@@ -136,29 +136,72 @@ object Ann {
       .drop("_best")
   }
 
+  /** Greedy farthest-first seed selection over a driver-sized sample
+    * (Gonzalez's k-center traversal — the deterministic stand-in for
+    * k-means++'s D² sampling): start from the sample's first row, then
+    * repeatedly take the point farthest (max min-distance²) from every
+    * seed chosen so far, ties on the smaller sample index. Guarantees
+    * every well-separated cluster in the sample contributes a seed —
+    * the fix for the round-7 soak finding that k independent smallest-
+    * md5 rows leave ~1/e of 256 true clusters unseeded, which 2 Lloyd's
+    * iterations cannot repair (6× pruning where balanced cells give
+    * 32×). O(sample × k × dim) driver flops — ~200M at k=256/S=2048/
+    * d=384, well under one iteration's cluster cost. */
+  private[graft] def farthestFirstSeeds(sample: Array[Array[Double]],
+                                        k: Int): Seq[Seq[Double]] = {
+    if (sample.length <= k) return sample.map(_.toSeq).toSeq
+    val chosen = new Array[Int](k)
+    chosen(0) = 0
+    val d2 = Array.fill(sample.length)(Double.MaxValue)
+    var count = 1
+    while (count < k) {
+      val cv = sample(chosen(count - 1))
+      var i = 0; var best = 0; var bestD = -1.0
+      while (i < sample.length) {
+        val v = sample(i)
+        var acc = 0.0; var j = 0
+        while (j < v.length) { val d = v(j) - cv(j); acc += d * d; j += 1 }
+        if (acc < d2(i)) d2(i) = acc
+        if (d2(i) > bestD) { bestD = d2(i); best = i }
+        i += 1
+      }
+      chosen(count) = best
+      count += 1
+    }
+    chosen.map(i => sample(i).toSeq).toSeq
+  }
+
   /** Deterministic Lloyd's k-means over DataFrame ops — makes IVF real on
     * corpora with no label column (the reference's index is a trained ANN
     * structure: hnswlib, M=16/ef=100 — BASELINE.md).
     *
-    * Seeding: the k rows with the smallest `md5('seed:' || id)` — an
-    * order-independent pseudo-random sample, identical on any partitioning
-    * or cluster layout. Each iteration is ONE job: map-side argmin against
-    * the centroid literal ([[assignByLiteral]] — no join, no row shuffle)
-    * into the [[centroids]] vector-sum aggregate, whose map-side partials
-    * mean the only shuffle is k dim-length buffers per task. Centroids
-    * come back to the driver between iterations — k×dim doubles, the same
-    * driver-size object [[probeCells]] already collects — which also keeps
-    * the per-iteration plan flat instead of a growing lineage chain.
-    * Cells that lose every member keep their previous centroid. */
+    * Seeding: [[farthestFirstSeeds]] over the `k × seedSampleFactor`
+    * rows with the smallest `md5('seed:' || id)` — the sample is an
+    * order-independent pseudo-random draw, identical on any partitioning
+    * or cluster layout, and the greedy traversal over it is a pure
+    * driver-side function of the sample, so seeding stays deterministic
+    * end to end while covering every cluster the sample touches (plain
+    * smallest-md5-k seeding left true clusters unseeded and produced
+    * the 1M soak's 6×-instead-of-32× pruning skew). Each iteration is
+    * ONE job: map-side argmin against the centroid literal
+    * ([[assignByLiteral]] — no join, no row shuffle) into the
+    * [[centroids]] vector-sum aggregate, whose map-side partials mean
+    * the only shuffle is k dim-length buffers per task. Centroids come
+    * back to the driver between iterations — k×dim doubles, the same
+    * driver-size object [[probeCells]] already collects — which also
+    * keeps the per-iteration plan flat instead of a growing lineage
+    * chain. Cells that lose every member keep their previous centroid. */
   def kmeansCentroids(df: DataFrame, idCol: Column, vecCol: Column,
-                      k: Int, iters: Int = 5): DataFrame = {
+                      k: Int, iters: Int = 5,
+                      seedSampleFactor: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val vecs = df.select(idCol.as("_kid"), vecCol.cast("array<double>").as("_kv"))
-    var cents: Seq[(Int, Seq[Double])] = vecs
+    val sample: Array[Array[Double]] = vecs
       .orderBy(md5(concat(lit("seed:"), col("_kid").cast("string"))), col("_kid"))
-      .limit(k)
-      .select("_kv").collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+      .limit(math.max(k, k * seedSampleFactor))
+      .select("_kv").collect().map(_.getSeq[Double](0).toArray)
+    var cents: Seq[(Int, Seq[Double])] =
+      farthestFirstSeeds(sample, k).zipWithIndex.map { case (v, i) => (i, v) }
     var it = 0
     while (it < iters) {
       val assigned = assignByLiteral(vecs, col("_kv"), cents)

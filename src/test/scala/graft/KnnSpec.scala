@@ -181,6 +181,49 @@ class KnnSpec extends SparkSuite {
     }
   }
 
+  test("farthest-first seeding balances cells in the underfit regime " +
+      "(k=32 true clusters, 2 Lloyd's iterations)") {
+    // the round-7 1M-soak finding reproduced small: 32 equal tight
+    // clusters, k=32, iters=2. Independent smallest-md5 seeds leave
+    // ~1/e of the clusters unseeded (their members pile into a
+    // neighbor's cell — maxToMean ~2-3 and pruning collapses);
+    // farthest-first seeding reaches every cluster, so two iterations
+    // suffice for a balanced layout.
+    val pts = for {
+      c <- 0 until 32
+      i <- 0 until 40
+    } yield {
+      val base = Seq.tabulate(8)(j => if (j == c % 8) 50.0 * (1 + c / 8) else 0.0)
+      val jit = Seq.tabulate(8)(j => ((c * 31 + i * 7 + j * 13) % 10) * 0.01)
+      ((c * 40 + i).toLong, base.zip(jit).map { case (b, e) => b + e })
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Ann.kmeansCentroids(df, col("vec_id"), col("embedding"),
+      k = 32, iters = 2)
+    val stats = Ann.cellStats(
+      Ann.assignCells(df, col("vec_id"), col("embedding"), cents))
+    assert(stats.cells === 32, s"$stats")
+    assert(stats.maxToMean <= 2.0, s"underfit skew: $stats")
+    // equal-size clusters + full coverage: no cell should be empty-ish
+    assert(stats.minSize >= 1, s"$stats")
+  }
+
+  test("farthestFirstSeeds: deterministic, covers separated clusters, " +
+      "degenerates gracefully") {
+    val clusters = Array.tabulate(6)(c => Array.tabulate(4)(j =>
+      if (j == c % 4) 100.0 * (1 + c / 4) else 0.0))
+    // sample interleaves duplicates of each cluster point
+    val sample = Array.tabulate(24)(i => clusters(i % 6).clone())
+    val seeds = Ann.farthestFirstSeeds(sample, 6)
+    assert(seeds.length === 6)
+    // one seed per distinct cluster — farthest-first cannot double-pick
+    // a duplicate while an unseeded cluster remains
+    assert(seeds.map(_.toVector).toSet.size === 6)
+    assert(Ann.farthestFirstSeeds(sample, 6) === seeds) // deterministic
+    // sample smaller than k: every row becomes a seed
+    assert(Ann.farthestFirstSeeds(clusters.take(3), 5).length === 3)
+  }
+
   private def byQuery(df: org.apache.spark.sql.DataFrame) =
     df.select("query_id", "match_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
