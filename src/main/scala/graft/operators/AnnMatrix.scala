@@ -102,10 +102,14 @@ object AnnMatrix {
     results += TierResult("ivf", recallOf(ivfTops), ivfRows, 8.0 * dim,
       ivfBuildSec, ivfSec)
 
-    // ---- IVF-PQ (residual codes inside probed cells; ADC, no refine —
-    // the declared q_ann_ivfpq shape). Build time covers train AND the
-    // full-corpus encode+materialize, so the column is comparable with
-    // the IVF tier's train+assign+materialize
+    // ---- IVF-PQ. Build time covers train AND the full-corpus
+    // encode+materialize, so the column is comparable with the IVF
+    // tier's train+assign+materialize. Two rows share the build:
+    // `ivf-pq-adc` is the raw probed-cell ADC ranking (the quantization
+    // error made visible), `ivf-pq` is the DECLARED q_ann_ivfpq serving
+    // shape — the same scan plus the bounded k×overfetch exact refine
+    // ([[Pq.ivfPqTopKRefinedFetch]]), whose recall the overfetch knob
+    // governs.
     val (pqPair, pqBuildSec) = timed {
       val model = Pq.trainResidual(indexed, idCol, vecCol, cents,
         m = b.pqM, ks = b.pqKs, iters = b.pqIters)
@@ -114,13 +118,21 @@ object AnnMatrix {
       (model, enc)
     }
     val (pqModel, encoded) = pqPair
-    val (ivfPqTops, ivfPqSec) = timed {
+    val (ivfPqAdcTops, ivfPqAdcSec) = timed {
       queries.map { case (qid, q) =>
         qid -> topIds(Pq.ivfPqTopK(encoded, col("codes"), cents, pqModel, q,
           b.k, b.nProbe)) }.toMap
     }
-    results += TierResult("ivf-pq", recallOf(ivfPqTops), ivfRows,
-      b.pqM.toDouble, pqBuildSec, ivfPqSec)
+    results += TierResult("ivf-pq-adc", recallOf(ivfPqAdcTops), ivfRows,
+      b.pqM.toDouble, pqBuildSec, ivfPqAdcSec)
+    val (ivfPqTops, ivfPqSec) = timed {
+      queries.map { case (qid, q) =>
+        qid -> topIds(Pq.ivfPqTopKRefinedFetch(encoded, col("codes"), cents,
+          corpus, "vec_id", vecCol, pqModel, q, b.k, b.nProbe,
+          b.pqOverfetch)) }.toMap
+    }
+    results += TierResult("ivf-pq", recallOf(ivfPqTops),
+      ivfRows + b.k * b.pqOverfetch, b.pqM.toDouble, 0.0, ivfPqSec)
 
     // ---- PQ-alone fetch-refine (the declared q_ann_pq serving shape:
     // full ADC scan over a codes-only store, then exact refine of the
@@ -227,33 +239,44 @@ object AnnMatrix {
       queries.map { case (qid, _) =>
         (tops(qid) & truth(qid)).size.toDouble / k }.sum / queries.size
 
-    val cents = Ann.kmeansCentroids(sampled, idCol, vecCol,
-      k = b.ivfK, iters = b.kmeansIters)
-    val indexed = Ann.assignCells(sampled, idCol, vecCol, cents).persist()
-    indexed.count()
-    val cellSizes: Map[Int, Long] = indexed.groupBy(col("cell").cast("int"))
-      .count().as[(Int, Long)].collect().toMap
-    val ivfFrontier = nProbes.map { np =>
-      val tops = queries.map { case (qid, q) =>
-        qid -> topIds(Ann.ivfTopK(indexed, col("cell"), vecCol, cents, q,
-          k, np)) }.toMap
-      val rows = queries.map { case (_, q) =>
-        Ann.probeCells(cents, q, np)
-          .map(c => cellSizes.getOrElse(c.asInstanceOf[Number].intValue(), 0L))
-          .sum.toDouble }.sum / queries.size
-      FrontierRow("ivf", np, recallOf(tops), rows)
+    // each tier's index is built ONLY when its knob list is non-empty —
+    // a caller auto-sizing just the PQ overfetch must not pay a graph
+    // build it will never sweep
+    val ivfFrontier = if (nProbes.isEmpty) Seq.empty else {
+      val cents = Ann.kmeansCentroids(sampled, idCol, vecCol,
+        k = b.ivfK, iters = b.kmeansIters)
+      val indexed = Ann.assignCells(sampled, idCol, vecCol, cents).persist()
+      indexed.count()
+      val cellSizes: Map[Int, Long] = indexed.groupBy(col("cell").cast("int"))
+        .count().as[(Int, Long)].collect().toMap
+      val rows = nProbes.map { np =>
+        val tops = queries.map { case (qid, q) =>
+          qid -> topIds(Ann.ivfTopK(indexed, col("cell"), vecCol, cents, q,
+            k, np)) }.toMap
+        val probed = queries.map { case (_, q) =>
+          Ann.probeCells(cents, q, np)
+            .map(c => cellSizes.getOrElse(c.asInstanceOf[Number].intValue(), 0L))
+            .sum.toDouble }.sum / queries.size
+        FrontierRow("ivf", np, recallOf(tops), probed)
+      }
+      indexed.unpersist()
+      rows
     }
 
-    val graph = GraphAnn.buildGraph(sampled, idCol, vecCol,
-      numShards = b.graphShards, m = b.graphM, efConstruction = 100)
-      .persist()
-    graph.count()
-    val graphFrontier = efs.map { ef =>
-      val tops = queries.map { case (qid, q) =>
-        qid -> topIds(GraphAnn.graphTopK(graph, q, k, ef)) }.toMap
-      val rows = queries.map { case (_, q) =>
-        GraphAnn.distEvalsTotal(graph, q, ef).toDouble }.sum / queries.size
-      FrontierRow("graph", ef, recallOf(tops), rows)
+    val graphFrontier = if (efs.isEmpty) Seq.empty else {
+      val graph = GraphAnn.buildGraph(sampled, idCol, vecCol,
+        numShards = b.graphShards, m = b.graphM, efConstruction = 100)
+        .persist()
+      graph.count()
+      val rows = efs.map { ef =>
+        val tops = queries.map { case (qid, q) =>
+          qid -> topIds(GraphAnn.graphTopK(graph, q, k, ef)) }.toMap
+        val evals = queries.map { case (_, q) =>
+          GraphAnn.distEvalsTotal(graph, q, ef).toDouble }.sum / queries.size
+        FrontierRow("graph", ef, recallOf(tops), evals)
+      }
+      graph.unpersist()
+      rows
     }
     val pqFrontier = if (overfetches.isEmpty) Seq.empty else {
       val model = Pq.trainCodebooks(sampled, idCol, vecCol,
@@ -272,8 +295,33 @@ object AnnMatrix {
       codesOnly.unpersist()
       rows
     }
-    indexed.unpersist(); graph.unpersist(); sampled.unpersist()
+    sampled.unpersist()
     ivfFrontier ++ graphFrontier ++ pqFrontier
+  }
+
+  /** The measured serving budgets the persisted-store query paths use —
+    * the round-7 verdict's "nothing auto-sizes the knob" gap: a sampled
+    * [[recommendBudgets]] sweep of JUST the two knobs that govern
+    * quantized-serve recall (IVF nProbe = cell coverage; PQ overfetch =
+    * exact-refine window over the ADC ranking), then [[pickBudgets]]'s
+    * cheapest-meeting-target rule. Deterministic (hash sample +
+    * deterministic training), so serving results stay reproducible.
+    * `frontier` rides along for observability. */
+  case class ServeBudgets(nProbe: Int, pqOverfetch: Int,
+                          frontier: Seq[FrontierRow])
+  def autoServeBudgets(corpus: DataFrame, idCol: Column, vecCol: Column,
+                       queryIds: Seq[Long], targetRecall: Double = 0.9,
+                       nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+                       overfetches: Seq[Int] = Seq(4, 8, 16, 32),
+                       sampleOneIn: Int = 1,
+                       b: Budgets = Budgets()): ServeBudgets = {
+    val frontier = recommendBudgets(corpus, idCol, vecCol, queryIds,
+      b.k, nProbes, efs = Seq.empty, sampleOneIn, overfetches, b)
+    val picks = pickBudgets(frontier, targetRecall)
+    ServeBudgets(
+      picks.get("ivf").map(_.budget).getOrElse(b.nProbe),
+      picks.get("pq").map(_.budget).getOrElse(b.pqOverfetch),
+      frontier)
   }
 
   /** The operating point per tier: the CHEAPEST budget whose recall meets

@@ -252,20 +252,30 @@ object Pq {
       .select(col(idName)).collect()
     require(candRows.nonEmpty,
       s"pqTopKRefinedFetch: empty ADC candidate set — is the codes store empty?")
-    val fetched =
-      if (candRows.length <= fetchIsinCutoff)
-        vectors.filter(col(idName).isin(candRows.map(_.get(0)).toSeq: _*))
-      else {
-        val spark = vectors.sparkSession
-        val candDf = spark.createDataFrame(
-          java.util.Arrays.asList(candRows: _*),
-          org.apache.spark.sql.types.StructType(
-            Seq(codes.select(col(idName)).schema.head)))
-        vectors.join(broadcast(candDf), Seq(idName), "left_semi")
-      }
-    Knn.knnExact(fetched, vecCol, query, k, preFilter = None,
-      tieBreak = tieBreak)
+    Knn.knnExact(
+      fetchByIds(vectors, idName,
+        codes.select(col(idName)).schema.head, candRows, fetchIsinCutoff),
+      vecCol, query, k, preFilter = None, tieBreak = tieBreak)
   }
+
+  /** Bounded candidate fetch shared by the refine-by-fetch serves: an
+    * `isin` literal up to `cutoff` ids (pushed-down filter → row-group
+    * pruning on an id-sorted layout), a broadcast left-semi join past it
+    * (one driver-sized hash table, no giant In predicate, still no
+    * corpus shuffle). */
+  private def fetchByIds(vectors: DataFrame, idName: String,
+                         idField: org.apache.spark.sql.types.StructField,
+                         candRows: Array[org.apache.spark.sql.Row],
+                         cutoff: Int): DataFrame =
+    if (candRows.length <= cutoff)
+      vectors.filter(col(idName).isin(candRows.map(_.get(0)).toSeq: _*))
+    else {
+      val spark = vectors.sparkSession
+      val candDf = spark.createDataFrame(
+        java.util.Arrays.asList(candRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(idField)))
+      vectors.join(broadcast(candDf), Seq(idName), "left_semi")
+    }
 
   // ---- IVF-PQ: residual quantization inside IVF cells ----------------
 
@@ -309,7 +319,18 @@ object Pq {
     * compressions compose. */
   def ivfPqTopK(encoded: DataFrame, codesCol: Column, cents: DataFrame,
                 model: PqModel, query: Seq[Double], k: Int,
-                nProbe: Int = 2, tieBreak: String = "vec_id"): DataFrame = {
+                nProbe: Int = 2, tieBreak: String = "vec_id"): DataFrame =
+    ivfPqAdcScan(encoded, codesCol, cents, model, query, nProbe)
+      .orderBy(col("dist").asc, col(tieBreak).asc)
+      .limit(k)
+
+  /** The probed-cell ADC scan both IVF-PQ serves share: per-cell
+    * residual tables shipped as one map literal, the scan filtered to
+    * the probed cells (partition pruning on a cell-partitioned store)
+    * and reading only codes. Adds `dist` (rounded ADC L2). */
+  private def ivfPqAdcScan(encoded: DataFrame, codesCol: Column,
+                           cents: DataFrame, model: PqModel,
+                           query: Seq[Double], nProbe: Int): DataFrame = {
     val centLocal = cents
       .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
@@ -330,7 +351,35 @@ object Pq {
       element_at(element_at(cellTab, s + 1), element_at(codesCol, s + 1) + 1))
     encoded.filter(col("cell").cast("int").isin(probed: _*))
       .withColumn("dist", round(sqrt(lookups.reduce(_ + _)), 6))
+  }
+
+  /** IVF-PQ with the recall-restoring bounded refine — the serving
+    * shape that composes BOTH compressions with exact final ranking:
+    * the probed-cell ADC scan ranks codes (partition-pruned, m ints per
+    * row), the top k×overfetch candidate ids are collected (bounded,
+    * driver-sized) and fetched from the vector table ([[fetchByIds]] —
+    * pushed-down id filter or broadcast semi-join), and true L2 on just
+    * those rows decides the final top-k. Same eager-collect caveat as
+    * [[pqTopKRefinedFetch]]; fails fast on an empty candidate set. ADC
+    * quantization error then costs recall ONLY when a true neighbor
+    * falls outside the overfetch window — the window is the knob
+    * [[AnnMatrix.recommendBudgets]] sizes from measurement. */
+  def ivfPqTopKRefinedFetch(encoded: DataFrame, codesCol: Column,
+                            cents: DataFrame, vectors: DataFrame,
+                            idName: String, vecCol: Column, model: PqModel,
+                            query: Seq[Double], k: Int, nProbe: Int = 2,
+                            overfetch: Int = 8, tieBreak: String = "vec_id",
+                            fetchIsinCutoff: Int = 1000): DataFrame = {
+    val candRows = ivfPqAdcScan(encoded, codesCol, cents, model, query, nProbe)
       .orderBy(col("dist").asc, col(tieBreak).asc)
-      .limit(k)
+      .limit(k * overfetch)
+      .select(col(idName)).collect()
+    require(candRows.nonEmpty,
+      "ivfPqTopKRefinedFetch: empty ADC candidate set — empty codes " +
+        "store, or nProbe selected only empty cells?")
+    Knn.knnExact(
+      fetchByIds(vectors, idName,
+        encoded.select(col(idName)).schema.head, candRows, fetchIsinCutoff),
+      vecCol, query, k, preFilter = None, tieBreak = tieBreak)
   }
 }

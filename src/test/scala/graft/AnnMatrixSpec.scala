@@ -22,15 +22,22 @@ class AnnMatrixSpec extends SparkSuite {
     info(AnnMatrix.render(rows, emb.count()))
     assert(byTier("exact").recall === 1.0)
     val floors = Map("graph" -> 0.95, "sq8" -> 0.95,
-      "ivf" -> 0.45, "ivf-pq" -> 0.15, "pq" -> 0.40)
+      "ivf" -> 0.45, "ivf-pq-adc" -> 0.15, "ivf-pq" -> 0.30,
+      "pq" -> 0.40)
     floors.foreach { case (tier, floor) =>
       assert(byTier(tier).recall >= floor,
         f"$tier recall ${byTier(tier).recall}%.2f under floor $floor")
     }
     // cost sanity: the IVF tiers actually prune (probed rows well under
-    // the corpus), and ivf-pq reads codes, not vectors
+    // the corpus), and both ivf-pq rows read codes, not vectors
     assert(byTier("ivf").rowsScanned < 0.5 * byTier("exact").rowsScanned)
+    assert(byTier("ivf-pq-adc").bytesPerRow < 16)
     assert(byTier("ivf-pq").bytesPerRow < 16)
+    // STRUCTURAL (same build, same probed cells — not a cross-tier
+    // tuning gate): the exact refine reranks a SUPERSET of the ADC
+    // top-k, so the refined serving shape can never recall less than
+    // ADC-only ranking
+    assert(byTier("ivf-pq").recall >= byTier("ivf-pq-adc").recall)
     // the pq serving tier reads codes (m bytes/row), never vectors. Its
     // recall is gated by its own absolute floor above — NOT against the
     // ivf-pq tier: the two are independently tuned (exact-refine
@@ -80,6 +87,31 @@ class AnnMatrixSpec extends SparkSuite {
     // best-recall row in the sweep
     assert(picks("graph").recall === graph.map(_.recall).max ||
       picks("graph").recall >= 1.0)
+  }
+
+  test("autoServeBudgets picks measured knobs meeting the target and " +
+      "sweeps only the two serving tiers") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val sb = AnnMatrix.autoServeBudgets(emb, col("vec_id"),
+      col("embedding"), queryIds = 0L until 8L, targetRecall = 0.9,
+      nProbes = Seq(1, 2, 4, 8), overfetches = Seq(2, 8, 16))
+    info(AnnMatrix.renderFrontier(sb.frontier, emb.count()))
+    // no graph rows: the serving sweep must not pay a graph build
+    assert(sb.frontier.forall(r => r.tier == "ivf" || r.tier == "pq"))
+    // picks are from the swept grids
+    assert(Seq(1, 2, 4, 8).contains(sb.nProbe))
+    assert(Seq(2, 8, 16).contains(sb.pqOverfetch))
+    // pickBudgets contract: the pick either meets the target or is the
+    // sweep's best-recall row (always actionable)
+    val pqRows = sb.frontier.filter(_.tier == "pq")
+    val picked = pqRows.find(_.budget == sb.pqOverfetch).get
+    assert(picked.recall >= 0.9 ||
+      picked.recall === pqRows.map(_.recall).max)
+    // determinism: the same sweep returns the same picks
+    val sb2 = AnnMatrix.autoServeBudgets(emb, col("vec_id"),
+      col("embedding"), queryIds = 0L until 8L, targetRecall = 0.9,
+      nProbes = Seq(1, 2, 4, 8), overfetches = Seq(2, 8, 16))
+    assert((sb2.nProbe, sb2.pqOverfetch) === (sb.nProbe, sb.pqOverfetch))
   }
 
   test("recommendBudgets hash-sampling keeps query ids and still sweeps " +

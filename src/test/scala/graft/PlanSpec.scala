@@ -139,13 +139,39 @@ class PlanSpec extends SparkSuite {
     assert(p.split("ShuffledHashJoin")(1).contains("Bucketed: true"), p)
   }
 
-  test("q_ann_ivfpq: pruned cell scan over codes — no vector payload") {
-    val p = plan(SparkEntry.queries("q_ann_ivfpq")(spark, dir))
+  test("ivf-pq ADC candidate scan: pruned cell partitions, codes only — " +
+      "and the q_ann_ivfpq refine fetches by bounded id filter") {
+    import graft.operators.{Ann, Pq}
+    // the serving query's RETURNED plan is the bounded refine (the ADC
+    // scan runs eagerly at construction), so the pruned codes-only scan
+    // is asserted on the store directly with the same operator
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ann.kmeansCentroids(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 2)
+    val indexed = Ann.assignCells(emb, col("vec_id"), col("embedding"), cents)
+    val model = Pq.trainResidual(indexed, col("vec_id"), col("embedding"),
+      cents, m = 8, ks = 8, iters = 1)
+    val store = java.nio.file.Files
+      .createTempDirectory("planspec-ivfpq").toString
+    Pq.encodeResidual(indexed, col("embedding"), cents, model)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(store)
+    val q = graft.operators.Knn.vectorAt(emb, col("vec_id"), 0L,
+      col("embedding"))
+    val adc = Pq.ivfPqTopK(spark.read.parquet(store), col("codes"), cents,
+      model, q, k = 10, nProbe = 2)
+    val p = plan(adc)
     val partFilters = p.split("PartitionFilters: \\[").drop(1)
       .map(_.takeWhile(_ != ']'))
     assert(partFilters.exists(_.contains("cell")), p)
     // the ADC scan reads codes, never the embedding column
     assert(!p.contains("embedding"), p)
+    // the declared query's returned plan is the refine phase: a bounded
+    // candidate-id filter into the vector read (same contract as
+    // q_ann_pq below)
+    val served = plan(SparkEntry.queries("q_ann_ivfpq")(spark, dir))
+    assert(served.contains("In(vec_id") ||
+      served.contains("LeftSemi"), served)
   }
 
   test("q_ann_pq refine: candidate fetch is a pushed-down id filter") {
