@@ -91,6 +91,10 @@ object Scratch {
       Ann.buildIvfIndex(corpus, col("vec_id"), col("embedding"),
         s"$dir/ivf", k = 256, iters = 2))
     val (data, cents) = Ann.readIvfIndex(spark, s"$dir/ivf")
+    // cell balance under farthest-first seeding (round-8): the round-7
+    // soak measured 6.0x pruning where balanced cells give 32x because
+    // smallest-md5-k seeds left ~1/e of the 256 true clusters unseeded
+    println(s"[scratch] cellStats after build: ${Ann.cellStats(data)}")
 
     val bfTop = time("brute-force top-10 (full raw scan)")(
       Knn.knnExact(raw, col("embedding"), query, 10, preFilter = None)
@@ -130,7 +134,62 @@ object Scratch {
           col("embedding"), model, query, k = 10, overfetch = 8)
         .select("vec_id").collect().map(_.getLong(0)).toSet)
     println(f"[scratch] PQ fetch-refine recall@10 = " +
-      f"${(bfTop & pqTop).size / 10.0}%.2f (sample-trained codebooks)")
+      f"${(bfTop & pqTop).size / 10.0}%.2f (sample-trained codebooks, " +
+      "overfetch=8 — the round-7 hardcoded budget)")
+
+    // round-8: the MEASURED overfetch budget — sweep the knob directly
+    // over the real 1M store/model (each point is one ~3 s serve; the
+    // in-query path sizes the same knob from a sampled sweep via
+    // AnnMatrix.autoServeBudgets) and pick cheapest meeting 0.9
+    import graft.operators.AnnMatrix
+    val pqFrontier = Seq(8, 32, 64, 128, 256, 512).map { of =>
+      val top = Pq.pqTopKRefinedFetch(codes, col("codes"), raw, "vec_id",
+          col("embedding"), model, query, k = 10, overfetch = of)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      AnnMatrix.FrontierRow("pq", of, (bfTop & top).size / 10.0,
+        n.toDouble + 10.0 * of)
+    }
+    pqFrontier.foreach(r => println(
+      f"[scratch] pq overfetch=${r.budget}%3d recall@10=${r.recall}%.2f"))
+    val pqPick = AnnMatrix.pickBudgets(pqFrontier, targetRecall = 0.9)("pq")
+    println(f"[scratch] pq PICKED overfetch=${pqPick.budget} " +
+      f"recall=${pqPick.recall}%.2f")
+
+    // round-8: IVF-PQ refined serve at 1M — residual codebooks trained
+    // on the same deterministic 5% sample (ks=64 bounds the train cost;
+    // the refine window, not ADC resolution, carries the recall), codes
+    // partitioned by cell, then the pruned-scan + bounded-refine serve
+    val resModel = time("trainResidual m=8 ks=64 on 5% sample")(
+      Pq.trainResidual(
+        data.filter(pmod(xxhash64(col("vec_id")), lit(20)) === 0),
+        col("vec_id"), col("embedding"), cents, m = 8, ks = 64, iters = 2))
+    time("encodeResidual 1M + write cell-partitioned codes store")(
+      Pq.encodeResidual(data.withColumn("cell", col("cell").cast("int")),
+          col("embedding"), cents, resModel)
+        .select(col("vec_id"), col("cell"), col("codes"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivfpq"))
+    val resCodes = spark.read.parquet(s"$dir/ivfpq")
+    val ivfPqFrontier = Seq(8, 32, 64, 128, 256, 512).map { of =>
+      val top = Pq.ivfPqTopKRefinedFetch(resCodes, col("codes"), cents,
+          raw, "vec_id", col("embedding"), resModel, query, k = 10,
+          nProbe = 8, overfetch = of)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      AnnMatrix.FrontierRow("ivf-pq", of, (bfTop & top).size / 10.0,
+        10.0 * of)
+    }
+    ivfPqFrontier.foreach(r => println(
+      f"[scratch] ivf-pq nProbe=8 overfetch=${r.budget}%3d " +
+      f"recall@10=${r.recall}%.2f"))
+    val ipPick = AnnMatrix.pickBudgets(ivfPqFrontier, targetRecall = 0.9)("ivf-pq")
+    println(f"[scratch] ivf-pq PICKED overfetch=${ipPick.budget} " +
+      f"recall=${ipPick.recall}%.2f")
+    val t0 = System.nanoTime()
+    Pq.ivfPqTopKRefinedFetch(resCodes, col("codes"), cents, raw, "vec_id",
+        col("embedding"), resModel, query, k = 10, nProbe = 8,
+        overfetch = ipPick.budget).collect()
+    println(f"[scratch] ivf-pq refined serve wall at picked budget: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
   }
 
   /** Persisted-serving decomposition at 200k×64 (round 7): what each ANN

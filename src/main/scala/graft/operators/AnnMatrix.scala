@@ -312,7 +312,13 @@ object AnnMatrix {
   def autoServeBudgets(corpus: DataFrame, idCol: Column, vecCol: Column,
                        queryIds: Seq[Long], targetRecall: Double = 0.9,
                        nProbes: Seq[Int] = Seq(1, 2, 4, 8),
-                       overfetches: Seq[Int] = Seq(4, 8, 16, 32),
+                       // the grid must extend far enough to MEET the
+                       // target on jitter-dominated corpora, where ADC
+                       // barely ranks within-cluster and the window has
+                       // to cover most of a cluster (1M soak: 0.40 at
+                       // 64) — a k=10 serve at 256 still fetches only
+                       // 2,560 rows, trivial against the scan it avoids
+                       overfetches: Seq[Int] = Seq(4, 8, 16, 32, 64, 128, 256),
                        sampleOneIn: Int = 1,
                        b: Budgets = Budgets()): ServeBudgets = {
     val frontier = recommendBudgets(corpus, idCol, vecCol, queryIds,

@@ -690,7 +690,12 @@ object Streams {
           // influence the dup decision even if its physical prune (which
           // only happens when its bucket is next touched) hasn't run yet
           val maxTs = batch.agg(max(col(tsCol))).head().getTimestamp(0)
-          val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonMs)
+          // clamp at epoch: a horizon wider than the timeline means
+          // "never expire", and the raw subtraction would overflow to a
+          // huge negative ms value whose ms→µs conversion then overflows
+          // LONG inside the comparison (found by the parity spec)
+          val cutoff = new java.sql.Timestamp(
+            if (horizonMs >= maxTs.getTime) 0L else maxTs.getTime - horizonMs)
           val prior: Option[DataFrame] =
             if (touched.exists(b => fs.exists(bucketPath(base, b))))
               Some(spark.read.parquet(base)

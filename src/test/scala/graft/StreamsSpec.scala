@@ -668,6 +668,56 @@ class StreamsSpec extends SparkSuite {
       .select("doc_id").as[Long].collect() === Array(1L))
   }
 
+  test("nearDedupStreamLsh: full-replay persisted band state EQUALS the " +
+      "batch band-table relation, and serves identical pairs") {
+    // the cmsStream/bloomStream equivalence pattern for the LSH family:
+    // stream the whole corpus through in micro-batches (horizon wide
+    // enough that nothing expires), then the persisted band state must
+    // reproduce the EXACT relation Dedup.writeBandTable persists —
+    // every row, every field (sorted full-row equality; physical
+    // parquet bytes aren't comparable across writers because task file
+    // naming and tie-row order differ, the relation is the contract).
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val rows = docs.as[(Long, String)].collect()
+    val dir = Files.createTempDirectory("graft-lsh-parity-").toString
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = Streams.nearDedupStreamLsh(spark,
+      input.toDF().toDF("doc_id", "text", "ts"),
+      s"$dir/out", s"$dir/state", s"$dir/chk",
+      horizonMs = 365L * 24 * 60 * 60 * 1000) // nothing expires
+    try {
+      rows.grouped(20).zipWithIndex.foreach { case (batch, i) =>
+        input.addData(batch.map { case (id, text) => (id, text, ts(i + 1)) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/state")
+      .select(col("doc_id").as("id"), col("band_idx"), col("band_key"))
+      .as[(Long, Int, String)].collect().sorted
+    val batchRel = Dedup.bandRows(docs, col("doc_id"), col("text"))
+      .as[(Long, Int, String)].collect().sorted
+    assert(streamed.length === batchRel.length)
+    assert(streamed === batchRel)
+    // and the stream-built state SERVES like the batch-built table: a
+    // band table written from the streamed relation generates the same
+    // candidate pairs as the one-shot batch operator
+    val tbl = s"lsh_parity_${System.nanoTime()}"
+    spark.read.parquet(s"$dir/state")
+      .select(col("doc_id").as("id"), col("band_idx"), col("band_key"))
+      .write.bucketBy(32, "band_idx", "band_key")
+      .sortBy("band_idx", "band_key").saveAsTable(tbl)
+    try {
+      val viaStream = Dedup.lshPairsFromBandTable(spark, tbl)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val viaBatch = Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(viaStream === viaBatch)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("chunkStream: watermarked dedup drops re-delivery, replay overwrites its own partition") {
     val dir = Files.createTempDirectory("graft-chunk-stream-").toString
     // pre-seed batch 0's output partition as if a crashed run committed
