@@ -13,6 +13,7 @@ import graft.operators.AnnMatrix
   * round 7 adds the pq fetch-refine serving tier at 0.53) with slack
   * for corpus regeneration, not for regressions. */
 class AnnMatrixSpec extends SparkSuite {
+  import spark.implicits._
 
   test("every ANN tier clears its recall floor at the declared budget") {
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -112,6 +113,28 @@ class AnnMatrixSpec extends SparkSuite {
       col("embedding"), queryIds = 0L until 8L, targetRecall = 0.9,
       nProbes = Seq(1, 2, 4, 8), overfetches = Seq(2, 8, 16))
     assert((sb2.nProbe, sb2.pqOverfetch) === (sb.nProbe, sb.pqOverfetch))
+    // the RAISED round-8 gate: the picked overfetch, plumbed through
+    // the actual fetch-refine serving path, delivers the target recall
+    // on this corpus (the 1M soak proves the same at scale: 0.90 at
+    // the picked 256)
+    import graft.operators.{Knn, Pq}
+    val model = Pq.trainCodebooks(emb, col("vec_id"), col("embedding"),
+      m = 8, ks = 16, iters = 2)
+    val codes = Pq.encode(emb, col("embedding"), model)
+      .select(col("vec_id"), col("codes"))
+    val recalls = (0L until 8L).map { qid =>
+      val q = Knn.vectorAt(emb, col("vec_id"), qid, col("embedding"))
+      val exact = Knn.knnExact(emb, col("embedding"), q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val served = Pq.pqTopKRefinedFetch(codes, col("codes"), emb,
+          "vec_id", col("embedding"), model, q, 10,
+          overfetch = sb.pqOverfetch)
+        .select("vec_id").as[Long].collect().toSet
+      (served & exact).size / 10.0
+    }
+    val avgRecall = recalls.sum / recalls.size
+    assert(avgRecall >= 0.85,
+      f"serve at picked overfetch ${sb.pqOverfetch}: recall $avgRecall%.2f")
   }
 
   test("recommendBudgets hash-sampling keeps query ids and still sweeps " +
