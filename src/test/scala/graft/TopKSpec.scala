@@ -111,16 +111,31 @@ class TopKSpec extends SparkSuite {
     }
   }
 
-  test("multimodal: partition-batched decode agrees with column-level meta") {
-    val docs = Seq((1L, "abcdef"), (2L, "x"), (3L, "hello world, longer payload"))
-      .toDF("doc_id", "text").withColumn("lang", lit("en"))
-      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
-    val media = Multimodal.attachPayload(docs)
-    val viaCols = Multimodal.metaColumns(media).orderBy("doc_id")
-      .as[(Long, String, Long, Long, Long, Long)].collect()
-    val viaCodec = Multimodal.decodePartitions(spark, media).toDF()
-      .orderBy("doc_id")
-      .as[(Long, String, Long, Long, Long, Long)].collect()
-    assert(viaCols === viaCodec)
+  test("multimodal: GXD1 delta video round-trips and checksums catch corruption") {
+    val bytes = Multimodal.DeltaVideoCodec.encode(
+      nFrames = 5, width = 33, height = 21, fpsX1000 = 10000, seed = 42L)
+    assert(Multimodal.DeltaVideoCodec.decode(bytes) === (5, 10000, 33, 21))
+    // inter-frame prediction must beat storing raw frames: deltas are
+    // sparse XORs so the container is far smaller than raw pixel bytes
+    val (container, raw) = Multimodal.DeltaVideoCodec.compressionStats(bytes)
+    assert(container < raw / 2, s"container=$container raw=$raw")
+    // a bit flip in a delta frame must fail the CRC chain, not decode
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 10) = (corrupt(corrupt.length - 10) ^ 0x40).toByte
+    intercept[Exception](Multimodal.DeltaVideoCodec.decode(corrupt))
+  }
+
+  test("multimodal: batched delta-video decode matches id-derived params") {
+    val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val media = Multimodal.attachDeltaVideoPayload(spark, docs)
+    val out = Multimodal.decodeDeltaVideoPartitions(spark, media)
+      .collect().sortBy(_.doc_id)
+    out.foreach { v =>
+      val id = v.doc_id
+      assert(v.n_frames === id % 4 + 2)
+      assert(v.width === id % 32 + 16)
+      assert(v.height === id * 5 % 32 + 16)
+      assert(v.duration_us === (id % 4 + 2) * 100000L)
+    }
   }
 }
