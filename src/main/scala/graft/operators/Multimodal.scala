@@ -39,6 +39,46 @@ object Multimodal {
 
   private val formats = Seq("png", "jpg", "wav")
 
+  /** Kernel-parallelism guard for the CPU-bound codec stages. A
+    * partition-batched kernel inherits its input's partitioning, and a
+    * compact parquet source can legally arrive as ONE split (a single
+    * row group carries all rows to a single task no matter how Spark
+    * slices the byte range) — measured: the sf1 GXD1 decode ran a whole
+    * 50k-doc corpus on one core, 219 s where the spread form takes a
+    * tenth of that. Millisecond-per-row codec work is the regime where
+    * an extra exchange is ALWAYS won back, so widen coarse inputs to
+    * the cluster's parallelism — and never touch an input that is
+    * already wide (at 100 TB the scan arrives in thousands of splits;
+    * collapsing them here would be the opposite bug). Repartition with
+    * an EXPLICIT partition count: AQE leaves user-numbered exchanges
+    * alone, so the spread cannot be coalesced back to the byte-sized
+    * handful that caused the problem.
+    *
+    * The probe (`rdd.getNumPartitions`) is restricted to SCAN-SHAPED
+    * inputs (projections/filters over a leaf): under AQE, building the
+    * final RDD of a plan that CONTAINS exchanges materializes its query
+    * stages — probing a decode input that embeds the encode map would
+    * execute the whole encode once for the probe and again for the real
+    * run (measured: the sf1 MJPEG decode went 4 s → 54 s). A scan-shaped
+    * plan has no stages to materialize, so its probe runs no job; any
+    * wider pipeline is assumed to have managed its own parallelism (the
+    * attach stage already spreads, and its exchange carries through the
+    * downstream kernel). */
+  private def spreadForKernel(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case p: Project => scanShaped(p.child)
+      case f: Filter => scanShaped(f.child)
+      case a: SubqueryAlias => scanShaped(a.child)
+      case _: LeafNode => true
+      case _ => false
+    }
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (scanShaped(df.queryExecution.analyzed) &&
+        df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+
   /** Attach a binary payload + format column to the documents table (the
     * payload is the UTF-8 text bytes standing in for media bytes —
     * deterministic, size-faithful). */
@@ -122,7 +162,7 @@ object Multimodal {
     * verify the full encode→decode round trip without a codec. */
   def attachImagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    spreadForKernel(docs.select(col("doc_id"))).as[Long].map { id =>
       val fmt = if (id % 2 == 0) "png" else "jpg"
       MediaRow(id, fmt, ImageCodec.encode(fmt,
         width = (id % 64 + 8).toInt, height = (id * 7 % 48 + 8).toInt,
@@ -137,7 +177,7 @@ object Multimodal {
   def decodeImagePartitions(spark: SparkSession, media: DataFrame,
                             batchSize: Int = 256): Dataset[DecodedMedia] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
+    spreadForKernel(media).as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val img = ImageCodec.decode(r.payload)
@@ -157,7 +197,7 @@ object Multimodal {
                            dim: Int = 8,
                            batchSize: Int = 256): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
+    spreadForKernel(media).as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val img = ImageCodec.decode(r.payload)
@@ -188,6 +228,37 @@ object Multimodal {
   object AudioCodec {
     val sampleRate = 8000f
 
+    // AudioSystem.getAudioInputStream / AudioSystem.write re-run a
+    // SYNCHRONIZED ServiceLoader provider scan on EVERY call (JDK 9+
+    // removed JDK13Services' provider cache), so 32 kernel threads
+    // serialize on one global monitor while each call re-walks the
+    // classpath — measured: the spread sf1 audio decode ran 85 s where
+    // the image path (ImageIO keeps a cached registry) sped up 8×.
+    // Resolve the providers ONCE per JVM through the PUBLIC SPI
+    // (javax.sound.sampled.spi) and call them directly: same genuine
+    // JDK WAV parser, no per-call scan, no shared lock. ServiceLoader
+    // sees java.desktop's module-declared providers from the boot
+    // layer, so this finds the built-in WAVE reader/writer.
+    private lazy val fileReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      buf.result()
+    }
+    private lazy val waveWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+      var found: javax.sound.sampled.spi.AudioFileWriter = null
+      while (it.hasNext && found == null) {
+        val w = it.next()
+        if (w.isFileTypeSupported(
+            javax.sound.sampled.AudioFileFormat.Type.WAVE)) found = w
+      }
+      require(found != null, "no WAVE AudioFileWriter provider on this JVM")
+      found
+    }
+
     /** Deterministic 16-bit mono PCM WAV: sample t = f(seed, t). */
     def encode(nSamples: Int, seed: Long): Array[Byte] = {
       val pcm = new Array[Byte](nSamples * 2)
@@ -203,15 +274,49 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
+      waveWriter.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
 
     /** WAV bytes → (sampleRate, channels, 16-bit samples). */
-    def decode(bytes: Array[Byte]): (Float, Int, Array[Short]) = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    // Index of the last provider that decoded successfully, tried FIRST
+    // on later calls. Provider order puts SoftMidiAudioFileReader ahead
+    // of WaveFileReader, and its probe calls MidiSystem.getSequence —
+    // which re-enters the synchronized JDK provider scan (43 µs/call
+    // single-threaded, and a global lock that gives NEGATIVE scaling at
+    // 32 threads: measured 3.4 s → 4.8 s over 50k decodes). The hot
+    // provider parses WAV in ~1 µs lock-free; a corpus mixing containers
+    // only pays the full sweep on format changes. Benign race: worst
+    // case a stale index costs one extra failed probe.
+    @volatile private var hotReader = -1
+
+    private def tryRead(i: Int, bytes: Array[Byte])
+        : javax.sound.sampled.AudioInputStream =
+      try fileReaders(i).getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      }
+
+    def decode(bytes: Array[Byte]): (Float, Int, Array[Short]) = {
+      // first provider that recognizes the container wins (AudioSystem's
+      // own dispatch rule, without its per-call provider scan), hot
+      // provider first
+      val hot = hotReader
+      var ais: javax.sound.sampled.AudioInputStream =
+        if (hot >= 0) tryRead(hot, bytes) else null
+      if (ais == null) {
+        var i = 0
+        while (ais == null && i < fileReaders.length) {
+          if (i != hot) {
+            ais = tryRead(i, bytes)
+            if (ais != null) hotReader = i
+          }
+          i += 1
+        }
+      }
+      require(ais != null, "undecodable audio payload")
       val f = ais.getFormat
       require(f.getSampleSizeInBits == 16,
         s"expected 16-bit PCM, got ${f.getSampleSizeInBits}")
@@ -239,7 +344,7 @@ object Multimodal {
     * verify the full encode→decode round trip without an audio stack. */
   def attachAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    spreadForKernel(docs.select(col("doc_id"))).as[Long].map { id =>
       MediaRow(id, "wav",
         AudioCodec.encode(nSamples = (id % 400 + 100).toInt, seed = id))
     }.toDF()
@@ -252,7 +357,7 @@ object Multimodal {
   def decodeAudioPartitions(spark: SparkSession, media: DataFrame,
                             batchSize: Int = 256): Dataset[DecodedAudio] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
+    spreadForKernel(media).as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val (rate, ch, samples) = AudioCodec.decode(r.payload)
@@ -271,7 +376,7 @@ object Multimodal {
                            dim: Int = 8,
                            batchSize: Int = 256): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
+    spreadForKernel(media).as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val (_, _, samples) = AudioCodec.decode(r.payload)
@@ -361,7 +466,7 @@ object Multimodal {
     * pixel count. */
   def attachVideoPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    spreadForKernel(docs.select(col("doc_id"))).as[Long].map { id =>
       MediaRow(id, "gmj1", VideoCodec.encode(
         nFrames = (id % 4 + 1).toInt,
         width = (id % 32 + 16).toInt, height = (id * 5 % 32 + 16).toInt,
@@ -376,7 +481,7 @@ object Multimodal {
   def decodeVideoPartitions(spark: SparkSession, media: DataFrame,
                             batchSize: Int = 64): Dataset[DecodedVideo] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
+    spreadForKernel(media).as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val (nFrames, fpsX1000, w, h) = VideoCodec.decode(r.payload)
@@ -566,7 +671,7 @@ object Multimodal {
   def attachDeltaVideoPayload(spark: SparkSession,
                               docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    spreadForKernel(docs.select(col("doc_id"))).as[Long].map { id =>
       MediaRow(id, "gxd1", DeltaVideoCodec.encode(
         nFrames = (id % 4 + 2).toInt,
         width = (id % 32 + 16).toInt, height = (id * 5 % 32 + 16).toInt,
@@ -581,7 +686,7 @@ object Multimodal {
   def decodeDeltaVideoPartitions(spark: SparkSession, media: DataFrame,
                                  batchSize: Int = 64): Dataset[DecodedVideo] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
+    spreadForKernel(media).as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val (nFrames, fpsX1000, w, h) = DeltaVideoCodec.decode(r.payload)
@@ -620,7 +725,7 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8,
                       batchSize: Int = 256): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
+    spreadForKernel(media).as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // real impl: load model once per batch, run inference over the batch
         batch.iterator.map { r =>
