@@ -324,15 +324,22 @@ object Dedup {
     val sh = df.select(idCol.as("id"),
       array_distinct(
         graft.plans.HashedShingles.shingleHashes(textCol, n, 8)).as("sh"))
-    // pin the fetch-join distributions at fixed N (the jaccardPairs
-    // rule): candidate-pair rows are slim, so AQE would coalesce these
-    // exchanges by byte size and serialize the per-pair intersect
-    // scoring that runs AFTER the arrays are attached
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // The fetch joins are deliberately UNPINNED — the jaccardPairs
+    // fixed-N rule applies to QUADRATIC-output stages, and this one is
+    // linear: each candidate pair is scored exactly once, so output ≈
+    // input and AQE's input-byte sizing is an honest estimate. The
+    // quadratic stage (bucket pair EMISSION, Σ bucket²) already carries
+    // its pin inside [[lshCandidatePairs]], and when AQE broadcasts the
+    // doc-side shingle sets the scoring fuses into that pinned stage —
+    // full width with zero extra exchanges. Round-7 pinned both fetch
+    // distributions too; measured (round 8): the pins forced a pairs
+    // shuffle + broadcast and an extra exchange for nothing — removing
+    // them is 1.6→1.1 s at sf0.1 and 6.3→4.5 s at sf1 steady-state,
+    // identical output. Past broadcast scale the joins become shuffle
+    // joins on the id — the co-partitioned shape a corpus-wide fetch
+    // wants.
     pairs
-      .repartition(nPart, col("id1"))
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .repartition(nPart, col("id2"))
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("inter",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
