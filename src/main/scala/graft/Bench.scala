@@ -80,8 +80,9 @@ object Bench {
       "q_dedup_components_star" ->
         "2.3-3.5s across runs; iterative-join variance, plan stable",
       "q_multimodal_video" ->
-        "2.26-3.55s post-ImageIO-fix band (pre-fix 4.8-11.4s)",
-      "q_multimodal_decode" -> "1.37-2.18s post-ImageIO-fix band",
+        "0.6-1.0s post-spread band (round-8 kernel-parallelism fix; round-7 band 2.26-3.55s)",
+      "q_multimodal_decode" ->
+        "0.5-0.9s post-spread band (round-8; round-7 band 1.37-2.18s)",
       "q_dedup_minhash" ->
         "0.91-4.65s; one-shot GC/JIT spikes, see BASELINE.md bandbench",
       "q_dedup_minhash_bucketed" ->
