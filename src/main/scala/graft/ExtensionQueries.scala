@@ -1292,6 +1292,28 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"), col("label_id"))
         .orderBy("doc_id")),
 
+    // ---- snapshot diff (dataset versioning: crawl N vs crawl N+1): both
+    // sides reduce to (id, content digest) BEFORE the full-outer join, so
+    // the shuffle carries 16 bytes/row, never document payloads. Version 2
+    // is derived deterministically from the corpus (every 17th doc
+    // removed, every 11th edited, every 13th re-added under a shifted id),
+    // so DuckDB replays the whole diff by comparing contents directly —
+    // digest equality and content equality agree, making the operator
+    // hash-oracled end-to-end.
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val shift = broadcast(docs.agg((max(col("doc_id")) + lit(1L)).as("_s")))
+      val v2 = docs.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text", when(col("doc_id") % 11 === 2,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 5).crossJoin(shift)
+          .select((col("doc_id") + col("_s")).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.sources.Maintenance.snapshotDiff(docs, v2, "doc_id",
+          Seq("text", "lang", "source"))
+        .orderBy("doc_id", "change")
+    }),
+
     // ---- deterministic uniform hash-sample: map-side filter, no shuffle,
     // reproducible row set on any cluster layout.
     "q_sample_hash" -> ((s, d) =>
@@ -2926,6 +2948,32 @@ object ExtensionQueries {
       """SELECT doc_id, lang,
         |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS label_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Spark side diffs (id, xxhash64 digest) pairs; the oracle
+    // compares contents directly — digest equality and content equality
+    // agree, so the classification hash-matches
+    "q_snapshot_diff" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS s FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 2 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT s FROM mx), text, lang, source
+        |  FROM documents WHERE doc_id % 13 = 5),
+        |o AS (SELECT doc_id, text, lang, source FROM documents),
+        |diff AS (
+        |  SELECT COALESCE(o.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text IS NOT DISTINCT FROM v2.text
+        |          AND o.lang IS NOT DISTINCT FROM v2.lang
+        |          AND o.source IS NOT DISTINCT FROM v2.source
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS change
+        |  FROM o FULL OUTER JOIN v2 ON o.doc_id = v2.doc_id)
+        |SELECT doc_id, change FROM diff WHERE change <> 'unchanged'
+        |ORDER BY doc_id, change""".stripMargin,
 
     // the Spark side ENCODES a real PNG/JPEG per doc and DECODES it back
     // with javax.imageio; dims are a pure function of doc_id, so this

@@ -107,4 +107,40 @@ object Maintenance {
                          out: String = "label_id"): DataFrame =
     df.withColumn(out,
       row_number().over(Window.orderBy(orderCol.asc)).cast("long") - 1)
+
+  /** Snapshot diff between two versions of a keyed collection — the
+    * dataset-versioning primitive (what changed between crawl N and
+    * crawl N+1): every key classified `added` / `removed` / `changed`
+    * (or `unchanged`, off by default — at 100 TB the unchanged class is
+    * ~the whole corpus and emitting it is a full rewrite).
+    *
+    * 100 TB shape: each side is reduced to (id, content digest) BEFORE
+    * the full-outer join, so the shuffle carries 16 bytes/row instead
+    * of document payloads, and the join is a plain co-partitioned
+    * equi join — one exchange per side, no driver state. Content
+    * equality is xxhash64 over the content columns serialized with
+    * explicit field/null sentinels (Spark's multi-arg hash SKIPS null
+    * arguments, which would make (null, "a") collide with ("a", null);
+    * the sentinel encoding keeps null ≠ "null" ≠ absent). A 2⁻⁶⁴
+    * digest collision misreports one changed row as unchanged — the
+    * standard content-addressing trade, same as any dedup-by-hash. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCols: Seq[String],
+                   includeUnchanged: Boolean = false): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs ≥1 content column")
+    def digest(df: DataFrame, tag: String) =
+      df.select(col(idCol), xxhash64(concat_ws("\u0001",
+        contentCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0002"))): _*)).as(tag))
+    val joined = digest(oldDf, "_oh")
+      .join(digest(newDf, "_nh"), Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("_oh").isNull, lit("added"))
+          .when(col("_nh").isNull, lit("removed"))
+          .when(col("_oh") === col("_nh"), lit("unchanged"))
+          .otherwise(lit("changed")))
+    (if (includeUnchanged) joined
+     else joined.filter(col("change") =!= "unchanged"))
+      .select(col(idCol), col("change"))
+  }
 }

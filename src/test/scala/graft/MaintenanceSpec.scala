@@ -72,4 +72,50 @@ class MaintenanceSpec extends SparkSuite {
     assert(p.contains("Window"), p)
     assert(p.contains("windowspecdefinition(_pid"), p)
   }
+
+  test("snapshotDiff classifies added/removed/changed; unchanged excluded") {
+    val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "ko"),
+      (4L, "d", "en")).toDF("id", "text", "lang")
+    val v2 = Seq((1L, "a", "en"),        // unchanged
+      (2L, "B", "en"),                   // changed (text)
+      (3L, "c", "en"),                   // changed (lang)
+      (5L, "e", "en")).toDF("id", "text", "lang") // added; 4 removed
+    val out = Maintenance.snapshotDiff(v1, v2, "id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    val all = Maintenance.snapshotDiff(v1, v2, "id", Seq("text", "lang"),
+      includeUnchanged = true).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) === "unchanged" && all.size === 5)
+  }
+
+  test("snapshotDiff digest: null, 'null', and empty are all distinct; " +
+    "field boundaries don't shift") {
+    val v1 = Seq((1L, null.asInstanceOf[String], "x"), (2L, "ab", "c"),
+      (3L, "", "x")).toDF("id", "text", "lang")
+    // null→"null" and ""→null flips must both read as changed, and
+    // ("ab","c")→("a","bc") must not collide across the field boundary
+    val v2 = Seq((1L, "null", "x"), (2L, "a", "bc"), (3L, null, "x"))
+      .toDF("id", "text", "lang")
+    val out = Maintenance.snapshotDiff(v1, v2, "id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "changed", 2L -> "changed", 3L -> "changed"))
+  }
+
+  test("snapshotDiff plan: the join shuffles digests, not payloads") {
+    val v1 = (0L until 100L).map(i => (i, "t" * 100, "en"))
+      .toDF("id", "text", "lang")
+    val v2 = v1.filter(col("id") % 7 =!= 0)
+    val df = Maintenance.snapshotDiff(v1, v2, "id", Seq("text", "lang"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // every exchange input is the (id, digest) projection — the text
+    // payload never reaches a shuffle
+    val shuffledText = p.linesIterator
+      .dropWhile(l => !l.contains("Exchange")).mkString("\n")
+    assert(!shuffledText.contains("text#"),
+      s"payload column crossed an exchange:\n$p")
+  }
 }
