@@ -368,6 +368,40 @@ object ExtensionQueries {
     })
   }
 
+  /** Session-scoped persisted (id, digest) table over the documents
+    * table (the [[bandTable]] contract: weak-session cache of a table
+    * NAME, md5-of-dir + per-JVM-nonce naming, complete-write reuse).
+    * The recurring-ingest layout [[graft.sources.Maintenance
+    * .writeDigestTable]] documents: digest the corpus once, diff every
+    * later snapshot against the bucketed scan in place. */
+  private val digestTableCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def digestTable(s: SparkSession, d: String): String = {
+    val perSession = digestTableCache.synchronized {
+      digestTableCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      val name = "graft_digt_" + jvmNonce + "_" +
+        java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val complete =
+        fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+      if (!(complete && s.catalog.tableExists(name))) {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        fs.delete(loc, true)
+        graft.sources.Maintenance.writeDigestTable(Tables.documents(s, dir),
+          "doc_id", Seq("text", "lang", "source"), name)
+      }
+      name
+    })
+  }
+
   /** One random suffix per JVM for shared-warehouse table names — see
     * [[bandTable]]. Drawn once at class-init (not per call), so every
     * session in this JVM shares it and the per-dir reuse still works. */
@@ -1311,6 +1345,26 @@ object ExtensionQueries {
             col("lang"), col("source"), col("n_chars")))
       graft.sources.Maintenance.snapshotDiff(docs, v2, "doc_id",
           Seq("text", "lang", "source"))
+        .orderBy("doc_id", "change")
+    }),
+
+    // ---- recurring-ingest snapshot diff: the stored corpus is a
+    // persisted (id, digest) table BUCKETED by id — its bucketed scan
+    // already provides the join distribution, so the stored side is
+    // never re-read, re-shuffled, or re-digested; only the new snapshot
+    // shuffles. Same diff semantics, same oracle output as
+    // q_snapshot_diff (the layout is physical, not semantic).
+    "q_snapshot_diff_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val shift = broadcast(docs.agg((max(col("doc_id")) + lit(1L)).as("_s")))
+      val v2 = docs.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text", when(col("doc_id") % 11 === 2,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 5).crossJoin(shift)
+          .select((col("doc_id") + col("_s")).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.sources.Maintenance.snapshotDiffAgainstDigestTable(s,
+          digestTable(s, d), v2, "doc_id", Seq("text", "lang", "source"))
         .orderBy("doc_id", "change")
     }),
 
@@ -2953,6 +3007,32 @@ object ExtensionQueries {
     // compares contents directly — digest equality and content equality
     // agree, so the classification hash-matches
     "q_snapshot_diff" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS s FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 2 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT s FROM mx), text, lang, source
+        |  FROM documents WHERE doc_id % 13 = 5),
+        |o AS (SELECT doc_id, text, lang, source FROM documents),
+        |diff AS (
+        |  SELECT COALESCE(o.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text IS NOT DISTINCT FROM v2.text
+        |          AND o.lang IS NOT DISTINCT FROM v2.lang
+        |          AND o.source IS NOT DISTINCT FROM v2.source
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS change
+        |  FROM o FULL OUTER JOIN v2 ON o.doc_id = v2.doc_id)
+        |SELECT doc_id, change FROM diff WHERE change <> 'unchanged'
+        |ORDER BY doc_id, change""".stripMargin,
+
+    // physical layout change only: the incremental form diffs against
+    // the persisted bucketed digest table, output identical to the
+    // one-shot diff — same oracle
+    "q_snapshot_diff_inc" ->
       """WITH mx AS (SELECT max(doc_id) + 1 AS s FROM documents),
         |v2 AS (
         |  SELECT doc_id,

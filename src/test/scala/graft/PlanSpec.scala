@@ -319,6 +319,59 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("bucketed digest table: snapshot diff shuffles only the new side") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Maintenance
+    spark.sql("DROP TABLE IF EXISTS b_digest")
+    val whDir = new java.io.File("spark-warehouse/b_digest")
+    if (whDir.exists()) {
+      java.nio.file.Files.walk(whDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val docs = Tables.documents(spark, dir)
+    Maintenance.writeDigestTable(docs, "doc_id", Seq("text", "lang"),
+      "b_digest", buckets = 4)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit("!"))).otherwise(col("text")))
+    val inc = Maintenance.snapshotDiffAgainstDigestTable(spark, "b_digest",
+      v2, "doc_id", Seq("text", "lang"))
+    inc.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val finalPlan = inc.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    // a full-outer join never broadcasts: the stored (left) subtree must
+    // ride its buckets with no shuffle of its own
+    val storedSides = allNodes(finalPlan).collect {
+      case j: SortMergeJoinExec => j.left
+    }
+    assert(storedSides.nonEmpty, finalPlan.toString)
+    storedSides.foreach { l =>
+      val shuffles = allNodes(l).collect {
+        case e: ShuffleExchangeLike => e
+        case s: ShuffleQueryStageExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"stored digest side should not shuffle:\n$finalPlan")
+    }
+    // the physical layout must not change the answer: parity with the
+    // one-shot diff over the same two snapshots
+    val oneShot = Maintenance.snapshotDiff(docs, v2, "doc_id",
+      Seq("text", "lang"))
+    assert(inc.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(inc).count() === 0)
+  }
+
   test("bloom membership filter is map-side; pruned join stays a semi join") {
     import graft.operators.BloomJoin
     val fact = Tables.lineitem(spark, dir)
@@ -345,11 +398,13 @@ class PlanSpec extends SparkSuite {
   test("no declared query plans a cartesian product (BNLJ only where documented)") {
     // the sanctioned BroadcastNestedLoopJoins: q_knn_join's documented
     // broadcast-corpus crossJoin (its scale path is q_knn_join_ivf),
-    // q_hard_negatives, which composes over the same machinery, and
+    // q_hard_negatives, which composes over the same machinery,
     // q_bm25_rank's ONE-ROW broadcast avgdl aggregate (the
     // scalar-subquery shape — replaces a per-invocation eager
-    // agg().head(); broadcasting one row is free at any scale)
-    val allowedBnlj = Set("q_knn_join", "q_hard_negatives", "q_bm25_rank")
+    // agg().head(); broadcasting one row is free at any scale), and the
+    // snapshot-diff pair's ONE-ROW broadcast max-id shift (same shape)
+    val allowedBnlj = Set("q_knn_join", "q_hard_negatives", "q_bm25_rank",
+      "q_snapshot_diff", "q_snapshot_diff_inc")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
