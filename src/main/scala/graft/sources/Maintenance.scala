@@ -129,16 +129,21 @@ object Maintenance {
                    includeUnchanged: Boolean = false): DataFrame = {
     require(contentCols.nonEmpty, "snapshotDiff needs ≥1 content column")
     classify(
-      oldDf.select(col(idCol), contentDigest(contentCols).as("_oh"))
-        .join(newDf.select(col(idCol), contentDigest(contentCols).as("_nh")),
+      oldDf.select(col(idCol), digestColumn(contentCols).as("_oh"))
+        .join(newDf.select(col(idCol), digestColumn(contentCols).as("_nh")),
           Seq(idCol), "full_outer"),
       idCol, includeUnchanged)
   }
 
-  /** ONE digest serialization shared by [[snapshotDiff]] and the
-    * persisted digest table — a stored digest computed by a different
-    * encoding than the fresh side would misclassify every row. */
-  private def contentDigest(contentCols: Seq[String]): Column =
+  /** ONE digest serialization shared by [[snapshotDiff]], the persisted
+    * digest table, and any STREAMING maintainer of it — a stored digest
+    * computed by a different encoding than the fresh side would
+    * misclassify every row. Public because it is the composition point:
+    * the digest is a map-side deterministic function of the content
+    * columns, so it composes directly onto a streaming source feeding
+    * `Streams.upsertStreamBucketed` (the digest-table maintenance
+    * lifecycle — StreamsSpec proves streamed state ≡ batch table). */
+  def digestColumn(contentCols: Seq[String]): Column =
     xxhash64(concat_ws("\u0001", contentCols.map(c =>
       coalesce(col(c).cast("string"), lit("\u0002"))): _*))
 
@@ -164,7 +169,7 @@ object Maintenance {
                        contentCols: Seq[String], table: String,
                        buckets: Int = 32): Unit = {
     require(contentCols.nonEmpty, "digest table needs ≥1 content column")
-    df.select(col(idCol), contentDigest(contentCols).as("digest"))
+    df.select(col(idCol), digestColumn(contentCols).as("digest"))
       .write.mode("overwrite")
       .bucketBy(buckets, idCol).sortBy(idCol)
       .saveAsTable(table)
@@ -185,7 +190,7 @@ object Maintenance {
     require(contentCols.nonEmpty, "snapshotDiff needs ≥1 content column")
     classify(
       spark.table(table).select(col(idCol), col("digest").as("_oh"))
-        .join(newDf.select(col(idCol), contentDigest(contentCols).as("_nh")),
+        .join(newDf.select(col(idCol), digestColumn(contentCols).as("_nh")),
           Seq(idCol), "full_outer"),
       idCol, includeUnchanged)
   }

@@ -1100,6 +1100,49 @@ class StreamsSpec extends SparkSuite {
     assert(state() === s1, "replayed ingest must rebuild identical state")
   }
 
+  test("digest-table maintenance: streamed digest state equals the batch " +
+      "table through insert, update, and tombstone waves") {
+    // the snapshot-diff lifecycle composed with streaming ingest: the
+    // digest is a map-side deterministic function of the content columns
+    // (Maintenance.digestColumn), so it rides the generic keyed upsert —
+    // and the streamed state must equal a from-scratch writeDigestTable
+    // over the surviving corpus, or a later snapshotDiffAgainstDigestTable
+    // would misclassify rows the stream maintained.
+    import graft.sources.Maintenance
+    val base = Files.createTempDirectory("graft-digest-stream-").toString
+    val input = MemoryStream[(Long, String, String, Boolean)](spark)
+    val digested = input.toDF()
+      .toDF("doc_id", "text", "lang", "del")
+      .select(col("doc_id"),
+        Maintenance.digestColumn(Seq("text", "lang")).as("digest"),
+        col("del"))
+    val q = Streams.upsertStreamBucketed(spark, digested,
+      s"$base/state", s"$base/chk", nBuckets = 4,
+      deleteCol = Some("del"))
+    try {
+      input.addData(Seq((1L, "a", "en", false), (2L, "b", "en", false),
+        (3L, "c", "ko", false)))
+      q.processAllAvailable()
+      input.addData(Seq((2L, "B", "en", false),   // update
+        (4L, "d", "en", false),                   // insert
+        (3L, "", "", true)))                      // tombstone
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/state")
+      .select("doc_id", "digest").as[(Long, Long)].collect().sorted
+    // the surviving corpus, digested from scratch by the batch writer
+    spark.sql("DROP TABLE IF EXISTS digest_parity")
+    val survivors = Seq((1L, "a", "en"), (2L, "B", "en"), (4L, "d", "en"))
+      .toDF("doc_id", "text", "lang")
+    Maintenance.writeDigestTable(survivors, "doc_id", Seq("text", "lang"),
+      "digest_parity", buckets = 4)
+    val batch = spark.table("digest_parity")
+      .as[(Long, Long)].collect().sorted
+    assert(streamed === batch,
+      "streamed digest state diverged from the batch digest table")
+    spark.sql("DROP TABLE IF EXISTS digest_parity")
+  }
+
   test("incrementalCollection: file stream builds an embedded collection") {
     val base = Files.createTempDirectory("graft-stream-").toString
     val src = s"$base/src"; val idx = s"$base/idx"; val chk = s"$base/chk"
