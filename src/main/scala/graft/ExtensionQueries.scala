@@ -788,6 +788,23 @@ object ExtensionQueries {
           col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- CCNet head/middle/tail split: per-language LM-quality
+    // terciles, rank-based cuts (integer arithmetic — exact, no
+    // interpolated percentiles). One window shuffle on lang; the 100 TB
+    // form is sampled thresholds broadcast (see perplexityBuckets doc).
+    "q_ppl_buckets" -> ((s, d) =>
+      graft.operators.LmScore.perplexityBuckets(Tables.documents(s, d),
+          col("doc_id"), col("text"), col("lang"))
+        .orderBy("doc_id")),
+
+    // ---- BPE-training pair counts: word counts once (corpus shuffle),
+    // then adjacent char pairs over the DISTINCT-word vocab weighted by
+    // frequency — every post-wordcount stage is vocab-bounded, the pair
+    // agg alphabet²-bounded; top-k is TakeOrderedAndProject.
+    "q_bpe_pairs" -> ((s, d) =>
+      graft.operators.BpeStats.bpePairCounts(Tables.documents(s, d),
+          col("text"), k = 40)),
+
     // ---- one-pass data profiling: every metric for every column in a
     // single aggregate (map-side partials), driver-sized unpivot to long
     // form. Exact distincts (Expand) for the oracle; KMV is the
@@ -2583,6 +2600,48 @@ object ExtensionQueries {
          |  ${graft.functions.Rounding.floorRoundSql(
               "list_sum(list(p ORDER BY term)) / count(*)", 6)} AS lm_score
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+         |  FROM documents),
+         |c AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term),
+         |tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+         |pr AS (
+         |  SELECT t.doc_id, c.cnt::DOUBLE / (SELECT tot FROM tot) AS p,
+         |    t.term
+         |  FROM toks t JOIN c USING (term)),
+         |s AS (
+         |  SELECT doc_id, ${graft.functions.Rounding.floorRoundSql(
+              "list_sum(list(p ORDER BY term)) / count(*)", 6)} AS lm_score
+         |  FROM pr GROUP BY doc_id),
+         |j AS (
+         |  SELECT d.doc_id, coalesce(d.lang, 'und') AS lang, s.lm_score
+         |  FROM documents d JOIN s USING (doc_id)),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY lang) AS n FROM j)
+         |SELECT doc_id, lang, lm_score,
+         |  CASE WHEN rnk * 3 <= n THEN 'head'
+         |       WHEN rnk * 3 <= n * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS word
+         |  FROM documents),
+         |w AS (SELECT word, count(*)::BIGINT AS wcnt FROM toks GROUP BY word),
+         |p AS (
+         |  SELECT unnest([substr(word, i, 2) for i in
+         |      range(1, length(word))]) AS pair, wcnt
+         |  FROM w WHERE length(word) >= 2)
+         |SELECT pair, sum(wcnt)::BIGINT AS cnt
+         |FROM p GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
 
     "q_sketch_kmv" ->
       s"""WITH h AS (

@@ -45,7 +45,20 @@ object Scratch {
     if (only.contains("streamsoak")) runStreamSoak(spark)
     if (only.contains("ivfserve")) runIvfServe(spark)
     if (only.contains("ivfsoak")) runIvfSoak(spark)
+    // `runMain graft.Scratch explain <key> [key ...] [--sf <dir>]` —
+    // formatted physical plan of any SparkEntry query (plan-audit loop)
+    if (only.contains("explain")) runExplain(spark, args.drop(1))
     spark.stop()
+  }
+
+  private def runExplain(spark: SparkSession, args: Array[String]): Unit = {
+    val sfIdx = args.indexOf("--sf")
+    val dir = if (sfIdx >= 0) args(sfIdx + 1) else "/root/testdata/sf0.01"
+    val keys = (if (sfIdx >= 0) args.take(sfIdx) else args).toSeq
+    keys.foreach { k =>
+      println(s"==== $k @ $dir ====")
+      SparkEntry.queries(k)(spark, dir).explain("formatted")
+    }
   }
 
   /** IVF/PQ serving soak at 1M × 384-dim (the reference's real

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Rounding.floorRound6
@@ -40,5 +41,39 @@ object LmScore {
         aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("p"))
           / col("n_tokens")))
       .select(col("doc_id"), col("n_tokens"), col("lm_score"))
+  }
+
+  /** CCNet-style per-language quality buckets (Wenzek et al. 2020): rank
+    * each language's documents by LM quality and cut into head / middle
+    * / tail terciles. CCNet ranks by perplexity ascending; [[lmScore]]
+    * is the inverse-direction stand-in (higher = more ordinary text),
+    * so head = highest score. Bucket boundaries are RANK-based
+    * (`rnk*3 <= n` integer arithmetic over a deterministic
+    * (score desc, doc_id) order), not interpolated percentiles — exact
+    * and cross-engine hashable, oracled as `q_ppl_buckets`. Languages
+    * with fewer than 3 docs fall toward tail — the conservative bucket
+    * for a keep/discard quality split.
+    *
+    * Scale shape: one window shuffle on lang. Real corpora are ~90%
+    * one language, so at 100 TB the production form is CCNet's own:
+    * tercile THRESHOLDS from a per-language sample (driver-sized,
+    * broadcast) and a map-side bucket assign — no per-lang sort. The
+    * windowed form here is the exact-oracle variant; both emit the
+    * same schema. */
+  def perplexityBuckets(df: DataFrame, idCol: Column, textCol: Column,
+      langCol: Column): DataFrame = {
+    val scored = lmScore(df, idCol, textCol)
+    val lang = df.select(idCol.as("doc_id"),
+      coalesce(langCol, lit("und")).as("lang"))
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    scored.join(lang, "doc_id")
+      .withColumn("rnk", row_number().over(byLang))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n"), "head")
+          .when(col("rnk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
   }
 }
