@@ -805,6 +805,29 @@ object ExtensionQueries {
       graft.operators.BpeStats.bpePairCounts(Tables.documents(s, d),
           col("text"), k = 40)),
 
+    // ---- full BPE merge loop: 8 rounds of (vocab-bounded pair count →
+    // argmax merge). EAGER at construction (driver loop, one 1-row
+    // collect per round — the pqTopKRefinedFetch precedent); the oracle
+    // replays the identical greedy fold as an unrolled 8-step CTE chain.
+    "q_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.BpeStats.trainMerges(Tables.documents(s, d),
+          col("text"), nMerges = 8)
+        .toDF("step", "lhs", "rhs", "cnt").orderBy("step")
+    }),
+
+    // ---- tokenize under the trained merges: the fold chain applies to
+    // the DISTINCT vocab only (zero extra corpus passes), token counts
+    // join back per-document — corpus × vocab hash join, nothing
+    // quadratic. Same eager-training note as q_bpe_train.
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.BpeStats.trainMerges(docs, col("text"),
+        nMerges = 8)
+      graft.operators.BpeStats.bpeTokens(docs, col("doc_id"), col("text"), m)
+        .orderBy("doc_id")
+    }),
+
     // ---- one-pass data profiling: every metric for every column in a
     // single aggregate (map-side partials), driver-sized unpivot to long
     // form. Exact distincts (Expand) for the oracle; KMV is the
@@ -862,6 +885,18 @@ object ExtensionQueries {
     // (a 1,000-link chain converges in ~10 rounds, DedupSpec). Oracled
     // against the SAME recursive-CTE SQL as q_dedup_components: both
     // variants must produce identical component minima.
+    // ---- keep-best survivorship over the near-dup clusters: component
+    // labels from the O(log²) star contraction, representative = argmax
+    // AGGREGATE (map-side partial min over a (−quality, id) struct — a
+    // boilerplate mega-cluster never forces a per-component sort).
+    "q_cluster_rep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterRepresentatives(docs, col("doc_id"),
+          length(col("text")),
+          Dedup.lshCandidatePairs(docs, col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_components_star" -> ((s, d) =>
       Dedup.connectedComponentsStar(
           Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
@@ -1749,6 +1784,53 @@ object ExtensionQueries {
   private def dsumSql(e: String): String =
     s"sum(($e)::DECIMAL(18,4))::DOUBLE"
 
+  /** Unrolled BPE merge loop for the q_bpe_train / q_bpe_encode oracles:
+    * seg0 = per-character vocabulary segmentation, then `n` rounds of
+    * (pairs_k: adjacent symbol pairs; best_k: argmax pair with the
+    * (cnt desc, pair) tiebreak; seg_k: the SAME greedy left-to-right
+    * fold as [[graft.operators.BpeStats.mergeFold]], spelled with
+    * DuckDB's `list_reduce` — lambdas capture the cross-joined 1-row
+    * best_k columns). DuckDB's list_reduce seeds from the first element,
+    * Spark's `aggregate` from an empty string with a first-step CASE:
+    * identical folds.
+    *
+    * Layout constraint: the CALLER's template interpolates this text and
+    * then calls `.stripMargin` on the combined string — no generated
+    * line may start with whitespace + `|` (a leading `||` loses its
+    * first pipe), so every `||` here trails its line. */
+  private def bpeOracleCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS word
+         |  FROM documents),
+         |seg0 AS (
+         |  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+         |    count(*)::BIGINT AS wcnt
+         |  FROM toks GROUP BY word)""".stripMargin
+    for (k <- 1 to n) sb ++=
+      s""",
+         |pairs$k AS (
+         |  SELECT unnest([sp[i] || ' ' || sp[i+1]
+         |      for i in range(1, len(sp))]) AS pair, wcnt
+         |  FROM (SELECT string_split(sym, ' ') AS sp, wcnt FROM seg${k - 1})),
+         |best$k AS (
+         |  SELECT $k AS step, split_part(pair, ' ', 1) AS l,
+         |    split_part(pair, ' ', 2) AS r, sum(wcnt)::BIGINT AS cnt
+         |  FROM pairs$k GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+         |seg$k AS (
+         |  SELECT word, list_reduce(string_split(sym, ' '), (acc, x) ->
+         |    CASE WHEN list_extract(string_split(acc, ' '), -1) = b.l
+         |          AND x = b.r
+         |         THEN CASE WHEN acc = b.l THEN b.l || b.r
+         |              ELSE substring(acc, 1, length(acc) - length(b.l) - 1) ||
+         |                ' ' || b.l || b.r END
+         |         ELSE acc || ' ' || x END) AS sym, wcnt
+         |  FROM seg${k - 1}, best$k b)""".stripMargin
+    sb.toString
+  }
+
   /** Shared by `q_knn_join` AND `q_knn_join_exhaustive`: the exhaustive-
     * probe IVF join is semantically brute force, so both are held to the
     * identical oracle. */
@@ -2130,6 +2212,33 @@ object ExtensionQueries {
          |    ON r.b = e.a AND e.b <> r.a)
          |SELECT a AS id, least(a, min(b)) AS component
          |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    "q_cluster_rep" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e
+         |    ON r.b = e.a AND e.b <> r.a),
+         |comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |j AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         |    length(d.text) AS q
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |r AS (
+         |  SELECT *, first_value(doc_id) OVER (PARTITION BY component
+         |      ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |    AS rep_id
+         |  FROM j)
+         |SELECT doc_id, component, rep_id,
+         |  (doc_id = rep_id)::INT AS is_rep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH t AS (
@@ -2642,6 +2751,20 @@ object ExtensionQueries {
          |SELECT pair, sum(wcnt)::BIGINT AS cnt
          |FROM p GROUP BY pair
          |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
+
+    "q_bpe_train" ->
+      s"""WITH ${bpeOracleCtes(8)}
+         |${(1 to 8).map(k =>
+             s"SELECT step, l AS lhs, r AS rhs, cnt FROM best$k")
+             .mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY step""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""WITH ${bpeOracleCtes(8)}
+         |SELECT t.doc_id,
+         |  sum(len(string_split(v.sym, ' ')))::BIGINT AS n_bpe_tokens,
+         |  count(*)::BIGINT AS n_words
+         |FROM toks t JOIN seg8 v USING (word)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_sketch_kmv" ->
       s"""WITH h AS (

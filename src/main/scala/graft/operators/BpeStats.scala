@@ -47,4 +47,116 @@ object BpeStats {
       .groupBy("pair").agg(sum("wcnt").as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
+
+  // --- full merge loop (training) + tokenize (apply) --------------------
+
+  /** Initial segmentation: every character becomes a symbol, joined by
+    * single spaces ("abc" → "a b c"). Character-class regex, so
+    * multi-byte (Korean/CJK) text segments by character in BOTH engines
+    * (DuckDB mirror: `regexp_replace(w, '(.)', '\1 ', 'g')`). */
+  def charSeg(word: Column): Column =
+    trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** Adjacent symbol pairs of a space-joined segmentation, each pair
+    * emitted as "left right". */
+  def adjacentPairs(seg: Column): Column = {
+    val syms = split(seg, " ")
+    // size-guarded: sequence(1, 0) would generate a DESCENDING [1, 0]
+    // (single-symbol rows), not an empty list
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One greedy left-to-right merge pass: rewrite a space-joined
+    * segmentation so every non-overlapping adjacent (left, right)
+    * occurrence becomes the concatenated symbol, scanning left to right
+    * (the canonical BPE merge: after a merge the new symbol cannot
+    * re-merge within the same pass — merged == left would need an empty
+    * right). Implemented as a string fold so the SAME expression runs in
+    * DuckDB (`list_reduce` with identical CASE arms): state = rewritten
+    * prefix; on (last symbol == left && next == right), strip the last
+    * symbol by exact length and append the merged one. */
+  def mergeFold(seg: Column, left: Column, right: Column): Column = {
+    val merged = concat(left, right)
+    aggregate(split(seg, " "), lit(""), (acc, x) =>
+      when(acc === "", x)
+        .when(element_at(split(acc, " "), -1) === left && x === right,
+          when(acc === left, merged)
+            .otherwise(concat(
+              acc.substr(lit(1), length(acc) - length(left) - 1),
+              lit(" "), merged)))
+        .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Classic BPE training (Sennrich et al. 2016): `nMerges` rounds of
+    * (count adjacent pairs over the segmented vocabulary, weighted by
+    * word frequency) → (merge the most frequent pair everywhere). Runs
+    * EAGERLY at call time — each round is one vocabulary-bounded Spark
+    * job plus a single-row collect (the argmax pair; ties broken by pair
+    * string, so the loop is deterministic). The corpus is touched once,
+    * by [[wordCounts]]; every round after that is sized by the DISTINCT
+    * vocabulary — millions of rows at 100 TB, not billions — and each
+    * round's segmentation is persisted so lineage stays one pass deep.
+    * Stops early if no pair remains (vocabulary fully merged).
+    *
+    * Returns (step, left, right, cnt) in merge order. */
+  def trainMerges(df: DataFrame, textCol: Column,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var seg = wordCounts(df, textCol)
+      .select(charSeg(col("word")).as("sym"), col("wcnt"))
+      .persist()
+    seg.count()
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = seg
+        .select(explode(adjacentPairs(col("sym"))).as("pair"), col("wcnt"))
+        .groupBy("pair").agg(sum("wcnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        // symbols never contain spaces (whitespace-split words), so the
+        // first space is the symbol boundary
+        val Array(l, r) = pair.split(" ", 2)
+        out += ((step, l, r, cnt))
+        val next = seg
+          .select(mergeFold(col("sym"), lit(l), lit(r)).as("sym"),
+            col("wcnt"))
+          .persist()
+        next.count()
+        seg.unpersist()
+        seg = next
+        step += 1
+      }
+    }
+    seg.unpersist()
+    out.result()
+  }
+
+  /** Tokenize under a trained merge table: apply the merges IN ORDER to
+    * the distinct-word vocabulary (the folds chain into one column
+    * expression — vocabulary-sized compute, zero corpus passes), then
+    * join token counts back onto the per-document word list. The join is
+    * corpus × vocabulary on the word key — broadcastable while the vocab
+    * is small, an ordinary hash join at scale; no stage is quadratic. */
+  def bpeTokens(df: DataFrame, idCol: Column, textCol: Column,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val segmented = merges.foldLeft(charSeg(col("word"))) {
+      case (seg, (_, l, r, _)) => mergeFold(seg, lit(l), lit(r))
+    }
+    val vocab = df.select(explode(tokens(textCol)).as("word")).distinct()
+      .select(col("word"),
+        size(split(segmented, " ")).as("word_tokens"))
+    df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("word"))
+      .join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(sum("word_tokens").as("n_bpe_tokens"),
+        count(lit(1)).as("n_words"))
+  }
 }

@@ -514,6 +514,35 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  /** Survivorship map for a keep-best near-dup dedup: every document
+    * labeled with its duplicate component, the component's
+    * REPRESENTATIVE (highest quality, ties to the smallest id), and
+    * whether the document survives. Documents in no candidate pair
+    * represent themselves.
+    *
+    * Scale shape: component labels come from the O(log² n) star
+    * contraction ([[connectedComponentsStar]]); the representative is an
+    * argmax AGGREGATE — min over a (−quality, id) struct, map-side
+    * partials — joined back on the component key. A boilerplate
+    * mega-cluster therefore costs a partial min, never a per-component
+    * sort (the window form would sort the skewed partition). */
+  def clusterRepresentatives(docs: DataFrame, idCol: Column,
+      qualityCol: Column, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponentsStar(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val labeled = docs
+      .select(idCol.cast("long").as("doc_id"), qualityCol.as("quality"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val reps = labeled.groupBy("component")
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("rid")))
+        .as("m"))
+      .select(col("component"), col("m.rid").as("rep_id"))
+    labeled.join(reps, "component")
+      .select(col("doc_id"), col("component"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).cast("int").as("is_rep"))
+  }
+
   // ---- winnowing fingerprints -----------------------------------------
 
   /** MOSS-style winnowing fingerprints: the minimum 16-bit shingle hash

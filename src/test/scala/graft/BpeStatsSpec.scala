@@ -31,6 +31,44 @@ class BpeStatsSpec extends SparkSuite {
     assert(got.toSeq === Seq(("ab", 1L))) // tie with "ac" broken by pair asc
   }
 
+  test("trainMerges: canonical greedy merge order on a known corpus") {
+    // words: aaab x3, ab x2.
+    // seg0: "a a a b":3, "a b":2 → pairs: (a,a):6, (a,b):5 → merge (a,a)
+    // seg1: "aa a b":3, "a b":2 → pairs: (a,b):5, (aa,a):3 → merge (a,b)
+    // seg2: "aa ab":3, "ab":2  → pairs: (aa,ab):3       → merge (aa,ab)
+    // seg3: "aaab":3, "ab":2   → no pairs → early stop
+    val df = Seq("aaab ab", "aaab ab", "aaab").toDF("text")
+    val got = BpeStats.trainMerges(df, col("text"), nMerges = 10)
+    assert(got === Seq(
+      (1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+  }
+
+  test("trainMerges: multi-byte symbols merge by character") {
+    val df = Seq("한국어 한국").toDF("text")
+    val got = BpeStats.trainMerges(df, col("text"), nMerges = 2)
+    assert(got === Seq((1, "한", "국", 2L), (2, "한국", "어", 1L)))
+  }
+
+  test("mergeFold: greedy left-to-right, no re-merge within a pass") {
+    val df = Seq("a a a a", "a a a", "b a a", "c").toDF("seg")
+    val got = df.select(
+        BpeStats.mergeFold(col("seg"), lit("a"), lit("a")).as("m"))
+      .as[String].collect().toSeq
+    assert(got === Seq("aa aa", "aa a", "b aa", "c"))
+  }
+
+  test("bpeTokens: per-doc token counts under a trained merge table") {
+    val df = Seq(
+      (1L, "aaab ab aaab"),
+      (2L, "ab")).toDF("doc_id", "text")
+    // after 2 merges (a,a)+(a,b): aaab → "aa ab" (2 tokens), ab → 1
+    val merges = Seq((1, "a", "a", 6L), (2, "a", "b", 5L))
+    val got = BpeStats.bpeTokens(df, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 3L), (2L, 1L, 1L)))
+  }
+
   test("perplexityBuckets: rank-based terciles per language") {
     // 6 en docs with ordered scores → 2/2/2 split; 1 doc with null lang
     // lands in 'und' where the rank cut puts a singleton in tail (the

@@ -58,6 +58,24 @@ class DedupSpec extends SparkSuite {
     assert(out === Array((1L, 3L), (3L, 1L), (4L, 1L)))
   }
 
+  test("clusterRepresentatives: keep-best survivorship; singletons " +
+      "represent themselves; quality ties break to the smaller id") {
+    val d = Seq(
+      (1L, "aa"), (2L, "bbbb"), (3L, "cc"),      // cluster {1,2,3} → rep 2
+      (4L, "dd"),                                 // singleton
+      (5L, "ee"), (6L, "ff")                      // cluster {5,6}, tie → 5
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val got = Dedup.clusterRepresentatives(d, col("doc_id"),
+        length(col("text")), pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, 0), (2L, 1L, 2L, 1), (3L, 1L, 2L, 0),
+      (4L, 4L, 4L, 1),
+      (5L, 5L, 5L, 1), (6L, 5L, 5L, 0)))
+  }
+
   test("wordShingles: n-grams of the token stream; short text collapses") {
     val sh = one("a b c d").select(Dedup.wordShingles(col("t"), 3).as("s"))
       .as[Seq[String]].head()
