@@ -108,7 +108,11 @@ object BpeStats {
     var seg = wordCounts(df, textCol)
       .select(charSeg(col("word")).as("sym"), col("wcnt"))
       .persist()
-    seg.count()
+    // one job per round: the round's argmax collect is ALSO the action
+    // that materializes this round's (lazily) persisted segmentation, so
+    // the parent segmentation unpersists only after the child is cached —
+    // no extra count() materialization jobs
+    var prev: DataFrame = null
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
@@ -117,6 +121,7 @@ object BpeStats {
         .groupBy("pair").agg(sum("wcnt").as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1).collect()
+      if (prev != null) prev.unpersist()
       if (best.isEmpty) exhausted = true
       else {
         val pair = best(0).getString(0)
@@ -125,17 +130,16 @@ object BpeStats {
         // first space is the symbol boundary
         val Array(l, r) = pair.split(" ", 2)
         out += ((step, l, r, cnt))
-        val next = seg
+        prev = seg
+        seg = seg
           .select(mergeFold(col("sym"), lit(l), lit(r)).as("sym"),
             col("wcnt"))
           .persist()
-        next.count()
-        seg.unpersist()
-        seg = next
         step += 1
       }
     }
     seg.unpersist()
+    if (prev != null) prev.unpersist()
     out.result()
   }
 
