@@ -797,6 +797,15 @@ object ExtensionQueries {
           col("doc_id"), col("text"), col("lang"))
         .orderBy("doc_id")),
 
+    // ---- the 100 TB form: tercile thresholds from a deterministic
+    // hash sample, broadcast, map-side assign — the corpus is never
+    // sorted per language (the only window runs over the sample).
+    "q_ppl_buckets_sampled" -> ((s, d) =>
+      graft.operators.LmScore.perplexityBucketsSampled(
+          Tables.documents(s, d), col("doc_id"), col("text"), col("lang"),
+          rate = 0.25)
+        .orderBy("doc_id")),
+
     // ---- BPE-training pair counts: word counts once (corpus shuffle),
     // then adjacent char pairs over the DISTINCT-word vocab weighted by
     // frequency — every post-wordcount stage is vocab-bounded, the pair
@@ -1784,6 +1793,28 @@ object ExtensionQueries {
   private def dsumSql(e: String): String =
     s"sum(($e)::DECIMAL(18,4))::DOUBLE"
 
+  /** Shared scoring prefix of the two quality-bucket oracles: unigram
+    * LM score per document (`j` = doc_id, lang, lm_score) — the same
+    * term-sorted float fold as the q_lm_score oracle. */
+  private val pplScoreCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+       |  FROM documents),
+       |c AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term),
+       |tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+       |pr AS (
+       |  SELECT t.doc_id, c.cnt::DOUBLE / (SELECT tot FROM tot) AS p,
+       |    t.term
+       |  FROM toks t JOIN c USING (term)),
+       |s AS (
+       |  SELECT doc_id, ${graft.functions.Rounding.floorRoundSql(
+            "list_sum(list(p ORDER BY term)) / count(*)", 6)} AS lm_score
+       |  FROM pr GROUP BY doc_id),
+       |j AS (
+       |  SELECT d.doc_id, coalesce(d.lang, 'und') AS lang, s.lm_score
+       |  FROM documents d JOIN s USING (doc_id))""".stripMargin
+
   /** Unrolled BPE merge loop for the q_bpe_train / q_bpe_encode oracles:
     * seg0 = per-character vocabulary segmentation, then `n` rounds of
     * (pairs_k: adjacent symbol pairs; best_k: argmax pair with the
@@ -2711,23 +2742,7 @@ object ExtensionQueries {
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ppl_buckets" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_filter(
-         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
-         |  FROM documents),
-         |c AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term),
-         |tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
-         |pr AS (
-         |  SELECT t.doc_id, c.cnt::DOUBLE / (SELECT tot FROM tot) AS p,
-         |    t.term
-         |  FROM toks t JOIN c USING (term)),
-         |s AS (
-         |  SELECT doc_id, ${graft.functions.Rounding.floorRoundSql(
-              "list_sum(list(p ORDER BY term)) / count(*)", 6)} AS lm_score
-         |  FROM pr GROUP BY doc_id),
-         |j AS (
-         |  SELECT d.doc_id, coalesce(d.lang, 'und') AS lang, s.lm_score
-         |  FROM documents d JOIN s USING (doc_id)),
+      s"""WITH $pplScoreCte,
          |r AS (
          |  SELECT *, row_number() OVER (
          |      PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS rnk,
@@ -2737,6 +2752,26 @@ object ExtensionQueries {
          |       WHEN rnk * 3 <= n * 2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_buckets_sampled" ->
+      s"""WITH $pplScoreCte,
+         |smp AS (
+         |  SELECT * FROM j WHERE ${hash16Sql("doc_id::VARCHAR")} < 16384),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY lang) AS n FROM smp),
+         |cuts AS (
+         |  SELECT lang,
+         |    min(CASE WHEN rnk * 3 <= n THEN lm_score END) AS head_min,
+         |    min(CASE WHEN rnk * 3 <= n * 2 THEN lm_score END) AS mid_min
+         |  FROM r GROUP BY lang)
+         |SELECT j.doc_id, j.lang, j.lm_score,
+         |  CASE WHEN j.lm_score >= c.head_min THEN 'head'
+         |       WHEN j.lm_score >= c.mid_min THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM j LEFT JOIN cuts c USING (lang)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH toks AS (

@@ -62,12 +62,9 @@ object LmScore {
     * same schema. */
   def perplexityBuckets(df: DataFrame, idCol: Column, textCol: Column,
       langCol: Column): DataFrame = {
-    val scored = lmScore(df, idCol, textCol)
-    val lang = df.select(idCol.as("doc_id"),
-      coalesce(langCol, lit("und")).as("lang"))
     val byLang = Window.partitionBy("lang")
       .orderBy(col("lm_score").desc, col("doc_id"))
-    scored.join(lang, "doc_id")
+    scoredWithLang(df, idCol, textCol, langCol)
       .withColumn("rnk", row_number().over(byLang))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
       .withColumn("bucket",
@@ -75,5 +72,49 @@ object LmScore {
           .when(col("rnk") * 3 <= col("n") * 2, "middle")
           .otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
+  }
+
+  /** (doc_id, lang, lm_score) — the shared scoring join of the two
+    * bucket forms. */
+  private def scoredWithLang(df: DataFrame, idCol: Column, textCol: Column,
+      langCol: Column): DataFrame = {
+    val lang = df.select(idCol.as("doc_id"),
+      coalesce(langCol, lit("und")).as("lang"))
+    lmScore(df, idCol, textCol).join(lang, "doc_id")
+  }
+
+  /** The 100 TB form of [[perplexityBuckets]] — CCNet's own: tercile
+    * THRESHOLD scores from a deterministic per-language hash sample,
+    * broadcast into a map-side score compare. The corpus is NEVER
+    * sorted per language (real corpora are ~90% one language, so the
+    * exact form's window would sort most of 100 TB in one partition
+    * set); the only window runs over the sample. Differences from the
+    * exact form, both inherent to thresholding: (a) sampling error at
+    * the cut, (b) documents TIED with a threshold score stay in the
+    * same bucket where rank cuts split them. Languages absent from the
+    * sample (or with an empty head cut) fall to tail — the conservative
+    * bucket. Deterministic (md5 sample, rank-cut thresholds), so the
+    * whole path is DuckDB-replayable: oracled as
+    * `q_ppl_buckets_sampled`. */
+  def perplexityBucketsSampled(df: DataFrame, idCol: Column,
+      textCol: Column, langCol: Column, rate: Double): DataFrame = {
+    val scored = scoredWithLang(df, idCol, textCol, langCol)
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    val cuts = scored
+      .filter(graft.functions.TextFunctions.tokenHash16(
+        col("doc_id").cast("string")) < lit((rate * 65536).toLong))
+      .withColumn("rnk", row_number().over(byLang))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy("lang").agg(
+        min(when(col("rnk") * 3 <= col("n"), col("lm_score")))
+          .as("head_min"),
+        min(when(col("rnk") * 3 <= col("n") * 2, col("lm_score")))
+          .as("mid_min"))
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") >= col("head_min"), "head")
+          .when(col("lm_score") >= col("mid_min"), "middle")
+          .otherwise("tail").as("bucket"))
   }
 }

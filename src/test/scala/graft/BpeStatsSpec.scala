@@ -96,6 +96,59 @@ class BpeStatsSpec extends SparkSuite {
     assert(got(7L) === ("und", "tail"))
   }
 
+  test("perplexityBucketsSampled: rate 1.0 + distinct scores == exact " +
+      "rank form; sampled thresholds keep score ties together") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = LmScore.perplexityBuckets(docs, col("doc_id"),
+        col("text"), col("lang"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val full = LmScore.perplexityBucketsSampled(docs, col("doc_id"),
+        col("text"), col("lang"), rate = 1.0)
+      .select("doc_id", "lm_score", "lang", "bucket")
+      .as[(Long, Double, String, String)].collect()
+    // at rate 1.0 the thresholds are the exact cuts: any disagreement
+    // must be a score TIED with a threshold (rank cuts split ties,
+    // score compare keeps them together)
+    val scores = full.groupBy(r => (r._3, r._4)).view
+      .mapValues(_.map(_._2).toSet).toMap
+    full.foreach { case (id, score, lang, bucket) =>
+      if (exact(id) != bucket) {
+        val exactPeers = scores.getOrElse((lang, exact(id)), Set())
+        assert(exactPeers.contains(score) ||
+            scores((lang, bucket)).contains(score),
+          s"doc $id: exact=${exact(id)} sampled=$bucket score=$score " +
+            "disagrees without a tie at the cut")
+      }
+    }
+    // buckets are score-monotone per language: min(head) >= max(middle)
+    // >= ... within each lang
+    full.groupBy(_._3).foreach { case (lang, rows) =>
+      val byB = rows.groupBy(_._4).view.mapValues(_.map(_._2)).toMap
+      for {
+        h <- byB.get("head"); m <- byB.get("middle")
+      } assert(h.min >= m.max, s"$lang head/middle overlap")
+      for {
+        m <- byB.get("middle"); t <- byB.get("tail")
+      } assert(m.min >= t.max, s"$lang middle/tail overlap")
+    }
+  }
+
+  test("perplexityBucketsSampled: rate 0.25 agreement with the exact " +
+      "form stays high; every doc is bucketed") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = LmScore.perplexityBuckets(docs, col("doc_id"),
+        col("text"), col("lang"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val sampled = LmScore.perplexityBucketsSampled(docs, col("doc_id"),
+        col("text"), col("lang"), rate = 0.25)
+      .select("doc_id", "bucket").as[(Long, String)].collect()
+    assert(sampled.length === exact.size)
+    assert(sampled.forall(r => Set("head", "middle", "tail")(r._2)))
+    val agree = sampled.count(r => exact(r._1) == r._2).toDouble
+    assert(agree / sampled.length >= 0.75,
+      f"sampled-vs-exact agreement ${agree / sampled.length}%.2f under 0.75")
+  }
+
   test("perplexityBuckets: tercile sizes differ by at most 1 and are " +
       "ordered head<=middle<=tail within each language") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
