@@ -26,13 +26,43 @@ import graft.functions.TextFunctions.tokens
   * shuffle. Linear throughout — no n² term anywhere. */
 object LmScore {
 
-  def lmScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val terms = df.select(idCol.as("doc_id"),
-      explode(tokens(textCol)).as("term"))
-    val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+  def lmScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    scoreAgainst(docTerms(df, idCol, textCol),
+      unigramProbs(df, idCol, textCol))
+
+  /** The corpus-global unigram probability table (term, p) — the
+    * driver-free half of [[lmScore]], exposed so a recurring-ingest
+    * pipeline can PERSIST it and score later batches against it
+    * (one `head()` for the total-token count; the table itself is
+    * vocabulary-sized and stays distributed). */
+  def unigramProbs(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val counts = docTerms(df, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt")).head().getLong(0)
-    terms.join(counts, "term")
-      .withColumn("p", col("cnt").cast("double") / lit(total.toDouble))
+    counts.select(col("term"),
+      (col("cnt").cast("double") / lit(total.toDouble)).as("p"))
+  }
+
+  /** Score against a STORED unigram-probability table (term, p) instead
+    * of counts computed from `df` itself — the recurring-ingest form: a
+    * new batch of documents is scored under the reference corpus'
+    * statistics ([[graft.streaming.Streams.qualityBucketStream]]).
+    * Terms unseen in the reference table contribute probability 0 (the
+    * correct penalty for out-of-corpus noise). Identical to [[lmScore]]
+    * when `termProbs` was derived from `df` itself. */
+  def lmScoreWith(df: DataFrame, idCol: Column, textCol: Column,
+      termProbs: DataFrame): DataFrame =
+    scoreAgainst(docTerms(df, idCol, textCol), termProbs)
+
+  private def docTerms(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("term"))
+
+  private def scoreAgainst(terms: DataFrame,
+      termProbs: DataFrame): DataFrame =
+    terms.join(termProbs, Seq("term"), "left")
+      .withColumn("p", coalesce(col("p"), lit(0.0)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sort_array(collect_list(struct(col("term"), col("p"))))
@@ -41,7 +71,6 @@ object LmScore {
         aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("p"))
           / col("n_tokens")))
       .select(col("doc_id"), col("n_tokens"), col("lm_score"))
-  }
 
   /** CCNet-style per-language quality buckets (Wenzek et al. 2020): rank
     * each language's documents by LM quality and cut into head / middle
@@ -99,9 +128,19 @@ object LmScore {
   def perplexityBucketsSampled(df: DataFrame, idCol: Column,
       textCol: Column, langCol: Column, rate: Double): DataFrame = {
     val scored = scoredWithLang(df, idCol, textCol, langCol)
+    assignBuckets(scored, tercileCuts(scored, rate))
+  }
+
+  /** Per-language tercile threshold scores (lang, head_min, mid_min)
+    * from a deterministic md5 hash sample of a scored
+    * (doc_id, lang, lm_score) table — the window runs over the SAMPLE
+    * only. The table is language-count-sized: persist it and new
+    * batches bucket with zero corpus-global work
+    * ([[graft.streaming.Streams.qualityBucketStream]]). */
+  def tercileCuts(scored: DataFrame, rate: Double): DataFrame = {
     val byLang = Window.partitionBy("lang")
       .orderBy(col("lm_score").desc, col("doc_id"))
-    val cuts = scored
+    scored
       .filter(graft.functions.TextFunctions.tokenHash16(
         col("doc_id").cast("string")) < lit((rate * 65536).toLong))
       .withColumn("rnk", row_number().over(byLang))
@@ -111,10 +150,14 @@ object LmScore {
           .as("head_min"),
         min(when(col("rnk") * 3 <= col("n") * 2, col("lm_score")))
           .as("mid_min"))
+  }
+
+  /** Map-side bucket assign of a scored table under broadcast
+    * thresholds; unknown languages (no cuts row) fall to tail. */
+  def assignBuckets(scored: DataFrame, cuts: DataFrame): DataFrame =
     scored.join(broadcast(cuts), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("lm_score"),
         when(col("lm_score") >= col("head_min"), "head")
           .when(col("lm_score") >= col("mid_min"), "middle")
           .otherwise("tail").as("bucket"))
-  }
 }

@@ -334,6 +334,77 @@ object Streams {
       }
       .start()
 
+  // ---- streaming quality-bucket assignment ----------------------------
+
+  /** Persist the corpus-global quality statistics that
+    * [[qualityBucketStream]] reads: the unigram probability table
+    * (`$statsDir/probs`: term, p) and the per-language sampled tercile
+    * thresholds (`$statsDir/cuts`: lang, head_min, mid_min). Rebuilt on
+    * the periodic-recompute cadence (the digest/band-table lifecycle);
+    * between rebuilds, new documents score and bucket against these
+    * stored stats with ZERO corpus-global work. */
+  def writeQualityStats(spark: SparkSession, docs: DataFrame,
+      statsDir: String, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      rate: Double = 0.25): Unit = {
+    import graft.operators.LmScore
+    val probs = LmScore.unigramProbs(docs, col(idCol), col(textCol))
+    probs.write.mode("overwrite").parquet(s"$statsDir/probs")
+    val stored = spark.read.parquet(s"$statsDir/probs")
+    val scored = LmScore
+      .lmScoreWith(docs, col(idCol), col(textCol), stored)
+      .join(docs.select(col(idCol).as("doc_id"),
+        coalesce(col(langCol), lit("und")).as("lang")), "doc_id")
+    LmScore.tercileCuts(scored, rate)
+      .write.mode("overwrite").parquet(s"$statsDir/cuts")
+  }
+
+  /** Streaming quality-bucket assignment — the incremental form of
+    * [[graft.operators.LmScore.perplexityBucketsSampled]]: each
+    * micro-batch of documents is LM-scored against the persisted
+    * unigram table and bucketed with the persisted per-language
+    * thresholds ([[writeQualityStats]]). All corpus-global state lives
+    * in those two stored tables — the stream itself does one
+    * vocabulary join and a broadcast threshold compare per batch, so a
+    * batch's cost is sized by the batch, never the corpus.
+    *
+    * Replay-idempotent via the chunkStream pattern: each batch writes
+    * its own `batch_id` partition with dynamic overwrite, so a
+    * crash-replayed batch overwrites its own output. Stats tables are
+    * read INSIDE foreachBatch — a stats rebuild between micro-batches
+    * is picked up without restarting the stream. */
+  def qualityBucketStream(spark: SparkSession, docs: DataFrame,
+      statsDir: String, outDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(Seq(idCol, tsCol))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.LmScore
+          val probs = spark.read.parquet(s"$statsDir/probs")
+          val cuts = spark.read.parquet(s"$statsDir/cuts")
+          val scored = LmScore
+            .lmScoreWith(batch.toDF(), col(idCol), col(textCol), probs)
+            .join(batch.select(col(idCol).as("doc_id"),
+              coalesce(col(langCol), lit("und")).as("lang")), "doc_id")
+          LmScore.assignBuckets(scored, cuts)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   // ---- streaming Count-Min sketch maintenance -------------------------
 
   /** Streaming Count-Min sketch maintenance — approximate per-key

@@ -752,6 +752,36 @@ class StreamsSpec extends SparkSuite {
     assert(out.filter(col("digest") =!= md5(col("chunk_text"))).count() === 0)
   }
 
+  test("qualityBucketStream: streamed buckets over a full corpus replay " +
+      "equal the batch sampled form bit-for-bit") {
+    import graft.operators.LmScore
+    val dir = Files.createTempDirectory("graft-qbucket-stream-").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Streams.writeQualityStats(spark, docs, s"$dir/stats")
+    val rows = docs.select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String, Timestamp)](spark)
+    val q = Streams.qualityBucketStream(spark,
+      input.toDF().toDF("doc_id", "text", "lang", "ts"),
+      s"$dir/stats", s"$dir/out", s"$dir/chk")
+    try {
+      input.addData(rows.take(250).map(r => (r._1, r._2, r._3, ts(1))).toSeq)
+      q.processAllAvailable()
+      input.addData(rows.drop(250).map(r => (r._1, r._2, r._3, ts(2))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "lang", "lm_score", "bucket")
+      .orderBy("doc_id")
+      .as[(Long, String, Double, String)].collect().toSeq
+    val batch = LmScore.perplexityBucketsSampled(docs, col("doc_id"),
+        col("text"), col("lang"), rate = 0.25)
+      .orderBy("doc_id")
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(streamed.length === batch.length)
+    assert(streamed === batch)
+  }
+
   test("cmsStream: partials per batch, merge == batch sketch, replay + compaction safe") {
     import graft.operators.Sketches
     val dir = Files.createTempDirectory("graft-cms-stream-").toString
