@@ -1508,6 +1508,51 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- the curation FUNNEL report: per-stage doc/token counts down
+    // the full spine (raw → lang+quality floor → exact dedup → near-dup
+    // drop → keep head+middle quality terciles) — the audit table every
+    // corpus release publishes. Each stage is an aggregate of the
+    // previous stage's survivors; the scored frame is checkpointed once
+    // (the q_clean_pipeline barrier note) so five stage-counts never
+    // re-inline the scoring subtree.
+    "q_curation_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = withLangId(
+        withQualityScore(docs, col("text")), col("text"))
+        .withColumn("ntok",
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long"))
+        .localCheckpoint(eager = true)
+      val f = scored
+        .filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
+      val kept = f
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("_rn") === 1).drop("_rn")
+      val dropIds = Dedup.lshCandidatePairs(kept, col("doc_id"),
+          col("text"))
+        .select(col("id2").as("drop_id")).distinct()
+      val nd = kept
+        .join(dropIds, kept("doc_id") === dropIds("drop_id"), "left_anti")
+        .localCheckpoint(eager = true)
+      val byLang = Window.partitionBy("pred_lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+      val fin = nd.withColumn("rnk", row_number().over(byLang))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("pred_lang")))
+        .filter(col("rnk") * 3 <= col("n") * 2)
+      def stage(idx: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stage(0, "raw", scored)
+        .unionByName(stage(1, "lang_quality", f))
+        .unionByName(stage(2, "exact_dedup", kept))
+        .unionByName(stage(3, "near_dedup", nd))
+        .unionByName(stage(4, "quality_head_middle", fin))
+        .orderBy("stage_idx")
+    }),
+
     // ---- bucketized range join: customers whose balance falls in a
     // ±100 band around each supplier's — an equi join on coarse buckets
     // replaces the |points|×|intervals| nested loop.
@@ -1792,6 +1837,82 @@ object ExtensionQueries {
   /** DuckDB spelling of [[dsum]]. */
   private def dsumSql(e: String): String =
     s"sum(($e)::DECIMAL(18,4))::DOUBLE"
+
+  /** Shared CTE chain of the curation spine (the q_clean_pipeline and
+    * q_curation_funnel oracles): tokenized corpus `toks0`, quality
+    * scores `qual`, language ID `lid`, the lang/quality filter `f`,
+    * exact-dedup survivors `kept`, and the LSH near-dup drop set
+    * `drops` (pairs computed over the FILTERED survivors, not the raw
+    * corpus — the funnel stages compose exactly like the Spark side). */
+  private def cleanPipelineCtes: String = {
+    val scores = langMarkers.map { case (l, ms) =>
+      s"${langScoreSql(ms)} AS s_$l"
+    }.mkString(", ")
+    val bestSql = langMarkers.map(m => s"s_${m._1}")
+      .mkString("greatest(", ", ", ")")
+    val cascade = langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""toks0 AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x != '') AS toks
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id, text,
+         |    floor((least(len(text)::DOUBLE / 500.0, 1.0) * 0.25
+         |      + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+         |          / greatest(len(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.25
+         |      + least((CASE WHEN len(toks) > 0 THEN
+         |          len(list_filter(toks, t -> list_contains($stopSql, t)))::DOUBLE
+         |            / len(toks)::DOUBLE ELSE 0.0 END) * 5.0, 1.0) * 0.25
+         |      + least((CASE WHEN len(toks) > 0 THEN
+         |          list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+         |            / len(toks)::DOUBLE ELSE 0.0 END) / 10.0, 1.0) * 0.25)
+         |      * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM toks0),
+         |pads AS (
+         |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded
+         |  FROM documents),
+         |scs AS (SELECT doc_id, text, $scores FROM pads),
+         |lid AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_extract_all(text,
+         |           '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |         $cascade ELSE 'und' END AS pred_lang
+         |  FROM (SELECT *, $bestSql AS best FROM scs)),
+         |f AS (
+         |  SELECT q.doc_id, q.text, q.quality, l.pred_lang
+         |  FROM qual q JOIN lid l USING (doc_id)
+         |  WHERE l.pred_lang != 'und' AND q.quality >= 0.5),
+         |k AS (SELECT min(doc_id) AS keep_id FROM f GROUP BY md5(text)),
+         |kept AS (SELECT * FROM f WHERE doc_id IN (SELECT keep_id FROM k)),
+         |tk2 AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM kept),
+         |sh2 AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [array_to_string(tk, ' ')] END AS sh FROM tk2),
+         |hv2 AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${hash16Sql("s")}) AS hv
+         |  FROM sh2),
+         |sig2 AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
+         |    list_aggregate(list_transform(hv,
+         |      h -> ((37*j + 101) * h + (1009*j + 9176)) % 1000000007),
+         |      'min')) AS sig FROM hv2),
+         |bands2 AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    (sig[b*2+1] % 2147483647) * 2000000011 + sig[b*2+2] AS band_key
+         |  FROM sig2, generate_series(0, 3) t(b)),
+         |drops AS (
+         |  SELECT DISTINCT b.doc_id AS did
+         |  FROM bands2 a JOIN bands2 b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** Shared scoring prefix of the two quality-bucket oracles: unigram
     * LM score per document (`j` = doc_id, lang, lm_score) — the same
@@ -2585,77 +2706,37 @@ object ExtensionQueries {
         |SELECT o_custkey, o_orderkey, o_totalprice
         |FROM ranked WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
-    "q_clean_pipeline" -> {
-      val scores = langMarkers.map { case (l, ms) =>
-        s"${langScoreSql(ms)} AS s_$l"
-      }.mkString(", ")
-      val bestSql = langMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
-      val cascade = langMarkers.map { case (l, _) =>
-        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""WITH toks0 AS (
-         |  SELECT doc_id, text,
-         |    list_filter(string_split_regex(lower(text), '\\s+'),
-         |      x -> x != '') AS toks
-         |  FROM documents),
-         |qual AS (
-         |  SELECT doc_id, text,
-         |    floor((least(len(text)::DOUBLE / 500.0, 1.0) * 0.25
-         |      + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-         |          / greatest(len(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.25
-         |      + least((CASE WHEN len(toks) > 0 THEN
-         |          len(list_filter(toks, t -> list_contains($stopSql, t)))::DOUBLE
-         |            / len(toks)::DOUBLE ELSE 0.0 END) * 5.0, 1.0) * 0.25
-         |      + least((CASE WHEN len(toks) > 0 THEN
-         |          list_sum(list_transform(toks, t -> len(t)))::DOUBLE
-         |            / len(toks)::DOUBLE ELSE 0.0 END) / 10.0, 1.0) * 0.25)
-         |      * 10000.0 + 0.5) / 10000.0 AS quality
-         |  FROM toks0),
-         |pads AS (
-         |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded
-         |  FROM documents),
-         |scs AS (SELECT doc_id, text, $scores FROM pads),
-         |lid AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(regexp_extract_all(text,
-         |           '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
-         |         $cascade ELSE 'und' END AS pred_lang
-         |  FROM (SELECT *, $bestSql AS best FROM scs)),
-         |f AS (
-         |  SELECT q.doc_id, q.text, q.quality, l.pred_lang
-         |  FROM qual q JOIN lid l USING (doc_id)
-         |  WHERE l.pred_lang != 'und' AND q.quality >= 0.5),
-         |k AS (SELECT min(doc_id) AS keep_id FROM f GROUP BY md5(text)),
-         |kept AS (SELECT * FROM f WHERE doc_id IN (SELECT keep_id FROM k)),
-         |tk2 AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-         |    x -> x != '') AS tk FROM kept),
-         |sh2 AS (
-         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
-         |    list_transform(generate_series(1, len(tk) - 2),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-         |    ELSE [array_to_string(tk, ' ')] END AS sh FROM tk2),
-         |hv2 AS (
-         |  SELECT doc_id, list_transform(sh, s -> ${hash16Sql("s")}) AS hv
-         |  FROM sh2),
-         |sig2 AS (
-         |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
-         |    list_aggregate(list_transform(hv,
-         |      h -> ((37*j + 101) * h + (1009*j + 9176)) % 1000000007),
-         |      'min')) AS sig FROM hv2),
-         |bands2 AS (
-         |  SELECT doc_id, b AS band_idx,
-         |    (sig[b*2+1] % 2147483647) * 2000000011 + sig[b*2+2] AS band_key
-         |  FROM sig2, generate_series(0, 3) t(b)),
-         |drops AS (
-         |  SELECT DISTINCT b.doc_id AS did
-         |  FROM bands2 a JOIN bands2 b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id)
-         |SELECT doc_id, pred_lang, quality FROM kept
-         |WHERE doc_id NOT IN (SELECT did FROM drops)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_clean_pipeline" ->
+      (s"WITH $cleanPipelineCtes\n" +
+        """SELECT doc_id, pred_lang, quality FROM kept
+          |WHERE doc_id NOT IN (SELECT did FROM drops)
+          |ORDER BY doc_id""".stripMargin),
+
+    "q_curation_funnel" ->
+      (s"WITH $cleanPipelineCtes,\n" +
+        """nd AS (
+          |  SELECT * FROM kept
+          |  WHERE doc_id NOT IN (SELECT did FROM drops)),
+          |rb AS (
+          |  SELECT doc_id, row_number() OVER (PARTITION BY pred_lang
+          |      ORDER BY quality DESC, doc_id) AS rnk,
+          |    count(*) OVER (PARTITION BY pred_lang) AS n
+          |  FROM nd),
+          |fin AS (SELECT doc_id FROM rb WHERE rnk * 3 <= n * 2),
+          |tl AS (SELECT doc_id, len(toks)::BIGINT AS ntok FROM toks0)
+          |SELECT * FROM (
+          |  SELECT 0 AS stage_idx, 'raw' AS stage,
+          |    count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens
+          |  FROM tl
+          |  UNION ALL SELECT 1, 'lang_quality', count(*)::BIGINT,
+          |    sum(ntok)::BIGINT FROM f JOIN tl USING (doc_id)
+          |  UNION ALL SELECT 2, 'exact_dedup', count(*)::BIGINT,
+          |    sum(ntok)::BIGINT FROM kept JOIN tl USING (doc_id)
+          |  UNION ALL SELECT 3, 'near_dedup', count(*)::BIGINT,
+          |    sum(ntok)::BIGINT FROM nd JOIN tl USING (doc_id)
+          |  UNION ALL SELECT 4, 'quality_head_middle', count(*)::BIGINT,
+          |    sum(ntok)::BIGINT FROM fin JOIN tl USING (doc_id))
+          |ORDER BY stage_idx""".stripMargin),
 
     "q_range_join" ->
       """SELECT c_custkey, s_suppkey

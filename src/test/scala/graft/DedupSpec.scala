@@ -76,6 +76,20 @@ class DedupSpec extends SparkSuite {
       (5L, 5L, 5L, 1), (6L, 5L, 5L, 0)))
   }
 
+  test("curation funnel: stage counts are monotone non-increasing and " +
+      "stage 0 covers the whole corpus") {
+    val rows = SparkEntry.queries("q_curation_funnel")(spark,
+        "/root/testdata/sf0.001")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(rows.map(_._2) === Seq("raw", "lang_quality", "exact_dedup",
+      "near_dedup", "quality_head_middle"))
+    assert(rows.head._3 ===
+      Tables.documents(spark, "/root/testdata/sf0.001").count())
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"$a -> $b not monotone")
+    }
+  }
+
   test("wordShingles: n-grams of the token stream; short text collapses") {
     val sh = one("a b c d").select(Dedup.wordShingles(col("t"), 3).as("s"))
       .as[Seq[String]].head()
