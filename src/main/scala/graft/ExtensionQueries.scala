@@ -1606,6 +1606,19 @@ object ExtensionQueries {
       Sampling.assignSplit(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
 
+    // ---- training-shard assignment (the export sink's deterministic
+    // core): hash split → epoch-shuffle order → token-budget packing,
+    // with the cum-sum over the balanced two-pass machinery
+    // (withGroupedCumSum) — no single-partition window even though the
+    // train split holds ~80% of the corpus.
+    "q_train_shards" -> ((s, d) =>
+      graft.sources.Maintenance.trainingShardAssignment(
+          s, Tables.documents(s, d), col("doc_id"), col("text"),
+          epoch = 0, budgetTokens = 1000L)
+        .select(col("doc_id"), col("split"), col("n_tokens"),
+          col("cum_tokens"), col("shard"))
+        .orderBy("doc_id")),
+
     // ---- deterministic resampling to a target domain mix (40% web /
     // 30% code / ... — the pretraining data-mixing step): largest
     // upsample-free total T = min(n_d/p_d), per-domain keep rate
@@ -2765,6 +2778,27 @@ object ExtensionQueries {
          |       WHEN ${hash16Sql("doc_id::VARCHAR")} % 100 < 20 THEN 'val'
          |       ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_train_shards" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${hash16Sql("doc_id::VARCHAR")} % 100 < 10
+         |           THEN 'test'
+         |         WHEN ${hash16Sql("doc_id::VARCHAR")} % 100 < 20
+         |           THEN 'val'
+         |         ELSE 'train' END AS split,
+         |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x != ''))::BIGINT AS n_tokens,
+         |    ${hash32Sql("'0:' || doc_id::VARCHAR")} AS eh
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, split, n_tokens,
+         |    (sum(n_tokens) OVER (PARTITION BY split ORDER BY eh, doc_id
+         |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+         |  FROM s)
+         |SELECT doc_id, split, n_tokens, cum_tokens,
+         |  ((cum_tokens - n_tokens) // 1000)::BIGINT AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // domain-mix replay: same T = min(n/p), same floor(p·T/n·2^16)
     // integer thresholds, same 16-bit hash — all-DOUBLE arithmetic on

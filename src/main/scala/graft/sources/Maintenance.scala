@@ -86,6 +86,91 @@ object Maintenance {
       .drop("_pid")
   }
 
+  /** Balanced per-group global running sum — the scale form of a
+    * `sum over (partition by group order by k)` window when one group
+    * holds most of the data (a train split is ~80 % of the corpus; the
+    * plain window would put it in ONE task). Same mechanism as
+    * [[withDenseIdsBy]]: range sort on (group, order) keeps full
+    * parallelism, per-(partition, group) value totals collect to the
+    * driver (#partitions × #groups rows), prefix offsets broadcast
+    * back, and the running sum inside each partition is a LOCAL window.
+    * `orderCol` must be unique within each group. */
+  def withGroupedCumSum(spark: SparkSession, df: DataFrame,
+                        groupCol: Column, orderCol: Column,
+                        valueCol: Column, out: String): DataFrame = {
+    val sorted = df.orderBy(groupCol.asc, orderCol.asc)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_g", groupCol.cast("string"))
+      .localCheckpoint(true)
+    val parts = sorted.groupBy(col("_g"), col("_pid"))
+      .agg(sum(valueCol).as("_n"))
+      .orderBy("_g", "_pid")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offsets: Map[String, Long] = {
+      val m = Map.newBuilder[String, Long]
+      var cur: String = null
+      var run = 0L
+      parts.foreach { case (g, pid, n) =>
+        if (g != cur) { cur = g; run = 0L }
+        m += (s"$pid:$g" -> run)
+        run += n
+      }
+      m.result()
+    }
+    val w = Window.partitionBy(col("_pid"), col("_g"))
+      .orderBy(orderCol.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.withColumn(out,
+        element_at(typedlit(offsets),
+          concat(col("_pid").cast("string"), lit(":"), col("_g"))) +
+          sum(valueCol).over(w))
+      .drop("_pid", "_g")
+  }
+
+  /** Per-document training-shard assignment — the last mile of the
+    * curation pipeline: hash split (train/val/test), deterministic
+    * epoch-shuffle order within each split, consecutive docs packed
+    * into ~`budgetTokens` shards ([[graft.operators.Sampling]] pieces
+    * composed over [[withGroupedCumSum]], so no single-partition
+    * window anywhere). Fully deterministic — oracled as
+    * `q_train_shards`. */
+  def trainingShardAssignment(spark: SparkSession, docs: DataFrame,
+                              idCol: Column, textCol: Column, epoch: Int,
+                              budgetTokens: Long): DataFrame = {
+    import graft.operators.Sampling
+    val shuffled = Sampling.epochShuffle(spark,
+      Sampling.assignSplit(docs, idCol), idCol, epoch)
+      .withColumn("n_tokens",
+        size(graft.functions.TextFunctions.tokens(textCol)).cast("long"))
+    withGroupedCumSum(spark, shuffled, col("split"), col("pos"),
+        col("n_tokens"), "cum_tokens")
+      .withColumn("shard",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budgetTokens))
+          .cast("bigint"))
+  }
+
+  /** Write the training-shard store: [[trainingShardAssignment]]
+    * materialized as parquet partitioned by (split, shard), one task —
+    * and so one ordered file set — per shard (size the token budget so
+    * a shard is a sane file: ~100 M tokens ≈ 500 MB). Returns the
+    * per-shard manifest (split, shard, n_docs, n_tokens) a trainer
+    * consumes. */
+  def writeTrainingShards(spark: SparkSession, docs: DataFrame,
+                          outDir: String, idCol: Column, textCol: Column,
+                          epoch: Int = 0,
+                          budgetTokens: Long = 100000L): DataFrame = {
+    trainingShardAssignment(spark, docs, idCol, textCol, epoch,
+        budgetTokens)
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions("pos")
+      .write.mode("overwrite")
+      .partitionBy("split", "shard")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+  }
+
   /** Observed write: attach pipeline-health metrics (row count, null-key
     * count, …) to a job with `df.observe` — they're computed DURING the
     * write, no second pass over the data — and return them. The batch

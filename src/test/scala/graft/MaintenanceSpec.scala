@@ -73,6 +73,60 @@ class MaintenanceSpec extends SparkSuite {
     assert(p.contains("windowspecdefinition(_pid"), p)
   }
 
+  test("withGroupedCumSum equals the single-window cumulative sum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).map(i => (i, if (i % 10 == 0) "b" else "a",
+      i % 7 + 1)).toDF("k", "g", "v").repartition(8)
+    val got = Maintenance.withGroupedCumSum(spark, df, col("g"), col("k"),
+        col("v"), "cum")
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("cum", sum("v").over(
+        Window.partitionBy("g").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("writeTrainingShards: every doc exactly once, shard budgets hold, " +
+      "files ordered by position, manifest matches the store") {
+    val dir = Files.createTempDirectory("graft-shards-").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val manifest = Maintenance.writeTrainingShards(spark, docs,
+      s"$dir/shards", col("doc_id"), col("text"), epoch = 0,
+      budgetTokens = 500L)
+    val store = spark.read.parquet(s"$dir/shards")
+    // exactly-once coverage
+    assert(store.count() === docs.count())
+    assert(store.select("doc_id").distinct().count() === docs.count())
+    // a doc crossing the boundary belongs to the bin it STARTS in — a
+    // bin's total can exceed the budget by at most that one doc's
+    // tokens (sum ≤ B + n_last), never by two docs'
+    val worst = store.agg(max("n_tokens")).head().getLong(0)
+    val overMax = store.groupBy("split", "shard")
+      .agg(sum("n_tokens").as("t")).agg(max("t")).head().getLong(0)
+    assert(overMax <= 500 + worst, s"shard exceeds budget+1doc: $overMax")
+    // shards numbered from 0, consecutively, per split
+    store.select("split", "shard").distinct()
+      .as[(String, Long)].collect().groupBy(_._1).foreach {
+        case (s, rows) =>
+          val ids = rows.map(_._2).sorted
+          assert(ids.head === 0L && ids === (0L until ids.length).toArray,
+            s"$s shards not consecutive: ${ids.mkString(",")}")
+      }
+    // manifest agrees with the store
+    val m = manifest.as[(String, Long, Long, Long)].collect().toSet
+    val s2 = store.groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(m === s2)
+    // each shard directory's rows come out in epoch order (one sorted
+    // file set per shard)
+    val trainShard0 = spark.read
+      .parquet(s"$dir/shards/split=train/shard=0")
+      .select("pos").as[Long].collect()
+    assert(trainShard0.toSeq === trainShard0.sorted.toSeq)
+  }
+
   test("snapshotDiff classifies added/removed/changed; unchanged excluded") {
     val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "ko"),
       (4L, "d", "en")).toDF("id", "text", "lang")
