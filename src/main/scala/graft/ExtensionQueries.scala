@@ -426,6 +426,28 @@ object ExtensionQueries {
     })
   }
 
+  /** Session-scoped trained BPE merge table (8 rounds over documents,
+    * same weak-session contract as [[pqModel]]): the merge loop is
+    * deterministic (argmax with a full tiebreak), so caching cannot
+    * change results — q_bpe_train and q_bpe_encode share ONE training
+    * run instead of each re-running the 8-round loop. */
+  private val bpeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        Seq[(Int, String, String, Long)]]]())
+  private def bpeMerges(s: SparkSession,
+      d: String): Seq[(Int, String, String, Long)] = {
+    val perSession = bpeCache.synchronized {
+      bpeCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String,
+          Seq[(Int, String, String, Long)]]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      graft.operators.BpeStats.trainMerges(Tables.documents(s, dir),
+        col("text"), nMerges = 8)
+    })
+  }
+
   /** Residual PQ model over the [[ivfIndex]] cell structure (IVF-PQ),
     * cached with the same lifecycle. */
   private val ivfPqCache = java.util.Collections.synchronizedMap(
@@ -820,22 +842,17 @@ object ExtensionQueries {
     // replays the identical greedy fold as an unrolled 8-step CTE chain.
     "q_bpe_train" -> ((s, d) => {
       import s.implicits._
-      graft.operators.BpeStats.trainMerges(Tables.documents(s, d),
-          col("text"), nMerges = 8)
-        .toDF("step", "lhs", "rhs", "cnt").orderBy("step")
+      bpeMerges(s, d).toDF("step", "lhs", "rhs", "cnt").orderBy("step")
     }),
 
     // ---- tokenize under the trained merges: the fold chain applies to
     // the DISTINCT vocab only (zero extra corpus passes), token counts
     // join back per-document — corpus × vocab hash join, nothing
     // quadratic. Same eager-training note as q_bpe_train.
-    "q_bpe_encode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val m = graft.operators.BpeStats.trainMerges(docs, col("text"),
-        nMerges = 8)
-      graft.operators.BpeStats.bpeTokens(docs, col("doc_id"), col("text"), m)
-        .orderBy("doc_id")
-    }),
+    "q_bpe_encode" -> ((s, d) =>
+      graft.operators.BpeStats.bpeTokens(Tables.documents(s, d),
+          col("doc_id"), col("text"), bpeMerges(s, d))
+        .orderBy("doc_id")),
 
     // ---- one-pass data profiling: every metric for every column in a
     // single aggregate (map-side partials), driver-sized unpivot to long
@@ -898,13 +915,15 @@ object ExtensionQueries {
     // labels from the O(log²) star contraction, representative = argmax
     // AGGREGATE (map-side partial min over a (−quality, id) struct — a
     // boilerplate mega-cluster never forces a per-component sort).
-    "q_cluster_rep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.clusterRepresentatives(docs, col("doc_id"),
+    // pairs come from the SESSION band table (identical pair set to
+    // lshCandidatePairs; q_dedup_minhash_bucketed proves the equality) —
+    // the recurring-ingest form: representatives recomputed per wave
+    // read pre-shuffled buckets, no re-hash of the corpus.
+    "q_cluster_rep" -> ((s, d) =>
+      Dedup.clusterRepresentatives(Tables.documents(s, d), col("doc_id"),
           length(col("text")),
-          Dedup.lshCandidatePairs(docs, col("doc_id"), col("text")))
-        .orderBy("doc_id")
-    }),
+          Dedup.lshPairsFromBandTable(s, bandTable(s, d)))
+        .orderBy("doc_id")),
 
     "q_dedup_components_star" -> ((s, d) =>
       Dedup.connectedComponentsStar(
