@@ -171,6 +171,64 @@ object Maintenance {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
   }
 
+  /** Recurring-ingest shard export: assign and write ONLY the new
+    * wave's documents, opening fresh shards after each split's current
+    * maximum — existing shard files are immutable (a trainer may
+    * already hold them; reopening a partially-filled shard would
+    * rewrite consumed data). The wave is epoch-ordered and packed
+    * within itself; cost is sized by the wave, plus one driver-sized
+    * read of the store's (split, shard) ids. Returns the wave's
+    * manifest rows. */
+  def appendTrainingShards(spark: SparkSession, newDocs: DataFrame,
+                           outDir: String, idCol: Column, textCol: Column,
+                           epoch: Int = 0,
+                           budgetTokens: Long = 100000L): DataFrame = {
+    val base: Map[String, Long] =
+      try spark.read.parquet(outDir)
+        // partition-dir inference types `shard` as INT on read-back
+        .groupBy("split").agg(max(col("shard").cast("long")).as("m"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1) + 1L)).toMap
+      catch { case _: org.apache.spark.sql.AnalysisException => Map() }
+    val baseCol =
+      if (base.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(base), col("split")), lit(0L))
+    val assigned = trainingShardAssignment(spark, newDocs, idCol, textCol,
+        epoch, budgetTokens)
+      .withColumn("shard", col("shard") + baseCol)
+    // stage the wave, then MOVE its shard dirs in (the compact() swap
+    // pattern): a mid-job crash leaves only the staging dir — the store
+    // never holds a half-written shard. Fresh ids → no dir collisions.
+    val stg = outDir.stripSuffix("/") + "__wave"
+    assigned
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions("pos")
+      .write.mode("overwrite")
+      .partitionBy("split", "shard")
+      .parquet(stg)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stgPath = new org.apache.hadoop.fs.Path(stg)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (!fs.exists(outPath)) fs.rename(stgPath, outPath)
+    else {
+      fs.listStatus(stgPath).filter(_.isDirectory).foreach { splitDir =>
+        val destSplit = new org.apache.hadoop.fs.Path(outPath,
+          splitDir.getPath.getName)
+        fs.mkdirs(destSplit)
+        fs.listStatus(splitDir.getPath).filter(_.isDirectory)
+          .foreach { shardDir =>
+            require(fs.rename(shardDir.getPath,
+              new org.apache.hadoop.fs.Path(destSplit,
+                shardDir.getPath.getName)),
+              s"failed to move ${shardDir.getPath} into $destSplit")
+          }
+      }
+      fs.delete(stgPath, true)
+    }
+    assigned.groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+  }
+
   /** Observed write: attach pipeline-health metrics (row count, null-key
     * count, …) to a job with `df.observe` — they're computed DURING the
     * write, no second pass over the data — and return them. The batch

@@ -405,6 +405,46 @@ object Streams {
       }
       .start()
 
+  // ---- streaming training-shard export --------------------------------
+
+  /** Streaming shard export — the foreachBatch form of
+    * [[graft.sources.Maintenance.appendTrainingShards]] with
+    * replay-idempotent output: shard ids are scoped PER MICRO-BATCH and
+    * written under a `batch_id=<b>` partition with dynamic overwrite
+    * (the chunkStream pattern), so a crash-replayed batch overwrites
+    * its own wave instead of appending duplicates — the shard key a
+    * trainer consumes is (batch_id, split, shard). The batch-cadence
+    * append form (globally consecutive shard ids, staged move) is the
+    * Maintenance method; this is the always-on form. */
+  def shardStream(spark: SparkSession, docs: DataFrame, outDir: String,
+                  checkpointDir: String, idCol: String = "doc_id",
+                  textCol: String = "text", tsCol: String = "ts",
+                  watermarkDelay: String = "10 minutes", epoch: Int = 0,
+                  budgetTokens: Long = 100000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(Seq(idCol, tsCol))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Maintenance
+            .trainingShardAssignment(spark, batch.toDF(), col(idCol),
+              col(textCol), epoch, budgetTokens)
+            .withColumn("batch_id", lit(batchId))
+            .repartition(col("split"), col("shard"))
+            .sortWithinPartitions("pos")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "split", "shard")
+            .parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   // ---- streaming Count-Min sketch maintenance -------------------------
 
   /** Streaming Count-Min sketch maintenance — approximate per-key

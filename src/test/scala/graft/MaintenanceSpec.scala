@@ -127,6 +127,37 @@ class MaintenanceSpec extends SparkSuite {
     assert(trainShard0.toSeq === trainShard0.sorted.toSeq)
   }
 
+  test("appendTrainingShards: waves open fresh consecutive shards, old " +
+      "files untouched, staging dir cleaned, store covers both waves") {
+    val dir = Files.createTempDirectory("graft-shard-waves-").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val w1 = docs.filter(col("doc_id") < 250)
+    val w2 = docs.filter(col("doc_id") >= 250)
+    Maintenance.appendTrainingShards(spark, w1, s"$dir/st",
+      col("doc_id"), col("text"), budgetTokens = 500L)
+    val files1 = spark.read.parquet(s"$dir/st")
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    Maintenance.appendTrainingShards(spark, w2, s"$dir/st",
+      col("doc_id"), col("text"), budgetTokens = 500L)
+    val store = spark.read.parquet(s"$dir/st")
+    assert(store.count() === docs.count())
+    assert(store.select("doc_id").distinct().count() === docs.count())
+    // wave 1's physical files are still present and untouched
+    val files2 = store.select(input_file_name()).distinct()
+      .as[String].collect().toSet
+    assert(files1.subsetOf(files2))
+    // shard ids stay consecutive from 0 per split ACROSS waves
+    store.select("split", "shard").distinct()
+      .as[(String, Long)].collect().groupBy(_._1).foreach {
+        case (s, rows) =>
+          val ids = rows.map(_._2).sorted
+          assert(ids === (0L until ids.length).toArray,
+            s"$s shards not consecutive across waves: ${ids.mkString(",")}")
+      }
+    assert(!new java.io.File(s"$dir/st__wave").exists())
+  }
+
   test("snapshotDiff classifies added/removed/changed; unchanged excluded") {
     val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "ko"),
       (4L, "d", "en")).toDF("id", "text", "lang")

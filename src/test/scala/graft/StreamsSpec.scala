@@ -782,6 +782,35 @@ class StreamsSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("shardStream: batch-scoped shards, exactly-once coverage, " +
+      "replay overwrites its own wave partition") {
+    val dir = Files.createTempDirectory("graft-shard-stream-").toString
+    // pre-seed batch 0's partition as a crashed run's committed output —
+    // the replaying batch must overwrite it, not append beside it
+    Seq((99999L, 0L, "stale", 1L, 1L))
+      .toDF("doc_id", "pos", "text", "n_tokens", "cum_tokens")
+      .write.parquet(s"$dir/out/batch_id=0/split=train/shard=0")
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = Streams.shardStream(spark,
+      input.toDF().toDF("doc_id", "text", "ts"),
+      s"$dir/out", s"$dir/chk", budgetTokens = 50L)
+    try {
+      input.addData((1L to 20L).map(i =>
+        (i, s"tok$i " * (i % 5 + 1).toInt, ts(1))))
+      q.processAllAvailable()
+      input.addData((21L to 30L).map(i => (i, s"tok$i", ts(2))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val store = spark.read.parquet(s"$dir/out")
+    assert(!store.select("doc_id").as[Long].collect().contains(99999L))
+    assert(store.count() === 30L)
+    assert(store.select("doc_id").distinct().count() === 30L)
+    // shard ids scoped per (batch, split): each starts at 0
+    store.groupBy("batch_id", "split").agg(min("shard"))
+      .as[(Long, String, Long)].collect()
+      .foreach { case (b, s, m) => assert(m === 0L, s"$b/$s min shard $m") }
+  }
+
   test("cmsStream: partials per batch, merge == batch sketch, replay + compaction safe") {
     import graft.operators.Sketches
     val dir = Files.createTempDirectory("graft-cms-stream-").toString
