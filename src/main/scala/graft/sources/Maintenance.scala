@@ -102,8 +102,11 @@ object Maintenance {
       .withColumn("_pid", spark_partition_id())
       .withColumn("_g", groupCol.cast("string"))
       .localCheckpoint(true)
+    // long throughout: an int valueCol would otherwise surface as
+    // Integer in the driver collect and as int sums in the window
+    val v = valueCol.cast("long")
     val parts = sorted.groupBy(col("_g"), col("_pid"))
-      .agg(sum(valueCol).as("_n"))
+      .agg(sum(v).as("_n"))
       .orderBy("_g", "_pid")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val offsets: Map[String, Long] = {
@@ -123,7 +126,7 @@ object Maintenance {
     sorted.withColumn(out,
         element_at(typedlit(offsets),
           concat(col("_pid").cast("string"), lit(":"), col("_g"))) +
-          sum(valueCol).over(w))
+          sum(v).over(w))
       .drop("_pid", "_g")
   }
 
@@ -209,8 +212,11 @@ object Maintenance {
       spark.sparkContext.hadoopConfiguration)
     val stgPath = new org.apache.hadoop.fs.Path(stg)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
-    if (!fs.exists(outPath)) fs.rename(stgPath, outPath)
-    else {
+    if (!fs.exists(outPath)) {
+      fs.mkdirs(outPath.getParent)
+      require(fs.rename(stgPath, outPath),
+        s"failed to move staged wave $stgPath to $outPath")
+    } else {
       fs.listStatus(stgPath).filter(_.isDirectory).foreach { splitDir =>
         val destSplit = new org.apache.hadoop.fs.Path(outPath,
           splitDir.getPath.getName)
