@@ -911,6 +911,17 @@ object ExtensionQueries {
     // (a 1,000-link chain converges in ~10 rounds, DedupSpec). Oracled
     // against the SAME recursive-CTE SQL as q_dedup_components: both
     // variants must produce identical component minima.
+    // ---- exact-substring span REMOVAL (Lee et al. 2021, the C4 move):
+    // every 10-token run seen more than once in the corpus is dropped
+    // from every document and the text is rebuilt from the surviving
+    // tokens — the removal half the winnowing/boilerplate detectors
+    // stop short of. One uniform shingle-hash shuffle, coverage math
+    // inside the row.
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, d), col("doc_id"),
+          col("text"), n = 10)
+        .orderBy("doc_id")),
+
     // ---- keep-best survivorship over the near-dup clusters: component
     // labels from the O(log²) star contraction, representative = argmax
     // AGGREGATE (map-side partial min over a (−quality, id) struct — a
@@ -2396,6 +2407,39 @@ object ExtensionQueries {
          |    ON r.b = e.a AND e.b <> r.a)
          |SELECT a AS id, least(a, min(b)) AS component
          |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    "q_dedup_substring" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 10 THEN
+         |      [{'start': i, 'h': array_to_string(tk[i+1:i+10], ' ')}
+         |        for i in range(0, len(tk) - 9)]
+         |    ELSE [] END AS shs
+         |  FROM toks),
+         |flat AS (
+         |  SELECT doc_id, unnest(shs) AS s FROM sh),
+         |f2 AS (SELECT doc_id, s.start AS start, s.h AS h FROM flat),
+         |dups AS (SELECT h FROM f2 GROUP BY h HAVING count(*) > 1),
+         |covered AS (
+         |  SELECT doc_id, list(start) AS starts
+         |  FROM f2 JOIN dups USING (h) GROUP BY doc_id),
+         |k AS (
+         |  SELECT t.doc_id, t.tk,
+         |    list_filter(
+         |      [{'p': p, 't': t.tk[p+1]} for p in range(0, len(t.tk))],
+         |      x -> NOT len(list_filter(coalesce(c.starts, []),
+         |        s -> s <= x.p AND x.p < s + 10)) > 0) AS kept
+         |  FROM toks t LEFT JOIN covered c USING (doc_id))
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_transform(kept, x -> x.t), ' '),
+         |    '') AS clean_text,
+         |  len(kept)::BIGINT AS n_tokens_kept,
+         |  (len(tk) - len(kept))::BIGINT AS n_tokens_removed
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_cluster_rep" ->
       s"""WITH RECURSIVE $lshPairsCte,

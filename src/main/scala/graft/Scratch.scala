@@ -48,7 +48,47 @@ object Scratch {
     // `runMain graft.Scratch explain <key> [key ...] [--sf <dir>]` —
     // formatted physical plan of any SparkEntry query (plan-audit loop)
     if (only.contains("explain")) runExplain(spark, args.drop(1))
+    if (only.contains("spanprobe")) runSpanProbe(spark)
     spark.stop()
+  }
+
+  /** Stage-by-stage timing of q_dedup_substring's pipeline at sf0.1 —
+    * one-off hot-spot probe. */
+  private def runSpanProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val d = "/root/testdata/sf0.1"
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[spanprobe] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val df = Tables.documents(spark, d)
+    val toks = graft.operators.Spread.forKernel(
+      df.select(col("doc_id").as("doc_id"), col("text").as("_t")))
+      .select(col("doc_id"), tokens(col("_t")).as("tk"))
+    time("toks.count")(toks.count())
+    val n = 10
+    val sh = toks.select(col("doc_id"), col("tk"),
+      when(size(col("tk")) >= n,
+        expr(s"transform(sequence(0, size(tk) - $n), i -> " +
+          s"struct(i AS start, " +
+          s"xxhash64(array_join(slice(tk, i + 1, $n), ' ')) AS h))"))
+        .otherwise(expr("array()").cast("array<struct<start:int,h:bigint>>"))
+        .as("shs"))
+    time("sh shingles built")(sh.select(sum(size(col("shs")))).head())
+    val flat = sh.select(col("doc_id"), explode(col("shs")).as("s"))
+      .select(col("doc_id"), col("s.start").as("start"), col("s.h").as("h"))
+    time("flat count")(flat.count())
+    val dups = flat.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    time("dups count")(dups.count())
+    val covered = flat.join(dups, "h").groupBy("doc_id")
+      .agg(collect_list(col("start")).as("starts"))
+    time("covered count")(covered.count())
+    time("full query")(SparkEntry.queries("q_dedup_substring")(spark, d)
+      .queryExecution.executedPlan.execute().count())
+    time("full query 2nd")(SparkEntry.queries("q_dedup_substring")(spark, d)
+      .queryExecution.executedPlan.execute().count())
   }
 
   private def runExplain(spark: SparkSession, args: Array[String]): Unit = {

@@ -543,6 +543,71 @@ object Dedup {
         (col("doc_id") === col("rep_id")).cast("int").as("is_rep"))
   }
 
+  /** Exact-substring span removal (Lee et al. 2021, the C4 move): any
+    * run of `n` consecutive tokens that appears more than once in the
+    * corpus (across documents OR repeated within one) is a duplicated
+    * span; every token covered by such a span is dropped and the
+    * document is rebuilt from the survivors in order. Detection is the
+    * winnowing family's shingle pass; this adds the REMOVAL half.
+    *
+    * Scale shape: one shuffle on a 64-bit shingle hash (xxhash64 —
+    * INTERNAL-only, so the codegen'd fast hash applies and the oracle
+    * groups the raw shingle strings instead; the round-5 md5-vs-xxhash
+    * rule), a shuffle join back of the duplicated hash set, and one
+    * per-doc regroup. Coverage expansion is array math inside the row
+    * (a shingle covers [start, start+n)), never a row explosion × n.
+    * A 64-bit collision would fuse two distinct shingles (~1e-8 at
+    * millions of shingles) — detectable as an oracle mismatch, never
+    * silent. Output: (doc_id, clean_text, n_tokens_kept,
+    * n_tokens_removed) — oracled as `q_dedup_substring`. */
+  def removeDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 10): DataFrame = {
+    // spread past a single-row-group scan: the shingle hashing and the
+    // per-token coverage filter are CPU-bound work fused onto the scan
+    val toks = Spread.forKernel(df.select(idCol.as("doc_id"),
+      textCol.as("_t"))).select(col("doc_id"), tokens(col("_t")).as("tk"))
+    // (doc_id, start, h) via posexplode + lead windows — NOT a
+    // transform-into-explode HOF chain: the window/concat/xxhash path
+    // stays in whole-stage codegen, where the interpreted
+    // generator-over-struct-array form cost ~5 s of pure overhead at
+    // sf0.1 (spanprobe). One doc_id-partitioned window shuffle; docs
+    // shorter than n emit no full windows.
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val flat = toks
+      .select(col("doc_id"), size(col("tk")).as("sz"),
+        posexplode(col("tk")).as(Seq("p", "t")))
+      .withColumn("h", xxhash64(concat_ws(" ",
+        col("t") +: (1 until n).map(j => lead(col("t"), j).over(byPos)): _*)))
+      .where(col("p") <= col("sz") - n)
+      .select(col("doc_id"), col("p").as("start"), col("h"))
+    val dups = flat.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val covered = flat.join(dups, "h")
+      .groupBy("doc_id")
+      .agg(collect_list(col("start")).as("starts"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        coalesce(col("starts"), expr("array()").cast("array<int>"))
+          .as("starts"))
+      .withColumn("kept",
+        // token at position p (0-based) survives iff NO duplicated
+        // shingle start s covers it: s <= p < s + n. Size-guarded:
+        // sequence(0, -1) on an empty token list would DESCEND.
+        when(size(col("tk")) > 0,
+          expr(s"filter(transform(sequence(0, size(tk) - 1), p -> " +
+            s"struct(p AS p, tk[p] AS t)), x -> " +
+            s"NOT exists(starts, s -> s <= x.p AND x.p < s + $n))"))
+          .otherwise(expr("array()")
+            .cast("array<struct<p:int,t:string>>")))
+      .select(col("doc_id"),
+        expr("array_join(transform(kept, x -> x.t), ' ')")
+          .as("clean_text"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        (size(col("tk")) - size(col("kept"))).cast("long")
+          .as("n_tokens_removed"))
+  }
+
   // ---- winnowing fingerprints -----------------------------------------
 
   /** MOSS-style winnowing fingerprints: the minimum 16-bit shingle hash

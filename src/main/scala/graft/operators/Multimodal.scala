@@ -64,20 +64,8 @@ object Multimodal {
     * wider pipeline is assumed to have managed its own parallelism (the
     * attach stage already spreads, and its exchange carries through the
     * downstream kernel). */
-  private def spreadForKernel(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    def scanShaped(p: LogicalPlan): Boolean = p match {
-      case p: Project => scanShaped(p.child)
-      case f: Filter => scanShaped(f.child)
-      case a: SubqueryAlias => scanShaped(a.child)
-      case _: LeafNode => true
-      case _ => false
-    }
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (scanShaped(df.queryExecution.analyzed) &&
-        df.rdd.getNumPartitions < target) df.repartition(target)
-    else df
-  }
+  private def spreadForKernel(df: DataFrame): DataFrame =
+    Spread.forKernel(df)
 
   /** Attach a binary payload + format column to the documents table (the
     * payload is the UTF-8 text bytes standing in for media bytes —

@@ -76,6 +76,26 @@ class DedupSpec extends SparkSuite {
       (5L, 5L, 5L, 1), (6L, 5L, 5L, 0)))
   }
 
+  test("removeDuplicateSpans: shared n-token runs drop from every doc; " +
+      "unique text survives verbatim; short docs pass through") {
+    val d = Seq(
+      (1L, "u1 u2 a b c d e u3"),   // a b c d (shared with 2) covers 2..5
+      (2L, "a b c d x y z w"),      // a b c d covers 0..3
+      (3L, "all unique tokens here"),
+      (4L, "tiny")                  // shorter than n → no shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, col("doc_id"), col("text"),
+        n = 4)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // only "a b c d" repeats: doc1 covered positions 2..5, doc2 0..3
+    assert(got === Seq(
+      (1L, "u1 u2 e u3", 4L, 4L),
+      (2L, "x y z w", 4L, 4L),
+      (3L, "all unique tokens here", 4L, 0L),
+      (4L, "tiny", 1L, 0L)))
+  }
+
   test("curation funnel: stage counts are monotone non-increasing and " +
       "stage 0 covers the whole corpus") {
     val rows = SparkEntry.queries("q_curation_funnel")(spark,
