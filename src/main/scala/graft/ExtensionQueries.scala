@@ -1158,8 +1158,7 @@ object ExtensionQueries {
           lit("[0-9]{3,}"), lit("<NUM>")).as("redacted"))
         .orderBy("doc_id")),
 
-    // ---- multimodal metadata extraction over binary payloads (decode
-    // kernel stubbed — container has no codecs; plumbing real).
+    // ---- multimodal metadata extraction over binary payloads.
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metaColumns(
           Multimodal.attachPayload(Tables.documents(s, d)))

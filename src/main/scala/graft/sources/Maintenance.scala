@@ -28,9 +28,10 @@ object Maintenance {
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
     val tmp = dir.stripSuffix("/") + "__compacting"
     df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path, not the default FS: dir may live on
+    // s3a:// etc. while defaultFS is hdfs/file
     val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(target, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
     nFiles
@@ -165,7 +166,11 @@ object Maintenance {
     trainingShardAssignment(spark, docs, idCol, textCol, epoch,
         budgetTokens)
       .repartition(col("split"), col("shard"))
-      .sortWithinPartitions("pos")
+      // the writer's REQUIRED ordering starts with the partition columns;
+      // sorting by pos alone would make the dynamic-partition writer
+      // insert its own (not-guaranteed-stable) sort on (split, shard),
+      // voiding the per-shard pos-order guarantee this doc promises
+      .sortWithinPartitions("split", "shard", "pos")
       .write.mode("overwrite")
       .partitionBy("split", "shard")
       .parquet(outDir)
@@ -181,11 +186,38 @@ object Maintenance {
     * rewrite consumed data). The wave is epoch-ordered and packed
     * within itself; cost is sized by the wave, plus one driver-sized
     * read of the store's (split, shard) ids. Returns the wave's
-    * manifest rows. */
+    * manifest rows.
+    *
+    * The store layout is `outDir/wave=<waveId>/split=<s>/shard=<n>` and
+    * the commit is ONE directory rename of the staged wave into its
+    * `wave=` slot — atomic on a rename-atomic filesystem, so the store
+    * NEVER holds a partially-committed wave (the earlier
+    * one-rename-per-shard loop could crash mid-loop, and a replay —
+    * computing base ids from the new max — would then re-append the
+    * whole wave under fresh ids, duplicating every document). `waveId`
+    * must be a DURABLE caller-owned identifier (ingest date, batch id):
+    * it is the idempotency key — a replay whose `wave=` directory
+    * already exists skips the append entirely and just returns the
+    * stored wave's manifest. Because a wave is all-or-nothing, the
+    * base-id scan only ever sees complete waves, so shard ids stay
+    * globally consecutive per split across waves. */
   def appendTrainingShards(spark: SparkSession, newDocs: DataFrame,
-                           outDir: String, idCol: Column, textCol: Column,
+                           outDir: String, waveId: String,
+                           idCol: Column, textCol: Column,
                            epoch: Int = 0,
                            budgetTokens: Long = 100000L): DataFrame = {
+    require(waveId.nonEmpty && !waveId.contains("/") &&
+        !waveId.contains("="),
+      s"waveId must be a plain partition-safe token, got '$waveId'")
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wavePath = new org.apache.hadoop.fs.Path(outPath, s"wave=$waveId")
+    def storedManifest(): DataFrame =
+      spark.read.parquet(wavePath.toString)
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    // replay of an already-committed wave: idempotent no-op
+    if (fs.exists(wavePath)) return storedManifest()
     val base: Map[String, Long] =
       try spark.read.parquet(outDir)
         // partition-dir inference types `shard` as INT on read-back
@@ -198,38 +230,28 @@ object Maintenance {
     val assigned = trainingShardAssignment(spark, newDocs, idCol, textCol,
         epoch, budgetTokens)
       .withColumn("shard", col("shard") + baseCol)
-    // stage the wave, then MOVE its shard dirs in (the compact() swap
-    // pattern): a mid-job crash leaves only the staging dir — the store
-    // never holds a half-written shard. Fresh ids → no dir collisions.
-    val stg = outDir.stripSuffix("/") + "__wave"
+    // stage the whole wave (waveId-scoped staging dir — a leftover from
+    // a crashed attempt is simply overwritten), then ONE rename commits
+    // it: a crash leaves either no wave or a complete wave, never a
+    // partial one
+    val stg = outDir.stripSuffix("/") + s"__wave_$waveId"
     assigned
       .repartition(col("split"), col("shard"))
-      .sortWithinPartitions("pos")
+      // writer-required ordering (partition columns first) — see
+      // writeTrainingShards
+      .sortWithinPartitions("split", "shard", "pos")
       .write.mode("overwrite")
       .partitionBy("split", "shard")
       .parquet(stg)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(outPath)
     val stgPath = new org.apache.hadoop.fs.Path(stg)
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    if (!fs.exists(outPath)) {
-      fs.mkdirs(outPath.getParent)
-      require(fs.rename(stgPath, outPath),
-        s"failed to move staged wave $stgPath to $outPath")
-    } else {
-      fs.listStatus(stgPath).filter(_.isDirectory).foreach { splitDir =>
-        val destSplit = new org.apache.hadoop.fs.Path(outPath,
-          splitDir.getPath.getName)
-        fs.mkdirs(destSplit)
-        fs.listStatus(splitDir.getPath).filter(_.isDirectory)
-          .foreach { shardDir =>
-            require(fs.rename(shardDir.getPath,
-              new org.apache.hadoop.fs.Path(destSplit,
-                shardDir.getPath.getName)),
-              s"failed to move ${shardDir.getPath} into $destSplit")
-          }
-      }
+    if (!fs.rename(stgPath, wavePath)) {
+      // lost a race with a concurrent identical replay: its committed
+      // wave is the same deterministic content — adopt it
+      require(fs.exists(wavePath),
+        s"failed to commit staged wave $stgPath to $wavePath")
       fs.delete(stgPath, true)
+      return storedManifest()
     }
     assigned.groupBy("split", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
@@ -293,8 +315,18 @@ object Maintenance {
     * `Streams.upsertStreamBucketed` (the digest-table maintenance
     * lifecycle — StreamsSpec proves streamed state ≡ batch table). */
   def digestColumn(contentCols: Seq[String]): Column =
-    xxhash64(concat_ws("\u0001", contentCols.map(c =>
-      coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+    // LENGTH-PREFIXED field framing — "<len>:<value>" per column, null
+    // framed as "-:". A separator/sentinel scheme is ambiguous when a
+    // value itself contains the separator character (("a\u0001b","c") and
+    // ("a","b\u0001c") would digest identically, and a literal "\u0002"
+    // value would collide with NULL — control characters are plausible
+    // in web-crawl text); the length prefix pins every field boundary,
+    // and "-" ≠ "0" keeps null ≠ "".
+    xxhash64(concat(contentCols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(coalesce(length(s).cast("string"), lit("-")), lit(":"),
+        coalesce(s, lit("")))
+    }: _*))
 
   private def classify(joined: DataFrame, idCol: String,
                        includeUnchanged: Boolean): DataFrame = {

@@ -435,7 +435,12 @@ object Streams {
               col(textCol), epoch, budgetTokens)
             .withColumn("batch_id", lit(batchId))
             .repartition(col("split"), col("shard"))
-            .sortWithinPartitions("pos")
+            // sort by the writer's REQUIRED ordering (partition columns
+            // first): an ordering that doesn't start with the partition
+            // columns makes the dynamic-partition writer insert its own
+            // (not-guaranteed-stable) sort, which could break the
+            // one-pos-ordered-file-set-per-shard invariant
+            .sortWithinPartitions("batch_id", "split", "shard", "pos")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "split", "shard")

@@ -134,11 +134,12 @@ class MaintenanceSpec extends SparkSuite {
       .select("doc_id", "text")
     val w1 = docs.filter(col("doc_id") < 250)
     val w2 = docs.filter(col("doc_id") >= 250)
-    Maintenance.appendTrainingShards(spark, w1, s"$dir/st",
+    val m1 = Maintenance.appendTrainingShards(spark, w1, s"$dir/st", "w1",
       col("doc_id"), col("text"), budgetTokens = 500L)
+    val m1Rows = m1.as[(String, Long, Long, Long)].collect().toSet
     val files1 = spark.read.parquet(s"$dir/st")
       .select(input_file_name()).distinct().as[String].collect().toSet
-    Maintenance.appendTrainingShards(spark, w2, s"$dir/st",
+    Maintenance.appendTrainingShards(spark, w2, s"$dir/st", "w2",
       col("doc_id"), col("text"), budgetTokens = 500L)
     val store = spark.read.parquet(s"$dir/st")
     assert(store.count() === docs.count())
@@ -155,7 +156,15 @@ class MaintenanceSpec extends SparkSuite {
           assert(ids === (0L until ids.length).toArray,
             s"$s shards not consecutive across waves: ${ids.mkString(",")}")
       }
-    assert(!new java.io.File(s"$dir/st__wave").exists())
+    assert(!new java.io.File(s"$dir/st__wave_w1").exists())
+    assert(!new java.io.File(s"$dir/st__wave_w2").exists())
+    // REPLAY of a committed wave (same durable wave id) is an idempotent
+    // no-op: nothing re-appends, and the returned manifest equals the
+    // original — the crash-replay contract of the one-rename commit
+    val replay = Maintenance.appendTrainingShards(spark, w1, s"$dir/st",
+      "w1", col("doc_id"), col("text"), budgetTokens = 500L)
+    assert(replay.as[(String, Long, Long, Long)].collect().toSet === m1Rows)
+    assert(spark.read.parquet(s"$dir/st").count() === docs.count())
   }
 
   test("snapshotDiff classifies added/removed/changed; unchanged excluded") {
