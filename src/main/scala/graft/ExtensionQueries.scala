@@ -1324,12 +1324,12 @@ object ExtensionQueries {
     "q_ann_pq" -> ((s, d) => {
       // served from the persisted codes-only store: the ADC scan reads m
       // ints per row with NO vector payload, then the exact refine
-      // fetches just the k×overfetch candidates from the vector table by
-      // a pushed-down id filter (PlanSpec). The candidate collect is
-      // bounded at k×overfetch rows — the one driver-sized set a top-k
-      // serve holds. Overfetch is the MEASURED [[serveBudgets]] pick,
-      // not a constant. Deterministic codebooks + deterministic sweep ⇒
-      // identical results.
+      // fetches just the k×overfetch candidates from the vector table
+      // via a broadcast left-semi subquery — ONE lazy plan end to end
+      // (PlanSpec/PqSpec), with the bounded candidate set living inside
+      // the plan instead of a driver collect. Overfetch is the MEASURED
+      // [[serveBudgets]] pick, not a constant. Deterministic codebooks +
+      // deterministic sweep ⇒ identical results.
       Pq.pqTopKRefinedFetch(s.read.parquet(pqCodesDir(s, d)), col("codes"),
           Tables.embeddings(s, d), "vec_id", col("embedding"),
           pqModel(s, d), queryVec(s, d), k = 10,
@@ -1347,11 +1347,12 @@ object ExtensionQueries {
     // residual equivalence with exact kNN is asserted in PqSpec.
     "q_ann_ivfpq" -> ((s, d) => {
       // served from the persisted cell-partitioned codes store: the
-      // probe filter PRUNES the eager candidate scan to nProbe cell
+      // probe filter PRUNES the candidate scan to nProbe cell
       // directories and that scan reads only codes — no per-invocation
       // re-encode, no vector payload (PlanSpec asserts the pruned
       // codes-only scan on the store directly); then the bounded
-      // k×overfetch exact refine fetches candidates by id, restoring
+      // k×overfetch exact refine fetches candidates by id (broadcast
+      // left-semi subquery, lazily planned end to end), restoring
       // the recall ADC-only ranking loses to quantization error (the
       // round-7 weak component). Both knobs are the MEASURED
       // [[serveBudgets]] picks.

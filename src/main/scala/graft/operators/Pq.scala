@@ -217,65 +217,37 @@ object Pq {
 
   /** [[pqTopKRefined]] against a SEPARATED layout — a codes-only store
     * plus the vector table: ADC overfetch runs over the codes scan (m
-    * small ints per row, no vector payload), then the k×overfetch
-    * candidate ids are collected (bounded — the one driver-sized set a
-    * top-k serve holds) and fetched from the vector table, with exact L2
-    * on just those rows. The serving shape of a persisted PQ store at
-    * corpus scale: the big scan never reads vectors, and the vector read
-    * never scans.
+    * small ints per row, no vector payload), the top k×overfetch
+    * candidate ids become the BUILD side of a broadcast LEFT SEMI join
+    * against the vector table, and exact L2 on just the fetched rows
+    * decides the final top-k. The serving shape of a persisted PQ store
+    * at corpus scale: the big scan never reads vectors, and the vector
+    * read never scans — the semi join's build side is one bounded
+    * (k×overfetch-row) hash table, no corpus shuffle.
     *
-    * EAGER, unlike the other top-k builders: the ADC scan and the
-    * bounded candidate collect run at CALL time (the candidate set must
-    * exist before the fetch plan can be built), so the returned
-    * DataFrame's plan covers only the refine — callers timing "the
-    * query" must time this call, not just the returned frame's action.
-    * Fails fast on an empty codes store rather than silently returning
-    * an empty result.
-    *
-    * The fetch itself adapts to the candidate count: up to
-    * `fetchIsinCutoff` ids it is a pushed-down `IN` filter (row-group
-    * pruning on a vec_id-sorted layout); past it — a k=1000×16 serve
-    * would otherwise build a 16k-literal predicate the parquet reader
-    * can't prune with and Catalyst is slow to plan — the ids become a
-    * broadcast LEFT SEMI join (one driver-sized hash table, still no
-    * corpus shuffle). */
+    * LAZY end to end: the candidate set is a SUBQUERY of the returned
+    * plan (ADC sort-limit feeding the broadcast exchange), not a
+    * collect at construction — the serve is plan-auditable and nothing
+    * runs before the caller's action, like every other tier. (The
+    * earlier eager form collected candidate ids at call time to build
+    * an `isin` literal; the broadcast-semi subquery carries the same
+    * bounded row set without leaving the plan.) Consequently an EMPTY
+    * codes store surfaces as an empty result at action time, not a
+    * construction-time failure — guard upstream if an empty store is a
+    * deployment error. */
   def pqTopKRefinedFetch(codes: DataFrame, codesCol: Column,
                          vectors: DataFrame, idName: String,
                          vecCol: Column, model: PqModel,
                          query: Seq[Double], k: Int, overfetch: Int = 4,
-                         tieBreak: String = "vec_id",
-                         fetchIsinCutoff: Int = 1000): DataFrame = {
-    val candRows = codes.withColumn("adc",
+                         tieBreak: String = "vec_id"): DataFrame = {
+    val cand = codes.withColumn("adc",
         round(adcDist(codesCol, adcTable(model, query)), 6))
       .orderBy(col("adc").asc, col(tieBreak).asc)
       .limit(k * overfetch)
-      .select(col(idName)).collect()
-    require(candRows.nonEmpty,
-      s"pqTopKRefinedFetch: empty ADC candidate set — is the codes store empty?")
-    Knn.knnExact(
-      fetchByIds(vectors, idName,
-        codes.select(col(idName)).schema.head, candRows, fetchIsinCutoff),
+      .select(col(idName))
+    Knn.knnExact(vectors.join(broadcast(cand), Seq(idName), "left_semi"),
       vecCol, query, k, preFilter = None, tieBreak = tieBreak)
   }
-
-  /** Bounded candidate fetch shared by the refine-by-fetch serves: an
-    * `isin` literal up to `cutoff` ids (pushed-down filter → row-group
-    * pruning on an id-sorted layout), a broadcast left-semi join past it
-    * (one driver-sized hash table, no giant In predicate, still no
-    * corpus shuffle). */
-  private def fetchByIds(vectors: DataFrame, idName: String,
-                         idField: org.apache.spark.sql.types.StructField,
-                         candRows: Array[org.apache.spark.sql.Row],
-                         cutoff: Int): DataFrame =
-    if (candRows.length <= cutoff)
-      vectors.filter(col(idName).isin(candRows.map(_.get(0)).toSeq: _*))
-    else {
-      val spark = vectors.sparkSession
-      val candDf = spark.createDataFrame(
-        java.util.Arrays.asList(candRows: _*),
-        org.apache.spark.sql.types.StructType(Seq(idField)))
-      vectors.join(broadcast(candDf), Seq(idName), "left_semi")
-    }
 
   // ---- IVF-PQ: residual quantization inside IVF cells ----------------
 
@@ -356,30 +328,28 @@ object Pq {
   /** IVF-PQ with the recall-restoring bounded refine — the serving
     * shape that composes BOTH compressions with exact final ranking:
     * the probed-cell ADC scan ranks codes (partition-pruned, m ints per
-    * row), the top k×overfetch candidate ids are collected (bounded,
-    * driver-sized) and fetched from the vector table ([[fetchByIds]] —
-    * pushed-down id filter or broadcast semi-join), and true L2 on just
-    * those rows decides the final top-k. Same eager-collect caveat as
-    * [[pqTopKRefinedFetch]]; fails fast on an empty candidate set. ADC
-    * quantization error then costs recall ONLY when a true neighbor
+    * row), the top k×overfetch candidate ids feed a broadcast LEFT
+    * SEMI join against the vector table, and true L2 on just the
+    * fetched rows decides the final top-k. LAZY over the corpus-sized
+    * stores like [[pqTopKRefinedFetch]] (the candidate set is a bounded
+    * subquery of the returned plan; an empty store / all-empty probed
+    * cells surface as an empty result) — the only construction-time
+    * work is the k×dim centroid collect every IVF tier performs for
+    * probe selection.
+    * ADC quantization error then costs recall ONLY when a true neighbor
     * falls outside the overfetch window — the window is the knob
     * [[AnnMatrix.recommendBudgets]] sizes from measurement. */
   def ivfPqTopKRefinedFetch(encoded: DataFrame, codesCol: Column,
                             cents: DataFrame, vectors: DataFrame,
                             idName: String, vecCol: Column, model: PqModel,
                             query: Seq[Double], k: Int, nProbe: Int = 2,
-                            overfetch: Int = 8, tieBreak: String = "vec_id",
-                            fetchIsinCutoff: Int = 1000): DataFrame = {
-    val candRows = ivfPqAdcScan(encoded, codesCol, cents, model, query, nProbe)
+                            overfetch: Int = 8, tieBreak: String = "vec_id")
+      : DataFrame = {
+    val cand = ivfPqAdcScan(encoded, codesCol, cents, model, query, nProbe)
       .orderBy(col("dist").asc, col(tieBreak).asc)
       .limit(k * overfetch)
-      .select(col(idName)).collect()
-    require(candRows.nonEmpty,
-      "ivfPqTopKRefinedFetch: empty ADC candidate set — empty codes " +
-        "store, or nProbe selected only empty cells?")
-    Knn.knnExact(
-      fetchByIds(vectors, idName,
-        encoded.select(col(idName)).schema.head, candRows, fetchIsinCutoff),
+      .select(col(idName))
+    Knn.knnExact(vectors.join(broadcast(cand), Seq(idName), "left_semi"),
       vecCol, query, k, preFilter = None, tieBreak = tieBreak)
   }
 }

@@ -69,45 +69,71 @@ class PqSpec extends SparkSuite {
     assert(out === exact)
   }
 
-  test("pqTopKRefinedFetch: semi-join fetch past the isin cutoff — same " +
-      "result, no giant In-literal in the plan") {
+  test("pqTopKRefinedFetch: ONE lazy plan (candidate subquery inside a " +
+      "LeftSemi, no job at construction), output equals exact kNN") {
     val encoded = Pq.encode(base, col("embedding"), losslessModel)
       .select(col("vec_id"), col("codes"))
-    // cutoff 0 forces every candidate through the broadcast semi-join
-    // path; the default path is the isin literal — both must agree with
-    // exact kNN (lossless codebook)
-    val viaIsin = Pq.pqTopKRefinedFetch(encoded, col("codes"), base,
+    // construction under a dedicated job group: a lazily-planned serve
+    // must not run ANY Spark job before the caller's action (the old
+    // eager form collected candidate ids at call time)
+    spark.sparkContext.setJobGroup("pq-lazy-probe", "probe", false)
+    val served = Pq.pqTopKRefinedFetch(encoded, col("codes"), base,
       "vec_id", col("embedding"), losslessModel, query, k = 3,
       overfetch = 4)
-    val viaSemi = Pq.pqTopKRefinedFetch(encoded, col("codes"), base,
-      "vec_id", col("embedding"), losslessModel, query, k = 3,
-      overfetch = 4, fetchIsinCutoff = 0)
-    val a = viaIsin.select("vec_id", "dist").collect()
+    val plan = served.queryExecution.optimizedPlan.toString
+    spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker
+        .getJobIdsForGroup("pq-lazy-probe").isEmpty,
+      "construction ran a Spark job — the serve is not lazy")
+    // the candidate set is a SUBQUERY of the returned plan: a LeftSemi
+    // join whose build side carries the bounded ADC sort-limit — not a
+    // pre-collected id literal
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("GlobalLimit") || plan.contains("Limit"), plan)
+    assert(!plan.contains(" IN ("), plan)
+    val out = served.select("vec_id", "dist").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    val b = viaSemi.select("vec_id", "dist").collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
-    assert(a === b)
     val exact = Knn.knnExact(base, col("embedding"), query, k = 3)
       .select("vec_id", "dist").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    assert(b === exact)
-    // plan shape: the semi-join path carries a LeftSemi join and no
-    // multi-value In filter; the isin path is the inverse
-    val semiPlan = viaSemi.queryExecution.optimizedPlan.toString
-    assert(semiPlan.contains("LeftSemi"), semiPlan)
-    assert(!semiPlan.contains(" IN ("), semiPlan)
-    val isinPlan = viaIsin.queryExecution.optimizedPlan.toString
-    assert(!isinPlan.contains("LeftSemi"), isinPlan)
+    assert(out === exact)
   }
 
-  test("pqTopKRefinedFetch fails fast on an empty codes store") {
+  test("pqTopKRefinedFetch on an empty codes store returns an empty " +
+      "result at action time (the lazy contract)") {
     val encoded = Pq.encode(base, col("embedding"), losslessModel)
       .select(col("vec_id"), col("codes")).filter(lit(false))
-    val e = intercept[IllegalArgumentException] {
-      Pq.pqTopKRefinedFetch(encoded, col("codes"), base, "vec_id",
-        col("embedding"), losslessModel, query, k = 3)
-    }
-    assert(e.getMessage.contains("codes store"))
+    val out = Pq.pqTopKRefinedFetch(encoded, col("codes"), base, "vec_id",
+      col("embedding"), losslessModel, query, k = 3)
+    assert(out.count() === 0L)
+  }
+
+  test("ivfPqTopKRefinedFetch is lazily planned with the same LeftSemi " +
+      "candidate subquery") {
+    val rows = baseRows(0L, 0.0).map { case (id, v) => (id, v, 0) } ++
+      baseRows(100L, 10.0).map { case (id, v) => (id, v, 1) }
+    val df = rows.toDF("vec_id", "embedding", "cell")
+    val cents = Seq((0, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1, Seq(10.0, 10.0, 10.0, 10.0))).toDF("cell", "centroid")
+    val encoded = Pq.encodeResidual(df, col("embedding"), cents,
+      losslessModel)
+    val all = df.select(col("vec_id"), col("embedding"))
+    spark.sparkContext.setJobGroup("ivfpq-lazy-probe", "probe", false)
+    val served = Pq.ivfPqTopKRefinedFetch(encoded, col("codes"), cents,
+      all, "vec_id", col("embedding"), losslessModel, query, k = 3,
+      nProbe = 2, overfetch = 4)
+    val plan = served.queryExecution.optimizedPlan.toString
+    spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker
+        .getJobIdsForGroup("ivfpq-lazy-probe").isEmpty,
+      "construction ran a Spark job — the serve is not lazy")
+    assert(plan.contains("LeftSemi"), plan)
+    val out = served.select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Knn.knnExact(all, col("embedding"), query, k = 3)
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out === exact)
   }
 
   test("trainCodebooks: Lloyd's iterations do not increase distortion") {
