@@ -1260,6 +1260,21 @@ object ExtensionQueries {
         .select(col("vec_id"), col("label"), col("dist"))
     }),
 
+    // ---- the IVF SERVING shape HASH-PROVEN (q_knn_join_exhaustive
+    // pattern applied to the single-query serve): with nProbe = the
+    // index's k-means k every cell is probed, so the persisted-index
+    // read, probe selection, partition-pruned cell scan, and exact
+    // top-k must together EQUAL brute force — oracled against the same
+    // DuckDB SQL as q_knn_bruteforce. A green row proves the persisted
+    // serving path end to end; the recall test then covers only the
+    // deliberate nProbe<k approximation.
+    "q_ann_ivf_exhaustive" -> ((s, d) => {
+      val (data, cents) = Ann.readIvfIndex(s, ivfIndexDir(s, d))
+      Ann.ivfTopK(data, col("cell"), col("embedding"), cents,
+          queryVec(s, d), k = 10, nProbe = 8) // = k-means k: every cell
+        .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
     // ---- sharded NSW graph ANN — the HNSW-class counterpart of the
     // reference's actual index (hnswlib, M=16/ef=100; BASELINE.md rows
     // 4-5). Per-shard beam search, ef×shards rows to the driver merge.
@@ -1273,6 +1288,22 @@ object ExtensionQueries {
       // GraphAnnSpec plan + cache assertions)
       val hits = GraphAnn.graphTopKResident(s, graphIndexDir(s, d),
         queryVec(s, d), k = 10, ef = 100)
+      hits.join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    }),
+
+    // ---- the graph SERVING shape HASH-PROVEN: ef = corpus size makes
+    // every shard's layer-0 beam exhaustive over its graph, so the
+    // persisted-index resident serve must EQUAL brute force — the
+    // q_graph_join_exhaustive proof applied to the single-query path
+    // (same empirical caveat as that key: exhaustive-equals-exact
+    // holds for the built graph, asserted here as a hash row).
+    "q_ann_graph_exhaustive" -> ((s, d) => {
+      val n = Tables.embeddings(s, d).count().toInt
+      val hits = GraphAnn.graphTopKResident(s, graphIndexDir(s, d),
+        queryVec(s, d), k = 10, ef = n)
       hits.join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
           Seq("vec_id"))
         .select(col("vec_id"), col("label"), col("dist"))
@@ -1337,6 +1368,22 @@ object ExtensionQueries {
         .select(col("vec_id"), col("label"), col("dist"))
     }),
 
+    // ---- the PQ SERVING shape HASH-PROVEN: overfetch = corpus size
+    // makes the candidate window the WHOLE corpus, so the exact refine
+    // re-ranks every row and the persisted codes-store serve must EQUAL
+    // brute force regardless of quantization error. Composed with
+    // q_pq_adc (which hash-proves the ADC arithmetic itself), this
+    // covers the full serving path: codes-store read, ADC ranking
+    // plumbing, the broadcast-semi candidate fetch, and the exact
+    // final top-k.
+    "q_ann_pq_exhaustive" -> ((s, d) => {
+      val n = Tables.embeddings(s, d).count().toInt
+      Pq.pqTopKRefinedFetch(s.read.parquet(pqCodesDir(s, d)), col("codes"),
+          Tables.embeddings(s, d), "vec_id", col("embedding"),
+          pqModel(s, d), queryVec(s, d), k = 10, overfetch = n)
+        .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
     // ---- IVF-PQ: residual quantization inside trained IVF cells — the
     // FAISS-style composition where partition pruning (probe 4 of 8
     // cells) and code compression (8 bytes/vector) multiply: a 100 TB
@@ -1362,6 +1409,24 @@ object ExtensionQueries {
           col("codes"), cents, Tables.embeddings(s, d), "vec_id",
           col("embedding"), ivfPqModel(s, d), queryVec(s, d), k = 10,
           nProbe = sb.nProbe, overfetch = sb.pqOverfetch)
+        .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
+    // ---- the IVF-PQ SERVING shape HASH-PROVEN: nProbe = every cell
+    // AND overfetch = corpus size — the residual-ADC ranking feeds ALL
+    // rows to the exact refine, so the persisted cell-partitioned
+    // codes-store serve must EQUAL brute force. Proves the probe
+    // plumbing, the per-cell residual ADC map literal, the pruned
+    // codes scan, the candidate fetch, and the exact top-k as one
+    // hash row (residual-ADC arithmetic itself is additionally
+    // spec-proven lossless in PqSpec).
+    "q_ann_ivfpq_exhaustive" -> ((s, d) => {
+      val (_, cents) = Ann.readIvfIndex(s, ivfIndexDir(s, d))
+      val n = Tables.embeddings(s, d).count().toInt
+      Pq.ivfPqTopKRefinedFetch(s.read.parquet(ivfPqCodesDir(s, d)),
+          col("codes"), cents, Tables.embeddings(s, d), "vec_id",
+          col("embedding"), ivfPqModel(s, d), queryVec(s, d), k = 10,
+          nProbe = 8, overfetch = n) // = k-means k: every cell
         .select(col("vec_id"), col("label"), col("dist"))
     }),
 
@@ -2151,6 +2216,21 @@ object ExtensionQueries {
 
   private val qvCte =
     "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+
+  /** Shared by every `q_ann_*_exhaustive` serving proof: with
+    * exhaustive parameters (all cells probed / corpus-sized beam /
+    * corpus-sized refine window) each persisted-index serve is
+    * semantically brute force, so all are held to the identical
+    * brute-force top-10 oracle. */
+  private val annServeExhaustiveOracleSql: String =
+    s"""WITH $qvCte
+       |SELECT e.vec_id, e.label,
+       |  round(sqrt(list_sum(list_transform(
+       |    generate_series(1, len(e.embedding)),
+       |    i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+       |       * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))), 6) AS dist
+       |FROM embeddings e, q
+       |ORDER BY dist, vec_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // PQ with iters=0: codebooks = the 16 seed rows (smallest
@@ -3368,6 +3448,15 @@ object ExtensionQueries {
 
     // exhaustive-beam graph join must equal brute force — same oracle
     "q_graph_join_exhaustive" -> knnJoinOracleSql,
+
+    // the four persisted-index SERVING shapes under exhaustive
+    // parameters are each semantically brute force — all held to the
+    // identical brute-force oracle (the q_knn_bruteforce SQL with the
+    // label column)
+    "q_ann_ivf_exhaustive" -> annServeExhaustiveOracleSql,
+    "q_ann_graph_exhaustive" -> annServeExhaustiveOracleSql,
+    "q_ann_pq_exhaustive" -> annServeExhaustiveOracleSql,
+    "q_ann_ivfpq_exhaustive" -> annServeExhaustiveOracleSql,
 
     "q_pack_token_budget" ->
       """WITH t AS (
