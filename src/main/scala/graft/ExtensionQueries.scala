@@ -1471,6 +1471,41 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // ---- the RESIDUAL (IVF-PQ) arithmetic HASH-PROVEN — the q_pq_adc
+    // trick composed with the residual path: cell "centroids" are the 8
+    // md5-seeded sample rows (iters=0 — a deterministic SQL-expressible
+    // function of the table), assignment is the nearest-centroid argmin,
+    // residual codebooks are the 16 md5-seeded rows' RESIDUALS (iters=0
+    // again), and per-row codes + per-cell ADC distances replay in
+    // DuckDB from scratch. A green row proves residual subtraction, the
+    // residual encode argmin (incl. tiebreak), the per-cell query
+    // residual tables, and the lookup-sum distance bit-exact; PqSpec
+    // then covers only the Lloyd's refinement.
+    "q_ivfpq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centsLocal: Seq[(Int, Seq[Double])] = emb
+        .orderBy(md5(concat(lit("seed:"), col("vec_id").cast("string"))),
+          col("vec_id"))
+        .limit(8)
+        .select(col("embedding").cast("array<double>"))
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }
+      import s.implicits._
+      val cents = centsLocal.toDF("cell", "centroid")
+      val assigned = Ann.assignByLiteral(emb, col("embedding"), centsLocal)
+      val model = Pq.trainResidual(assigned, col("vec_id"),
+        col("embedding"), cents, m = 8, ks = 16, iters = 0)
+      val encoded = Pq.encodeResidual(assigned, col("embedding"), cents,
+        model)
+      Pq.ivfPqTopK(encoded, col("codes"), cents, model, queryVec(s, d),
+          k = 20, nProbe = 8) // every cell: the full corpus ranked
+        .withColumn("codes_str",
+          concat_ws(",", col("codes").cast("array<string>")))
+        .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+          col("codes_str"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    }),
+
     // ---- dense 0..n-1 relabeling (the reference's id_to_label map,
     // hnswlib needs dense int labels): range sort + per-partition counts
     // + broadcast offsets + per-partition row_number — DataFrame-native,
@@ -2298,6 +2333,63 @@ object ExtensionQueries {
          |  round(sqrt(list_sum(list(d2q ORDER BY sub))), 6) AS dist
          |FROM chosen
          |GROUP BY vec_id
+         |ORDER BY dist, vec_id LIMIT 20""".stripMargin,
+
+    // the q_pq_adc replay composed with the residual layer: seeded cell
+    // centroids -> nearest-centroid assignment -> per-row residuals ->
+    // seeded residual codebooks -> per-subspace argmin codes -> per-cell
+    // query-residual ADC tables -> lookup-sum distance
+    "q_ivfpq_adc" ->
+      s"""WITH $qvCte,
+         |cseeds AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, sv
+         |  FROM (SELECT md5('seed:' || CAST(vec_id AS VARCHAR)) AS h,
+         |               vec_id, embedding AS sv
+         |        FROM embeddings ORDER BY h, vec_id LIMIT 8)),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(
+         |          generate_series(1, len(e.embedding)),
+         |          i -> (e.embedding[i]::DOUBLE - c.sv[i]::DOUBLE)
+         |             * (e.embedding[i]::DOUBLE - c.sv[i]::DOUBLE))),
+         |        c.cell) AS rn
+         |    FROM embeddings e, cseeds c) WHERE rn = 1),
+         |resid AS (
+         |  SELECT e.vec_id, a.cell,
+         |    list_transform(generate_series(1, len(e.embedding)),
+         |      i -> e.embedding[i]::DOUBLE - c.sv[i]::DOUBLE) AS rv
+         |  FROM embeddings e
+         |  JOIN asg a USING (vec_id) JOIN cseeds c ON a.cell = c.cell),
+         |rseeds AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, rv
+         |  FROM (SELECT md5('seed:' || CAST(r.vec_id AS VARCHAR)) AS h,
+         |               r.vec_id AS vec_id, r.rv AS rv
+         |        FROM resid r ORDER BY h, vec_id LIMIT 16)),
+         |subs AS (SELECT unnest(range(0, 8)) AS sub),
+         |cand AS (
+         |  SELECT r.vec_id, r.cell, sb.sub, s.code,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> (r.rv[sb.sub*8 + i] - s.rv[sb.sub*8 + i])
+         |         * (r.rv[sb.sub*8 + i] - s.rv[sb.sub*8 + i]))) AS d2doc,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> ((q.qv[sb.sub*8 + i]::DOUBLE - c.sv[sb.sub*8 + i]::DOUBLE)
+         |              - s.rv[sb.sub*8 + i])
+         |         * ((q.qv[sb.sub*8 + i]::DOUBLE - c.sv[sb.sub*8 + i]::DOUBLE)
+         |              - s.rv[sb.sub*8 + i]))) AS d2q
+         |  FROM resid r JOIN cseeds c ON r.cell = c.cell, subs sb, rseeds s, q),
+         |chosen AS (
+         |  SELECT vec_id, cell, sub, code, d2q FROM (
+         |    SELECT vec_id, cell, sub, code, d2q,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY d2doc, code) AS rn
+         |    FROM cand) WHERE rn = 1)
+         |SELECT vec_id, cell::BIGINT AS cell,
+         |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes_str,
+         |  round(sqrt(list_sum(list(d2q ORDER BY sub))), 6) AS dist
+         |FROM chosen
+         |GROUP BY vec_id, cell
          |ORDER BY dist, vec_id LIMIT 20""".stripMargin,
 
     "q_agg_tpch_q1" ->
