@@ -1026,6 +1026,22 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- SPAN-level decontamination (the actual C4/Lee et al. scrub):
+    // where q_decontaminate drops whole docs sharing any shingle with
+    // the heldout slice, this excises only the contaminated n-token
+    // spans and keeps the clean remainder — the removeDuplicateSpans
+    // machinery with the dup-hash set sourced from the benchmark. The
+    // heldout side is tiny, so its span set broadcasts into a semi
+    // join; the corpus never shuffles on the span hash.
+    "q_decontaminate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.removeContaminatedSpans(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"),
+          n = 10)
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding-cosine near-dup pairs, label-blocked, 20% sample
     // (full blocked variant is the operator; the sample keeps the oracle
     // tractable).
@@ -2732,6 +2748,45 @@ object ExtensionQueries {
          |SELECT DISTINCT e.doc_id AS doc_id FROM ex e
          |JOIN bsh ON e.sh = bsh.sh
          |WHERE e.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
+
+    // the q_dedup_substring replay with the bad-span set sourced from
+    // the heldout slice (doc_id % 97 = 0) instead of self-counts; the
+    // oracle groups raw shingle strings where Spark hashes (the
+    // internal-xxhash64 rule)
+    "q_decontaminate_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 10 THEN
+         |      [{'start': i, 'h': array_to_string(tk[i+1:i+10], ' ')}
+         |        for i in range(0, len(tk) - 9)]
+         |    ELSE [] END AS shs
+         |  FROM toks),
+         |flat AS (
+         |  SELECT doc_id, unnest(shs) AS s FROM sh),
+         |f2 AS (SELECT doc_id, s.start AS start, s.h AS h FROM flat),
+         |bad AS (SELECT DISTINCT h FROM f2 WHERE doc_id % 97 = 0),
+         |covered AS (
+         |  SELECT doc_id, list(start) AS starts
+         |  FROM f2 JOIN bad USING (h)
+         |  WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+         |k AS (
+         |  SELECT t.doc_id, t.tk,
+         |    list_filter(
+         |      [{'p': p, 't': t.tk[p+1]} for p in range(0, len(t.tk))],
+         |      x -> NOT len(list_filter(coalesce(c.starts, []),
+         |        s -> s <= x.p AND x.p < s + 10)) > 0) AS kept
+         |  FROM toks t LEFT JOIN covered c USING (doc_id)
+         |  WHERE t.doc_id % 97 <> 0)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_transform(kept, x -> x.t), ' '),
+         |    '') AS clean_text,
+         |  len(kept)::BIGINT AS n_tokens_kept,
+         |  (len(tk) - len(kept))::BIGINT AS n_tokens_removed
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH toks AS (

@@ -562,37 +562,83 @@ object Dedup {
     * n_tokens_removed) — oracled as `q_dedup_substring`. */
   def removeDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       n: Int = 10): DataFrame = {
-    // spread past a single-row-group scan: the shingle hashing and the
-    // per-token coverage filter are CPU-bound work fused onto the scan
-    val toks = Spread.forKernel(df.select(idCol.as("doc_id"),
+    val toks = spanToks(df, idCol, textCol)
+    val flat = spanShingles(toks, n)
+    val dups = flat.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val covered = flat.join(dups, "h")
+      .groupBy("doc_id")
+      .agg(collect_list(col("start")).as("starts"))
+    rebuildWithoutSpans(toks, covered, n)
+  }
+
+  /** Span-level benchmark decontamination (the actual C4/Lee et al.
+    * scrub): the dup-hash set comes from a HELDOUT benchmark corpus
+    * instead of self-counts — any `n`-token run of a corpus document
+    * that also appears in the benchmark is removed, and the document
+    * is kept with the contaminated span excised ([[contaminatedDocs]]
+    * drops the whole document; this keeps the clean remainder, which
+    * at pretraining scale is most of the tokens of a touched doc).
+    *
+    * Scale shape: the corpus side is [[removeDuplicateSpans]]'s
+    * machinery unchanged (one doc-partitioned window shuffle, in-row
+    * coverage math); the benchmark side is tiny by construction, so
+    * its distinct span-hash set broadcasts into a left-semi join —
+    * the corpus never shuffles on the hash at all (cheaper than the
+    * self-dedup form, PlanSpec-asserted). Output schema matches
+    * [[removeDuplicateSpans]]; oracled as `q_decontaminate_spans`. */
+  def removeContaminatedSpans(df: DataFrame, idCol: Column,
+      textCol: Column, benchmark: DataFrame, bIdCol: Column,
+      bTextCol: Column, n: Int = 10): DataFrame = {
+    val toks = spanToks(df, idCol, textCol)
+    val bad = spanShingles(spanToks(benchmark, bIdCol, bTextCol), n)
+      .select("h").distinct()
+    val covered = spanShingles(toks, n)
+      .join(bad, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("start")).as("starts"))
+    rebuildWithoutSpans(toks, covered, n)
+  }
+
+  /** Tokenized (doc_id, tk) frame, spread past a single-row-group scan:
+    * the shingle hashing and the per-token coverage filter are CPU-bound
+    * work fused onto the scan. */
+  private def spanToks(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame =
+    Spread.forKernel(df.select(idCol.as("doc_id"),
       textCol.as("_t"))).select(col("doc_id"), tokens(col("_t")).as("tk"))
-    // (doc_id, start, h) via posexplode + lead windows — NOT a
-    // transform-into-explode HOF chain: the window/concat/xxhash path
-    // stays in whole-stage codegen, where the interpreted
-    // generator-over-struct-array form cost ~5 s of pure overhead at
-    // sf0.1 (spanprobe). One doc_id-partitioned window shuffle; docs
-    // shorter than n emit no full windows.
+
+  /** (doc_id, start, h): every full `n`-token window's 64-bit hash, via
+    * posexplode + lead windows — NOT a transform-into-explode HOF chain:
+    * the window/concat/xxhash path stays in whole-stage codegen, where
+    * the interpreted generator-over-struct-array form cost ~5 s of pure
+    * overhead at sf0.1 (spanprobe). One doc_id-partitioned window
+    * shuffle; docs shorter than n emit no full windows. */
+  private def spanShingles(toks: DataFrame, n: Int): DataFrame = {
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
-    val flat = toks
+    toks
       .select(col("doc_id"), size(col("tk")).as("sz"),
         posexplode(col("tk")).as(Seq("p", "t")))
       .withColumn("h", xxhash64(concat_ws(" ",
         col("t") +: (1 until n).map(j => lead(col("t"), j).over(byPos)): _*)))
       .where(col("p") <= col("sz") - n)
       .select(col("doc_id"), col("p").as("start"), col("h"))
-    val dups = flat.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("h")
-    val covered = flat.join(dups, "h")
-      .groupBy("doc_id")
-      .agg(collect_list(col("start")).as("starts"))
+  }
+
+  /** Rebuild each document from the tokens NOT covered by any flagged
+    * span start — coverage expansion is array math inside the row (a
+    * span covers [start, start+n)), never a row explosion × n. Output:
+    * (doc_id, clean_text, n_tokens_kept, n_tokens_removed). */
+  private def rebuildWithoutSpans(toks: DataFrame, covered: DataFrame,
+      n: Int): DataFrame =
     toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("tk"),
         coalesce(col("starts"), expr("array()").cast("array<int>"))
           .as("starts"))
       .withColumn("kept",
-        // token at position p (0-based) survives iff NO duplicated
-        // shingle start s covers it: s <= p < s + n. Size-guarded:
+        // token at position p (0-based) survives iff NO flagged
+        // span start s covers it: s <= p < s + n. Size-guarded:
         // sequence(0, -1) on an empty token list would DESCEND.
         when(size(col("tk")) > 0,
           expr(s"filter(transform(sequence(0, size(tk) - 1), p -> " +
@@ -606,7 +652,6 @@ object Dedup {
         size(col("kept")).cast("long").as("n_tokens_kept"),
         (size(col("tk")) - size(col("kept"))).cast("long")
           .as("n_tokens_removed"))
-  }
 
   // ---- winnowing fingerprints -----------------------------------------
 

@@ -96,6 +96,35 @@ class DedupSpec extends SparkSuite {
       (4L, "tiny", 1L, 0L)))
   }
 
+  test("removeContaminatedSpans: benchmark-shared spans excised (incl. " +
+      "span at doc boundary), fully-contaminated doc empties, " +
+      "self-duplicates within the corpus survive") {
+    val corpus = Seq(
+      (1L, "u1 u2 a b c d e u3"),   // "a b c d"(2..5) + "b c d e"(3..6)
+      (2L, "a b c d x y z w"),      // span at START boundary: covers 0..3
+      (3L, "x y a b c d"),          // span at END boundary: covers 2..5
+      (4L, "a b c d e f g h"),      // overlapping spans cover everything
+      (5L, "rep rep2 rep3 rep4 pad"),// corpus-internal dup — NOT removed
+      (6L, "rep rep2 rep3 rep4 tail"),
+      (7L, "tiny")                  // shorter than n → untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "held a b c d e f g h out")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeContaminatedSpans(corpus, col("doc_id"),
+        col("text"), bench, col("doc_id"), col("text"), n = 4)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "u1 u2 u3", 3L, 5L),
+      (2L, "x y z w", 4L, 4L),
+      (3L, "x y", 2L, 4L),
+      (4L, "", 0L, 8L),             // every position covered → empty doc
+      (5L, "rep rep2 rep3 rep4 pad", 5L, 0L),
+      (6L, "rep rep2 rep3 rep4 tail", 5L, 0L),
+      (7L, "tiny", 1L, 0L)))
+  }
+
   test("curation funnel: stage counts are monotone non-increasing and " +
       "stage 0 covers the whole corpus") {
     val rows = SparkEntry.queries("q_curation_funnel")(spark,
