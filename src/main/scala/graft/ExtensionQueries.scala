@@ -810,6 +810,16 @@ object ExtensionQueries {
           col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- bigram stupid-backoff LM score (α = 1/4, an exact binary
+    // fraction): the word-ORDER-sensitive quality signal — CCNet's real
+    // filter is an n-gram LM; unigram q_lm_score can't see scrambled
+    // text. Rational probabilities + (prev, cur)-sorted folds keep it
+    // hash-oracle-able end to end.
+    "q_lm_score2" -> ((s, d) =>
+      graft.operators.LmScore.lmScore2(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ---- CCNet head/middle/tail split: per-language LM-quality
     // terciles, rank-based cuts (integer arithmetic — exact, no
     // interpolated percentiles). One window shuffle on lang; the 100 TB
@@ -3144,6 +3154,44 @@ object ExtensionQueries {
          |SELECT doc_id, count(*)::BIGINT AS n_tokens,
          |  ${graft.functions.Rounding.floorRoundSql(
               "list_sum(list(p ORDER BY term)) / count(*)", 6)} AS lm_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram stupid-backoff replay: the occurrence stream carries
+    // (prev='' at position 0, cur), unigram and bigram counts rebuild
+    // the probability tables, and the CASE mirrors the Spark
+    // when-cascade (exact long/long divisions, α = 0.25 exact); fold
+    // ordered by (prev, cur) — the term-sorted-fold rule
+    "q_lm_score2" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, s.cur AS cur, s.prev AS prev FROM (
+         |    SELECT doc_id, unnest([{'cur': tk[i+1],
+         |        'prev': CASE WHEN i > 0 THEN tk[i] ELSE '' END}
+         |      for i in range(0, len(tk))]) AS s
+         |    FROM toks)),
+         |uni AS (SELECT cur AS term, count(*)::BIGINT AS cnt
+         |        FROM occ GROUP BY cur),
+         |tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM uni),
+         |bi AS (SELECT prev, cur, count(*)::BIGINT AS bcnt
+         |       FROM occ WHERE prev <> '' GROUP BY prev, cur),
+         |p AS (
+         |  SELECT o.doc_id, o.prev, o.cur,
+         |    CASE WHEN o.prev = ''
+         |           THEN u.cnt::DOUBLE / (SELECT tot FROM tot)
+         |         WHEN b.bcnt IS NOT NULL
+         |           THEN b.bcnt::DOUBLE / up.cnt::DOUBLE
+         |         ELSE 0.25 * (u.cnt::DOUBLE / (SELECT tot FROM tot))
+         |    END AS ps
+         |  FROM occ o
+         |  JOIN uni u ON o.cur = u.term
+         |  LEFT JOIN uni up ON o.prev = up.term
+         |  LEFT JOIN bi b ON o.prev = b.prev AND o.cur = b.cur)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  ${graft.functions.Rounding.floorRoundSql(
+              "list_sum(list(ps ORDER BY prev, cur)) / count(*)", 6)} AS lm_score2
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ppl_buckets" ->

@@ -59,6 +59,94 @@ object LmScore {
       textCol: Column): DataFrame =
     df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("term"))
 
+  // ---- bigram stupid-backoff --------------------------------------------
+
+  /** Bigram LM quality score with stupid backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the word-ORDER-
+    * sensitive signal the unigram [[lmScore]] misses (a scrambled doc
+    * keeps its unigram score but loses its bigram score; CCNet's real
+    * filter is an n-gram KenLM):
+    *
+    *   S(w_0)           = cnt(w_0) / N
+    *   S(w_i | w_{i-1}) = cnt(w_{i-1} w_i) / cnt(w_{i-1})  if seen
+    *                    = α · cnt(w_i) / N                 otherwise
+    *
+    * α = 1/4 — an exact BINARY fraction, so the backoff scaling is one
+    * bit-exact float multiply in any engine (0.4, the paper's value, is
+    * not representable and would drift across engines). All
+    * probabilities are single long/long double divisions and the
+    * per-doc mean folds in (prev, cur)-sorted order (the term-sorted
+    * fold rule), so the whole score is deterministic cross-engine —
+    * hash-oracled as `q_lm_score2`.
+    *
+    * Scale shape: one map-side occurrence pass (prev comes from
+    * `element_at` on the carried token array — no window shuffle), a
+    * term-keyed and a (prev, cur)-keyed count shuffle, two shuffle
+    * joins back (the vocab/bigram tables of a 100 TB corpus are not
+    * broadcast-size), one doc regroup. Linear — no n² term. */
+  def lmScore2(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    scoreBigrams(bigramOccurrences(df, idCol, textCol),
+      unigramProbs(df, idCol, textCol), bigramProbs(df, idCol, textCol))
+
+  /** Score under STORED statistics — the recurring-ingest form of
+    * [[lmScore2]]: new batches score under the reference corpus' tables
+    * ([[unigramProbs]] + [[bigramProbs]], both persistable). Unseen
+    * bigrams take the backoff path (on the training corpus itself every
+    * occurrence's own bigram is counted, so backoff only ever fires
+    * here); unseen terms contribute probability 0. */
+  def lmScore2With(df: DataFrame, idCol: Column, textCol: Column,
+      termProbs: DataFrame, biProbs: DataFrame): DataFrame =
+    scoreBigrams(bigramOccurrences(df, idCol, textCol), termProbs, biProbs)
+
+  /** The corpus bigram conditional-probability table
+    * (prev, cur, pbi = cnt(prev cur)/cnt(prev)) — bigram-vocabulary-
+    * sized, stays distributed; persist beside [[unigramProbs]] for
+    * recurring-ingest scoring. */
+  def bigramProbs(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+    // every token occurs as `cur` exactly once, so cur-counts ARE the
+    // term counts — the same table [[unigramProbs]] derives from
+    val termCnt = occ.groupBy(col("cur").as("prev"))
+      .agg(count(lit(1)).as("_pc"))
+    occ.filter(col("prev") =!= "")
+      .groupBy("prev", "cur").agg(count(lit(1)).as("_bc"))
+      .join(termCnt, "prev")
+      .select(col("prev"), col("cur"),
+        (col("_bc").cast("double") / col("_pc").cast("double")).as("pbi"))
+  }
+
+  /** (doc_id, prev, cur) per token position — prev is '' (a value the
+    * empty-dropping tokenizer can never emit) at position 0. Map-side:
+    * prev reads the carried token array, no per-doc window. */
+  private def bigramOccurrences(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), tokens(textCol).as("_tk"))
+      .select(col("doc_id"), col("_tk"),
+        posexplode(col("_tk")).as(Seq("p", "cur")))
+      .withColumn("prev",
+        when(col("p") > 0, element_at(col("_tk"), col("p")))
+          .otherwise(lit("")))
+      .select(col("doc_id"), col("prev"), col("cur"))
+
+  private def scoreBigrams(occ: DataFrame, termProbs: DataFrame,
+      biProbs: DataFrame): DataFrame =
+    occ.join(termProbs.withColumnRenamed("term", "cur"), Seq("cur"), "left")
+      .withColumn("pu", coalesce(col("p"), lit(0.0))).drop("p")
+      .join(biProbs, Seq("prev", "cur"), "left")
+      .withColumn("ps",
+        when(col("prev") === "", col("pu"))
+          .when(col("pbi").isNotNull, col("pbi"))
+          .otherwise(lit(0.25) * col("pu")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(
+          struct(col("prev"), col("cur"), col("ps")))).as("arr"))
+      .withColumn("lm_score2", floorRound6(
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("ps"))
+          / col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("lm_score2"))
+
   private def scoreAgainst(terms: DataFrame,
       termProbs: DataFrame): DataFrame =
     terms.join(termProbs, Seq("term"), "left")
