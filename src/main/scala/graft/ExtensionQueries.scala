@@ -1666,11 +1666,15 @@ object ExtensionQueries {
 
     // ---- the curation FUNNEL report: per-stage doc/token counts down
     // the full spine (raw → lang+quality floor → exact dedup → near-dup
-    // drop → keep head+middle quality terciles) — the audit table every
-    // corpus release publishes. Each stage is an aggregate of the
-    // previous stage's survivors; the scored frame is checkpointed once
-    // (the q_clean_pipeline barrier note) so five stage-counts never
-    // re-inline the scoring subtree.
+    // KEEP-BEST survivorship → keep head+middle quality terciles) — the
+    // audit table every corpus release publishes. Each stage is an
+    // aggregate of the previous stage's survivors; the scored frame is
+    // checkpointed once (the q_clean_pipeline barrier note) so five
+    // stage-counts never re-inline the scoring subtree. The near-dup
+    // stage keeps each duplicate cluster's REPRESENTATIVE
+    // (quality-argmax via clusterRepresentatives — map-side partial
+    // min, skew-robust under a boilerplate mega-cluster), not the
+    // minimum-id survivor a plain pair-drop leaves.
     "q_curation_funnel" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val scored = withLangId(
@@ -1685,11 +1689,11 @@ object ExtensionQueries {
         .withColumn("_rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("_rn") === 1).drop("_rn")
-      val dropIds = Dedup.lshCandidatePairs(kept, col("doc_id"),
-          col("text"))
-        .select(col("id2").as("drop_id")).distinct()
-      val nd = kept
-        .join(dropIds, kept("doc_id") === dropIds("drop_id"), "left_anti")
+      val repIds = Dedup.clusterRepresentatives(kept, col("doc_id"),
+          col("quality"),
+          Dedup.lshCandidatePairs(kept, col("doc_id"), col("text")))
+        .filter(col("is_rep") === 1).select("doc_id")
+      val nd = kept.join(repIds, "doc_id")
         .localCheckpoint(eager = true)
       val byLang = Window.partitionBy("pred_lang")
         .orderBy(col("quality").desc, col("doc_id"))
@@ -3025,11 +3029,42 @@ object ExtensionQueries {
           |WHERE doc_id NOT IN (SELECT did FROM drops)
           |ORDER BY doc_id""".stripMargin),
 
+    // near-dup stage = KEEP-BEST survivorship: connected components
+    // over the band-collision pairs (recursive closure, the
+    // q_cluster_rep oracle pattern), representative = quality-argmax
+    // with the smaller-id tiebreak
     "q_curation_funnel" ->
-      (s"WITH $cleanPipelineCtes,\n" +
-        """nd AS (
-          |  SELECT * FROM kept
-          |  WHERE doc_id NOT IN (SELECT did FROM drops)),
+      (s"WITH RECURSIVE $cleanPipelineCtes,\n" +
+        """pairs2 AS (
+          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM bands2 a JOIN bands2 b
+          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |edges AS (
+          |  SELECT id1 AS a, id2 AS b FROM pairs2
+          |  UNION SELECT id2, id1 FROM pairs2),
+          |reach AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e
+          |    ON r.b = e.a AND e.b <> r.a),
+          |comp AS (
+          |  SELECT a AS id, least(a, min(b)) AS component
+          |  FROM reach GROUP BY a),
+          |jq AS (
+          |  SELECT k.doc_id, coalesce(c.component, k.doc_id) AS component,
+          |    k.quality
+          |  FROM kept k LEFT JOIN comp c ON k.doc_id = c.id),
+          |ndids AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, first_value(doc_id) OVER (
+          |        PARTITION BY component
+          |        ORDER BY quality DESC, doc_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING
+          |          AND UNBOUNDED FOLLOWING) AS rep_id
+          |    FROM jq)
+          |  WHERE doc_id = rep_id),
+          |nd AS (SELECT k2.* FROM kept k2 JOIN ndids USING (doc_id)),
           |rb AS (
           |  SELECT doc_id, row_number() OVER (PARTITION BY pred_lang
           |      ORDER BY quality DESC, doc_id) AS rnk,
