@@ -2000,6 +2000,20 @@ object ExtensionQueries {
             .withColumn("n_tokens", tokenCountWs(col("text"))),
           col("source"), col("doc_id"), col("n_tokens"), budget = 1000L)
         .select(col("doc_id"), col("source"), col("cum_tokens"), col("bin"))
+        .orderBy("doc_id")),
+
+    // ---- BYTE-budget shard packing (multimodal training export):
+    // image/audio/video shards are sized by payload bytes, not token
+    // counts — the q_train_shards machinery (hash split → epoch order →
+    // grouped-cumsum packing, no single-partition window) over
+    // octet_length(payload). The sink form (writeMultimodalShards) is
+    // spec-gated like writeTrainingShards.
+    "q_pack_byte_budget" -> ((s, d) =>
+      graft.sources.Maintenance.byteShardAssignment(s,
+          Multimodal.attachPayload(Tables.documents(s, d)),
+          col("doc_id"), col("payload"), epoch = 0, budgetBytes = 10000L)
+        .select(col("doc_id"), col("split"), col("n_bytes"),
+          col("cum_bytes"), col("shard"))
         .orderBy("doc_id"))
   )
 
@@ -3133,6 +3147,29 @@ object ExtensionQueries {
          |  FROM s)
          |SELECT doc_id, split, n_tokens, cum_tokens,
          |  ((cum_tokens - n_tokens) // 1000)::BIGINT AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q_train_shards with payload bytes as the packed value: the
+    // attachPayload payload is the text's UTF-8 bytes, so
+    // octet_length(encode(text)) replays it exactly
+    "q_pack_byte_budget" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${hash16Sql("doc_id::VARCHAR")} % 100 < 10
+         |           THEN 'test'
+         |         WHEN ${hash16Sql("doc_id::VARCHAR")} % 100 < 20
+         |           THEN 'val'
+         |         ELSE 'train' END AS split,
+         |    octet_length(encode(text))::BIGINT AS n_bytes,
+         |    ${hash32Sql("'0:' || doc_id::VARCHAR")} AS eh
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, split, n_bytes,
+         |    (sum(n_bytes) OVER (PARTITION BY split ORDER BY eh, doc_id
+         |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_bytes
+         |  FROM s)
+         |SELECT doc_id, split, n_bytes, cum_bytes,
+         |  ((cum_bytes - n_bytes) // 10000)::BIGINT AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
 
     // domain-mix replay: same T = min(n/p), same floor(p·T/n·2^16)

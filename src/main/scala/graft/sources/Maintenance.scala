@@ -140,16 +140,43 @@ object Maintenance {
     * `q_train_shards`. */
   def trainingShardAssignment(spark: SparkSession, docs: DataFrame,
                               idCol: Column, textCol: Column, epoch: Int,
-                              budgetTokens: Long): DataFrame = {
+                              budgetTokens: Long): DataFrame =
+    shardAssignmentBy(spark, docs, idCol,
+      size(graft.functions.TextFunctions.tokens(textCol)).cast("long"),
+      epoch, budgetTokens, valueName = "n_tokens", cumName = "cum_tokens")
+
+  /** [[trainingShardAssignment]] for BYTE-packed multimodal shards:
+    * image/audio/video training shards are sized by payload bytes, not
+    * token counts — same split → epoch order → consecutive packing
+    * machinery over `octet_length(payload)`. Oracled as
+    * `q_pack_byte_budget`. */
+  def byteShardAssignment(spark: SparkSession, media: DataFrame,
+                          idCol: Column, payloadCol: Column, epoch: Int,
+                          budgetBytes: Long): DataFrame =
+    shardAssignmentBy(spark, media, idCol,
+      octet_length(payloadCol).cast("long"), epoch, budgetBytes,
+      valueName = "n_bytes", cumName = "cum_bytes")
+
+  /** The generalized core both assignment flavors share: hash split
+    * (train/val/test), deterministic epoch-shuffle order within each
+    * split, consecutive items packed into ~`budget` shards by an
+    * arbitrary map-side VALUE column — the cum-sum rides
+    * [[withGroupedCumSum]], so no single-partition window even though
+    * the train split holds ~80 % of the corpus. An item crossing a
+    * budget boundary belongs to the shard it STARTS in (a shard's
+    * total exceeds the budget by at most one item's value). */
+  def shardAssignmentBy(spark: SparkSession, items: DataFrame,
+                        idCol: Column, valueCol: Column, epoch: Int,
+                        budget: Long, valueName: String,
+                        cumName: String): DataFrame = {
     import graft.operators.Sampling
     val shuffled = Sampling.epochShuffle(spark,
-      Sampling.assignSplit(docs, idCol), idCol, epoch)
-      .withColumn("n_tokens",
-        size(graft.functions.TextFunctions.tokens(textCol)).cast("long"))
+      Sampling.assignSplit(items, idCol), idCol, epoch)
+      .withColumn(valueName, valueCol.cast("long"))
     withGroupedCumSum(spark, shuffled, col("split"), col("pos"),
-        col("n_tokens"), "cum_tokens")
+        col(valueName), cumName)
       .withColumn("shard",
-        floor((col("cum_tokens") - col("n_tokens")) / lit(budgetTokens))
+        floor((col(cumName) - col(valueName)) / lit(budget))
           .cast("bigint"))
   }
 
@@ -177,6 +204,28 @@ object Maintenance {
     spark.read.parquet(outDir)
       .groupBy("split", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+  }
+
+  /** [[writeTrainingShards]] for BYTE-packed multimodal shards: the
+    * [[byteShardAssignment]] materialized as parquet partitioned by
+    * (split, shard) with the same writer-required ordering (one
+    * pos-ordered file set per shard). Size `budgetBytes` so a shard is
+    * a sane object-store file (default 512 MB). Returns the per-shard
+    * manifest (split, shard, n_docs, n_bytes). */
+  def writeMultimodalShards(spark: SparkSession, media: DataFrame,
+                            outDir: String, idCol: Column,
+                            payloadCol: Column, epoch: Int = 0,
+                            budgetBytes: Long = 512L << 20): DataFrame = {
+    byteShardAssignment(spark, media, idCol, payloadCol, epoch,
+        budgetBytes)
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions("split", "shard", "pos")
+      .write.mode("overwrite")
+      .partitionBy("split", "shard")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("n_bytes"))
   }
 
   /** Recurring-ingest shard export: assign and write ONLY the new

@@ -127,6 +127,37 @@ class MaintenanceSpec extends SparkSuite {
     assert(trainShard0.toSeq === trainShard0.sorted.toSeq)
   }
 
+  test("writeMultimodalShards: byte-budget packing — exactly-once " +
+      "coverage, shard byte totals <= budget + one payload, ordered " +
+      "files, manifest matches") {
+    val dir = Files.createTempDirectory("graft-byteshards-").toString
+    val media = graft.operators.Multimodal.attachPayload(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val manifest = Maintenance.writeMultimodalShards(spark, media,
+      s"$dir/shards", col("doc_id"), col("payload"), epoch = 0,
+      budgetBytes = 4000L)
+    val store = spark.read.parquet(s"$dir/shards")
+    assert(store.count() === media.count())
+    assert(store.select("doc_id").distinct().count() === media.count())
+    // an item crossing the boundary belongs to the shard it STARTS in:
+    // a shard's byte total exceeds the budget by at most one payload
+    val worst = store.agg(max("n_bytes")).head().getLong(0)
+    val overMax = store.groupBy("split", "shard")
+      .agg(sum("n_bytes").as("t")).agg(max("t")).head().getLong(0)
+    assert(overMax <= 4000L + worst, s"shard exceeds budget+1item: $overMax")
+    // manifest agrees with the store
+    val m = manifest.as[(String, Long, Long, Long)].collect().toSet
+    val s2 = store.groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("n_bytes"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(m === s2)
+    // each shard directory's rows come out in epoch order
+    val trainShard0 = spark.read
+      .parquet(s"$dir/shards/split=train/shard=0")
+      .select("pos").as[Long].collect()
+    assert(trainShard0.toSeq === trainShard0.sorted.toSeq)
+  }
+
   test("appendTrainingShards: waves open fresh consecutive shards, old " +
       "files untouched, staging dir cleaned, store covers both waves") {
     val dir = Files.createTempDirectory("graft-shard-waves-").toString
