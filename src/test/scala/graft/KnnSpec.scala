@@ -70,6 +70,13 @@ class KnnSpec extends SparkSuite {
     }
   }
 
+  // Byte ceiling of the blocked branch (documented at the nBlocks cap
+  // in Knn.knnJoin): 4096 blocks × the 64 MB threshold ≈ 256 GB of
+  // corpus keeps each task's streamed slice ≤ the threshold; past that
+  // the slice grows linearly with the corpus, and the declared scale
+  // path for exact-at-any-size work is knnJoinIvf (probe-bounded,
+  // co-partitioned) — this branch is the exact fallback BELOW that
+  // ceiling.
   test("knnJoin: over-threshold corpus takes the hash-blocked path — " +
     "no BroadcastExchange, bit-identical to the broadcast branch") {
     val queries = vecs.filter(col("vec_id") < 2)
