@@ -1676,7 +1676,9 @@ object ExtensionQueries {
     // min, skew-robust under a boilerplate mega-cluster), not the
     // minimum-id survivor a plain pair-drop leaves.
     "q_curation_funnel" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // spread the scan: quality scoring + langid + tokenize are fused
+      // CPU-bound work, single-task on a 1-row-group source (sf10)
+      val docs = graft.operators.Spread.forKernel(Tables.documents(s, d))
       val scored = withLangId(
         withQualityScore(docs, col("text")), col("text"))
         .withColumn("ntok",

@@ -21,6 +21,14 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // RELIABLE checkpoints for the iterative operators (Dedup
+    // connected-components): Dedup.checkpointed prefers this when set —
+    // serialized-to-disk blocks instead of deserialized in-heap
+    // localCheckpoint caching, which OOM'd a 64 GB driver on the sf10
+    // soak's ~50M-edge pair graph. This is also the cluster-correct
+    // configuration (executor loss recovers from storage).
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -32,6 +40,7 @@ object Verify {
         println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

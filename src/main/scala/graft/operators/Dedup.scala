@@ -99,8 +99,12 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "trailing signature slots would be silently ignored otherwise")
     val rPerBand = numHashes / bands
-    val hashed = df.select(idCol.as("id"),
-      graft.plans.HashedShingles.shingleHashes(textCol, n, 4).as("hv"))
+    // spread past a single-row-group scan (the sf10 soak found every
+    // map-side shingle pipeline fused onto a 1-task scan at 500k docs)
+    val hashed = Spread.forKernel(df.select(idCol.as("id"),
+        textCol.as("_t")))
+      .select(col("id"),
+        graft.plans.HashedShingles.shingleHashes(col("_t"), n, 4).as("hv"))
     hashed.select(col("id"),
         minhashFromHashes(col("hv"), numHashes).as("sig"))
       .select(col("id"),
@@ -252,9 +256,13 @@ object Dedup {
     // an AUDITED decision, never silent truncation; oversized blocks
     // route to [[jaccardLsh]], whose bucket sizes are probability-bounded
     // regardless of corpus skew.
-    val sh = df.select(idCol.as("id") +: blockCols.map(col) :+
-      array_distinct(graft.plans.HashedShingles.shingleHashes(textCol, n, 8))
-        .as("sh"): _*)
+    val sh = Spread.forKernel(
+        df.select(idCol.as("id") +: blockCols.map(col) :+
+          textCol.as("_t"): _*))
+      .select(col("id") +: blockCols.map(col) :+
+        array_distinct(
+          graft.plans.HashedShingles.shingleHashes(col("_t"), n, 8))
+          .as("sh"): _*)
     // block-count gate as a BROADCAST semi join: the per-block count
     // aggregate is map-side-partial into a blocks-sized frame (tiny), so
     // gating adds no corpus shuffle — a window count would sort the whole
@@ -321,9 +329,11 @@ object Dedup {
                  n: Int = 3, numHashes: Int = 8, bands: Int = 4,
                  threshold: Double = 0.2): DataFrame = {
     val pairs = lshCandidatePairs(df, idCol, textCol, n, numHashes, bands)
-    val sh = df.select(idCol.as("id"),
-      array_distinct(
-        graft.plans.HashedShingles.shingleHashes(textCol, n, 8)).as("sh"))
+    val sh = Spread.forKernel(df.select(idCol.as("id"), textCol.as("_t")))
+      .select(col("id"),
+        array_distinct(
+          graft.plans.HashedShingles.shingleHashes(col("_t"), n, 8))
+          .as("sh"))
     // The fetch joins are deliberately UNPINNED — the jaccardPairs
     // fixed-N rule applies to QUADRATIC-output stages, and this one is
     // linear: each candidate pair is scored exactly once, so output ≈
@@ -396,8 +406,15 @@ object Dedup {
     var it = 0
     var changed = true
     while (changed && it < maxIters) {
-      val fromNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+      // shuffle_hash on BOTH sides: neither the edge set nor the label
+      // table of a corpus-scale pair graph may ever broadcast — the
+      // checkpointed frames carry estimate-grade stats, and a
+      // statically-planned BroadcastExchange of a ~50M-edge set is a
+      // driver collect that dies on maxResultSize (sf10 soak, measured:
+      // 12 tasks / 1 GB). The equi join on the id is the scale shape.
+      val fromNeighbors = edges.hint("shuffle_hash")
+        .join(labels.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+          "dst")
         .select(col("src").as("id"), col("comp"))
       val next = checkpointed(labels.unionByName(fromNeighbors)
         .groupBy("id").agg(min("comp").as("comp")))
@@ -671,8 +688,10 @@ object Dedup {
   def winnowedFingerprints(df: DataFrame, idCol: Column, textCol: Column,
                            n: Int = 3, w: Int = 4): DataFrame = {
     require(w >= 1, s"window must be >= 1, got $w")
-    val staged = df.select(idCol.as("doc_id"),
-      graft.plans.HashedShingles.shingleHashes(textCol, n, 4).as("_hv"))
+    val staged = Spread.forKernel(df.select(idCol.as("doc_id"),
+        textCol.as("_t")))
+      .select(col("doc_id"),
+        graft.plans.HashedShingles.shingleHashes(col("_t"), n, 4).as("_hv"))
     val hv = col("_hv")
     // mins(i) = min(hv(i..i+w-1)); zip_with pads the shorter side with
     // null and least() ignores nulls, so trailing partial windows carry
@@ -693,9 +712,11 @@ object Dedup {
     * 8-hex md5 hashes (32-bit) so the shuffle ships longs, not strings. */
   private def explodedShingles(df: DataFrame, idCol: Column, textCol: Column,
                                n: Int): DataFrame =
-    df.select(idCol.as("doc_id"),
-      explode(array_distinct(
-        graft.plans.HashedShingles.shingleHashes(textCol, n, 8))).as("sh"))
+    Spread.forKernel(df.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.plans.HashedShingles.shingleHashes(col("_t"), n, 8)))
+          .as("sh"))
 
   /** Cross-document boilerplate detection (the C4/RefinedWeb cleanse
     * step): word n-gram shingles appearing in ≥ `minDocs` DISTINCT docs.
@@ -717,8 +738,9 @@ object Dedup {
     * Output: (doc_id, n_grams, rep_ratio ∈ [0,1], floor-rounded 6). */
   def repetitionRatio(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int = 3): DataFrame = {
-    val sh = graft.plans.HashedShingles.shingleHashes(textCol, n, 8)
-    df.select(idCol.as("doc_id"), sh.as("_sh"))
+    val sh = graft.plans.HashedShingles.shingleHashes(col("_t"), n, 8)
+    Spread.forKernel(df.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"), sh.as("_sh"))
       .select(col("doc_id"), size(col("_sh")).as("n_grams"),
         floorRound6(lit(1.0) -
           size(array_distinct(col("_sh"))).cast("double") /

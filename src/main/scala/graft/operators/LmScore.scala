@@ -57,7 +57,10 @@ object LmScore {
 
   private def docTerms(df: DataFrame, idCol: Column,
       textCol: Column): DataFrame =
-    df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("term"))
+    // spread past a single-row-group scan: tokenize+explode is the
+    // CPU-bound stage fused onto it (sf10 soak finding)
+    Spread.forKernel(df.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"), explode(tokens(col("_t"))).as("term"))
 
   // ---- bigram stupid-backoff --------------------------------------------
 
@@ -121,7 +124,8 @@ object LmScore {
     * prev reads the carried token array, no per-doc window. */
   private def bigramOccurrences(df: DataFrame, idCol: Column,
       textCol: Column): DataFrame =
-    df.select(idCol.as("doc_id"), tokens(textCol).as("_tk"))
+    Spread.forKernel(df.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"), tokens(col("_t")).as("_tk"))
       .select(col("doc_id"), col("_tk"),
         posexplode(col("_tk")).as(Seq("p", "cur")))
       .withColumn("prev",

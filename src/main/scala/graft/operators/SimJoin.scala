@@ -43,9 +43,13 @@ object SimJoin {
 
   private def hashedTerms(docs: DataFrame, idCol: Column, textCol: Column,
                           shingleN: Int): DataFrame =
-    docs.select(idCol.as("id"),
-      explode(graft.plans.HashedShingles.shingleHashes(textCol, shingleN, 8))
-        .as("h"))
+    // spread past a single-row-group scan — the shingle pipeline is the
+    // CPU-bound stage fused onto it (sf10 soak finding)
+    Spread.forKernel(docs.select(idCol.as("id"), textCol.as("_t")))
+      .select(col("id"),
+        explode(
+          graft.plans.HashedShingles.shingleHashes(col("_t"), shingleN, 8))
+          .as("h"))
 
   /** Pairs (id1 < id2) with TF-IDF cosine ≥ `minCos` over the df-valved
     * hashed-shingle space. `nDocs` is the corpus size (the caller

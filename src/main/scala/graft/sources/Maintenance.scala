@@ -170,8 +170,12 @@ object Maintenance {
                         budget: Long, valueName: String,
                         cumName: String): DataFrame = {
     import graft.operators.Sampling
+    // spread past a single-row-group scan BEFORE the per-item value is
+    // computed (tokenize / payload length are the CPU-bound stage fused
+    // onto the scan — sf10 soak finding)
     val shuffled = Sampling.epochShuffle(spark,
-      Sampling.assignSplit(items, idCol), idCol, epoch)
+      Sampling.assignSplit(graft.operators.Spread.forKernel(items), idCol),
+        idCol, epoch)
       .withColumn(valueName, valueCol.cast("long"))
     withGroupedCumSum(spark, shuffled, col("split"), col("pos"),
         col(valueName), cumName)

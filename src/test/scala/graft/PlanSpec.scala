@@ -197,11 +197,14 @@ class PlanSpec extends SparkSuite {
       served.contains("LeftSemi"), served)
   }
 
-  test("q_ann_pq refine: candidate fetch is a pushed-down id filter") {
+  test("q_ann_pq serve is ONE lazy plan: LeftSemi candidate subquery, " +
+      "no pre-collected id literal") {
     val p = plan(SparkEntry.queries("q_ann_pq")(spark, dir))
-    // the returned plan is the refine phase: the vector read must carry
-    // the bounded candidate-id In filter into the parquet scan
-    assert(p.contains("In(vec_id"), p)
+    // the candidate set is a bounded ADC sort-limit subquery feeding a
+    // broadcast left-semi join — inside the plan, not a collect at
+    // construction (the pre-round-9 eager form carried an In literal)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("In(vec_id"), p)
   }
 
   test("q_ann_sq8 serves from the codes store — no embedding read") {
