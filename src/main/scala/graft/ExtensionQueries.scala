@@ -1025,6 +1025,23 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- exhaustive-parameter hash-proof of the semantic-dedup
+    // machinery (the q_knn_join_exhaustive pattern, SURVEY §7.4): a
+    // CONSTANT blocking cell makes cell blocking a no-op, so the native
+    // normalized-cosine pair kernel + drop-higher-id survivorship run
+    // all-pairs over the 1-in-5 sample and the survivor set is exactly
+    // SQL-expressible. The only thing q_semantic_dedup adds on top is
+    // the data-dependent k-means blocking — approximate by design.
+    "q_semantic_dedup_exhaustive" -> ((s, d) => {
+      val sample = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+      val drop = Dedup.cosineNearDupPairsNative(sample, col("vec_id"),
+          col("embedding"), lit(0), threshold = 0.25)
+        .select(col("id2").as("drop_id")).distinct()
+      sample.join(drop, sample("vec_id") === drop("drop_id"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing any 3-gram with
     // the pseudo-heldout slice (doc_id % 97 = 0). Broadcast semi join on
     // the shingle hash.
@@ -1076,10 +1093,20 @@ object ExtensionQueries {
     // runtime 2.3 → 0.8 s. The recall trade is the banding formula
     // (P[miss] = (1−p^10)² vs (1−p^8)²), not a behavior change: the
     // same exact cosine scores whatever collides.
+    // maxBucket=1024 is the hot-bucket valve, live on the DECLARED key
+    // since round 9: the sf10 soak OOM'd a 64 GB driver because the
+    // 2^bandBits keyspace is FIXED (1024 keys/band) while bucket size
+    // grows linearly with the corpus — a 64k-member bucket explodes
+    // 2×10⁹ pair structs from one grouped row. The cap is 1.6× the
+    // largest sf0.1 bucket (641), so nothing drops at bench scale; the
+    // oracle replicates the gate (a drop still hash-matches) and
+    // embedLshOversizedBuckets audits what a hot corpus loses. The
+    // 100 TB sizing rule lives in the operator scaladoc: grow bandBits
+    // with log₂(n) or exact-dedup first.
     "q_embed_neardup_lsh" -> ((s, d) =>
       Dedup.embedLshNearDupPairs(Tables.embeddings(s, d),
           col("vec_id"), col("embedding"), threshold = 0.25,
-          nPlanes = 20, bandBits = 10, center = 0.5)
+          nPlanes = 20, bandBits = 10, center = 0.5, maxBucket = 1024)
         .orderBy("id1", "id2")),
 
     // ---- top-k per group via bounded-buffer Aggregator (no per-group
@@ -2866,6 +2893,29 @@ object ExtensionQueries {
          |SELECT id1, id2, cos FROM p WHERE cos >= 0.25
          |ORDER BY id1, id2""".stripMargin,
 
+    // exhaustive semantic dedup: all-pairs normalized cosine via the
+    // SAME float path as the Spark kernel (normalize each element FIRST,
+    // cos = 1 − Σ(âᵢ−b̂ᵢ)²/2 — the squared-L2 recipe, no sqrt detour),
+    // survivors = sample ids never the higher id of a ≥-threshold pair.
+    "q_semantic_dedup_exhaustive" -> {
+      val cosSql = graft.functions.Rounding.floorRoundSql(
+        """1.0 - list_sum(list_transform(generate_series(1, len(x.embedding)),
+          |      i -> (x.embedding[i]::DOUBLE / x.nrm - y.embedding[i]::DOUBLE / y.nrm)
+          |         * (x.embedding[i]::DOUBLE / x.nrm - y.embedding[i]::DOUBLE / y.nrm))) / 2""".stripMargin, 6)
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      t -> t::DOUBLE * t::DOUBLE))) AS nrm
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |drops AS (
+         |  SELECT DISTINCT y.vec_id AS drop_id
+         |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |  WHERE $cosSql >= 0.25)
+         |SELECT vec_id FROM e
+         |WHERE vec_id NOT IN (SELECT drop_id FROM drops)
+         |ORDER BY vec_id""".stripMargin
+    },
+
     // hyperplane-LSH near-dup recomputed from scratch: the ±1 plane
     // components come from md5('plane:p:i') first-hex-digit (the
     // Dedup.hyperplaneSigns rule), each signature bit is the sign of the
@@ -2899,10 +2949,16 @@ object ExtensionQueries {
          |  SELECT vec_id, 0 AS band_idx, $key0 AS band_key FROM sig
          |  UNION ALL
          |  SELECT vec_id, 1 AS band_idx, $key1 AS band_key FROM sig),
+         |keep AS (
+         |  SELECT band_idx, band_key FROM bands
+         |  GROUP BY band_idx, band_key
+         |  HAVING count(*) <= 1024),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-         |    AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+         |    AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+         |  JOIN keep k ON a.band_idx = k.band_idx
+         |    AND a.band_key = k.band_key),
          |ex AS (
          |  SELECT vec_id, embedding,
          |    sqrt(list_sum(list_transform(embedding,

@@ -790,13 +790,15 @@ object Dedup {
     * vectors are L2-normalized ONCE per row (O(rows) interpreted work,
     * with the norm carried via `array_repeat` so the lambda doesn't
     * re-evaluate it per element), then pair cosine = 1 − ‖â−b̂‖²/2
-    * through the codegen'd [[graft.plans.L2Distance]] — the O(pairs)
-    * side stays compiled (measured 15.5 s → sub-second on 250k pairs at
-    * sf0.1). Zero vectors produce NULL cosine and never pair. */
+    * through the codegen'd squared-L2 kernel ([[graft.plans.L2Distance]]
+    * via `l2SqNative` — no sqrt-then-square float detour, so an ANSI-SQL
+    * oracle can replay the exact float path) — the O(pairs) side stays
+    * compiled (measured 15.5 s → sub-second on 250k pairs at sf0.1).
+    * Zero vectors produce NULL cosine and never pair. */
   def cosineNearDupPairsNative(df: DataFrame, idCol: Column, vecCol: Column,
                                blockCol: Column, threshold: Double)
       : DataFrame = {
-    import graft.plans.NativeFunctions.l2Native
+    import graft.plans.NativeFunctions.l2SqNative
     val v = df
       .select(idCol.as("id"), blockCol.as("blk"),
         vecCol.cast("array<double>").as("_v"))
@@ -812,7 +814,7 @@ object Dedup {
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cos", floorRound6(
-        lit(1.0) - pow(l2Native(col("a.v"), col("b.v")), 2) / 2))
+        lit(1.0) - l2SqNative(col("a.v"), col("b.v")) / 2))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
   }
@@ -862,7 +864,20 @@ object Dedup {
     * DuckDB oracle replays verbatim (q_embed_neardup_lsh is fully
     * hash-checked). `center` re-centers un-centered corpora (components
     * in [0,1] → center 0.5) so signature bits split evenly — uncentered
-    * data collapses every row into a handful of buckets. */
+    * data collapses every row into a handful of buckets.
+    *
+    * SIZING RULE (100 TB): the band keyspace is FIXED at 2^bandBits keys
+    * per band, so mean bucket size grows like n / 2^bandBits and the
+    * candidate stage like Σ bucket² — bandBits must grow with log₂(n)
+    * (bandBits ≳ log₂(n) − 8 keeps mean buckets ≤ ~256; recall per band
+    * is p^bandBits, so add bands as bits grow). The 100× soak measured
+    * the failure concretely: 2M rows over 2¹⁰ keys made a 64k-member
+    * bucket whose pair array is 2×10⁹ structs in ONE grouped row — a
+    * driver/executor OOM, not a slow query. `maxBucket` is the runtime
+    * guard: oversized buckets are excluded (audited via
+    * [[embedLshOversizedBuckets]]; an oracle replicating the gate still
+    * hash-matches) — on dup-heavy corpora the pipeline answer is exact
+    * dedup FIRST, then LSH over the distinct survivors. */
   /** (normalized vectors, grouped band buckets) shared by the pair and
     * audit views. */
   private def embedLshBuckets(df: DataFrame, idCol: Column, vecCol: Column,

@@ -353,6 +353,36 @@ class DedupSpec extends SparkSuite {
     nat.foreach { case (k, c) => assert(math.abs(c - hof(k)) < 1e-6, k) }
   }
 
+  test("exhaustive semantic dedup: constant block ⇒ brute-force survivors") {
+    // Independent local replay of the kernel's exact float path: cast to
+    // double, left-to-right norm fold, elementwise divide, left-to-right
+    // squared-diff fold, cos = 1 − Σ/2, floor-round to 6 decimals.
+    val data = (0L until 40L).map { i =>
+      (i, (0 until 8).map(j => (((i * 13 + j * 7) % 17) - 8).toFloat / 4f))
+    }
+    def norm(v: Seq[Float]) =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (na, nb) = (norm(a), norm(b))
+      val s = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        val d = x.toDouble / na - y.toDouble / nb; acc + d * d
+      }
+      math.floor((1.0 - s / 2) * 1e6) / 1e6
+    }
+    val expectedDrop = (for {
+      (i, a) <- data; (j, b) <- data if i < j && cos(a, b) >= 0.2
+    } yield j).toSet
+    assert(expectedDrop.nonEmpty && expectedDrop.size < data.size)
+
+    val vecs = data.toDF("id", "v")
+    val drop = Dedup.cosineNearDupPairsNative(vecs, col("id"), col("v"),
+        lit(0), threshold = 0.2)
+      .select(col("id2").as("drop_id")).distinct()
+    val survivors = vecs.join(drop, col("id") === col("drop_id"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(survivors === data.map(_._1).toSet -- expectedDrop)
+  }
+
   test("embedLshNearDupPairs: planted near-dup collides, antipode does not") {
     import spark.implicits._
     val v0 = Seq(0.9, -0.8, 0.7, -0.6, 0.5, -0.4, 0.3, -0.2)
@@ -371,6 +401,31 @@ class DedupSpec extends SparkSuite {
     // a 2-band collision still yields ONE output row per pair
     assert(pairs.distinct.length === pairs.length)
     out.foreach { case (k, c) => assert(c >= 0.5, s"$k below threshold") }
+  }
+
+  test("embedLshNearDupPairs: maxBucket valve drops only oversized buckets") {
+    import spark.implicits._
+    // 30 near-identical vectors (one hot bucket) + one isolated pair
+    val hot = Seq(0.9, -0.8, 0.7, -0.6, 0.5, -0.4, 0.3, -0.2)
+    val cold = Seq(0.1, 0.9, -0.7, 0.2, -0.5, 0.8, -0.3, 0.6)
+    val rows = ((0L until 30L).map(i =>
+        (i, hot.updated(0, hot.head + i * 1e-7))) ++
+      Seq((100L, cold), (101L, cold.updated(1, cold(1) + 1e-7))))
+      .toDF("id", "v")
+    def run(cap: Int) = Dedup.embedLshNearDupPairs(rows, col("id"), col("v"),
+        threshold = 0.5, nPlanes = 16, bandBits = 8, maxBucket = cap)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val unvalved = run(Int.MaxValue)
+    assert(unvalved.contains((100L, 101L)) && unvalved.size > 100)
+    // cap below the hot bucket: only the cold pair survives...
+    assert(run(8) === Set((100L, 101L)))
+    // ...and the audit lists exactly the dropped hot buckets
+    val audited = Dedup.embedLshOversizedBuckets(rows, col("id"), col("v"),
+        nPlanes = 16, bandBits = 8, maxBucket = 8)
+      .select("n").as[Int].collect()
+    assert(audited.nonEmpty && audited.forall(_ > 8))
+    // cap above every bucket: identical to unvalved
+    assert(run(64) === unvalved)
   }
 
   test("embedLsh maxBucket drops hot buckets auditable, keeps small ones") {
