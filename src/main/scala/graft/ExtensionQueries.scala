@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AnnMatrix, AsofJoin, Dedup, GraphAnn, Knn, Multimodal, Pq, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
+import graft.operators.{Ann, AnnMatrix, AsofJoin, Dedup, GraphAnn, Knn, Multimodal, Pq, QualityRules, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -367,6 +367,43 @@ object ExtensionQueries {
       name
     })
   }
+
+  /** Session-scoped persisted near-dup component labels (doc_id,
+    * component) — star contraction over the band-table pairs, written
+    * ONCE per (session, dir) and shared by every consumer
+    * (survivorship, curation funnel, leakage-safe split). The same
+    * recurring-ingest contract as [[bandTable]]: labels are a
+    * maintained corpus artifact, recomputed per ingest wave, not per
+    * query. Cached value is a PATH (labels are corpus-sized — the
+    * round-6 cache rule). */
+  private val componentsTableCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def componentsTable(s: SparkSession, d: String): String = {
+    val perSession = componentsTableCache.synchronized {
+      componentsTableCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      val name = "graft_comp_" + jvmNonce + "_" +
+        java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        fs.delete(loc, true)
+        Dedup.connectedComponentsStar(
+            Dedup.lshPairsFromBandTable(s, bandTable(s, dir)))
+          .withColumnRenamed("id", "doc_id")
+          .write.mode("overwrite").parquet(loc.toString)
+      }
+      loc.toString
+    })
+  }
+  private def componentsFromTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(componentsTable(s, d))
 
   /** Session-scoped persisted (id, digest) table over the documents
     * table (the [[bandTable]] contract: weak-session cache of a table
@@ -1003,6 +1040,17 @@ object ExtensionQueries {
     // signal): 1 − distinct/total 3-gram shingles, map-side only.
     "q_text_repetition" -> ((s, d) =>
       Dedup.repetitionRatio(Tables.documents(s, d), col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")),
+
+    // ---- Gopher-style quality rule flags (Rae et al. 2021): the rule
+    // family every web-scale curation pipeline applies before
+    // model-based scoring — word-count bounds, mean-word-length bounds,
+    // stopword floor, repeated-3-gram cap. All INTEGER arithmetic
+    // (cross-multiplied thresholds), so no float ratio ever decides a
+    // flag; entirely map-side at any corpus size.
+    "q_gopher_rules" -> ((s, d) =>
+      QualityRules.gopherFlags(Tables.documents(s, d), col("doc_id"),
           col("text"))
         .orderBy("doc_id")),
 
@@ -1794,6 +1842,28 @@ object ExtensionQueries {
     "q_split_assign" -> ((s, d) =>
       Sampling.assignSplit(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
+
+    // ---- LEAKAGE-SAFE split: q_split_assign keyed on the raw doc_id
+    // leaks — a train doc's near-twin can land in test, and
+    // memorization then reads as generalization. Key the SAME hash
+    // split on the near-dup COMPONENT label instead: every cluster
+    // member co-assigns by construction (eval-dedup is standard
+    // practice precisely because of this). Components ride the session
+    // band table (the recurring-ingest pair source — no corpus
+    // re-hash); singleton docs keep their own id as the label, so the
+    // assignment is stable as the corpus grows.
+    "q_split_leakage_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comp = Dedup.connectedComponentsStar(
+        Dedup.lshPairsFromBandTable(s, bandTable(s, d)))
+      Sampling.assignSplit(
+          docs.join(comp, docs("doc_id") === comp("id"), "left")
+            .withColumn("component",
+              coalesce(col("component"), col("doc_id"))),
+          col("component"))
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy("doc_id")
+    }),
 
     // ---- training-shard assignment (the export sink's deterministic
     // core): hash split → epoch-shuffle order → token-budget packing,
@@ -2787,6 +2857,48 @@ object ExtensionQueries {
          |    AS rep_ratio
          |FROM h ORDER BY doc_id""".stripMargin,
 
+    // integer-arithmetic rule flags — the shingle-hash CTE is the
+    // q_text_repetition replay, counts cross-multiplied so no float
+    // ratio crosses a threshold
+    "q_gopher_rules" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |  ELSE [array_to_string(tk, ' ')] END AS g FROM toks),
+         |h AS (
+         |  SELECT doc_id, list_transform(g, s -> ${hash32Sql("s")}) AS sh
+         |  FROM grams),
+         |m AS (
+         |  SELECT t.doc_id,
+         |    len(t.tk)::BIGINT AS n_words,
+         |    coalesce(list_sum(list_transform(t.tk, w -> length(w))),
+         |      0)::BIGINT AS n_chars,
+         |    len(list_filter(t.tk, w -> list_contains(
+         |      [${QualityRules.stopWords.map(w => s"'$w'").mkString(", ")}],
+         |      w)))::BIGINT AS n_stop,
+         |    len(h.sh)::BIGINT AS n_grams,
+         |    (len(h.sh) - len(list_distinct(h.sh)))::BIGINT AS n_dup_grams
+         |  FROM toks t JOIN h USING (doc_id)),
+         |flags AS (
+         |  SELECT doc_id, n_words, n_chars, n_stop, n_grams, n_dup_grams,
+         |    (CASE WHEN n_words >= 30 AND n_words <= 10000
+         |      THEN 1 ELSE 0 END)::INT AS flag_words,
+         |    (CASE WHEN n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+         |      THEN 1 ELSE 0 END)::INT AS flag_mean_len,
+         |    (CASE WHEN 100 * n_stop >= 3 * n_words
+         |      THEN 1 ELSE 0 END)::INT AS flag_stop,
+         |    (CASE WHEN 5 * n_grams >= 100 * n_dup_grams
+         |      THEN 1 ELSE 0 END)::INT AS flag_rep
+         |  FROM m)
+         |SELECT doc_id, n_words, n_chars, n_stop, n_grams, n_dup_grams,
+         |  flag_words, flag_mean_len, flag_stop, flag_rep,
+         |  flag_words * flag_mean_len * flag_stop * flag_rep AS keep
+         |FROM flags ORDER BY doc_id""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
@@ -3185,6 +3297,32 @@ object ExtensionQueries {
          |       WHEN ${hash16Sql("doc_id::VARCHAR")} % 100 < 20 THEN 'val'
          |       ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same recursive-components CTE as q_dedup_components, same split
+    // hash as q_split_assign — keyed on the component label
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e
+         |    ON r.b = e.a AND e.b <> r.a),
+         |comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id, component,
+         |  CASE WHEN ${hash16Sql("component::VARCHAR")} % 100 < 10
+         |         THEN 'test'
+         |       WHEN ${hash16Sql("component::VARCHAR")} % 100 < 20
+         |         THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM lab ORDER BY doc_id""".stripMargin,
 
     "q_train_shards" ->
       s"""WITH s AS (

@@ -544,9 +544,19 @@ object Dedup {
     * mega-cluster therefore costs a partial min, never a per-component
     * sort (the window form would sort the skewed partition). */
   def clusterRepresentatives(docs: DataFrame, idCol: Column,
-      qualityCol: Column, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponentsStar(pairs)
-      .withColumnRenamed("id", "doc_id")
+      qualityCol: Column, pairs: DataFrame): DataFrame =
+    clusterRepresentativesFromComponents(docs, idCol, qualityCol,
+      connectedComponentsStar(pairs).withColumnRenamed("id", "doc_id"))
+
+  /** [[clusterRepresentatives]] over PRE-COMPUTED component labels
+    * (`comp`: (doc_id, component)) — the recurring-ingest form: labels
+    * are a maintained corpus artifact (one star contraction per ingest
+    * wave, shared by every survivorship/split/funnel consumer), not a
+    * per-query recomputation. `docs` may be any subset of the labeled
+    * corpus; representatives are the quality-argmax over the PRESENT
+    * members of each component. */
+  def clusterRepresentativesFromComponents(docs: DataFrame, idCol: Column,
+      qualityCol: Column, comp: DataFrame): DataFrame = {
     val labeled = docs
       .select(idCol.cast("long").as("doc_id"), qualityCol.as("quality"))
       .join(comp, Seq("doc_id"), "left")

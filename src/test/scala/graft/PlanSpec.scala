@@ -428,9 +428,14 @@ class PlanSpec extends SparkSuite {
     // q_bm25_rank's ONE-ROW broadcast avgdl aggregate (the
     // scalar-subquery shape — replaces a per-invocation eager
     // agg().head(); broadcasting one row is free at any scale), and the
-    // snapshot-diff pair's ONE-ROW broadcast max-id shift (same shape)
+    // snapshot-diff pair's ONE-ROW broadcast max-id shift (same shape),
+    // and q_semantic_dedup_exhaustive, whose constant blocking cell
+    // folds the equi-key away BY DESIGN — the exhaustive proof key IS
+    // all-pairs over a 1-in-5 sample (broadcasting the small sample
+    // side is the plan you'd want; the production key keeps the
+    // data-dependent cell equi-join)
     val allowedBnlj = Set("q_knn_join", "q_hard_negatives", "q_bm25_rank",
-      "q_snapshot_diff", "q_snapshot_diff_inc")
+      "q_snapshot_diff", "q_snapshot_diff_inc", "q_semantic_dedup_exhaustive")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

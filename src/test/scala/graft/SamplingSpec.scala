@@ -13,6 +13,57 @@ class SamplingSpec extends SparkSuite {
     .map(i => (i, s"lang${i % 4}", s"src${i % 3}", "tok " * (i % 30).toInt))
     .toDF("doc_id", "lang", "source", "text")
 
+  test("leakage-safe split co-assigns every near-dup pair; naive leaks") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_split_leakage_safe")(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val naive = SparkEntry.queries("q_split_assign")(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val pairs = graft.operators.Dedup.lshCandidatePairs(
+        Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // every candidate pair lands in ONE split under the safe assignment
+    pairs.foreach { case (a, b) =>
+      assert(out(a) === out(b), s"pair ($a,$b) straddles splits")
+    }
+    // ...and the naive doc_id-keyed split demonstrably leaks on this
+    // corpus (at least one near-dup pair straddles train/test|val)
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "fixture corpus has no leaking pair — test is vacuous")
+    // singletons (docs in no pair) keep the naive assignment: the
+    // component label falls back to the doc's own id
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.keys.filterNot(paired).foreach { id =>
+      assert(out(id) === naive(id), s"singleton $id moved")
+    }
+  }
+
+  test("gopherFlags: each rule binds on its crafted violator") {
+    import graft.operators.QualityRules
+    // distinct words keep trigrams unique (the rep rule must not fire
+    // on the passing doc); lengths sized to the mean-word-length band
+    val good = (1 to 40).map(i => s"word$i").mkString(" ") +
+      " the a of to and in"
+    val rows = Seq(
+      (1L, good),                                   // passes all
+      (2L, "short doc the a"),                      // fails words floor
+      (3L, ("xxxx " * 50) + "the a"),               // repeated 3-grams
+      (4L, (1 to 60).map(i => s"qq$i").mkString(" ")), // no stopwords
+      (5L, ("w" * 15 + " ") * 50 + "the a the a"))  // mean len too high
+      .toDF("doc_id", "text")
+    val f = QualityRules.gopherFlags(rows, col("doc_id"), col("text"))
+      .select("doc_id", "flag_words", "flag_mean_len", "flag_stop",
+        "flag_rep", "keep")
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(f(1L)._6 === 1, s"doc 1 should pass: ${f(1L)}")
+    assert(f(2L)._2 === 0 && f(2L)._6 === 0)
+    assert(f(3L)._5 === 0 && f(3L)._6 === 0)
+    assert(f(4L)._4 === 0 && f(4L)._6 === 0)
+    assert(f(5L)._3 === 0 && f(5L)._6 === 0)
+  }
+
   test("hashSample is deterministic and roughly proportional") {
     val a = Sampling.hashSample(docs, col("doc_id"), 0.25)
       .select("doc_id").as[Long].collect().sorted
