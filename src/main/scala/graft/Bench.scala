@@ -14,10 +14,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // reliable checkpoints for the iterative operators (see Verify) —
-    // serialized on disk instead of deserialized in-heap localCheckpoint
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // reliable checkpoints for the iterative operators, removed on exit
+    CkptDir.init(spark)
     // warmup: parquet footers, codegen/JIT, and the one-time index
     // training the session-scoped caches hold (IVF k-means, PQ
     // codebooks) — the reference builds its collection ONCE and queries

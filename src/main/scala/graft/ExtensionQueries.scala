@@ -370,8 +370,12 @@ object ExtensionQueries {
 
   /** Session-scoped persisted near-dup component labels (doc_id,
     * component) — star contraction over the band-table pairs, written
-    * ONCE per (session, dir) and shared by every consumer
-    * (survivorship, curation funnel, leakage-safe split). The same
+    * ONCE per (session, dir) and shared by every consumer that labels
+    * the FULL corpus (q_split_leakage_safe today; any future
+    * whole-corpus cluster reader). The curation funnel and
+    * q_cluster_rep intentionally do NOT read it: their labels are over
+    * a FILTERED survivor set, where corpus-level labels would merge
+    * clusters through documents the filter already dropped. The same
     * recurring-ingest contract as [[bandTable]]: labels are a
     * maintained corpus artifact, recomputed per ingest wave, not per
     * query. Cached value is a PATH (labels are corpus-sized — the
@@ -1766,6 +1770,10 @@ object ExtensionQueries {
         .withColumn("_rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("_rn") === 1).drop("_rn")
+      // pairs over the SURVIVORS, not componentsFromTable's corpus-level
+      // labels: corpus labels would merge clusters through documents the
+      // lang/quality/exact-dedup stages already dropped, changing which
+      // survivor wins the quality argmax
       val repIds = Dedup.clusterRepresentatives(kept, col("doc_id"),
           col("quality"),
           Dedup.lshCandidatePairs(kept, col("doc_id"), col("text")))
@@ -1854,10 +1862,13 @@ object ExtensionQueries {
     // assignment is stable as the corpus grows.
     "q_split_leakage_safe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val comp = Dedup.connectedComponentsStar(
-        Dedup.lshPairsFromBandTable(s, bandTable(s, d)))
+      // labels from the SESSION components table (star contraction over
+      // the band-table pairs, persisted once per (session, dir)) — the
+      // recurring-ingest form: each consumer reads the stored labels
+      // instead of re-running the iterative contraction per query
+      val comp = componentsFromTable(s, d)
       Sampling.assignSplit(
-          docs.join(comp, docs("doc_id") === comp("id"), "left")
+          docs.join(comp, Seq("doc_id"), "left")
             .withColumn("component",
               coalesce(col("component"), col("doc_id"))),
           col("component"))

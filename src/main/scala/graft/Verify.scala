@@ -22,13 +22,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // RELIABLE checkpoints for the iterative operators (Dedup
-    // connected-components): Dedup.checkpointed prefers this when set —
-    // serialized-to-disk blocks instead of deserialized in-heap
-    // localCheckpoint caching, which OOM'd a 64 GB driver on the sf10
-    // soak's ~50M-edge pair graph. This is also the cluster-correct
-    // configuration (executor loss recovers from storage).
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // connected-components), cleaned up on exit — see CkptDir
+    CkptDir.init(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

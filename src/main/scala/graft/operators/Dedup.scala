@@ -618,8 +618,14 @@ object Dedup {
       textCol: Column, benchmark: DataFrame, bIdCol: Column,
       bTextCol: Column, n: Int = 10): DataFrame = {
     val toks = spanToks(df, idCol, textCol)
-    val bad = spanShingles(spanToks(benchmark, bIdCol, bTextCol), n)
-      .select("h").distinct()
+    // explicit broadcast: the benchmark side is bounded by construction,
+    // and without the hint a benchmark whose distinct-hash frame exceeds
+    // the auto-broadcast threshold would silently degrade to a full
+    // corpus shuffle on h — the exact plan shape this operator exists
+    // to avoid (PlanSpec asserts no corpus exchange on the hash)
+    val bad = broadcast(
+      spanShingles(spanToks(benchmark, bIdCol, bTextCol), n)
+        .select("h").distinct())
     val covered = spanShingles(toks, n)
       .join(bad, Seq("h"), "left_semi")
       .groupBy("doc_id")

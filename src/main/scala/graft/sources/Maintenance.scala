@@ -189,7 +189,9 @@ object Maintenance {
     * and so one ordered file set — per shard (size the token budget so
     * a shard is a sane file: ~100 M tokens ≈ 500 MB). Returns the
     * per-shard manifest (split, shard, n_docs, n_tokens) a trainer
-    * consumes. */
+    * consumes. Layout: FLAT `outDir/split=/shard=` — incompatible with
+    * [[appendTrainingShards]]'s `wave=`-prefixed store on the same
+    * outDir (the append sink refuses a flat store at the root). */
   def writeTrainingShards(spark: SparkSession, docs: DataFrame,
                           outDir: String, idCol: Column, textCol: Column,
                           epoch: Int = 0,
@@ -253,7 +255,13 @@ object Maintenance {
     * already exists skips the append entirely and just returns the
     * stored wave's manifest. Because a wave is all-or-nothing, the
     * base-id scan only ever sees complete waves, so shard ids stay
-    * globally consecutive per split across waves. */
+    * globally consecutive per split across waves.
+    *
+    * Layout note: this store is `wave=`-partitioned at the root and is
+    * NOT interchangeable with [[writeTrainingShards]]'s flat
+    * `split=/shard=` layout — a mixed store has conflicting
+    * partition-directory depths and fails Spark's partition discovery.
+    * This sink detects a flat store and throws. */
   def appendTrainingShards(spark: SparkSession, newDocs: DataFrame,
                            outDir: String, waveId: String,
                            idCol: Column, textCol: Column,
@@ -264,6 +272,17 @@ object Maintenance {
       s"waveId must be a plain partition-safe token, got '$waveId'")
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layout guard: writeTrainingShards writes FLAT outDir/split=/shard=,
+    // this sink writes outDir/wave=/split=/shard= — mixing the two depths
+    // in one store breaks partition discovery for every reader (including
+    // this sink's own base-id scan). Fail fast instead.
+    if (fs.exists(outPath) &&
+        fs.listStatus(outPath).exists(_.getPath.getName.startsWith("split=")))
+      throw new IllegalStateException(
+        s"$outDir holds a flat writeTrainingShards layout (split=… at the " +
+          "root); appendTrainingShards writes wave=…/split=… and cannot " +
+          "share a store with the flat sink — use a fresh outDir, or " +
+          "rewrite the store once as wave=<id0> before appending")
     val wavePath = new org.apache.hadoop.fs.Path(outPath, s"wave=$waveId")
     def storedManifest(): DataFrame =
       spark.read.parquet(wavePath.toString)
@@ -375,6 +394,18 @@ object Maintenance {
     // value would collide with NULL — control characters are plausible
     // in web-crawl text); the length prefix pins every field boundary,
     // and "-" ≠ "0" keeps null ≠ "".
+    //
+    // FORMAT v2 (= [[digestFormatVersion]]). v1 (rounds ≤8) framed with
+    // separator/sentinel characters; every v2 digest differs from its
+    // v1 value, so a digest table persisted under v1 classifies EVERY
+    // row as "changed" on its first v2 diff. [[writeDigestTable]]
+    // stamps the version as a table property and
+    // [[snapshotDiffAgainstDigestTable]] refuses a table without the
+    // current stamp — rebuild stale stores with writeDigestTable
+    // instead of trusting a one-time all-changed diff. Streaming
+    // maintainers (Streams.upsertStreamBucketed digest lifecycles) keep
+    // digests as plain columns in their own stores; on a framing
+    // upgrade those stores must be rebuilt the same way.
     xxhash64(concat(contentCols.flatMap { c =>
       val s = col(c).cast("string")
       Seq(coalesce(length(s).cast("string"), lit("-")), lit(":"),
@@ -399,6 +430,12 @@ object Maintenance {
     * [[snapshotDiffAgainstDigestTable]] reads its buckets in place. The
     * digest table is ~16 bytes/row — at 100 TB of documents it is
     * tens of GB, not the corpus. */
+  /** The digest framing version [[digestColumn]] currently computes.
+    * Stamped into every [[writeDigestTable]] store and checked by
+    * [[snapshotDiffAgainstDigestTable]] so a framing upgrade can never
+    * silently mis-diff a stale store. */
+  val digestFormatVersion = "2"
+
   def writeDigestTable(df: DataFrame, idCol: String,
                        contentCols: Seq[String], table: String,
                        buckets: Int = 32): Unit = {
@@ -407,6 +444,9 @@ object Maintenance {
       .write.mode("overwrite")
       .bucketBy(buckets, idCol).sortBy(idCol)
       .saveAsTable(table)
+    // version stamp — see the FORMAT note on digestColumn
+    df.sparkSession.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('graft.digest.format' = '$digestFormatVersion')")
   }
 
   /** [[snapshotDiff]] served against a persisted digest table: the
@@ -422,6 +462,15 @@ object Maintenance {
                                      includeUnchanged: Boolean = false)
       : DataFrame = {
     require(contentCols.nonEmpty, "snapshotDiff needs ≥1 content column")
+    // refuse a store written under an older digest framing (every row
+    // would misclassify as "changed") — rebuild with writeDigestTable
+    val stamp = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .filter(col("key") === "graft.digest.format")
+      .collect().headOption.map(_.getString(1))
+    require(stamp.contains(digestFormatVersion),
+      s"digest table $table has format ${stamp.getOrElse("<unstamped>")}" +
+        s" but this build computes v$digestFormatVersion — rebuild the" +
+        " store with writeDigestTable (see digestColumn's FORMAT note)")
     classify(
       spark.table(table).select(col(idCol), col("digest").as("_oh"))
         .join(newDf.select(col(idCol), digestColumn(contentCols).as("_nh")),
