@@ -2078,6 +2078,21 @@ object ExtensionQueries {
         .orderBy("query_id", "rn")
     }),
 
+    // ---- contrastive hard-negative mining: per anchor, the 5 highest-
+    // cosine matches strictly below the near-dup threshold (0.4 — the
+    // q_semantic_dedup flag line, so the mined negatives are exactly the
+    // closest vectors the dedup pass does NOT consider duplicates; the
+    // anchor itself at cos 1.0 is excluded by the same predicate).
+    // Exact brute-force form, hash-oracled; the 100 TB path composes the
+    // same map-side filter onto knnJoinIvf (Knn.hardNegatives scaladoc).
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.hardNegatives(emb.filter(col("vec_id") < 10), col("vec_id"),
+          col("embedding"), emb, col("vec_id"), col("embedding"),
+          k = 5, dupCos = 0.4)
+        .orderBy("query_id", "rn")
+    }),
+
     // ---- batch kNN join over the sharded hierarchical graph: the graph
     // family's knnJoinIvf counterpart — corpus-partitioned, query batch
     // broadcast, one balanced top-k shuffle. Approximate ⇒ rows-only;
@@ -3916,6 +3931,30 @@ object ExtensionQueries {
         |WHERE rn = (cnt + 1) // 2 ORDER BY lang""".stripMargin,
 
     "q_knn_join" -> knnJoinOracleSql,
+
+    // hard negatives: full cosine cross-score (the q_cosine_topk float
+    // path), threshold BELOW the near-dup line, ranked per anchor
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS match_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |           x -> x::DOUBLE * x::DOUBLE)))),
+        |    6) AS cos_sim
+        |  FROM q, embeddings e),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, match_id) AS rn
+        |  FROM p WHERE cos_sim < 0.4::DOUBLE)
+        |SELECT query_id, match_id, cos_sim, rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     // exhaustive-probe IVF join must equal brute force — same oracle
     "q_knn_join_exhaustive" -> knnJoinOracleSql,

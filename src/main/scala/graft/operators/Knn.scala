@@ -100,6 +100,23 @@ object Knn {
               corpus: DataFrame, cIdCol: Column, cVecCol: Column,
               k: Int, broadcastThreshold: Long = 64L << 20): DataFrame = {
     import graft.plans.NativeFunctions.l2Native
+    val pairs = allPairs(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
+      broadcastThreshold)
+    val scored = pairs.select(col("query_id"), col("match_id"),
+      (-round(l2Native(col("_qv"), col("_cv")), 6)).as("negdist"))
+    TopK.topKPerGroup(scored.sparkSession, scored,
+        "query_id", "match_id", "negdist", k)
+      .select(col("query_id"), col("match_id"),
+        (-col("negdist")).as("dist"), col("rn"))
+  }
+
+  /** Every (query, corpus) vector pair as (query_id, _qv, match_id, _cv)
+    * — broadcast the corpus below `broadcastThreshold`, hash-blocked
+    * replication above it (byte ceiling documented in [[knnJoin]]).
+    * Shared by the exact-kNN and hard-negative miners. */
+  private def allPairs(queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                       corpus: DataFrame, cIdCol: Column, cVecCol: Column,
+                       broadcastThreshold: Long): DataFrame = {
     val corp = corpus.select(cIdCol.as("match_id"), cVecCol.as("_cv"))
     val estBytes = corp.queryExecution.optimizedPlan.stats.sizeInBytes
     val pairs =
@@ -134,12 +151,41 @@ object Knn {
           .join(corp.withColumn("_blk",
             pmod(hash(col("match_id")), lit(nBlocks))), Seq("_blk"))
       }
+    pairs
+  }
+
+  /** Contrastive hard-negative mining: for each anchor, the `k`
+    * MOST-similar corpus vectors that are NOT near-duplicates — the
+    * highest-cosine matches strictly below `dupCos` (which also excludes
+    * the anchor itself at cos 1.0). The training-pair rationale: a
+    * near-duplicate of the anchor is a false negative that poisons a
+    * contrastive loss, while the closest non-duplicates are exactly the
+    * negatives the model learns most from; `dupCos` should match the
+    * near-dup threshold the dedup pass used (q_semantic_dedup flags
+    * pairs at cos ≥ 0.4, so its complement is mined here).
+    *
+    * Exact brute-force form (this operator — hash-oracled): the same
+    * broadcast/blocked pair machinery as [[knnJoin]], cosine-scored,
+    * threshold-filtered MAP-SIDE before the bounded-buffer top-k
+    * shuffle, so the filter costs nothing extra. At 100 TB the mining
+    * composes onto [[knnJoinIvf]] instead (probe-bounded candidate
+    * generation, same map-side cos < dupCos predicate, overfetched k to
+    * survive the filter) — the exact form here is the oracle and the
+    * sub-ceiling path, per the knnJoin byte-ceiling note.
+    * Output: (query_id, match_id, cos_sim, rn), rn 1-based
+    * (cos desc, id asc). */
+  def hardNegatives(queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                    corpus: DataFrame, cIdCol: Column, cVecCol: Column,
+                    k: Int, dupCos: Double,
+                    broadcastThreshold: Long = 64L << 20): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val pairs = allPairs(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
+      broadcastThreshold)
     val scored = pairs.select(col("query_id"), col("match_id"),
-      (-round(l2Native(col("_qv"), col("_cv")), 6)).as("negdist"))
+        round(cosine(col("_qv"), col("_cv")), 6).as("cos_sim"))
+      .filter(col("cos_sim") < dupCos)
     TopK.topKPerGroup(scored.sparkSession, scored,
-        "query_id", "match_id", "negdist", k)
-      .select(col("query_id"), col("match_id"),
-        (-col("negdist")).as("dist"), col("rn"))
+        "query_id", "match_id", "cos_sim", k)
   }
 
   /** IVF-cell co-partitioned batch kNN join — the scale path past

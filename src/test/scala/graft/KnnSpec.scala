@@ -77,6 +77,23 @@ class KnnSpec extends SparkSuite {
   // path for exact-at-any-size work is knnJoinIvf (probe-bounded,
   // co-partitioned) — this branch is the exact fallback BELOW that
   // ceiling.
+  test("hardNegatives: closest NON-duplicates per anchor — threshold " +
+      "excludes self and near-dups, rank is (cos desc, id asc)") {
+    // anchor (1,0); colinear (3,0) is cos=1 (a "duplicate" — excluded
+    // with the anchor itself); (0,2)/(0,4) are orthogonal (cos=0);
+    // origin vector (0,0) has undefined cos (NaN) and must not surface
+    val anchors = vecs.filter(col("vec_id") === 1)
+    val out = Knn.hardNegatives(anchors, col("vec_id"), col("embedding"),
+        vecs, col("vec_id"), col("embedding"), k = 3, dupCos = 0.9)
+      .orderBy("rn")
+    val rows = out.select("match_id", "cos_sim", "rn")
+      .as[(Long, Double, Int)].collect()
+    // survivors: 2 and 4 at cos 0.0 — ids 1 and 3 are >= dupCos, id 0 NaN
+    assert(rows.map(_._1) === Array(2L, 4L))
+    assert(rows.forall(_._2 < 0.9))
+    assert(rows.map(_._3) === Array(1, 2))
+  }
+
   test("knnJoin: over-threshold corpus takes the hash-blocked path — " +
     "no BroadcastExchange, bit-identical to the broadcast branch") {
     val queries = vecs.filter(col("vec_id") < 2)
