@@ -1058,6 +1058,35 @@ object ExtensionQueries {
           col("text"))
         .orderBy("doc_id")),
 
+    // ---- Gopher repetition-signal suite (Rae et al. 2021 A1): the
+    // graded repetition measures beside q_gopher_rules's binary cap —
+    // top-2/3-gram char fraction, duplicated-5-gram char coverage. One
+    // codegen'd lead-window pass for every gram grain, one uniform
+    // (doc, n, hash) count shuffle, in-row coverage math; fractions are
+    // exact int/int divisions so they hash-match unrounded.
+    "q_gopher_repetition" -> ((s, d) =>
+      QualityRules.gopherRepetition(Tables.documents(s, d), col("doc_id"),
+          col("text"))
+        .orderBy("doc_id")),
+
+    // ---- cross-doc LINE-level dedup (the CCNet/RefinedWeb line scrub):
+    // lines shared by >= 2 docs are boilerplate and removed from every
+    // doc, the clean remainder kept in order. Lined corpus synthesized
+    // id-derived (the url_normalize proof pattern): a per-source banner
+    // and per-lang footer frame each doc's body — banners/footers
+    // duplicate across docs and must vanish; unique bodies survive
+    // (exact-dup bodies legitimately vanish too, same as the oracle).
+    "q_dedup_lines" -> ((s, d) => {
+      val lined = concat_ws("\n",
+        concat(lit("about the "), col("source"), lit(" network")),
+        col("text"),
+        concat(lit("all rights reserved "), col("lang")))
+      Dedup.dedupLines(
+          Tables.documents(s, d).withColumn("_lt", lined),
+          col("doc_id"), col("_lt"))
+        .orderBy("doc_id")
+    }),
+
     // ---- semantic dedup on the UNLABELED path: near-dup cosine pairs
     // blocked by the TRAINED k-means cell (not the synthetic label), drop
     // the higher id of each pair (0.4 flags the closest tail of this
@@ -2924,6 +2953,78 @@ object ExtensionQueries {
          |  flag_words, flag_mean_len, flag_stop, flag_rep,
          |  flag_words * flag_mean_len * flag_stop * flag_rep AS keep
          |FROM flags ORDER BY doc_id""".stripMargin,
+
+    // repetition suite: raw-gram grouping replays the hashed (doc,n,gh)
+    // counts; fractions are exact int/int double divisions (unrounded);
+    // DuckDB positions are 1-based where Spark's are 0-based — coverage
+    // math is base-consistent within each engine
+    "q_gopher_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x != '') AS tk FROM documents),
+        |ex AS (
+        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, p, n,
+        |    array_to_string(tk[p : p+n-1], ' ') AS g,
+        |    list_sum(list_transform(tk[p : p+n-1],
+        |      x -> len(x)))::BIGINT AS glen
+        |  FROM ex, (VALUES (1),(2),(3),(5)) ns(n)
+        |  WHERE p + n - 1 <= len(tk)),
+        |pg AS (
+        |  SELECT doc_id, n, g, count(*)::BIGINT AS c, max(glen) AS glen,
+        |    list(p ORDER BY p) AS ps
+        |  FROM grams GROUP BY doc_id, n, g),
+        |pd AS (
+        |  SELECT doc_id,
+        |    (sum(CASE WHEN n = 1 THEN c * glen END))::BIGINT AS total_chars,
+        |    max(CASE WHEN n = 2 THEN c * glen END) AS top2,
+        |    max(CASE WHEN n = 3 THEN c * glen END) AS top3,
+        |    flatten(list(CASE WHEN n = 5 AND c >= 2 THEN ps
+        |      ELSE [] END)) AS starts
+        |  FROM pg GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  pd.total_chars AS n_token_chars,
+        |  coalesce(pd.top2::DOUBLE / pd.total_chars::DOUBLE,
+        |    0.0::DOUBLE) AS top_2gram_char_frac,
+        |  coalesce(pd.top3::DOUBLE / pd.total_chars::DOUBLE,
+        |    0.0::DOUBLE) AS top_3gram_char_frac,
+        |  coalesce(list_sum(list_transform(generate_series(1, len(t.tk)),
+        |      pp -> CASE WHEN len(list_filter(pd.starts,
+        |          s -> s <= pp AND pp < s + 5)) > 0
+        |        THEN len(t.tk[pp]) ELSE 0 END)),
+        |    0)::DOUBLE / pd.total_chars::DOUBLE AS dup_5gram_char_frac
+        |FROM toks t JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // line dedup: the oracle groups RAW lines (the raw-shingle pattern —
+    // a Spark-side xxhash64 collision would surface as a mismatch);
+    // rebuild via position-ordered string_agg, NULL-skipping on the
+    // flagged lines exactly like the filtered-array rebuild
+    "q_dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    'about the ' || source || ' network' || chr(10) || text ||
+        |    chr(10) || 'all rights reserved ' || lang AS lt
+        |  FROM documents),
+        |lsx AS (SELECT doc_id, string_split(lt, chr(10)) AS ls FROM lined),
+        |lx AS (
+        |  SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS pos
+        |  FROM lsx),
+        |l2 AS (SELECT doc_id, pos, ls[pos] AS line FROM lx),
+        |dup AS (
+        |  SELECT line FROM l2 GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |j AS (
+        |  SELECT l2.doc_id, l2.pos, l2.line, (dup.line IS NOT NULL) AS d
+        |  FROM l2 LEFT JOIN dup ON l2.line = dup.line)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT d THEN line END, chr(10)
+        |    ORDER BY pos), '') AS clean_text,
+        |  (count(*) FILTER (WHERE NOT d))::BIGINT AS n_lines_kept,
+        |  (count(*) FILTER (WHERE d))::BIGINT AS n_lines_removed
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH toks AS (

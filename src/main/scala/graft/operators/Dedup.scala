@@ -686,6 +686,50 @@ object Dedup {
         (size(col("tk")) - size(col("kept"))).cast("long")
           .as("n_tokens_removed"))
 
+  /** Cross-document LINE-level dedup (the CCNet/RefinedWeb line scrub):
+    * a line whose exact text appears in at least `minDocs` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, license
+    * footers — the crawl artifacts paragraph- and doc-level dedup both
+    * miss) and is removed from EVERY document; each document is rebuilt
+    * from its surviving lines in original order.
+    *
+    * Scale shape: lines explode map-side off the scan; duplicate
+    * detection is ONE uniform shuffle of 8-byte line hashes with
+    * map-side partial distinct-doc counting (the q_boilerplate_shingles
+    * shape at line granularity); flagged hashes join back on the same
+    * hash distribution and the rebuild is one doc_id regroup carrying
+    * (pos, line) structs — linear end to end, no pair stage, per-doc
+    * state bounded by document length. xxhash64 keys internally; the
+    * oracle groups RAW lines (the removeDuplicateSpans raw-shingle
+    * pattern), so a hash collision would surface as a mismatch.
+    * Output: (doc_id, clean_text, n_lines_kept, n_lines_removed). */
+  def dedupLines(df: DataFrame, idCol: Column, textCol: Column,
+                 minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = Spread.forKernel(
+        df.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"),
+        posexplode(split(col("_t"), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val dup = lines.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("h"), lit(true).as("_dup"))
+    lines.join(dup, Seq("h"), "left")
+      .select(col("doc_id"),
+        struct(col("pos"), col("line"),
+          coalesce(col("_dup"), lit(false)).as("dup")).as("e"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("doc_id"),
+        array_join(expr("transform(filter(es, x -> NOT x.dup), " +
+          "x -> x.line)"), "\n").as("clean_text"),
+        expr("size(filter(es, x -> NOT x.dup))").cast("long")
+          .as("n_lines_kept"),
+        expr("size(filter(es, x -> x.dup))").cast("long")
+          .as("n_lines_removed"))
+  }
+
   // ---- winnowing fingerprints -----------------------------------------
 
   /** MOSS-style winnowing fingerprints: the minimum 16-bit shingle hash

@@ -74,4 +74,86 @@ object QualityRules {
       .withColumn("keep",
         f.keys.toSeq.sorted.map(col).reduce(_ * _))
   }
+
+  /** Gopher repetition-signal suite (Rae et al. 2021 appendix A1's
+    * "repetitious text" measures — the graded companions to
+    * [[gopherFlags]]'s binary repetition cap): per document,
+    *  - `top_2gram_char_frac` / `top_3gram_char_frac`: characters inside
+    *    the single most frequent word n-gram — occurrences × the gram's
+    *    token chars — over the doc's total token chars;
+    *  - `dup_5gram_char_frac`: characters inside ANY 5-gram occurring
+    *    more than once, overlapping occurrences counted ONCE via
+    *    token-position coverage (the removeDuplicateSpans coverage
+    *    math, measured instead of excised).
+    * The char base is TOKEN characters (whitespace excluded) on both
+    * engines; every fraction is one exact int/int double division, so
+    * the output hash-matches without rounding. Top-gram fractions are
+    * UNCLAMPED (overlapping occurrences each count the full gram — the
+    * Dolma/NeMo-Curator convention), so degenerate loop-text can score
+    * above 1; the coverage-based dup_5gram fraction is always ≤ 1.
+    *
+    * Scale shape: ONE doc-partitioned window pass computes every gram
+    * size (codegen'd lead windows — the spanShingles shape, not an
+    * interpreted HOF chain); all gram grains union into one frame, so
+    * duplicate counting is ONE uniform (doc, n, hash) shuffle with
+    * map-side partials; per-doc reduction is one more doc_id shuffle and
+    * the 5-gram coverage is in-row array math. Per-doc state is bounded
+    * by document length — linear at any corpus size. */
+  def gopherRepetition(df: DataFrame, idCol: Column,
+                       textCol: Column): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    def toksOf(d: DataFrame) = Spread.forKernel(
+        d.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"), tokens(col("_t")).as("tk"))
+    val ex = toksOf(df)
+      .select(col("doc_id"), size(col("tk")).as("sz"),
+        posexplode(col("tk")).as(Seq("p", "t")))
+    // window expressions must be TOP-LEVEL projections (they can't nest
+    // inside the filter/explode HOFs below) — one window pass, 4 leads
+    val withLeads = ex.select(
+      (Seq(col("doc_id"), col("sz"), col("p"), col("t")) ++
+        (1 to 4).map(j => lead(col("t"), j).over(byPos).as(s"l$j"))): _*)
+    def entry(n: Int) = {
+      val parts = col("t") +: (1 until n).map(j => col(s"l$j"))
+      struct(lit(n).as("n"),
+        xxhash64(concat_ws(" ", parts: _*)).as("gh"),
+        parts.map(length(_).cast("long")).reduce(_ + _).as("glen"))
+    }
+    // per position: one entry per gram grain that still FITS the doc
+    // (p is 0-based; an n-gram needs p <= sz - n)
+    val grams = withLeads
+      .select(col("doc_id"), col("p"),
+        explode(filter(array(entry(1), entry(2), entry(3), entry(5)),
+          e => col("p") <= col("sz") - e.getField("n"))).as("e"))
+      .select(col("doc_id"), col("p"), col("e.n").as("n"),
+        col("e.gh").as("gh"), col("e.glen").as("glen"))
+    val perGram = grams.groupBy("doc_id", "n", "gh")
+      .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"),
+        collect_list(when(col("n") === 5, col("p"))).as("ps"))
+    val perDoc = perGram.groupBy("doc_id").agg(
+      // Σ over distinct tokens of count×len = total token chars
+      sum(when(col("n") === 1, col("c") * col("glen"))).as("total_chars"),
+      max(when(col("n") === 2, col("c") * col("glen"))).as("top2"),
+      max(when(col("n") === 3, col("c") * col("glen"))).as("top3"),
+      flatten(collect_list(when(col("n") === 5 && col("c") >= 2, col("ps"))))
+        .as("starts"))
+    toksOf(df).join(perDoc, Seq("doc_id"))
+      .withColumn("dup5_chars",
+        coalesce(aggregate(expr("sequence(0, size(tk) - 1)"), lit(0L),
+          (acc, pp) => acc + when(
+            exists(col("starts"), s => s <= pp && pp < s + lit(5)),
+            length(element_at(col("tk"), pp + 1)).cast("long"))
+            .otherwise(lit(0L))), lit(0L)))
+      .select(col("doc_id"),
+        col("total_chars").cast("long").as("n_token_chars"),
+        coalesce(col("top2").cast("double") /
+          col("total_chars").cast("double"), lit(0.0))
+          .as("top_2gram_char_frac"),
+        coalesce(col("top3").cast("double") /
+          col("total_chars").cast("double"), lit(0.0))
+          .as("top_3gram_char_frac"),
+        (col("dup5_chars").cast("double") /
+          col("total_chars").cast("double")).as("dup_5gram_char_frac"))
+  }
 }

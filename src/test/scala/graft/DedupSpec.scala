@@ -96,6 +96,24 @@ class DedupSpec extends SparkSuite {
       (4L, "tiny", 1L, 0L)))
   }
 
+  test("dedupLines: cross-doc boilerplate lines removed from every doc; " +
+      "a within-doc repeat survives; a fully-boilerplate doc empties") {
+    val d = Seq(
+      (1L, "banner\nunique one\nfooter"),
+      (2L, "banner\nunique two\nfooter"),
+      (3L, "banner\nfooter"),            // every line shared → empty doc
+      (4L, "solo line\nsolo line\nmine") // repeats in ONE doc only → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(d, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "unique one", 1L, 2L),
+      (2L, "unique two", 1L, 2L),
+      (3L, "", 0L, 2L),
+      (4L, "solo line\nsolo line\nmine", 3L, 0L)))
+  }
+
   test("removeContaminatedSpans: benchmark-shared spans excised (incl. " +
       "span at doc boundary), fully-contaminated doc empties, " +
       "self-duplicates within the corpus survive") {

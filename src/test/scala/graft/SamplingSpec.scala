@@ -64,6 +64,24 @@ class SamplingSpec extends SparkSuite {
     assert(f(5L)._3 === 0 && f(5L)._6 === 0)
   }
 
+  test("gopherRepetition: hand-computed fractions — overlapping top-gram " +
+      "repeats can exceed 1 (unclamped, the Dolma convention); " +
+      "duplicated-5-gram coverage counts each position once") {
+    import graft.operators.QualityRules
+    val d = Seq(
+      (1L, "a b a b a"),           // top2 "a b"×2·2=4/5; top3 "a b a"×2·3=6/5
+      (2L, "c c c c c c"),         // 5-gram ×2 covers ALL 6 positions → 1.0
+      (3L, "ab cd"))               // no 3-grams → top3 = 0
+      .toDF("doc_id", "text")
+    val got = QualityRules.gopherRepetition(d, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 5L, 0.8, 1.2, 0.0),
+      (2L, 6L, 10.0 / 6.0, 2.0, 1.0),
+      (3L, 4L, 1.0, 0.0, 0.0)))
+  }
+
   test("hashSample is deterministic and roughly proportional") {
     val a = Sampling.hashSample(docs, col("doc_id"), 0.25)
       .select("doc_id").as[Long].collect().sorted
