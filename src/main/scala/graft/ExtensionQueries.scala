@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Rounding.floorRound6
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AnnMatrix, AsofJoin, Dedup, GraphAnn, Knn, Multimodal, Pq, QualityRules, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
+import graft.operators.{Ann, AnnMatrix, AsofJoin, Dedup, GraphAnn, Knn, Multimodal, PageRank, Pq, QualityRules, RangeJoin, Sampling, Sketches, SkewJoin, TopK}
 
 /** Extension queries (SURVEY.md §7.4) — LLM-data-pipeline operators beyond
   * reference parity: relational aggregates/joins/windows (general engine
@@ -1992,6 +1992,35 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- link-graph authority: 5 fixed PageRank iterations (damping
+    // 7/8 — exact binary fraction) over a deterministic synthesized link
+    // graph (the url_normalize proof pattern): each doc links to 4
+    // hash-derived targets over the DENSE id space (withDenseIds — no
+    // contiguous-doc_id assumption, survives ScaleGen's key ranges), so
+    // in-degree varies and the stationary mass is non-uniform. Sorted
+    // contribution folds + an unrolled 5-step CTE oracle make the run
+    // bit-reproducible (PageRank.pageRank scaladoc).
+    "q_pagerank" -> ((s, d) => {
+      import graft.functions.TextFunctions.tokenHash32
+      val nn = Tables.documents(s, d).count()
+      val ids = graft.sources.Maintenance.withDenseIds(s,
+          Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
+        .select(col("doc_id"), col("label_id").as("ridx"))
+      // dst = (src + 1 + h mod (N-1)) mod N — never the src itself
+      val e = ids
+        .select(col("ridx").as("src"),
+          explode(sequence(lit(1), lit(4))).as("ord"))
+        .withColumn("dst",
+          pmod(col("src") + 1 +
+            pmod(tokenHash32(concat_ws(":", lit("e"), col("src"),
+              col("ord"))), lit(nn - 1)), lit(nn)))
+      val pr = PageRank.pageRank(ids.select(col("ridx")), col("ridx"),
+        e, col("src"), col("dst"), col("ord"), iters = 5)
+      pr.join(ids, pr("node") === ids("ridx"))
+        .select(col("doc_id"), col("pagerank"))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-host crawl cap: keep the best `k` docs per host by
     // quality — the crawl-diversity quota (one domain must not dominate
     // the corpus). Composition: urlHost ∘ quality ∘ ranked window; at
@@ -2343,6 +2372,47 @@ object ExtensionQueries {
       |    PARTITION BY query_id ORDER BY dist, match_id) AS rn FROM p)
       |SELECT query_id, match_id, dist, rn FROM r
       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** q_pagerank oracle: the 5 iterations UNROLLED as a CTE chain (the
+    * BPE-training pattern); per-node contributions summed via
+    * list_reduce over an ORDER BY (src, ord) list, replaying Spark's
+    * sorted-array fold bit-for-bit (0.0-seeded fold ≡ first-element
+    * fold because 0.0 + x = x exactly for finite positive x). */
+  private lazy val pagerankOracleSql: String = {
+    val iters = 5
+    val hashE = hash32Sql("'e:' || s.ridx::VARCHAR || ':' || j.ord::VARCHAR")
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT eo.dst AS node,
+         |    list_reduce(list(r${i - 1}.r / eo.odeg ORDER BY eo.src, eo.ord),
+         |      (a, b) -> a + b) AS cs
+         |  FROM eo JOIN r${i - 1} ON eo.src = r${i - 1}.node
+         |  GROUP BY eo.dst),
+         |r$i AS (
+         |  SELECT ids.ridx AS node,
+         |    0.125::DOUBLE / nn.n::DOUBLE
+         |      + 0.875::DOUBLE * coalesce(c$i.cs, 0.0::DOUBLE) AS r
+         |  FROM ids CROSS JOIN nn LEFT JOIN c$i ON ids.ridx = c$i.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (
+       |  SELECT doc_id,
+       |    (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS ridx
+       |  FROM documents),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |e AS (
+       |  SELECT s.ridx AS src, j.ord AS ord,
+       |    ((s.ridx + 1 + ($hashE % (nn.n - 1))) % nn.n) AS dst
+       |  FROM ids s, (VALUES (1),(2),(3),(4)) j(ord), nn),
+       |od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src),
+       |eo AS (SELECT e.src, e.ord, e.dst, od.odeg FROM e JOIN od USING (src)),
+       |r0 AS (SELECT ids.ridx AS node, 1.0::DOUBLE / nn.n::DOUBLE AS r
+       |  FROM ids CROSS JOIN nn),
+       |$steps
+       |SELECT ids.doc_id, r$iters.r AS pagerank
+       |FROM r$iters JOIN ids ON r$iters.node = ids.ridx
+       |ORDER BY ids.doc_id""".stripMargin
+  }
 
   private def substrCountSql(text: String, m: String): String =
     s"((len($text) - len(replace($text, '$m', ''))) // ${m.length})"
@@ -4095,6 +4165,8 @@ object ExtensionQueries {
         |  ((octet_length(encode(text)) * 7) % 480 + 1)::BIGINT AS height,
         |  (octet_length(encode(text)) % 24 + 1)::BIGINT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank" -> pagerankOracleSql,
 
     "q_dense_ids" ->
       """SELECT doc_id, lang,
