@@ -861,6 +861,23 @@ object ExtensionQueries {
           col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- collocation mining by lift (PMI's ratio kept rational — the
+    // no-ln oracle rule; log only rescales the order): top bigram
+    // associations above a min pair count. One uniform bigram-count
+    // shuffle, unigram shuffle join, TakeOrderedAndProject top-k.
+    "q_colloc_lift" -> ((s, d) =>
+      graft.operators.LmScore.collocations(Tables.documents(s, d),
+          col("doc_id"), col("text"), minCount = 5, topK = 100)
+        .orderBy("rn")),
+
+    // ---- vocabulary-coverage signal: per-doc OOV rate against the
+    // corpus' own deterministic top-50 unigram vocab (bounded top-k ⇒
+    // broadcast-size by construction; membership join map-side).
+    "q_oov_rate" -> ((s, d) =>
+      graft.operators.LmScore.oovRate(Tables.documents(s, d),
+          col("doc_id"), col("text"), vocabSize = 50)
+        .orderBy("doc_id")),
+
     // ---- CCNet head/middle/tail split: per-language LM-quality
     // terciles, rank-based cuts (integer arithmetic — exact, no
     // interpolated percentiles). One window shuffle on lang; the 100 TB
@@ -3620,6 +3637,58 @@ object ExtensionQueries {
          |  ${graft.functions.Rounding.floorRoundSql(
               "list_sum(list(p ORDER BY term)) / count(*)", 6)} AS lm_score
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // lift = ((c12·T)/B·T)/(c1·c2) — the identical left-assoc double op
+    // tree on both engines, exact casts, unrounded
+    "q_colloc_lift" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x != '') AS tk FROM documents),
+        |ex AS (
+        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, tk[p] AS cur,
+        |    CASE WHEN p > 1 THEN tk[p-1] ELSE '' END AS prev
+        |  FROM ex),
+        |tot AS (
+        |  SELECT count(*)::DOUBLE AS tt,
+        |    (count(*) FILTER (WHERE prev != ''))::DOUBLE AS tb FROM occ),
+        |uc AS (SELECT cur AS w, count(*)::BIGINT AS c FROM occ
+        |  GROUP BY cur),
+        |bc AS (
+        |  SELECT prev AS w1, cur AS w2, count(*)::BIGINT AS pair_cnt
+        |  FROM occ WHERE prev != '' GROUP BY prev, cur
+        |  HAVING count(*) >= 5),
+        |l AS (
+        |  SELECT w1, w2, pair_cnt,
+        |    (pair_cnt::DOUBLE * tot.tt / tot.tb * tot.tt) /
+        |      (u1.c::DOUBLE * u2.c::DOUBLE) AS lift
+        |  FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w,
+        |    tot),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rn
+        |  FROM l)
+        |SELECT w1, w2, pair_cnt, lift, rn FROM r
+        |WHERE rn <= 100 ORDER BY rn""".stripMargin,
+
+    // oov rate vs the deterministic top-50 vocab (cnt desc, term asc)
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM toks
+        |  GROUP BY term),
+        |v AS (
+        |  SELECT term FROM c
+        |  ORDER BY cnt DESC, term LIMIT 50)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |  (count(*) FILTER (WHERE v.term IS NULL))::BIGINT AS oov_cnt,
+        |  (count(*) FILTER (WHERE v.term IS NULL))::DOUBLE
+        |    / count(*)::DOUBLE AS oov_rate
+        |FROM toks t LEFT JOIN v ON t.term = v.term
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // bigram stupid-backoff replay: the occurrence stream carries
     // (prev='' at position 0, cur), unigram and bigram counts rebuild

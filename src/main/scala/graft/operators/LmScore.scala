@@ -164,6 +164,78 @@ object LmScore {
           / col("n_tokens")))
       .select(col("doc_id"), col("n_tokens"), col("lm_score"))
 
+  /** Collocation mining by LIFT — the association statistic phrase /
+    * multi-word-expression extraction ranks candidate bigrams with.
+    * Lift is PMI's inside-the-log ratio kept RATIONAL (the no-ln oracle
+    * rule): lift(w1,w2) = P(w1,w2) / (P(w1)·P(w2)) evaluated as the
+    * fixed operation tree ((c12·T)/B·T)/(c1·c2) over exact long→double
+    * casts, so both engines produce identical IEEE doubles and the
+    * ranking hash-matches unrounded (log would only monotonely rescale
+    * the order anyway). `minCount` suppresses the rare-pair noise PMI
+    * is notorious for.
+    *
+    * Scale shape: bigram counts are one uniform shuffle with map-side
+    * partials (the q_bpe_pairs shape); unigram counts join back on the
+    * word key (shuffle join by design — a 100 TB vocabulary is not
+    * broadcast-size); the final top-k is orderBy+limit =
+    * TakeOrderedAndProject (bounded buffers, no global sort), and the
+    * rank window runs over the k survivors only.
+    * Output: (w1, w2, pair_cnt, lift, rn), rn 1-based. */
+  def collocations(df: DataFrame, idCol: Column, textCol: Column,
+                   minCount: Int = 5, topK: Int = 100): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+    // one pass for both totals: tokens T and bigrams B (driver scalars —
+    // the unigramProbs head() rule)
+    val tot = occ.agg(count(lit(1)).as("t"),
+      count(when(col("prev") =!= "", 1)).as("b")).head()
+    val tT = tot.getLong(0).toDouble
+    val tB = tot.getLong(1).toDouble
+    val uc = occ.groupBy(col("cur").as("w"))
+      .agg(count(lit(1)).as("c"))
+    val bc = occ.filter(col("prev") =!= "")
+      .groupBy(col("prev").as("w1"), col("cur").as("w2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    val scored = bc
+      .join(uc.select(col("w").as("w1"), col("c").as("_c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("_c2")), "w2")
+      .select(col("w1"), col("w2"), col("pair_cnt"),
+        ((col("pair_cnt").cast("double") * lit(tT) / lit(tB) * lit(tT)) /
+          (col("_c1").cast("double") * col("_c2").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+    scored.withColumn("rn", row_number().over(
+      Window.orderBy(col("lift").desc, col("w1"), col("w2"))))
+  }
+
+  /** Out-of-vocabulary rate against the corpus' own top-`vocabSize`
+    * unigram vocabulary — the vocabulary-coverage signal (tokenizer /
+    * corpus fit; a doc of mostly tail tokens is noise or the wrong
+    * domain). The vocabulary is a DETERMINISTIC top-k
+    * (count desc, term asc full tiebreak), taken with orderBy+limit —
+    * TakeOrderedAndProject's bounded buffers, never a global vocab sort
+    * — and is broadcast-size BY CONSTRUCTION (k rows), so the membership
+    * join is map-side at any corpus size. oov_rate = oov/n is one exact
+    * int/int double division — hash-matches unrounded.
+    * Output: (doc_id, n_tokens, oov_cnt, oov_rate). */
+  def oovRate(df: DataFrame, idCol: Column, textCol: Column,
+              vocabSize: Int = 50): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+      .select(col("doc_id"), col("cur").as("term"))
+    val vocab = occ.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("_in"))
+    occ.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in").isNull, 1)).as("oov_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("oov_cnt"),
+        (col("oov_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
   /** CCNet-style per-language quality buckets (Wenzek et al. 2020): rank
     * each language's documents by LM quality and cut into head / middle
     * / tail terciles. CCNet ranks by perplexity ascending; [[lmScore]]

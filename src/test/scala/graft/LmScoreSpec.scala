@@ -68,6 +68,36 @@ class LmScoreSpec extends SparkSuite {
     assert(got === fr6((1.0 / 2.0 + 1.0) / 2.0))
   }
 
+  test("collocations: an always-together pair outranks a chance pair; " +
+      "minCount suppresses rare pairs") {
+    // "new york" always adjacent (5×); "the cat"/"the dog" mix freely;
+    // "rare pair" occurs once (below minCount=2)
+    val docs = Seq(
+      (1L, "new york the cat the dog new york"),
+      (2L, "the dog new york the cat rare pair"),
+      (3L, "new york the cat new york the dog"))
+      .toDF("doc_id", "text")
+    val got = LmScore.collocations(docs, col("doc_id"), col("text"),
+        minCount = 2, topK = 5)
+      .select("w1", "w2", "rn").as[(String, String, Int)].collect()
+    assert(got.head === (("new", "york", 1)))
+    assert(!got.exists(r => r._1 == "rare"))
+  }
+
+  test("oovRate: fraction outside the deterministic top-k vocab") {
+    // vocab size 2 → {"aa","bb"} (counts 3,2; "zz","qq" tie at 1 but
+    // lose on count); doc 2 is half OOV
+    val docs = Seq(
+      (1L, "aa aa bb"),
+      (2L, "aa bb zz qq"))
+      .toDF("doc_id", "text")
+    val got = LmScore.oovRate(docs, col("doc_id"), col("text"),
+        vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 3L, 0L, 0.0), (2L, 4L, 2L, 0.5)))
+  }
+
   /** The repo's floorRound6: floor(x·10⁶ + 0.5)/10⁶. */
   private def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 }
