@@ -626,6 +626,39 @@ object ExtensionQueries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // ---- ordered multi-step funnel (view → click → purchase): per
+    // user, the earliest view, the earliest click STRICTLY AFTER it,
+    // the earliest purchase strictly after that — the product-analytics
+    // conversion query where step order matters (a purchase before the
+    // click must not count). ONE user_id shuffle: each user's events
+    // fold in-row (per-user state bounded by events/user — the
+    // sessionize assumption); timestamps surface as epoch-µs longs
+    // (the no-raw-timestamp oracle rule).
+    "q_funnel_steps" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(col("user_id"), eventTsUs(ev).as("ts_us"),
+          col("event_type"))
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("ts_us"), col("event_type")))
+          .as("es"))
+        .withColumn("t_view", expr(
+          "array_min(transform(filter(es, x -> x.event_type = 'view')," +
+            " x -> x.ts_us))"))
+        .withColumn("t_click", expr(
+          "array_min(transform(filter(es, x -> x.event_type = 'click'" +
+            " AND x.ts_us > t_view), x -> x.ts_us))"))
+        .withColumn("t_purchase", expr(
+          "array_min(transform(filter(es, x -> x.event_type = " +
+            "'purchase' AND x.ts_us > t_click), x -> x.ts_us))"))
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (when(col("t_view").isNotNull, 1).otherwise(0) +
+            when(col("t_click").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase").isNotNull, 1).otherwise(0))
+            .cast("int").as("stage_reached"))
+        .orderBy("user_id")
+    }),
+
     // ---- text analysis ------------------------------------------------
     "q_text_langid" -> ((s, d) =>
       withLangId(Tables.documents(s, d), col("text"))
@@ -2057,10 +2090,12 @@ object ExtensionQueries {
         .orderBy("host", "rn")
     }),
 
-    // ---- hard-negative mining (embedding-training sampling): per
-    // query, the neighbors just past the positives — rn in (5, 15] —
-    // near enough to be confusable, far enough to be negatives. Pure
-    // composition over the batch kNN join; same oracle shape.
+    // ---- hard-negative mining (embedding-training sampling), RANK-BAND
+    // form: per query, the neighbors just past the positives — rn in
+    // (5, 15] — near enough to be confusable, far enough to be
+    // negatives. Pure composition over the batch kNN join; same oracle
+    // shape. See q_hard_negatives_cos for the threshold-gated strategy
+    // (closest matches below the near-dup cosine line).
     "q_hard_negatives" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Knn.knnJoin(emb.filter(col("vec_id") < 10), col("vec_id"),
@@ -2153,14 +2188,18 @@ object ExtensionQueries {
         .orderBy("query_id", "rn")
     }),
 
-    // ---- contrastive hard-negative mining: per anchor, the 5 highest-
-    // cosine matches strictly below the near-dup threshold (0.4 — the
-    // q_semantic_dedup flag line, so the mined negatives are exactly the
-    // closest vectors the dedup pass does NOT consider duplicates; the
-    // anchor itself at cos 1.0 is excluded by the same predicate).
-    // Exact brute-force form, hash-oracled; the 100 TB path composes the
-    // same map-side filter onto knnJoinIvf (Knn.hardNegatives scaladoc).
-    "q_hard_negatives" -> ((s, d) => {
+    // ---- contrastive hard-negative mining, THRESHOLD form: per anchor,
+    // the 5 highest-cosine matches strictly below the near-dup threshold
+    // (0.4 — the q_semantic_dedup flag line, so the mined negatives are
+    // exactly the closest vectors the dedup pass does NOT consider
+    // duplicates; the anchor itself at cos 1.0 is excluded by the same
+    // predicate). The second mining strategy beside q_hard_negatives'
+    // rank-band form (skip the top-5 positives, take ranks 6..15):
+    // rank-band assumes the positive count, threshold assumes the dedup
+    // line — real pipelines pick per task. Exact brute-force form,
+    // hash-oracled; the 100 TB path composes the same map-side filter
+    // onto knnJoinIvf (Knn.hardNegatives scaladoc).
+    "q_hard_negatives_cos" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Knn.hardNegatives(emb.filter(col("vec_id") < 10), col("vec_id"),
           col("embedding"), emb, col("vec_id"), col("embedding"),
@@ -2723,6 +2762,34 @@ object ExtensionQueries {
          |FROM events
          |GROUP BY bucket_sec, event_type
          |ORDER BY bucket_sec, event_type""".stripMargin,
+
+    // ordered funnel: min-after-previous-step via correlated step
+    // tables; strict > drops same-instant steps identically on both
+    // engines
+    "q_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |t1 AS (
+        |  SELECT user_id,
+        |    min(ts_us) FILTER (WHERE event_type = 'view') AS t_view
+        |  FROM e GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t_click
+        |  FROM e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts_us > t1.t_view
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t_purchase
+        |  FROM e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > t2.t_click
+        |  GROUP BY e.user_id)
+        |SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+        |  ((t1.t_view IS NOT NULL)::INT + (t2.t_click IS NOT NULL)::INT
+        |    + (t3.t_purchase IS NOT NULL)::INT)::INT AS stage_reached
+        |FROM t1
+        |LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)
+        |ORDER BY t1.user_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (
@@ -4172,29 +4239,34 @@ object ExtensionQueries {
 
     "q_knn_join" -> knnJoinOracleSql,
 
-    // hard negatives: full cosine cross-score (the q_cosine_topk float
-    // path), threshold BELOW the near-dup line, ranked per anchor
-    "q_hard_negatives" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        |  WHERE vec_id < 10),
-        |p AS (
-        |  SELECT q.query_id, e.vec_id AS match_id,
-        |    round(
-        |      list_sum(list_transform(generate_series(1, len(e.embedding)),
-        |        i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
-        |      / (sqrt(list_sum(list_transform(e.embedding,
-        |           x -> x::DOUBLE * x::DOUBLE)))
-        |       * sqrt(list_sum(list_transform(q.qv,
-        |           x -> x::DOUBLE * x::DOUBLE)))),
-        |    6) AS cos_sim
-        |  FROM q, embeddings e),
-        |r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cos_sim DESC, match_id) AS rn
-        |  FROM p WHERE cos_sim < 0.4::DOUBLE)
-        |SELECT query_id, match_id, cos_sim, rn FROM r
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // threshold-form hard negatives: normalize-first + squared-L2 (the
+    // q_semantic_dedup_exhaustive float path — replays the native
+    // kernel exactly), threshold BELOW the near-dup line, ranked per
+    // anchor
+    "q_hard_negatives_cos" -> {
+      val cosSql = graft.functions.Rounding.floorRoundSql(
+        """1.0 - list_sum(list_transform(generate_series(1, len(e.embedding)),
+          |      i -> (e.embedding[i]::DOUBLE / e.nrm - q.qe[i]::DOUBLE / q.qn)
+          |         * (e.embedding[i]::DOUBLE / e.nrm - q.qe[i]::DOUBLE / q.qn))) / 2"""
+          .stripMargin, 6)
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      t -> t::DOUBLE * t::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+         |  FROM e WHERE vec_id < 10),
+         |p AS (
+         |  SELECT q.query_id, e.vec_id AS match_id, $cosSql AS cos_sim
+         |  FROM q, e),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, match_id) AS rn
+         |  FROM p WHERE cos_sim < 0.4::DOUBLE)
+         |SELECT query_id, match_id, cos_sim, rn FROM r
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+    },
 
     // exhaustive-probe IVF join must equal brute force — same oracle
     "q_knn_join_exhaustive" -> knnJoinOracleSql,

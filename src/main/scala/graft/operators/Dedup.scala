@@ -706,14 +706,44 @@ object Dedup {
   def dedupLines(df: DataFrame, idCol: Column, textCol: Column,
                  minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = Spread.forKernel(
+    val lines = docLines(df, idCol, textCol)
+    dedupLinesWith(lines, lineDocCounts(lines), minDocs)
+  }
+
+  /** [[dedupLines]] against a STORED (h, nd) line-count table instead of
+    * counts computed from `df` itself — the recurring-ingest form: a new
+    * batch is scrubbed under the WHOLE corpus' line statistics
+    * (maintained incrementally by
+    * [[graft.streaming.Streams.lineCountStream]]). Identical to
+    * [[dedupLines]] when `counts` was derived from `df` itself
+    * (StreamsSpec proves streamed counts ≡ batch counts bit-equal). */
+  def dedupLinesAgainstCounts(df: DataFrame, idCol: Column,
+      textCol: Column, counts: DataFrame, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    dedupLinesWith(docLines(df, idCol, textCol), counts, minDocs)
+  }
+
+  /** (doc_id, pos, line, h) — one row per physical line, hashed to the
+    * 8-byte internal dedup key. Map-side off a spread scan. */
+  def docLines(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    Spread.forKernel(
         df.select(idCol.as("doc_id"), textCol.as("_t")))
       .select(col("doc_id"),
         posexplode(split(col("_t"), "\n", -1)).as(Seq("pos", "line")))
       .withColumn("h", xxhash64(col("line")))
-    val dup = lines.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("_nd"))
-      .filter(col("_nd") >= minDocs)
+
+  /** (h, nd): DISTINCT-document count per line hash — ADDITIVE across
+    * disjoint document batches (a doc arrives whole in one batch, so
+    * per-batch distinct counts sum to the corpus count), which is what
+    * makes the streaming maintainer a partial-partition lifecycle
+    * rather than read-modify-write state. One uniform 8-byte shuffle
+    * with map-side partials. */
+  def lineDocCounts(lines: DataFrame): DataFrame =
+    lines.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
+
+  private def dedupLinesWith(lines: DataFrame, counts: DataFrame,
+      minDocs: Int): DataFrame = {
+    val dup = counts.filter(col("nd") >= minDocs)
       .select(col("h"), lit(true).as("_dup"))
     lines.join(dup, Seq("h"), "left")
       .select(col("doc_id"),

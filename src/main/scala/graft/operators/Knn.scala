@@ -165,24 +165,43 @@ object Knn {
     * pairs at cos ≥ 0.4, so its complement is mined here).
     *
     * Exact brute-force form (this operator — hash-oracled): the same
-    * broadcast/blocked pair machinery as [[knnJoin]], cosine-scored,
-    * threshold-filtered MAP-SIDE before the bounded-buffer top-k
-    * shuffle, so the filter costs nothing extra. At 100 TB the mining
-    * composes onto [[knnJoinIvf]] instead (probe-bounded candidate
-    * generation, same map-side cos < dupCos predicate, overfetched k to
-    * survive the filter) — the exact form here is the oracle and the
-    * sub-ceiling path, per the knnJoin byte-ceiling note.
+    * broadcast/blocked pair machinery as [[knnJoin]]; each side is
+    * L2-normalized ONCE map-side and the per-pair score runs the
+    * codegen'd squared-L2 kernel (cos = 1 − ‖â−b̂‖²/2 — the
+    * cosineNearDupPairsNative float path, which the oracle replays
+    * exactly; the interpreted per-pair cosine HOF cost ~5× on the same
+    * pairs). Threshold-filtered MAP-SIDE before the bounded-buffer
+    * top-k shuffle, so the filter costs nothing extra. At 100 TB the
+    * mining composes onto [[knnJoinIvf]] instead (probe-bounded
+    * candidate generation, same map-side cos < dupCos predicate,
+    * overfetched k to survive the filter) — the exact form here is the
+    * oracle and the sub-ceiling path, per the knnJoin byte-ceiling
+    * note. Zero vectors score NULL cosine and never surface.
     * Output: (query_id, match_id, cos_sim, rn), rn 1-based
     * (cos desc, id asc). */
   def hardNegatives(queries: DataFrame, qIdCol: Column, qVecCol: Column,
                     corpus: DataFrame, cIdCol: Column, cVecCol: Column,
                     k: Int, dupCos: Double,
                     broadcastThreshold: Long = 64L << 20): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
-    val pairs = allPairs(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
-      broadcastThreshold)
+    import graft.plans.NativeFunctions.l2SqNative
+    import graft.functions.Rounding.floorRound6
+    // normalize once per ROW (O(rows) interpreted work; norm carried via
+    // array_repeat so the lambda doesn't re-evaluate it per element) —
+    // the O(pairs) kernel below stays compiled
+    def normalized(d: DataFrame, id: Column, vec: Column): DataFrame = d
+      .select(id.as("_nid"), vec.cast("array<double>").as("_v"))
+      .withColumn("_nrm",
+        sqrt(aggregate(col("_v"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("_nid"), zip_with(col("_v"),
+        array_repeat(when(col("_nrm") > 0, col("_nrm")), size(col("_v"))),
+        (x, nn) => x / nn).as("_nv"))
+    val q = normalized(queries, qIdCol, qVecCol)
+    val c = normalized(corpus, cIdCol, cVecCol)
+    val pairs = allPairs(q, col("_nid"), col("_nv"),
+      c, col("_nid"), col("_nv"), broadcastThreshold)
     val scored = pairs.select(col("query_id"), col("match_id"),
-        round(cosine(col("_qv"), col("_cv")), 6).as("cos_sim"))
+        floorRound6(lit(1.0) -
+          l2SqNative(col("_qv"), col("_cv")) / 2).as("cos_sim"))
       .filter(col("cos_sim") < dupCos)
     TopK.topKPerGroup(scored.sparkSession, scored,
         "query_id", "match_id", "cos_sim", k)

@@ -583,6 +583,60 @@ object Streams {
     compactPartials(spark, bitsDir,
       _.groupBy("word").agg(expr("bit_or(bits)").as("bits")))
 
+  /** Streaming LINE-count maintenance — the incremental half of
+    * [[graft.operators.Dedup.dedupLines]]'s boilerplate detection:
+    * per-batch (h, nd) distinct-doc line counts land in `batch_id=<b>`
+    * partitions with dynamic overwrite (the cmsStream exactly-once
+    * pattern: a crash-replayed batch overwrites its own partition and
+    * can never double-count). Distinct-doc counts are ADDITIVE across
+    * batches because a document arrives WHOLE in one micro-batch — the
+    * contract the upstream chunk/dedup stages already guarantee
+    * ([[chunkStream]]'s watermark dedup); re-delivered docs must be
+    * dropped there, not here. Query-side:
+    * [[graft.operators.Dedup.dedupLinesAgainstCounts]] over
+    * [[readLineCounts]] scrubs any batch under the whole stream's line
+    * statistics — StreamsSpec proves streamed counts ≡ the batch
+    * [[graft.operators.Dedup.lineDocCounts]] bit-equal after replay. */
+  def lineCountStream(spark: SparkSession, docs: DataFrame,
+                      countsDir: String, checkpointDir: String,
+                      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.lineDocCounts(
+              graft.operators.Dedup.docLines(batch, col(idCol),
+                col(textCol)))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(countsDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Merge-on-read over the partial line-count partitions: counts ADD
+    * (see [[lineCountStream]]). Crash-recovery first, like the sketch
+    * readers. */
+  def readLineCounts(spark: SparkSession, countsDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, countsDir)
+    spark.read.parquet(countsDir)
+      .groupBy("h").agg(sum(col("nd")).as("nd"))
+  }
+
+  /** Fold accumulated line-count partials into one baseline partition —
+    * the same rename-aside lifecycle as [[compactCms]]. */
+  def compactLineCounts(spark: SparkSession, countsDir: String): Unit =
+    compactPartials(spark, countsDir,
+      _.groupBy("h").agg(sum(col("nd")).as("nd")))
+
   // ---- hash-bucketed state-dir machinery (shared by the bucketed
   // upsert and the LSH dedup state table) ------------------------------
 

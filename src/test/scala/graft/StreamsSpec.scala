@@ -853,6 +853,50 @@ class StreamsSpec extends SparkSuite {
     est.foreach { case (k, ex, e) => assert(e >= ex, s"$k under-counted") }
   }
 
+  test("lineCountStream: streamed line counts == batch counts after " +
+      "replay; scrub against streamed counts == one-shot dedupLines") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft-lines-stream-").toString
+    // pre-seed batch 0's partition as a crashed run's garbage — the
+    // replay must overwrite it or the boilerplate threshold misfires
+    Seq((12345L, 999L)).toDF("h", "nd")
+      .write.parquet(s"$dir/counts/batch_id=0")
+    val docsAll = Seq(
+      (1L, "banner\nunique one\nfooter"),
+      (2L, "banner\nunique two\nfooter"),
+      (3L, "banner\nfooter"),
+      (4L, "solo line\nsolo line\nmine"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.lineCountStream(spark,
+      input.toDF().toDF("doc_id", "text"), s"$dir/counts", s"$dir/chk")
+    try {
+      input.addData(docsAll.take(2): _*); q.processAllAvailable()
+      input.addData(docsAll.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = docsAll.toDF("doc_id", "text")
+    // streamed (h, nd) table is BIT-EQUAL to the batch count table
+    val expected = Dedup.lineDocCounts(
+        Dedup.docLines(corpus, col("doc_id"), col("text")))
+      .as[(Long, Long)].collect().toSet
+    val streamed = Streams.readLineCounts(spark, s"$dir/counts")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === expected)
+    // scrubbing the corpus against the streamed counts reproduces the
+    // one-shot operator exactly
+    val oneShot = Dedup.dedupLines(corpus, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    val viaCounts = Dedup.dedupLinesAgainstCounts(corpus, col("doc_id"),
+        col("text"), Streams.readLineCounts(spark, s"$dir/counts"))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(viaCounts === oneShot)
+    // compaction folds to one baseline partition, counts unchanged
+    Streams.compactLineCounts(spark, s"$dir/counts")
+    assert(spark.read.parquet(s"$dir/counts")
+      .select("batch_id").distinct().as[Long].collect().toSeq === Seq(-1L))
+    assert(Streams.readLineCounts(spark, s"$dir/counts")
+      .as[(Long, Long)].collect().toSet === expected)
+  }
+
   test("bloomStream: streamed bits == batch bits, replay safe, compaction preserves") {
     import graft.operators.BloomJoin
     val dir = Files.createTempDirectory("graft-bloom-stream-").toString
