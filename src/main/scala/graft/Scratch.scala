@@ -49,7 +49,32 @@ object Scratch {
     // formatted physical plan of any SparkEntry query (plan-audit loop)
     if (only.contains("explain")) runExplain(spark, args.drop(1))
     if (only.contains("spanprobe")) runSpanProbe(spark)
+    if (only.contains("time")) runTime(spark, args.drop(1), noop)
     spark.stop()
+  }
+
+  /** `runMain graft.Scratch time <key> [key ...] [--reps N] [--sf <dir>]`
+    * — warm per-key wall times via the noop sink: one warmup pass then
+    * N timed passes in ONE session (the Bench methodology for a single
+    * key, without paying a full-inventory run). */
+  private def runTime(spark: SparkSession, args: Array[String],
+      noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    val opts = args.sliding(2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v }.toMap
+    val dir = opts.getOrElse("--sf", "/root/testdata/sf0.1")
+    val reps = opts.getOrElse("--reps", "3").toInt
+    val keys = args.takeWhile(!_.startsWith("--")).toSeq
+    keys.foreach { k =>
+      val fn = SparkEntry.queries(k)
+      noop(fn(spark, dir)) // warmup: codegen, footers, session caches
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        noop(fn(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[time] $k%-28s median ${times.sorted.apply(reps / 2)}%.2f s" +
+        s"  passes ${times.map(t => f"$t%.2f").mkString(" ")}")
+    }
   }
 
   /** Stage-by-stage timing of q_dedup_substring's pipeline at sf0.1 —

@@ -120,12 +120,15 @@ object QualityRules {
         xxhash64(concat_ws(" ", parts: _*)).as("gh"),
         parts.map(length(_).cast("long")).reduce(_ + _).as("glen"))
     }
-    // per position: one entry per gram grain that still FITS the doc
-    // (p is 0-based; an n-gram needs p <= sz - n)
+    // per position: one entry per gram grain, kept only where the gram
+    // still FITS the doc (p is 0-based; an n-gram needs p <= sz - n).
+    // explode-then-WHERE, not a filter() HOF inside the generator: the
+    // lambda would run interpreted per position (the interpreted-HOF
+    // trap), where Generate + Filter stay in whole-stage codegen.
     val grams = withLeads
-      .select(col("doc_id"), col("p"),
-        explode(filter(array(entry(1), entry(2), entry(3), entry(5)),
-          e => col("p") <= col("sz") - e.getField("n"))).as("e"))
+      .select(col("doc_id"), col("p"), col("sz"),
+        explode(array(entry(1), entry(2), entry(3), entry(5))).as("e"))
+      .where(col("p") <= col("sz") - col("e.n"))
       .select(col("doc_id"), col("p"), col("e.n").as("n"),
         col("e.gh").as("gh"), col("e.glen").as("glen"))
     val perGram = grams.groupBy("doc_id", "n", "gh")
