@@ -1360,6 +1360,33 @@ object ExtensionQueries {
         .select(col("doc_id"), col("format"), col("width"), col("height"))
         .orderBy("doc_id")),
 
+    // ---- perceptual average-hash over REAL decoded pixels (PNG docs —
+    // lossless, so the oracle replays decode→blocks→bits arithmetically;
+    // JPEG's lossy pixels are codec-defined and stay spec-gated). The
+    // integer cross-multiplied mean test makes the 64 bits exact.
+    "q_image_phash" -> ((s, d) =>
+      Multimodal.imagePhashPartitions(s,
+          Multimodal.attachImagePayload(s,
+            Tables.documents(s, d).filter(col("doc_id") % 2 === 0)))
+        .toDF()
+        .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
+        .orderBy("doc_id")),
+
+    // ---- perceptual image dedup: every 100th doc is the same scene
+    // "re-saved with a one-pixel edit" (folded-seed PNGs) — byte/digest
+    // dedup sees all-distinct payloads, the aHash groups the twins
+    // (a block MEAN shrugs off a ±1 single-pixel edit unless the block
+    // sits exactly on the mean boundary — and the oracle replays even
+    // that case bit-for-bit). The multimodal member of the dedup family.
+    "q_image_phash_dedup" -> ((s, d) =>
+      Multimodal.imagePhashPartitions(s,
+          Multimodal.attachImagePayloadFolded(s, Tables.documents(s, d),
+            k = 100))
+        .toDF()
+        .groupBy("phash_hi", "phash_lo")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+        .orderBy("keep_id")),
+
     // ---- REAL audio decode: deterministic PCM → genuine RIFF/WAVE bytes
     // (javax.sound encode in a Dataset map) → partition-batched container
     // parse; sample counts are a pure function of doc_id, so DuckDB
@@ -2469,6 +2496,49 @@ object ExtensionQueries {
        |FROM r$iters JOIN ids ON r$iters.node = ids.ridx
        |ORDER BY ids.doc_id""".stripMargin
   }
+
+  /** Shared aHash replay chain: expects a CTE `d(doc_id, seed, w, h,
+    * tx, ty)` (tx/ty = −1 for no tweak) and yields `ph(doc_id,
+    * phash_hi, phash_lo)` — the exact integer pipeline of
+    * [[graft.operators.Multimodal.imagePhashPartitions]] over the
+    * id-derived PNG pixel formula. */
+  private lazy val phashCteSql: String =
+    """xs AS (
+      |  SELECT doc_id, seed, w, h, tx, ty,
+      |    unnest(generate_series(0, w - 1)) AS x
+      |  FROM d),
+      |pxy AS (
+      |  SELECT doc_id, seed, w, h, tx, ty, x,
+      |    unnest(generate_series(0, h - 1)) AS y
+      |  FROM xs),
+      |pv AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    CASE WHEN x = tx AND y = ty
+      |      THEN (v & 16776960) | ((v + 1) & 255) ELSE v END AS v
+      |  FROM (SELECT *, (seed * 31 + 7 * x + 13 * y) & 16777215 AS v
+      |        FROM pxy)),
+      |lum AS (
+      |  SELECT doc_id, w, h, ((y * 8) // h) * 8 + (x * 8) // w AS b,
+      |    ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255) AS lv
+      |  FROM pv),
+      |bs AS (
+      |  SELECT doc_id, w, h, b, sum(lv)::BIGINT AS s,
+      |    count(*)::BIGINT AS c
+      |  FROM lum GROUP BY doc_id, w, h, b),
+      |tt AS (SELECT doc_id, sum(s)::BIGINT AS tot FROM bs
+      |  GROUP BY doc_id),
+      |bits AS (
+      |  SELECT bs.doc_id, bs.b,
+      |    CASE WHEN bs.s * (bs.w * bs.h) > tt.tot * bs.c
+      |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM bs JOIN tt USING (doc_id)),
+      |ph AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END)::BIGINT
+      |      AS phash_hi,
+      |    sum(CASE WHEN b < 32 THEN bit << b ELSE 0 END)::BIGINT
+      |      AS phash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   private def substrCountSql(text: String, m: String): String =
     s"((len($text) - len(replace($text, '$m', ''))) // ${m.length})"
@@ -4375,6 +4445,35 @@ object ExtensionQueries {
         |  (doc_id % 64 + 8)::BIGINT AS width,
         |  ((doc_id * 7) % 48 + 8)::BIGINT AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // aHash replay over the id-derived PNG pixels: the exact generator
+    // arithmetic (24-bit mask), 8x8 block sums, integer cross-multiplied
+    // mean test, halves summed below 2^32
+    "q_image_phash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id AS seed,
+         |    (doc_id % 64 + 8)::BIGINT AS w,
+         |    ((doc_id * 7) % 48 + 8)::BIGINT AS h,
+         |    -1::BIGINT AS tx, -1::BIGINT AS ty
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |$phashCteSql
+         |SELECT doc_id, phash_hi, phash_lo FROM ph
+         |ORDER BY doc_id""".stripMargin,
+
+    // folded-seed twins + one-pixel tweak, grouped by perceptual hash
+    "q_image_phash_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, (doc_id % 100) AS seed,
+         |    ((doc_id % 100) % 64 + 8)::BIGINT AS w,
+         |    (((doc_id % 100) * 7) % 48 + 8)::BIGINT AS h,
+         |    ((doc_id * 13) % ((doc_id % 100) % 64 + 8))::BIGINT AS tx,
+         |    ((doc_id * 29) % (((doc_id % 100) * 7) % 48 + 8))::BIGINT AS ty
+         |  FROM documents),
+         |$phashCteSql
+         |SELECT phash_hi, phash_lo, count(*)::BIGINT AS n_docs,
+         |  min(doc_id) AS keep_id
+         |FROM ph GROUP BY phash_hi, phash_lo
+         |ORDER BY keep_id""".stripMargin,
 
     "q_multimodal_audio" ->
       """SELECT doc_id,

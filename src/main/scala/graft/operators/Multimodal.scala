@@ -107,9 +107,13 @@ object Multimodal {
 
     /** Deterministic RGB image: pixel (x, y) = f(seed, x, y). Pixels go
       * in via ONE bulk setRGB (per-pixel setRGB pays sync + color-model
-      * conversion per call — ~17M calls across a 5k-doc query). */
+      * conversion per call — ~17M calls across a 5k-doc query).
+      * `tweakX/tweakY >= 0` bumps that one pixel's blue channel by 1
+      * (mod 256) — the perceptual-dedup fixtures' "re-saved with a
+      * one-pixel edit" twin generator. */
     def encode(format: String, width: Int, height: Int,
-               seed: Long): Array[Byte] = {
+               seed: Long, tweakX: Int = -1, tweakY: Int = -1)
+        : Array[Byte] = {
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val px = new Array[Int](width * height)
@@ -121,6 +125,10 @@ object Multimodal {
           x += 1
         }
         y += 1
+      }
+      if (tweakX >= 0 && tweakY >= 0) {
+        val i = tweakY * width + tweakX
+        px(i) = (px(i) & 0xffff00) | ((px(i) + 1) & 0xff)
       }
       img.setRGB(0, 0, width, height, px, 0, width)
       val out = new java.io.ByteArrayOutputStream()
@@ -171,6 +179,82 @@ object Multimodal {
           val img = ImageCodec.decode(r.payload)
           DecodedMedia(r.doc_id, r.format, r.payload.length.toLong,
             img.getWidth.toLong, img.getHeight.toLong, n_frames = 1L)
+        }
+      }
+    }
+  }
+
+  /** Deterministic PNG payloads with a FOLDED seed (`doc_id % k`) and a
+    * per-doc one-pixel tweak: every k-th document is the same scene
+    * "re-saved with a trivial edit" — byte-level and content-digest
+    * dedup see k·… distinct payloads, while perceptual hashing
+    * ([[imagePhashPartitions]]) groups the twins. PNG only (lossless —
+    * decoded pixels ARE the formula, so a SQL oracle replays the whole
+    * decode→hash→group pipeline arithmetically); dims derive from the
+    * SEED so twins share geometry. */
+  def attachImagePayloadFolded(spark: SparkSession, docs: DataFrame,
+                               k: Int = 100): DataFrame = {
+    import spark.implicits._
+    spreadForKernel(docs.select(col("doc_id"))).as[Long].map { id =>
+      val seed = id % k
+      val w = (seed % 64 + 8).toInt
+      val h = (seed * 7 % 48 + 8).toInt
+      MediaRow(id, "png", ImageCodec.encode("png", w, h, seed,
+        tweakX = (id * 13 % w).toInt, tweakY = (id * 29 % h).toInt))
+    }.toDF()
+  }
+
+  case class MediaPhash(doc_id: Long, format: String,
+                        phash_hi: Long, phash_lo: Long)
+
+  /** Perceptual average-hash (aHash) over DECODED pixels — the image
+    * near-dup key that byte-level dedup cannot provide: a re-encoded or
+    * trivially-edited image keeps its aHash while every payload byte
+    * changes. 8×8 block-mean luminance (lum = r+g+b, integer), bit
+    * (by·8+bx) set iff the block's mean EXCEEDS the global mean —
+    * decided by INTEGER cross-multiplication
+    * (blockSum·totalCnt > totalSum·blockCnt; blockSum ≤ 765·w·h keeps
+    * the products well inside a long), so the whole decision is exact
+    * and a SQL oracle replays it bit-for-bit on lossless formats. The
+    * hash surfaces as two 32-bit halves (phash_hi = bits 32..63) —
+    * summing single-bit weights up to 2⁶³ would wrap differently under
+    * DuckDB's HUGEINT aggregation, the halves never exceed 2³²−1.
+    * Same batched-decode shape as [[decodeImagePartitions]]. */
+  def imagePhashPartitions(spark: SparkSession, media: DataFrame,
+                           batchSize: Int = 256): Dataset[MediaPhash] = {
+    import spark.implicits._
+    spreadForKernel(media).as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = ImageCodec.decode(r.payload)
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var tot = 0L
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val v = px(y * w + x)
+              val lum = ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+              val b = by * 8 + x * 8 / w
+              sums(b) += lum; cnts(b) += 1; tot += lum
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var hi = 0L; var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (cnts(i) > 0 && sums(i) * n > tot * cnts(i)) {
+              if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+            }
+            i += 1
+          }
+          MediaPhash(r.doc_id, r.format, hi, lo)
         }
       }
     }

@@ -77,6 +77,28 @@ class TopKSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: perceptual aHash survives a one-pixel edit that " +
+      "changes every payload byte — and twins group where digests can't") {
+    import graft.operators.Multimodal.ImageCodec
+    // same scene, one-pixel blue bump: different PNG bytes, same aHash
+    val a = ImageCodec.encode("png", 24, 16, seed = 5L)
+    val b = ImageCodec.encode("png", 24, 16, seed = 5L,
+      tweakX = 3, tweakY = 7)
+    assert(!java.util.Arrays.equals(a, b))
+    val docs = Seq((0L, "x"), (100L, "y"), (1L, "z")).toDF("doc_id", "text")
+    // folded k=100: ids 0 and 100 are twins (seed 0), id 1 stands alone
+    val ph = Multimodal.imagePhashPartitions(spark,
+        Multimodal.attachImagePayloadFolded(spark, docs, k = 100))
+      .collect().map(p => p.doc_id -> ((p.phash_hi, p.phash_lo))).toMap
+    assert(ph(0L) === ph(100L), "perceptual twins must share an aHash")
+    assert(ph(0L) !== ph(1L), "different scenes must differ")
+    // while the exact payload BYTES of the twins differ (tweak positions
+    // depend on doc_id) — byte-level dedup finds nothing here
+    val pay = Multimodal.attachImagePayloadFolded(spark, docs, k = 100)
+      .as[(Long, String, Array[Byte])].collect().map(r => r._1 -> r._3).toMap
+    assert(!java.util.Arrays.equals(pay(0L), pay(100L)))
+  }
+
   test("multimodal: REAL WAV bytes decode through the batched kernel") {
     val docs = Seq((2L, "a"), (3L, "b"), (10L, "c")).toDF("doc_id", "text")
     val media = Multimodal.attachAudioPayload(spark, docs)
