@@ -2036,6 +2036,16 @@ object ExtensionQueries {
           "event_type", "user_id", k = 64)
         .orderBy("event_type")),
 
+    // ---- KMV sketch ALGEBRA (Beyer et al. 2007): union / intersection
+    // / Jaccard between every event-type pair's user sets, estimated
+    // from the k-min sketches ALONE — the raw sets never co-locate
+    // (sketches of 100 TB partitions merge driver-side). Integer/list
+    // arithmetic + one fixed double op tree ⇒ hash-oracled.
+    "q_sketch_kmv_setops" -> ((s, d) =>
+      Sketches.kmvSetOps(s, Tables.events(s, d),
+          "event_type", "user_id", k = 64)
+        .orderBy("g1", "g2")),
+
     // ---- HLL distinct sketch: the industry-standard mergeable counter,
     // pure relational algebra (two map-side-combinable aggs). est_raw is
     // exact binary-fraction double arithmetic, so it hash-matches DuckDB
@@ -3936,6 +3946,38 @@ object ExtensionQueries {
          |  CASE WHEN nd < 64 THEN nd::DOUBLE
          |       ELSE 63 * 4294967296.0 / mins[64] END AS est
          |FROM s ORDER BY event_type""".stripMargin,
+
+    // KMV set algebra: exact list replay of the two sketches, the k-min
+    // merge, the common-member count, and the fixed estimate op tree
+    "q_sketch_kmv_setops" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${hash32Sql("user_id::VARCHAR")} AS h FROM events),
+         |s AS (
+         |  SELECT event_type, list_sort(list(h))[:64] AS mins
+         |  FROM h GROUP BY event_type),
+         |p AS (
+         |  SELECT a.event_type AS g1, b.event_type AS g2,
+         |    a.mins AS ma, b.mins AS mb
+         |  FROM s a JOIN s b ON a.event_type < b.event_type),
+         |m AS (
+         |  SELECT g1, g2, ma, mb,
+         |    list_sort(list_distinct(list_concat(ma, mb)))[:64] AS merged
+         |  FROM p),
+         |c AS (
+         |  SELECT g1, g2, merged, len(merged)::BIGINT AS ll,
+         |    len(list_filter(merged, x -> list_contains(ma, x)
+         |      AND list_contains(mb, x)))::BIGINT AS n_common
+         |  FROM m),
+         |u AS (
+         |  SELECT g1, g2, ll, n_common,
+         |    CASE WHEN ll < 64 THEN ll::DOUBLE
+         |         ELSE 63 * 4294967296.0 / merged[64] END AS est_union
+         |  FROM c)
+         |SELECT g1, g2, n_common, est_union,
+         |  n_common::DOUBLE / ll::DOUBLE * est_union AS est_intersect,
+         |  n_common::DOUBLE / ll::DOUBLE AS est_jaccard
+         |FROM u ORDER BY g1, g2""".stripMargin,
 
     // HLL replay: bucket = top 8 bits of the md5-derived 32-bit hash,
     // rank = 25 - bitlength(low 24 bits) (bin() is the exact integer

@@ -69,6 +69,53 @@ object Sketches {
       df.withColumn("_h", tokenHash32(col(keyCol).cast("string"))),
       groupCol, "_h", k)
 
+  /** KMV set-operation estimates between every PAIR of groups (Beyer et
+    * al., SIGMOD 2007): from two k-min sketches alone — never the raw
+    * sets — estimate |A ∪ B|, |A ∩ B| and Jaccard. Merged sketch = the
+    * k smallest of the union of the two sketches (a valid KMV of
+    * A ∪ B); ρ = members of the merged sketch present in BOTH input
+    * sketches; est_intersect = (ρ/L)·est_union with L = |merged| ≤ k.
+    * Everything is integer/list arithmetic over the sketches plus one
+    * fixed double op tree, so the estimates are deterministic and
+    * hash-oracled — the sketch-ALGEBRA half of q_sketch_kmv (sketches
+    * of 100 TB partitions merge on the driver; the raw sets never
+    * co-locate). Sketches are group-count-sized (tiny); the pair join
+    * is groups², intended for bounded group domains (event types,
+    * languages, sources). Output: (g1, g2, n_common, est_union,
+    * est_intersect, est_jaccard), g1 < g2. */
+  def kmvSetOps(spark: SparkSession, df: DataFrame, groupCol: String,
+                keyCol: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new KmvAgg(k)
+    val sk = df
+      .withColumn("_h", tokenHash32(col(keyCol).cast("string")))
+      .select(col(groupCol).cast("string"), col("_h").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("mins"))
+      .toDF("g", "mins")
+    val a = sk.select(col("g").as("g1"), col("mins").as("ma"))
+    val b = sk.select(col("g").as("g2"), col("mins").as("mb"))
+    a.join(b, col("g1") < col("g2"))
+      .withColumn("merged", expr(
+        s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $k)"))
+      .withColumn("ll", size(col("merged")))
+      .withColumn("n_common", expr(
+        "size(filter(merged, m -> array_contains(ma, m)" +
+          " AND array_contains(mb, m)))"))
+      .withColumn("est_union",
+        when(col("ll") < k, col("ll").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("merged"), k)))
+      .withColumn("est_intersect",
+        col("n_common").cast("double") / col("ll").cast("double") *
+          col("est_union"))
+      .withColumn("est_jaccard",
+        col("n_common").cast("double") / col("ll").cast("double"))
+      .select(col("g1"), col("g2"), col("n_common").cast("long"),
+        col("est_union"), col("est_intersect"), col("est_jaccard"))
+  }
+
   /** (hash, id, value) — ordered by (hash, id) so the sample is a pure
     * function of the input SET. */
   private class QuantileSampleAgg(k: Int)

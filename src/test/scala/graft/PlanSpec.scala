@@ -434,7 +434,12 @@ class PlanSpec extends SparkSuite {
     // all-pairs over a 1-in-5 sample (broadcasting the small sample
     // side is the plan you'd want; the production key keeps the
     // data-dependent cell equi-join)
-    val allowedBnlj = Set("q_knn_join", "q_hard_negatives", "q_bm25_rank",
+    // ... and q_sketch_kmv_setops' pair join: a g1 < g2 theta join over
+    // GROUP-COUNT-sized sketch rows (one per event type) — broadcasting
+    // a handful of 64-element sketches is the plan at any corpus size,
+    // because the sketches, not the raw sets, are what pair up
+    val allowedBnlj = Set("q_knn_join", "q_hard_negatives",
+      "q_hard_negatives_cos", "q_sketch_kmv_setops", "q_bm25_rank",
       "q_snapshot_diff", "q_snapshot_diff_inc", "q_semantic_dedup_exhaustive")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))

@@ -186,6 +186,31 @@ class SamplingSpec extends SparkSuite {
     assert(out2("big") === est)
   }
 
+  test("KMV set ops: sketch-only union/intersect/Jaccard track the " +
+      "exact overlap; disjoint sets report zero intersection") {
+    import graft.operators.Sketches
+    // a = 1..3000, b = 2001..5000 (overlap 1000 of union 5000 → J=0.2);
+    // c disjoint from both
+    val rows = ((1 to 3000).map(i => ("a", i.toLong)) ++
+      (2001 to 5000).map(i => ("b", i.toLong)) ++
+      (1 to 500).map(i => ("c", 900000L + i))).toDF("g", "key")
+    val out = Sketches.kmvSetOps(spark, rows, "g", "key", k = 64)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(math.abs(ab._4 - 5000) / 5000.0 < 0.35, s"union est ${ab._4}")
+    assert(math.abs(ab._5 - 1000) / 1000.0 < 0.60, s"intersect ${ab._5}")
+    assert(math.abs(ab._6 - 0.2) < 0.12, s"jaccard ${ab._6}")
+    // c shares nothing: every pair with c must estimate zero overlap
+    assert(out(("a", "c"))._3 === 0L && out(("a", "c"))._5 === 0.0)
+    assert(out(("b", "c"))._5 === 0.0)
+    // deterministic under repartitioning (merge path exercised)
+    val again = Sketches.kmvSetOps(spark, rows.repartition(13), "g",
+      "key", k = 64).as[(String, String, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r._5).toMap
+    assert(again(("a", "b")) === ab._5)
+  }
+
   test("resampleToMix: binding domain whole, rates ~ target, growth shrinks subsets") {
     val rows = ((1 to 300).map(i => (i.toLong, "a")) ++
       (301 to 400).map(i => (i.toLong, "b"))).toDF("id", "dom")
