@@ -396,6 +396,16 @@ class PlanSpec extends SparkSuite {
       Seq("text", "lang"))
     assert(inc.exceptAll(oneShot).count() === 0)
     assert(oneShot.exceptAll(inc).count() === 0)
+    // format guard: a store without the current digest-version stamp
+    // (e.g. written by a pre-v2 build) must be REFUSED, not silently
+    // diffed as all-changed
+    spark.sql("ALTER TABLE b_digest UNSET TBLPROPERTIES " +
+      "('graft.digest.format')")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.snapshotDiffAgainstDigestTable(spark, "b_digest",
+        v2, "doc_id", Seq("text", "lang"))
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
   test("bloom membership filter is map-side; pruned join stays a semi join") {
