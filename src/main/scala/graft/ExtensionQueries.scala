@@ -1904,6 +1904,19 @@ object ExtensionQueries {
         .orderBy("stage_idx")
     }),
 
+    // ---- blocked edit-distance fuzzy join (record linkage): customer
+    // names one typo apart, pairs formed only within a 16-char-prefix
+    // block (the quadratic term bounded by block size; fixed-N pin on
+    // the pair stage), banded levenshtein kernel filtered map-side.
+    // The string-distance member of the similarity-join family.
+    "q_fuzzy_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("_blk", substring(col("c_name"), 1, 16))
+      graft.operators.FuzzyJoin.editDistancePairs(c, col("c_custkey"),
+          col("c_name"), Seq("_blk"), maxDist = 1)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- bucketized range join: customers whose balance falls in a
     // ±100 band around each supplier's — an equi join on coarse buckets
     // replaces the |points|×|intervals| nested loop.
@@ -3630,6 +3643,18 @@ object ExtensionQueries {
           |  UNION ALL SELECT 4, 'quality_head_middle', count(*)::BIGINT,
           |    sum(ntok)::BIGINT FROM fin JOIN tl USING (doc_id))
           |ORDER BY stage_idx""".stripMargin),
+
+    // fuzzy join: identical prefix-block + unit-cost Levenshtein DP in
+    // both engines
+    "q_fuzzy_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+        |  FROM customer)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  levenshtein(a.c_name, b.c_name)::INT AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_range_join" ->
       """SELECT c_custkey, s_suppkey
