@@ -636,26 +636,8 @@ object ExtensionQueries {
     // (the no-raw-timestamp oracle rule).
     "q_funnel_steps" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      ev.select(col("user_id"), eventTsUs(ev).as("ts_us"),
-          col("event_type"))
-        .groupBy("user_id")
-        .agg(collect_list(struct(col("ts_us"), col("event_type")))
-          .as("es"))
-        .withColumn("t_view", expr(
-          "array_min(transform(filter(es, x -> x.event_type = 'view')," +
-            " x -> x.ts_us))"))
-        .withColumn("t_click", expr(
-          "array_min(transform(filter(es, x -> x.event_type = 'click'" +
-            " AND x.ts_us > t_view), x -> x.ts_us))"))
-        .withColumn("t_purchase", expr(
-          "array_min(transform(filter(es, x -> x.event_type = " +
-            "'purchase' AND x.ts_us > t_click), x -> x.ts_us))"))
-        .select(col("user_id"), col("t_view"), col("t_click"),
-          col("t_purchase"),
-          (when(col("t_view").isNotNull, 1).otherwise(0) +
-            when(col("t_click").isNotNull, 1).otherwise(0) +
-            when(col("t_purchase").isNotNull, 1).otherwise(0))
-            .cast("int").as("stage_reached"))
+      graft.operators.Funnel.steps(ev, col("user_id"), eventTsUs(ev),
+          col("event_type"), Seq("view", "click", "purchase"))
         .orderBy("user_id")
     }),
 
