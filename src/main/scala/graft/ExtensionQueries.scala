@@ -813,43 +813,47 @@ object ExtensionQueries {
     // in floats — the same trick q_winnow_fingerprint uses. Scale shape:
     // tf is one shuffle on (doc, term); df and avgdl are broadcast-size;
     // the doc side joins them without reshuffling.
-    "q_bm25_rank" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val kws = Seq("join", "filter", "window", "scan")
-      val nDocs = docCount(s, d)
-      val terms = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val dls = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      // avgdl as a lazy 1-row broadcast aggregate (scalar-subquery shape,
-      // one double division = the oracle's sum(dl)::DOUBLE / count(*)):
-      // the query stays single-action instead of paying an eager
-      // agg().head() before the measured dataflow builds
-      val stats = dls.agg(
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = terms.filter(col("term").isin(kws: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = terms.filter(col("term").isin(kws: _*))
-        .select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val dfD = col("df").cast("double")
-      val tfD = col("tf").cast("double")
-      val dlD = col("dl").cast("double")
-      val termScore =
-        ((lit(nDocs.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5))) *
-          (tfD * lit(2.2)) /
-          (tfD + lit(1.2) *
-            (lit(1.0) - lit(0.75) + lit(0.75) * dlD / col("avgdl")))
-      tf.join(broadcast(dfreq), "term").join(dls, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("ts", termScore)
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("term"), col("ts"))))
-          .as("arr"))
-        .withColumn("score", floorRound6(aggregate(col("arr"), lit(0.0),
-          (a, x) => a + x.getField("ts"))))
-        .select(col("doc_id"), col("score"))
+    "q_bm25_rank" -> ((s, d) =>
+      bm25Scores(s, d, Seq("join", "filter", "window", "scan"))
         .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(15)
+        .limit(15)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
+    // SIGIR'09) of a BM25 keyword run and a cosine vector run —
+    // score(d) = Σ_runs 1/(60 + rank_run(d)). Rank arithmetic only, so
+    // the fused score is exact double division + one addition in a
+    // fixed run order (cross-engine bit-equal); ranks break ties on the
+    // doc id over ROUNDED run scores, so both engines rank identically.
+    // Scale shape: each run is an independently-proven top-N retrieval
+    // (the vector run swaps to any persisted ANN tier at scale); fusion
+    // itself joins two ≤20-row frames — serving-bounded, never a corpus
+    // op. doc_id and vec_id share the id space (driver testdata).
+    "q_rrf_fusion" -> ((s, d) => {
+      val kRun = 20
+      // top-N FIRST via orderBy+limit (distributed TakeOrderedAndProject
+      // — per-partition bounded heaps), THEN row_number over the N-row
+      // result: a global rank window over the full scored run would be a
+      // one-task sort of the corpus
+      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+      val bm = bm25Scores(s, d, Seq("join", "filter", "window", "scan"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(kRun)
+        .withColumn("br", row_number().over(w))
+        .select(col("doc_id").as("bid"), col("br"))
+      val q = queryVec(s, d)
+      val cw = Window.orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val cos = Knn.cosineTopK(Tables.embeddings(s, d), col("embedding"),
+          q, k = kRun)
+        .withColumn("cr", row_number().over(cw))
+        .select(col("vec_id").as("cid"), col("cr"))
+      bm.join(cos, col("bid") === col("cid"), "full_outer")
+        .select(
+          coalesce(col("bid"), col("cid")).as("id"),
+          floorRound6(
+            coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("cr")), lit(0.0)))
+            .as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("id").asc)
+        .limit(10)
     }),
 
     // ---- unigram LM quality score: mean corpus-probability of a doc's
@@ -1031,6 +1035,21 @@ object ExtensionQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
         .orderBy("doc_id")),
+
+    // ---- simhash near-dup PAIRS via the pigeonhole Hamming join
+    // (Manku et al. WWW'07): d+1 contiguous fingerprint blocks, bucket
+    // self-join per block, exact bit_count(xor) filter — Σ bucket²
+    // candidate work, never corpus², with the hot-bucket valve audited
+    // by hammingOversizedBuckets. Completes the simhash family:
+    // q_dedup_simhash emits the prints, this key emits the dup pairs.
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.hammingPairs(
+          graft.operators.Spread.forKernel(
+            Tables.documents(s, d).select(col("doc_id"), col("text")))
+            .select(col("doc_id"), Dedup.simhash16(col("text")).as("fp")),
+          col("doc_id"), col("fp"), bits = 16, maxHamming = 2,
+          maxBucket = 512)
+        .orderBy("id1", "id2")),
 
     // ---- blocked n-gram Jaccard pairs. Metadata blocking bounds the n²
     // ONLY as far as the largest block: the maxBlock valve (512 — 4.5× the
@@ -2648,8 +2667,84 @@ object ExtensionQueries {
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** BM25 keyword scores over the documents table (Robertson k1=1.2,
+    * b=0.75, the +0.5 idf smoothing kept RATIONAL — no ln(), which
+    * would be libm-divergent cross-engine; log only rescales the
+    * ranking). Per-doc score folds term-contributions in TERM-SORTED
+    * order so float accumulation is cross-engine deterministic. Scale
+    * shape: tokenization map-side; tf/df are keyword-filtered (tiny)
+    * aggregates; df and the 1-row avgdl stats broadcast; the only
+    * corpus shuffles are the doc-length groupBy and the per-doc score
+    * regroup — linear. Shared by q_bm25_rank and q_rrf_fusion. */
+  private def bm25Scores(s: SparkSession, d: String,
+                         kws: Seq[String]): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docCount(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dls = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // avgdl as a lazy 1-row broadcast aggregate (scalar-subquery shape,
+    // one double division = the oracle's sum(dl)::DOUBLE / count(*)):
+    // the query stays single-action instead of paying an eager
+    // agg().head() before the measured dataflow builds
+    val stats = dls.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = terms.filter(col("term").isin(kws: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.filter(col("term").isin(kws: _*))
+      .select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val termScore =
+      ((lit(nDocs.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5))) *
+        (tfD * lit(2.2)) /
+        (tfD + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * dlD / col("avgdl")))
+    tf.join(broadcast(dfreq), "term").join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("ts", termScore)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("ts"))))
+        .as("arr"))
+      .withColumn("score", floorRound6(aggregate(col("arr"), lit(0.0),
+        (a, x) => a + x.getField("ts"))))
+      .select(col("doc_id"), col("score"))
+  }
+
   private val qvCte =
     "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+
+  /** BM25 oracle CTE chain ending in `r(doc_id, score)` — the DuckDB
+    * replay of [[bm25Scores]], shared by q_bm25_rank and q_rrf_fusion. */
+  private val bm25ScoreCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+       |  FROM documents),
+       |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN ('join', 'filter', 'window', 'scan')
+       |  GROUP BY doc_id, term),
+       |dfreq AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE term IN ('join', 'filter', 'window', 'scan')
+       |  GROUP BY term),
+       |ts AS (
+       |  SELECT t.doc_id, t.term,
+       |    (((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+       |      * (t.tf * 2.2)
+       |      / (t.tf + 1.2 * (1.0 - 0.75
+       |          + 0.75 * l.dl / (SELECT avgdl FROM stats))) AS s
+       |  FROM tf t JOIN dfreq d USING (term) JOIN dls l USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, ${graft.functions.Rounding.floorRoundSql(
+            "list_sum(list(s ORDER BY term))", 6)} AS score
+       |  FROM ts GROUP BY doc_id)""".stripMargin
 
   /** Shared by every `q_ann_*_exhaustive` serving proof: with
     * exhaustive parameters (all cells probed / corpus-sized beam /
@@ -3085,6 +3180,45 @@ object ExtensionQueries {
         |                THEN 1 ELSE -1 END)) > 0
         |         THEN 2.0 ** b ELSE 0 END))::BIGINT, 0) AS simhash
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // pigeonhole Hamming pair join: replay the simhash prints, split
+    // into 3 blocks (widths 6/5/5 — remainder bits to the FIRST block,
+    // matching Dedup.hammingPairs), bucket self-join per block with the
+    // 512 valve, exact bit_count(xor) <= 2 filter. `%`/`//`/xor match
+    // Spark shiftright/bitwiseAND/XOR for nonnegative 16-bit prints.
+    "q_simhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+        |      tk -> (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 4, 1)) - 1)
+        |    ) AS hashes
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform(generate_series(0, 15), b ->
+        |      CASE WHEN list_sum(list_transform(hashes, h ->
+        |             CASE WHEN (floor(h / (2.0 ** b))::BIGINT % 2) = 1
+        |                  THEN 1 ELSE -1 END)) > 0
+        |           THEN 2.0 ** b ELSE 0 END))::BIGINT, 0) AS fp
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, fp, bi,
+        |    CASE bi WHEN 0 THEN fp % 64
+        |            WHEN 1 THEN (fp // 64) % 32
+        |            ELSE (fp // 2048) % 32 END AS bv
+        |  FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi) u),
+        |g AS (SELECT bi, bv FROM b GROUP BY 1, 2 HAVING count(*) <= 512),
+        |gb AS (SELECT b.* FROM b JOIN g USING (bi, bv))
+        |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |  bit_count(xor(a.fp, c.fp))::INT AS hamming
+        |FROM gb a JOIN gb c
+        |  ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.fp, c.fp)) <= 2
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_boilerplate_shingles" ->
       s"""WITH toks AS (
@@ -4270,34 +4404,42 @@ object ExtensionQueries {
     },
 
     "q_bm25_rank" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_filter(
-         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
-         |  FROM documents),
-         |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |stats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
-         |n AS (SELECT count(*) AS n FROM documents),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM toks
-         |  WHERE term IN ('join', 'filter', 'window', 'scan')
-         |  GROUP BY doc_id, term),
-         |dfreq AS (
-         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
-         |  WHERE term IN ('join', 'filter', 'window', 'scan')
-         |  GROUP BY term),
-         |ts AS (
-         |  SELECT t.doc_id, t.term,
-         |    (((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
-         |      * (t.tf * 2.2)
-         |      / (t.tf + 1.2 * (1.0 - 0.75
-         |          + 0.75 * l.dl / (SELECT avgdl FROM stats))) AS s
-         |  FROM tf t JOIN dfreq d USING (term) JOIN dls l USING (doc_id)),
-         |r AS (
-         |  SELECT doc_id, ${graft.functions.Rounding.floorRoundSql(
-              "list_sum(list(s ORDER BY term))", 6)} AS score
-         |  FROM ts GROUP BY doc_id)
+      s"""WITH $bm25ScoreCte
          |SELECT doc_id, score FROM r
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // RRF: replay both runs (bm25 CTE chain + the q_cosine_topk cosine),
+    // rank over the ROUNDED run scores with id tiebreaks, fuse with
+    // exact 1.0/(60+rank) divisions in a fixed run order. Literals are
+    // ::DOUBLE-cast (the DuckDB decimal-literal trap).
+    "q_rrf_fusion" ->
+      s"""WITH $bm25ScoreCte,
+         |bm AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS br
+         |  FROM r QUALIFY br <= 20),
+         |$qvCte,
+         |cv AS (
+         |  SELECT e.vec_id,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |        i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         |    6) AS cos_sim
+         |  FROM embeddings e, q),
+         |cvr AS (
+         |  SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS cr
+         |  FROM cv QUALIFY cr <= 20),
+         |f AS (
+         |  SELECT coalesce(bm.id, cvr.id) AS id,
+         |    coalesce(1.0::DOUBLE / (60 + br), 0.0::DOUBLE)
+         |      + coalesce(1.0::DOUBLE / (60 + cr), 0.0::DOUBLE) AS rrf
+         |  FROM bm FULL JOIN cvr ON bm.id = cvr.id)
+         |SELECT id, ${graft.functions.Rounding.floorRoundSql("rrf", 6)}
+         |    AS rrf_score
+         |FROM f ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
 
     "q_outlier_iqr" ->
       s"""WITH h AS (

@@ -212,6 +212,51 @@ class DedupSpec extends SparkSuite {
     assert(ham(h(1L), h(4L)) > ham(h(1L), h(3L))) // unrelated is farther
   }
 
+  test("hammingPairs: pigeonhole blocking finds EXACTLY the brute-force " +
+      "pairs within maxHamming") {
+    // prints chosen to hit every block layout case: agree-on-block-0 only,
+    // agree-on-last-block only, distance exactly maxHamming, distance
+    // maxHamming+1 (must be absent even though a block agrees)
+    val fps = Seq(
+      1L -> 0x0000L, 2L -> 0x0001L, 3L -> 0x0003L, 4L -> 0x0007L,
+      5L -> 0xFFFFL, 6L -> 0xFFFEL, 7L -> 0x0FF0L, 8L -> 0x8000L,
+      9L -> 0x8001L, 10L -> 0x00C0L)
+    val df = fps.toDF("id", "fp")
+    val got = Dedup.hammingPairs(df, col("id"), col("fp"),
+        bits = 16, maxHamming = 2)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val want = (for {
+      (i, fi) <- fps; (j, fj) <- fps if i < j
+      h = java.lang.Long.bitCount(fi ^ fj) if h <= 2
+    } yield (i, j, h)).toSet
+    assert(got === want)
+    // sanity: the fixture really exercises both inclusion and exclusion
+    assert(want.contains((1L, 2L, 1)) && want.contains((3L, 4L, 1)))
+    assert(!want.exists(p => p._1 == 1L && p._2 == 4L)) // distance 3
+  }
+
+  test("hammingPairs maxBucket drops hot buckets auditable, keeps the rest") {
+    // ids 1-5 share fp=0 (every block bucket has 5 members); 6-7 are a
+    // distance-1 pair in otherwise-cold buckets
+    val df = (Seq.tabulate(5)(i => (i + 1L, 0L)) ++
+      Seq(6L -> 0x5550L, 7L -> 0x5551L)).toDF("id", "fp")
+    val capped = Dedup.hammingPairs(df, col("id"), col("fp"),
+        bits = 16, maxHamming = 2, maxBucket = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped === Set((6L, 7L)))
+    val audit = Dedup.hammingOversizedBuckets(df, col("id"), col("fp"),
+        bits = 16, maxHamming = 2, maxBucket = 4)
+      .select("bi", "bv", "n").as[(Int, Long, Long)].collect().toSet
+    assert(audit === Set((0, 0L, 5L), (1, 0L, 5L), (2, 0L, 5L)))
+    // uncapped finds the hot-bucket pairs too
+    val full = Dedup.hammingPairs(df, col("id"), col("fp"),
+        bits = 16, maxHamming = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(full === Set((6L, 7L)) ++
+      (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)).toSet)
+  }
+
   test("jaccardPairs: blocked, thresholded, deterministic rounding") {
     val out = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
       blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)
