@@ -1074,6 +1074,17 @@ object ExtensionQueries {
           n = 3, threshold = 0.2)
         .orderBy("id1", "id2")),
 
+    // ---- containment (overlap-coefficient) near-dup pairs: the
+    // size-skew complement to Jaccard — a short doc quoted inside a
+    // long one scores overlap ≈ 1 where Jaccard ≈ |A|/|B| ≈ 0.
+    // df-valved inverted-index blocking (Σ C(df,2) candidate bound,
+    // valve audited by containmentOversizedShingles), exact scoring on
+    // the full shingle sets via linear fetch joins.
+    "q_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), col("doc_id"),
+          col("text"), n = 3, maxDf = 64, threshold = 0.8)
+        .orderBy("id1", "id2")),
+
     // ---- cross-doc boilerplate shingles (C4-style cleanse step): word
     // 3-grams appearing in ≥5 distinct docs. One uniform shuffle with
     // map-side partial counts.
@@ -3072,6 +3083,44 @@ object ExtensionQueries {
          |  FROM sc)
          |SELECT id1, id2, jaccard FROM j
          |WHERE jaccard >= 0.2 ORDER BY id1, id2""".stripMargin,
+
+    // containment: distinct 32-bit shingle-hash sets, df-valved
+    // inverted-index candidates (2 <= df <= 64), exact intersection via
+    // the fetch-join shape, overlap = |A∩B| / min(|A|,|B|)
+    "q_containment_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |shl AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [array_to_string(tk, ' ')] END AS sh FROM toks),
+         |hs AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(sh, s -> ${hash32Sql("s")})) AS h
+         |    FROM shl)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
+         |good AS (SELECT h FROM hs GROUP BY h HAVING count(*) BETWEEN 2 AND 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM hs a JOIN good g ON a.h = g.h JOIN hs b ON b.h = a.h
+         |  WHERE a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS it
+         |  FROM cand c
+         |  JOIN hs a ON a.doc_id = c.id1
+         |  JOIN hs b ON b.doc_id = c.id2 AND b.h = a.h
+         |  GROUP BY c.id1, c.id2),
+         |ov AS (
+         |  SELECT i.id1, i.id2,
+         |    ${graft.functions.Rounding.floorRoundSql(
+              "it::DOUBLE / least(s1.sz, s2.sz)::DOUBLE", 6)} AS overlap
+         |  FROM inter i JOIN sizes s1 ON s1.doc_id = i.id1
+         |  JOIN sizes s2 ON s2.doc_id = i.id2)
+         |SELECT id1, id2, overlap FROM ov
+         |WHERE overlap >= 0.8::DOUBLE ORDER BY id1, id2""".stripMargin,
 
     // CC over the LSH pair graph: transitive closure via a recursive CTE
     // (tiny at oracle scale), component = min reachable id.

@@ -441,6 +441,66 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs — the overlap coefficient
+    * |A∩B| / min(|A|,|B|) over distinct hashed word n-gram shingle sets
+    * (Broder 1997's containment, symmetrized to the smaller side): the
+    * size-skew complement to Jaccard. A 50-shingle doc fully quoted
+    * inside a 5000-shingle doc has Jaccard ≈ 0.01 (invisible to every
+    * resemblance key) but overlap 1.0 — the quote/wrapper/boilerplate-
+    * expansion case a curation pipeline actually wants to catch.
+    *
+    * Blocking is a df-valved inverted index on the shingle hash: a
+    * shingle shared by ≤ maxDf docs emits C(df,2) candidate pairs from
+    * its grouped posting list (Σ C(df,2) total — the SimJoin bound);
+    * shingles past the valve are stopword-grade boilerplate carrying no
+    * containment evidence of their own and are EXCLUDED (audit:
+    * [[containmentOversizedShingles]] — a pair sharing ONLY valved
+    * shingles is missed by construction, the documented trade). Exact
+    * overlap is then scored on the full shingle sets via linear fetch
+    * joins (UNPINNED — the jaccardLsh rule: only the pair-emission
+    * groupBy is quadratic-output and carries the fixed-N pin). */
+  def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+                       n: Int = 3, maxDf: Int = 64,
+                       threshold: Double = 0.8): DataFrame = {
+    val sh = Spread.forKernel(df.select(idCol.as("id"), textCol.as("_t")))
+      .select(col("id"),
+        array_distinct(
+          graft.plans.HashedShingles.shingleHashes(col("_t"), n, 8))
+          .as("sh"))
+    val postings = sh.select(col("id"), explode(col("sh")).as("h"))
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = postings.repartition(nPart, col("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+      .select(explode(pairArray(col("ids"))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+    pairs
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("overlap", floorRound6(col("inter") /
+        least(size(col("sh1")), size(col("sh2"))).cast("double")))
+      .filter(col("overlap") >= threshold)
+      .select(col("id1"), col("id2"), col("overlap"))
+  }
+
+  /** The shingles [[containmentPairs]] dropped under its `maxDf` valve —
+    * run alongside the pair query so the valve is always an audited
+    * decision (the [[jaccardOversizedBlocks]] contract). */
+  def containmentOversizedShingles(df: DataFrame, idCol: Column,
+                                   textCol: Column, n: Int,
+                                   maxDf: Int): DataFrame =
+    Spread.forKernel(df.select(idCol.as("id"), textCol.as("_t")))
+      .select(col("id"),
+        explode(array_distinct(
+          graft.plans.HashedShingles.shingleHashes(col("_t"), n, 8)))
+          .as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
   // ---- connected components over the pair graph -----------------------
 
   /** Connected components over an undirected candidate-pair graph — the

@@ -212,6 +212,36 @@ class DedupSpec extends SparkSuite {
     assert(ham(h(1L), h(4L)) > ham(h(1L), h(3L))) // unrelated is farther
   }
 
+  test("containmentPairs: a short doc quoted inside a long one scores " +
+      "overlap 1.0 where Jaccard is tiny; df valve audited") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val cdocs = Seq(
+      (1L, quote),                     // the short doc
+      (2L, s"$filler $quote"),         // long doc containing the quote
+      (3L, "totally unrelated content here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(cdocs, col("doc_id"), col("text"),
+        n = 3, maxDf = 64, threshold = 0.8)
+      .select("id1", "id2", "overlap").as[(Long, Long, Double)]
+      .collect().toSet
+    // doc 1 has 4 shingles, all inside doc 2 -> overlap 1.0; Jaccard
+    // would be 4 / (4 + 62 - 4) ~= 0.065 — below any useful threshold
+    assert(out === Set((1L, 2L, 1.0)))
+    val jac = Dedup.jaccardPairs(cdocs.withColumn("b", lit("x")),
+      col("doc_id"), col("text"), blockCols = Seq("b"), n = 3,
+      threshold = 0.8)
+    assert(jac.count() === 0L) // same pair, invisible to Jaccard at 0.8
+    // valve: with maxDf = 1 every shared shingle is "hot" -> no pairs,
+    // and the audit surfaces exactly the shared shingles
+    val valved = Dedup.containmentPairs(cdocs, col("doc_id"), col("text"),
+      n = 3, maxDf = 1, threshold = 0.8)
+    assert(valved.count() === 0L)
+    val audit = Dedup.containmentOversizedShingles(cdocs, col("doc_id"),
+      col("text"), n = 3, maxDf = 1)
+    assert(audit.count() === 4L) // the 4 quote shingles shared by 1 and 2
+  }
+
   test("hammingPairs: pigeonhole blocking finds EXACTLY the brute-force " +
       "pairs within maxHamming") {
     // prints chosen to hit every block layout case: agree-on-block-0 only,
