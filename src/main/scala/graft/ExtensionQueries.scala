@@ -856,6 +856,15 @@ object ExtensionQueries {
         .limit(10)
     }),
 
+    // ---- exact-phrase search over the positional inverted index:
+    // per-term candidate-start extraction (filter pushed to the scan),
+    // k-way (doc, start) equi-join intersection, per-doc hit counts —
+    // the word-ORDER-exact complement to the BM25 bag-of-words family.
+    "q_phrase_search" -> ((s, d) =>
+      graft.operators.PhraseSearch.phraseCounts(Tables.documents(s, d),
+          col("doc_id"), col("text"), Seq("hash", "join"))
+        .orderBy("doc_id")),
+
     // ---- unigram LM quality score: mean corpus-probability of a doc's
     // tokens — the cheap LM-based quality signal (a doc of frequent,
     // ordinary tokens scores high; rare-token noise scores low). p(t) =
@@ -4456,6 +4465,25 @@ object ExtensionQueries {
       s"""WITH $bm25ScoreCte
          |SELECT doc_id, score FROM r
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // phrase search: zipped parallel unnest builds the 1-based postings;
+    // per-term start sets intersect via USING joins (base offset
+    // cancels — only doc_id/hits surface)
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x != '') AS tk FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(tk) AS term,
+        |    unnest(generate_series(1, len(tk))) AS pos
+        |  FROM toks),
+        |s0 AS (SELECT doc_id, pos AS start FROM p WHERE term = 'hash'),
+        |s1 AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'join'),
+        |m AS (
+        |  SELECT doc_id, start FROM s0
+        |  JOIN s1 USING (doc_id, start))
+        |SELECT doc_id, count(*) AS hits FROM m
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // RRF: replay both runs (bm25 CTE chain + the q_cosine_topk cosine),
     // rank over the ROUNDED run scores with id tiebreaks, fuse with
