@@ -681,6 +681,23 @@ object ExtensionQueries {
         .select(col("vec_id"), col("label"), col("cos_sim"))
     }),
 
+    // ---- MMR diversity rerank (Carbonell & Goldstein '98, λ = 1/2):
+    // greedy k-of-N selection penalizing similarity to already-picked
+    // docs. Serving-time op over the retrieval-bounded top-30, so the
+    // whole greedy loop is ONE lazy fold expression over a single
+    // grouped row — the corpus is scanned exactly once by the
+    // candidate query; oracle replays the loop as an unrolled CTE
+    // chain (the q_bpe_train pattern).
+    "q_mmr_diversify" -> ((s, d) => {
+      val q = queryVec(s, d)
+      val cand = Knn.cosineTopK(Tables.embeddings(s, d), col("embedding"),
+          q, k = 30)
+        .select(col("vec_id"), col("embedding"), col("cos_sim"))
+      graft.operators.Mmr.diversify(cand, col("vec_id"), col("embedding"),
+          col("cos_sim"), k = 10)
+        .orderBy("rank")
+    }),
+
     // ---- MinHash+LSH near-dup candidates: shingle→signature map-side,
     // one shuffle of exploded (band, digest) rows, bucket self-join.
     "q_dedup_minhash" -> ((s, d) =>
@@ -2736,6 +2753,53 @@ object ExtensionQueries {
   private val qvCte =
     "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
 
+  /** DuckDB replay of [[graft.operators.Mmr.diversify]] over the cosine
+    * top-`n` candidates: the greedy loop unrolled as a `k`-step CTE
+    * chain (selᵢ = selᵢ₋₁ ∪ argmax of the marginal score), every sim
+    * rounded to 6 before the exact λ = 1/2 arithmetic, ties on the id. */
+  private def mmrOracleSql(n: Int, k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"round(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> $a[i] * $b[i])) / (sqrt(list_sum(list_transform($a, " +
+        s"x -> x * x))) * sqrt(list_sum(list_transform($b, " +
+        s"x -> x * x)))), 6)"
+    val sb = new StringBuilder
+    sb ++= s"WITH $qvCte,\n"
+    sb ++=
+      s"""cand AS MATERIALIZED (
+         |  SELECT e.vec_id AS id,
+         |    list_transform(e.embedding, x -> x::DOUBLE) AS vec,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |        i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         |    6) AS qsim
+         |  FROM embeddings e, q ORDER BY qsim DESC, e.vec_id LIMIT $n),
+         |sel1 AS MATERIALIZED (
+         |  SELECT 1 AS rank, id, 0.5::DOUBLE * qsim AS score FROM cand
+         |  ORDER BY score DESC, id LIMIT 1)""".stripMargin
+    for (s <- 2 to k) {
+      sb ++=
+        s""",
+           |sel$s AS MATERIALIZED (
+           |  SELECT * FROM sel${s - 1}
+           |  UNION ALL
+           |  SELECT * FROM (
+           |    SELECT $s AS rank, c.id,
+           |      0.5::DOUBLE * c.qsim - 0.5::DOUBLE * (
+           |        SELECT max(${cos("c.vec", "s2.vec")})
+           |        FROM cand s2 JOIN sel${s - 1} p ON s2.id = p.id) AS score
+           |    FROM cand c
+           |    WHERE c.id NOT IN (SELECT id FROM sel${s - 1})
+           |    ORDER BY score DESC, c.id LIMIT 1) t$s)""".stripMargin
+    }
+    sb ++= s"\nSELECT rank, id, " +
+      graft.functions.Rounding.floorRoundSql("score", 6) +
+      s" AS mmr_score FROM sel$k ORDER BY rank"
+    sb.toString
+  }
+
   /** BM25 oracle CTE chain ending in `r(doc_id, score)` — the DuckDB
     * replay of [[bm25Scores]], shared by q_bm25_rank and q_rrf_fusion. */
   private val bm25ScoreCte: String =
@@ -4484,6 +4548,8 @@ object ExtensionQueries {
         |  JOIN s1 USING (doc_id, start))
         |SELECT doc_id, count(*) AS hits FROM m
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mmr_diversify" -> mmrOracleSql(n = 30, k = 10),
 
     // RRF: replay both runs (bm25 CTE chain + the q_cosine_topk cosine),
     // rank over the ROUNDED run scores with id tiebreaks, fuse with

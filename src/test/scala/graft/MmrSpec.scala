@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mmr
+
+/** MMR greedy-selection semantics. */
+class MmrSpec extends SparkSuite {
+  import spark.implicits._
+
+  // unit vectors: 1 and 2 are EXACT duplicates (sim 1.0), 3 mirrors
+  // them across the query axis (sim(1,3) = 0.62); all have query-sim 0.9
+  private val c = math.sqrt(0.19)
+  private def cand = Seq(
+    (1L, Seq(0.9, c), 0.9),
+    (2L, Seq(0.9, c), 0.9),
+    (3L, Seq(0.9, -c), 0.9))
+    .toDF("id", "vec", "qsim")
+
+  test("diversify defers the duplicate: diverse doc outranks the " +
+      "near-copy of the first pick") {
+    val out = Mmr.diversify(cand, col("id"), col("vec"), col("qsim"), k = 3)
+      .orderBy("rank").as[(Int, Long, Double)].collect()
+    assert(out.map(_._2).toSeq === Seq(1L, 3L, 2L))
+    // rank-1 score = λ·qsim = 0.45; the duplicate's final score is
+    // 0.5·0.9 − 0.5·1.0 = −0.05; the mirror's 0.5·0.9 − 0.5·0.62 = 0.14
+    assert(math.abs(out(0)._3 - 0.45) < 1e-9)
+    assert(math.abs(out(1)._3 - 0.14) < 1e-6)
+    assert(math.abs(out(2)._3 - (-0.05)) < 1e-9)
+  }
+
+  test("k past the candidate count stops at N selections") {
+    val out = Mmr.diversify(cand, col("id"), col("vec"), col("qsim"), k = 9)
+    assert(out.count() === 3L)
+  }
+
+  test("ties break on the smaller id") {
+    val out = Mmr.diversify(cand.filter(col("id") =!= 3L),
+        col("id"), col("vec"), col("qsim"), k = 1)
+      .as[(Int, Long, Double)].head()
+    assert(out._2 === 1L)
+  }
+}
