@@ -681,6 +681,20 @@ object ExtensionQueries {
         .select(col("vec_id"), col("label"), col("cos_sim"))
     }),
 
+    // ---- Matryoshka / adaptive retrieval (Kusupati et al. 2022): a
+    // cheap first pass ranks by cosine over the 16-dim embedding
+    // PREFIX (1/4 the bytes and FLOPs — at scale the prefix lives as
+    // its own pruned column), then an exact full-dim rerank over the
+    // fetched top-100. Both stages are exact given their inputs, so
+    // the funnel is hash-oracled end to end.
+    "q_knn_matryoshka" -> ((s, d) => {
+      val qFull = queryVec(s, d)
+      val cand = Knn.cosineTopK(Tables.embeddings(s, d),
+        slice(col("embedding"), 1, 16), qFull.take(16), k = 100)
+      Knn.cosineTopK(cand, col("embedding"), qFull, k = 10)
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+    }),
+
     // ---- MMR diversity rerank (Carbonell & Goldstein '98, λ = 1/2):
     // greedy k-of-N selection penalizing similarity to already-picked
     // docs. Serving-time op over the retrieval-bounded top-30, so the
@@ -1089,6 +1103,15 @@ object ExtensionQueries {
       Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
           blockCols = Seq("lang", "source"), n = 3, threshold = 0.2,
           maxBlock = 512)
+        .orderBy("id1", "id2")),
+
+    // ---- MinHash-ESTIMATED Jaccard (Broder's unbiased estimator):
+    // candidate pairs scored from the 8-slot signatures alone — the
+    // fixed-bytes-per-doc scoring form for corpora where fetching full
+    // shingle sets is the bottleneck. m/8 is exact binary arithmetic.
+    "q_minhash_est" -> ((s, d) =>
+      Dedup.minhashJaccardEst(Tables.documents(s, d), col("doc_id"),
+          col("text"))
         .orderBy("id1", "id2")),
 
     // ---- LSH-bucketed Jaccard: the scale composition the jaccardPairs
@@ -3133,6 +3156,44 @@ object ExtensionQueries {
     "q_dedup_minhash_bucketed" ->
       s"""WITH $lshPairsCte
          |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin,
+
+    // signature-only scoring: slot-agreement count over the replayed
+    // 8-slot signatures; /8 is exact binary arithmetic
+    "q_minhash_est" ->
+      s"""WITH $lshPairsCte
+         |SELECT p.id1, p.id2,
+         |  len(list_filter(generate_series(1, 8),
+         |    i -> a.sig[i] = b.sig[i]))::DOUBLE / 8.0::DOUBLE AS est_jaccard
+         |FROM pairs p
+         |JOIN sig a ON a.doc_id = p.id1
+         |JOIN sig b ON b.doc_id = p.id2
+         |ORDER BY id1, id2""".stripMargin,
+
+    // Matryoshka funnel: 16-dim-prefix cosine top-100 (materialized),
+    // exact full-dim rerank top-10 — both stages replayed exactly
+    "q_knn_matryoshka" ->
+      s"""WITH $qvCte,
+         |cand AS MATERIALIZED (
+         |  SELECT e.vec_id, e.label, e.embedding,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, 16),
+         |        i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(generate_series(1, 16),
+         |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(generate_series(1, 16),
+         |           i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))),
+         |    6) AS tsim
+         |  FROM embeddings e, q
+         |  ORDER BY tsim DESC, e.vec_id LIMIT 100)
+         |SELECT c.vec_id, c.label,
+         |  round(
+         |    list_sum(list_transform(generate_series(1, len(c.embedding)),
+         |      i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         |    / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |     * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         |  6) AS cos_sim
+         |FROM cand c, q
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // LSH blocking (same CTE as q_dedup_minhash) + exact Jaccard scoring
     // over 32-bit shingle hashes (same scorer as q_ngram_jaccard)

@@ -202,6 +202,34 @@ object Dedup {
     vsStored.unionByName(pairsFromBandRows(newRows)).distinct()
   }
 
+  /** MinHash-ESTIMATED Jaccard over the LSH candidate pairs — scoring
+    * from signatures alone: est = |matching slots| / numHashes (the
+    * unbiased MinHash estimator, Broder 1997). The 100 TB scoring form:
+    * exact rescoring fetches full shingle sets (KBs per doc); this
+    * fetches numHashes longs per doc regardless of document length, so
+    * the scoring join ships a fixed 8·numHashes bytes/row and the
+    * per-pair work is a numHashes-slot compare. Exact [[jaccardLsh]]
+    * stays the precision form; est/exact trade is ±1/numHashes
+    * quantization. m/numHashes is exact binary arithmetic at
+    * power-of-two numHashes — hash-oracle-able unrounded. */
+  def minhashJaccardEst(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int = 3, numHashes: Int = 8,
+                        bands: Int = 4): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, n, numHashes, bands)
+    val sigs = Spread.forKernel(df.select(idCol.as("id"), textCol.as("_t")))
+      .select(col("id"), minhashFromHashes(
+        graft.plans.HashedShingles.shingleHashes(col("_t"), n, 4),
+        numHashes).as("sig"))
+    // linear fetch joins, unpinned (the jaccardLsh rule)
+    pairs
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 16-bit SimHash over the token stream (frequency-weighted: repeated

@@ -212,6 +212,20 @@ class DedupSpec extends SparkSuite {
     assert(ham(h(1L), h(4L)) > ham(h(1L), h(3L))) // unrelated is farther
   }
 
+  test("minhashJaccardEst: exact dups estimate 1.0; estimates are " +
+      "m/8 quantized and bounded") {
+    val out = Dedup.minhashJaccardEst(docs, col("doc_id"), col("text"))
+      .select("id1", "id2", "est_jaccard").as[(Long, Long, Double)]
+      .collect()
+    assert(out.nonEmpty)
+    val m = out.map(p => (p._1, p._2) -> p._3).toMap
+    // 1, 2, 5 are exact duplicates: every signature slot agrees
+    assert(m((1L, 2L)) === 1.0 && m((1L, 5L)) === 1.0 && m((2L, 5L)) === 1.0)
+    out.foreach { case (_, _, e) =>
+      assert(e >= 0.0 && e <= 1.0 && (e * 8).isWhole)
+    }
+  }
+
   test("containmentPairs: a short doc quoted inside a long one scores " +
       "overlap 1.0 where Jaccard is tiny; df valve audited") {
     val quote = "alpha beta gamma delta epsilon zeta"

@@ -29,6 +29,31 @@ class KnnSpec extends SparkSuite {
     assert(out.select("vec_id").as[Long].collect() === Array(2L, 3L))
   }
 
+  test("matryoshka funnel: prefix stage ranks on the leading dims only; " +
+      "an exhaustive first stage makes the funnel exact") {
+    // 4-dim vectors; first 2 dims identical for 1 and 2, so the 2-dim
+    // prefix stage cannot separate them — the full-dim rerank can
+    val mv = Seq(
+      (1L, Seq(1f, 0f, 0f, 1f), 0),
+      (2L, Seq(1f, 0f, 1f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val qFull = Seq(1.0, 0.0, 1.0, 0.0)
+    // exhaustive first stage (k covers the corpus) -> funnel == brute force
+    val cand = Knn.cosineTopK(mv, slice(col("embedding"), 1, 2),
+      qFull.take(2), k = 3)
+    val funnel = Knn.cosineTopK(cand, col("embedding"), qFull, k = 3)
+      .select("vec_id").as[Long].collect()
+    val brute = Knn.cosineTopK(mv, col("embedding"), qFull, k = 3)
+      .select("vec_id").as[Long].collect()
+    assert(funnel === brute)
+    assert(funnel.head === 2L) // full-dim match wins after rerank
+    // prefix stage alone ties 1 and 2 (identical leading dims)
+    val prefixSims = cand.orderBy("vec_id").select("cos_sim")
+      .as[Double].collect()
+    assert(prefixSims(0) === prefixSims(1))
+  }
+
   test("cosineTopK: descending similarity") {
     val out = Knn.cosineTopK(vecs.filter(col("vec_id") > 0),
       col("embedding"), Seq(1.0, 0.0), k = 2)
