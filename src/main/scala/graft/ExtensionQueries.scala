@@ -712,6 +712,24 @@ object ExtensionQueries {
         .orderBy("rank")
     }),
 
+    // ---- batch MMR over a query SET (the knn-join serving shape):
+    // guarded cosine join retrieves top-30 per query, then one greedy
+    // fold per query group — the only shuffles are the retrieval topk
+    // and one groupBy on the query id; per-group state is ≤30 structs.
+    "q_mmr_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cand = Knn.cosineJoin(queries, col("qid"), col("qv"),
+        emb, col("vec_id"), col("embedding"), k = 30)
+      val withVecs = cand.join(
+        emb.select(col("vec_id").as("match_id"), col("embedding")),
+        "match_id")
+      graft.operators.Mmr.diversifyGrouped(withVecs, col("query_id"),
+          col("match_id"), col("embedding"), col("cos_sim"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- MinHash+LSH near-dup candidates: shingle→signature map-side,
     // one shuffle of exploded (band, digest) rows, bucket self-join.
     "q_dedup_minhash" -> ((s, d) =>
@@ -2823,6 +2841,60 @@ object ExtensionQueries {
     sb.toString
   }
 
+  /** DuckDB replay of the GROUPED MMR (q_mmr_join): per-query top-`n`
+    * cosine candidates via a partitioned QUALIFY, then the unrolled
+    * greedy chain with a per-qid argmax at every step. */
+  private def mmrJoinOracleSql(nQueries: Int, n: Int, k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"round(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> $a[i] * $b[i])) / (sqrt(list_sum(list_transform($a, " +
+        s"x -> x * x))) * sqrt(list_sum(list_transform($b, " +
+        s"x -> x * x)))), 6)"
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH q3 AS MATERIALIZED (
+         |  SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qv
+         |  FROM embeddings WHERE vec_id < $nQueries),
+         |cand AS MATERIALIZED (
+         |  SELECT q3.qid, e.vec_id AS id,
+         |    list_transform(e.embedding, x -> x::DOUBLE) AS vec,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |        i -> e.embedding[i]::DOUBLE * q3.qv[i]))
+         |      / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(q3.qv, x -> x * x)))),
+         |    6) AS qsim
+         |  FROM embeddings e, q3
+         |  QUALIFY row_number() OVER (PARTITION BY q3.qid
+         |    ORDER BY qsim DESC, e.vec_id) <= $n),
+         |sel1 AS MATERIALIZED (
+         |  SELECT qid, 1 AS rank, id, 0.5::DOUBLE * qsim AS score FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) = 1)""".stripMargin
+    for (s <- 2 to k) {
+      sb ++=
+        s""",
+           |sel$s AS MATERIALIZED (
+           |  SELECT * FROM sel${s - 1}
+           |  UNION ALL
+           |  SELECT qid, $s AS rank, id, score FROM (
+           |    SELECT c.qid, c.id,
+           |      0.5::DOUBLE * c.qsim - 0.5::DOUBLE * (
+           |        SELECT max(${cos("c.vec", "s2.vec")})
+           |        FROM cand s2 JOIN sel${s - 1} p
+           |          ON s2.qid = c.qid AND p.qid = c.qid AND s2.id = p.id) AS score
+           |    FROM cand c
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${s - 1} p2
+           |                      WHERE p2.qid = c.qid AND p2.id = c.id))
+           |  QUALIFY row_number() OVER (PARTITION BY qid
+           |    ORDER BY score DESC, id) = 1)""".stripMargin
+    }
+    sb ++= s"\nSELECT qid, rank, id, " +
+      graft.functions.Rounding.floorRoundSql("score", 6) +
+      s" AS mmr_score FROM sel$k ORDER BY qid, rank"
+    sb.toString
+  }
+
   /** BM25 oracle CTE chain ending in `r(doc_id, score)` — the DuckDB
     * replay of [[bm25Scores]], shared by q_bm25_rank and q_rrf_fusion. */
   private val bm25ScoreCte: String =
@@ -4611,6 +4683,8 @@ object ExtensionQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_mmr_diversify" -> mmrOracleSql(n = 30, k = 10),
+
+    "q_mmr_join" -> mmrJoinOracleSql(nQueries = 3, n = 30, k = 5),
 
     // RRF: replay both runs (bm25 CTE chain + the q_cosine_topk cosine),
     // rank over the ROUNDED run scores with id tiebreaks, fuse with

@@ -110,6 +110,23 @@ object Knn {
         (-col("negdist")).as("dist"), col("rn"))
   }
 
+  /** Batch cosine retrieval: top-k corpus matches per query row by
+    * ROUNDED cosine — [[knnJoin]]'s pairing guard (broadcast below the
+    * byte threshold, hash-blocked exact join above it) with the cosine
+    * scorer, feeding rerank stages that want similarities
+    * ([[Mmr.diversifyGrouped]]). Output: (query_id, match_id, cos_sim,
+    * rn), rn 1-based by (cos_sim desc, match_id asc). */
+  def cosineJoin(queries: DataFrame, qIdCol: Column, qVecCol: Column,
+                 corpus: DataFrame, cIdCol: Column, cVecCol: Column,
+                 k: Int, broadcastThreshold: Long = 64L << 20): DataFrame = {
+    val pairs = allPairs(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
+      broadcastThreshold)
+    val scored = pairs.select(col("query_id"), col("match_id"),
+      round(cosine(col("_qv"), col("_cv")), 6).as("cos_sim"))
+    TopK.topKPerGroup(scored.sparkSession, scored,
+      "query_id", "match_id", "cos_sim", k)
+  }
+
   /** Every (query, corpus) vector pair as (query_id, _qv, match_id, _cv)
     * — broadcast the corpus below `broadcastThreshold`, hash-blocked
     * replication above it (byte ceiling documented in [[knnJoin]]).

@@ -37,18 +37,10 @@ object Mmr {
         (sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x)) *
           sqrt(aggregate(b, lit(0.0), (s, x) => s + x * x))), 6)
 
-  /** Greedy MMR selection of `k` from the candidate frame (id, vec,
-    * query-sim). `cand` MUST be retrieval-bounded (top-N): the fold
-    * state is one row of N candidate structs. Output: (rank, id,
-    * mmr_score), rank 1..k in selection order. */
-  def diversify(cand: DataFrame, idCol: Column, vecCol: Column,
-                qsimCol: Column, k: Int): DataFrame = {
-    require(k >= 1, s"k=$k")
-    val cs = cand
-      .select(struct(qsimCol.as("qsim"), idCol.as("id"),
-        vecCol.cast("array<double>").as("vec")).as("c"))
-      .agg(sort_array(collect_list(col("c"))).as("cs"))
-    val csCol = col("cs")
+  /** The whole greedy loop as one expression over a sorted
+    * candidate-struct array column — shared by the single-query and
+    * grouped forms. Returns the selected array<struct<rank,pos,id,score>>. */
+  private def greedyFold(csCol: Column, k: Int): Column = {
     val n = size(csCol)
     def candAt(p: Column) = element_at(csCol, p + 1)
     // marginal score of candidate position p against the selected list
@@ -61,7 +53,7 @@ object Mmr {
     }
     val zero = expr(
       "cast(array() as array<struct<rank:int,pos:int,id:bigint,score:double>>)")
-    val folded = aggregate(
+    aggregate(
       sequence(lit(1), lit(k)),
       zero,
       (sel, step) => {
@@ -89,8 +81,43 @@ object Mmr {
             best.getField("score").as("score"))))
           .otherwise(sel)
       })
-    cs.select(explode(folded).as("s"))
+  }
+
+  private def candStruct(idCol: Column, vecCol: Column,
+                         qsimCol: Column): Column =
+    struct(qsimCol.as("qsim"), idCol.as("id"),
+      vecCol.cast("array<double>").as("vec"))
+
+  /** Greedy MMR selection of `k` from the candidate frame (id, vec,
+    * query-sim). `cand` MUST be retrieval-bounded (top-N): the fold
+    * state is one row of N candidate structs. Output: (rank, id,
+    * mmr_score), rank 1..k in selection order. */
+  def diversify(cand: DataFrame, idCol: Column, vecCol: Column,
+                qsimCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val cs = cand
+      .select(candStruct(idCol, vecCol, qsimCol).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+    cs.select(explode(greedyFold(col("cs"), k)).as("s"))
       .select(col("s.rank").as("rank"), col("s.id").as("id"),
+        graft.functions.Rounding.floorRound6(col("s.score")).as("mmr_score"))
+  }
+
+  /** Batch-serving MMR: one greedy selection PER QUERY over that
+    * query's retrieval-bounded candidates (the knn-join shape). One
+    * groupBy on the query id is the only shuffle — each group's state
+    * is its own ≤N-struct row, so query batches scale out by
+    * partitioning on the query id with per-group work identical to the
+    * single-query fold. Output: (qid, rank, id, mmr_score). */
+  def diversifyGrouped(cand: DataFrame, qidCol: Column, idCol: Column,
+                       vecCol: Column, qsimCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val cs = cand
+      .select(qidCol.as("qid"), candStruct(idCol, vecCol, qsimCol).as("c"))
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+    cs.select(col("qid"), explode(greedyFold(col("cs"), k)).as("s"))
+      .select(col("qid"), col("s.rank").as("rank"), col("s.id").as("id"),
         graft.functions.Rounding.floorRound6(col("s.score")).as("mmr_score"))
   }
 }

@@ -34,6 +34,25 @@ class MmrSpec extends SparkSuite {
     assert(out.count() === 3L)
   }
 
+  test("diversifyGrouped: per-query selections equal the single-query " +
+      "fold run per group") {
+    val grouped = Seq(10L, 20L).flatMap { qid =>
+      Seq((qid, 1L, Seq(0.9, c), 0.9), (qid, 2L, Seq(0.9, c), 0.9),
+        (qid, 3L, Seq(0.9, -c), 0.9))
+    }.toDF("qid", "id", "vec", "qsim")
+    val out = Mmr.diversifyGrouped(grouped, col("qid"), col("id"),
+        col("vec"), col("qsim"), k = 3)
+      .orderBy("qid", "rank")
+      .as[(Long, Int, Long, Double)].collect()
+    val single = Mmr.diversify(cand, col("id"), col("vec"), col("qsim"),
+        k = 3)
+      .orderBy("rank").as[(Int, Long, Double)].collect()
+    Seq(10L, 20L).foreach { qid =>
+      val g = out.filter(_._1 == qid).map(t => (t._2, t._3, t._4))
+      assert(g.toSeq === single.toSeq)
+    }
+  }
+
   test("ties break on the smaller id") {
     val out = Mmr.diversify(cand.filter(col("id") =!= 3L),
         col("id"), col("vec"), col("qsim"), k = 1)

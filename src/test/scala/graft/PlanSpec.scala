@@ -448,8 +448,13 @@ class PlanSpec extends SparkSuite {
     // GROUP-COUNT-sized sketch rows (one per event type) — broadcasting
     // a handful of 64-element sketches is the plan at any corpus size,
     // because the sketches, not the raw sets, are what pair up
+    // ... q_rrf_fusion composes bm25Scores, so it carries the same
+    // ONE-ROW avgdl broadcast; q_mmr_join retrieves through
+    // Knn.cosineJoin = knnJoin's documented guarded pairing (broadcast
+    // below the byte threshold, hash-blocked equi join above it)
     val allowedBnlj = Set("q_knn_join", "q_hard_negatives",
       "q_hard_negatives_cos", "q_sketch_kmv_setops", "q_bm25_rank",
+      "q_rrf_fusion", "q_mmr_join",
       "q_snapshot_diff", "q_snapshot_diff_inc", "q_semantic_dedup_exhaustive")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
