@@ -604,6 +604,33 @@ object ExtensionQueries {
         .orderBy("bucket_sec", "event_type")
     }),
 
+    // ---- exponential time-decay trending counts (half-life = 1 day):
+    // the recency-weighting signal a curation/sampling pipeline uses to
+    // favor fresh sources. Weight 2^-age_days is an exact dyadic
+    // rational, summed in INTEGER space (scaled by 2^50, ages clamped
+    // at 50 so the scaled weight stays a BIGINT power of two) — the sum
+    // is order-independent and map-side-partial (no sorted-fold
+    // crutch), overflow-proof via DECIMAL(38,0)/HUGEINT, and both
+    // engines round the one integer→double cast identically; /2^50 is
+    // an exact exponent shift. "now" is the corpus max event time via
+    // the sanctioned one-row broadcast aggregate (the bm25 avgdl
+    // scalar-subquery shape).
+    "q_decayed_count" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.withColumn("ts_us", eventTsUs(ev0))
+      val now = ev.agg(max(col("ts_us")).as("now_us"))
+      ev.crossJoin(broadcast(now))
+        .withColumn("age_d",
+          least(expr("(now_us - ts_us) div 86400000000"), lit(50L)))
+        .withColumn("w",
+          expr("shiftleft(1L, cast(50 - age_d AS int))")
+            .cast("decimal(38,0)"))
+        .groupBy(col("event_type"))
+        .agg((sum(col("w")).cast("double") / lit(1125899906842624.0))
+          .as("decayed_count"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // ---- sessionization: 30-min-gap sessions per user. Two windows over
     // one shuffle on user_id (lag + running sum share the partitioning).
     "q_sessionize" -> ((s, d) => {
@@ -3111,6 +3138,23 @@ object ExtensionQueries {
          |FROM events
          |GROUP BY bucket_sec, event_type
          |ORDER BY bucket_sec, event_type""".stripMargin,
+
+    // decay weights replayed as 1<<(50-age) BIGINTs; HUGEINT sum →
+    // one correctly-rounded ::DOUBLE cast (identical to Spark's
+    // DECIMAL(38,0) path) and an exact /2^50 exponent shift
+    "q_decayed_count" ->
+      """WITH t AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+        |n AS (SELECT max(ts_us) AS now_us FROM t),
+        |w AS (
+        |  SELECT event_type,
+        |    (1::BIGINT << (50 - least((now_us - ts_us) // 86400000000,
+        |      50))::INT) AS w
+        |  FROM t, n)
+        |SELECT event_type,
+        |  sum(w)::DOUBLE / 1125899906842624.0::DOUBLE AS decayed_count,
+        |  count(*) AS n
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // ordered funnel: min-after-previous-step via correlated step
     // tables; strict > drops same-instant steps identically on both

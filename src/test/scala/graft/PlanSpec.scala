@@ -452,9 +452,11 @@ class PlanSpec extends SparkSuite {
     // ONE-ROW avgdl broadcast; q_mmr_join retrieves through
     // Knn.cosineJoin = knnJoin's documented guarded pairing (broadcast
     // below the byte threshold, hash-blocked equi join above it)
+    // ... and q_decayed_count's ONE-ROW broadcast max-event-time (the
+    // same scalar-subquery shape as bm25's avgdl)
     val allowedBnlj = Set("q_knn_join", "q_hard_negatives",
       "q_hard_negatives_cos", "q_sketch_kmv_setops", "q_bm25_rank",
-      "q_rrf_fusion", "q_mmr_join",
+      "q_rrf_fusion", "q_mmr_join", "q_decayed_count",
       "q_snapshot_diff", "q_snapshot_diff_inc", "q_semantic_dedup_exhaustive")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
