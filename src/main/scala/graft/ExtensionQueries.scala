@@ -368,6 +368,41 @@ object ExtensionQueries {
     })
   }
 
+  /** Session-scoped persisted simhash fingerprint-block table (the
+    * [[bandTable]] contract verbatim — per-JVM nonce, _SUCCESS-gated
+    * reuse — applied to [[Dedup.writeFingerprintTable]]'s bucketed
+    * (bi, bv) layout). */
+  private val fpTableCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+  private def fpTable(s: SparkSession, d: String): String = {
+    val perSession = fpTableCache.synchronized {
+      fpTableCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      val name = "graft_fp_" + jvmNonce + "_" +
+        java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val complete =
+        fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+      if (!(complete && s.catalog.tableExists(name))) {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        fs.delete(loc, true)
+        Dedup.writeFingerprintTable(
+          graft.operators.Spread.forKernel(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")))
+            .select(col("doc_id"), Dedup.simhash16(col("text")).as("fp")),
+          col("doc_id"), col("fp"), name, bits = 16, maxHamming = 2)
+      }
+      name
+    })
+  }
+
   /** Session-scoped persisted near-dup component labels (doc_id,
     * component) — star contraction over the band-table pairs, written
     * ONCE per (session, dir) and shared by every consumer that labels
@@ -1166,6 +1201,16 @@ object ExtensionQueries {
     "q_ngram_jaccard_lsh" -> ((s, d) =>
       Dedup.jaccardLsh(Tables.documents(s, d), col("doc_id"), col("text"),
           n = 3, threshold = 0.2)
+        .orderBy("id1", "id2")),
+
+    // ---- the SAME Hamming pairs served from the persisted BUCKETED
+    // fingerprint table (write-once layout, session-cached): the
+    // self-join rides the bucketed scan's (bi, bv) hash distribution —
+    // the recurring-dedup shuffle eliminated, identical output ⇒
+    // identical oracle (the q_dedup_minhash_bucketed pattern).
+    "q_simhash_pairs_bucketed" -> ((s, d) =>
+      Dedup.hammingPairsFromFingerprintTable(s, fpTable(s, d),
+          maxHamming = 2, maxBucket = 512)
         .orderBy("id1", "id2")),
 
     // ---- containment (overlap-coefficient) near-dup pairs: the
@@ -2741,6 +2786,42 @@ object ExtensionQueries {
   /** Shared CTE chain producing the MinHash-LSH candidate pairs relation
     * `pairs(id1, id2)` — used by both the pair oracle and the
     * connected-components oracle. */
+  /** Shared by q_simhash_pairs and its bucketed-table twin
+    * (identical output by construction). */
+  private val simhashPairsOracleSql: String =
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+        |      tk -> (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(tk), 4, 1)) - 1)
+        |    ) AS hashes
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform(generate_series(0, 15), b ->
+        |      CASE WHEN list_sum(list_transform(hashes, h ->
+        |             CASE WHEN (floor(h / (2.0 ** b))::BIGINT % 2) = 1
+        |                  THEN 1 ELSE -1 END)) > 0
+        |           THEN 2.0 ** b ELSE 0 END))::BIGINT, 0) AS fp
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, fp, bi,
+        |    CASE bi WHEN 0 THEN fp % 64
+        |            WHEN 1 THEN (fp // 64) % 32
+        |            ELSE (fp // 2048) % 32 END AS bv
+        |  FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi) u),
+        |g AS (SELECT bi, bv FROM b GROUP BY 1, 2 HAVING count(*) <= 512),
+        |gb AS (SELECT b.* FROM b JOIN g USING (bi, bv))
+        |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |  bit_count(xor(a.fp, c.fp))::INT AS hamming
+        |FROM gb a JOIN gb c
+        |  ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.fp, c.fp)) <= 2
+        |ORDER BY id1, id2""".stripMargin
+
   private val lshPairsCte: String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
@@ -3485,39 +3566,11 @@ object ExtensionQueries {
     // matching Dedup.hammingPairs), bucket self-join per block with the
     // 512 valve, exact bit_count(xor) <= 2 filter. `%`/`//`/xor match
     // Spark shiftright/bitwiseAND/XOR for nonnegative 16-bit prints.
-    "q_simhash_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
-        |      tk -> (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 4096
-        |          + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1) * 256
-        |          + (strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1) * 16
-        |          + (strpos('0123456789abcdef', substr(md5(tk), 4, 1)) - 1)
-        |    ) AS hashes
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    coalesce(list_sum(list_transform(generate_series(0, 15), b ->
-        |      CASE WHEN list_sum(list_transform(hashes, h ->
-        |             CASE WHEN (floor(h / (2.0 ** b))::BIGINT % 2) = 1
-        |                  THEN 1 ELSE -1 END)) > 0
-        |           THEN 2.0 ** b ELSE 0 END))::BIGINT, 0) AS fp
-        |  FROM t),
-        |b AS (
-        |  SELECT doc_id, fp, bi,
-        |    CASE bi WHEN 0 THEN fp % 64
-        |            WHEN 1 THEN (fp // 64) % 32
-        |            ELSE (fp // 2048) % 32 END AS bv
-        |  FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi) u),
-        |g AS (SELECT bi, bv FROM b GROUP BY 1, 2 HAVING count(*) <= 512),
-        |gb AS (SELECT b.* FROM b JOIN g USING (bi, bv))
-        |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
-        |  bit_count(xor(a.fp, c.fp))::INT AS hamming
-        |FROM gb a JOIN gb c
-        |  ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id
-        |WHERE bit_count(xor(a.fp, c.fp)) <= 2
-        |ORDER BY id1, id2""".stripMargin,
+    "q_simhash_pairs" -> simhashPairsOracleSql,
+
+    // bucketing is a physical layout, so the oracle is identical
+    "q_simhash_pairs_bucketed" -> simhashPairsOracleSql,
+
 
     "q_boilerplate_shingles" ->
       s"""WITH toks AS (

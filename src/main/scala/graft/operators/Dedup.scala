@@ -280,21 +280,44 @@ object Dedup {
     * never silent truncation. */
   def hammingPairs(df: DataFrame, idCol: Column, fpCol: Column,
                    bits: Int = 16, maxHamming: Int = 2,
-                   maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxBucket: Int = Int.MaxValue): DataFrame =
+    pairsFromBlockRows(
+      fingerprintBlockRows(df, idCol, fpCol, bits, maxHamming),
+      maxHamming, maxBucket, pinWidth = true)
+
+  /** Contiguous pigeonhole block layout: remainder bits go to the FIRST
+    * blocks (widths e.g. 16/3 → [6,5,5]); offsets are the running sum. */
+  private def blockVals(fp: Column, bits: Int, maxHamming: Int): Column = {
     val nBlocks = maxHamming + 1
     require(bits >= nBlocks, s"need >= $nBlocks bits for $nBlocks blocks")
-    // contiguous block layout: remainder bits go to the FIRST blocks
-    // (widths e.g. 16/3 -> [6,5,5]); offsets are the running sum
     val widths = Array.tabulate(nBlocks)(i =>
       bits / nBlocks + (if (i < bits % nBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val base = df.select(idCol.as("id"), fpCol.as("fp"))
-    val blockVals = array((0 until nBlocks).map { i =>
-      shiftright(col("fp"), offsets(i))
-        .bitwiseAND(lit((1L << widths(i)) - 1))
+    array((0 until nBlocks).map { i =>
+      shiftright(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     }: _*)
-    val blocks = base.select(col("id"), col("fp"),
-      posexplode(blockVals).as(Seq("bi", "bv")))
+  }
+
+  /** The exploded (id, fp, bi, bv) block relation every Hamming join
+    * groups or joins on — the PERSISTABLE form of the simhash index
+    * (see [[writeFingerprintTable]]). Map-side: maxHamming+1 rows of
+    * ~20 B per doc. */
+  def fingerprintBlockRows(df: DataFrame, idCol: Column, fpCol: Column,
+                           bits: Int, maxHamming: Int): DataFrame =
+    df.select(idCol.as("id"), fpCol.as("fp"))
+      .select(col("id"), col("fp"),
+        posexplode(blockVals(col("fp"), bits, maxHamming))
+          .as(Seq("bi", "bv")))
+
+  /** Bucket self-join pair generation over a block-row relation —
+    * shared by the one-shot and table-served entry points. `pinWidth`
+    * (one-shot path only): fixed-N repartition on the bucket key ahead
+    * of the quadratic-OUTPUT self-join (the jaccardPairs rule); the
+    * bucketed-table path must NOT pin — its point is that the
+    * pre-bucketed scan plans no exchange before pair emission. */
+  private def pairsFromBlockRows(blocks: DataFrame, maxHamming: Int,
+                                 maxBucket: Int,
+                                 pinWidth: Boolean): DataFrame = {
     // hot-bucket valve as a broadcast semi join on the (bi, bv) count
     // frame (bounded by nBlocks * 2^maxWidth distinct buckets — tiny
     // next to the corpus); the jaccardPairs gate pattern
@@ -306,8 +329,12 @@ object Dedup {
           .filter(col("_bn") <= maxBucket)
           .drop("_bn")),
         Seq("bi", "bv"), "left_semi")
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val distributed = gated.repartition(nPart, col("bi"), col("bv"))
+    val distributed =
+      if (pinWidth)
+        gated.repartition(
+          blocks.sparkSession.sessionState.conf.numShufflePartitions,
+          col("bi"), col("bv"))
+      else gated
     distributed.as("a")
       .join(distributed.as("b").hint("merge"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
@@ -319,25 +346,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Persist the fingerprint block index BUCKETED (and sorted) by the
+    * bucket key — [[writeBandTable]]'s recurring-dedup layout applied
+    * to the simhash family: every later Hamming-dedup pass over the
+    * same corpus reads pre-shuffled buckets instead of re-hashing and
+    * re-shuffling corpus × (maxHamming+1) rows. */
+  def writeFingerprintTable(df: DataFrame, idCol: Column, fpCol: Column,
+                            table: String, bits: Int = 16,
+                            maxHamming: Int = 2, buckets: Int = 32): Unit =
+    fingerprintBlockRows(df, idCol, fpCol, bits, maxHamming)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bi", "bv")
+      .sortBy("bi", "bv")
+      .saveAsTable(table)
+
+  /** [[hammingPairs]] served from a persisted fingerprint table: the
+    * self-join rides the bucketed scan's hash distribution, so pair
+    * emission plans no fresh corpus shuffle. Output is IDENTICAL to
+    * the one-shot operator over the same corpus (same oracle). */
+  def hammingPairsFromFingerprintTable(spark: org.apache.spark.sql.SparkSession,
+                                       table: String, maxHamming: Int = 2,
+                                       maxBucket: Int = Int.MaxValue)
+      : DataFrame =
+    pairsFromBlockRows(spark.table(table), maxHamming, maxBucket,
+      pinWidth = false)
+
+  /** Recurring-ingest Hamming pairs: an incoming batch against the
+    * stored fingerprint table PLUS the batch's own internal pairs (the
+    * [[lshPairsAgainstBandTable]] contract — two near-identical docs
+    * in one wave must flag even when neither resembles the store).
+    * Only the batch is fingerprint-exploded and shuffled; the stored
+    * side reads its buckets in place. */
+  def hammingPairsAgainstFingerprintTable(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      newDocs: DataFrame, idCol: Column, fpCol: Column,
+      bits: Int = 16, maxHamming: Int = 2): DataFrame = {
+    val newRows = fingerprintBlockRows(newDocs, idCol, fpCol, bits,
+      maxHamming)
+    val vsStored = spark.table(table)
+      .join(newRows.select(col("bi"), col("bv"), col("id").as("new_id"),
+        col("fp").as("new_fp")), Seq("bi", "bv"))
+      .filter(col("id") =!= col("new_id"))
+      .withColumn("hamming",
+        bit_count(col("fp").bitwiseXOR(col("new_fp"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("id"), col("new_id")).as("id1"),
+        greatest(col("id"), col("new_id")).as("id2"), col("hamming"))
+    vsStored
+      .unionByName(pairsFromBlockRows(newRows, maxHamming, Int.MaxValue,
+        pinWidth = true))
+      .distinct()
+  }
+
   /** The buckets [[hammingPairs]] dropped under its `maxBucket` cap —
     * run alongside the pair query so a cap is always an audited
     * decision (the [[jaccardOversizedBlocks]] contract). */
   def hammingOversizedBuckets(df: DataFrame, idCol: Column, fpCol: Column,
                               bits: Int, maxHamming: Int,
-                              maxBucket: Int): DataFrame = {
-    val nBlocks = maxHamming + 1
-    val widths = Array.tabulate(nBlocks)(i =>
-      bits / nBlocks + (if (i < bits % nBlocks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val blockVals = array((0 until nBlocks).map { i =>
-      shiftright(col("fp"), offsets(i))
-        .bitwiseAND(lit((1L << widths(i)) - 1))
-    }: _*)
-    df.select(idCol.as("id"), fpCol.as("fp"))
-      .select(posexplode(blockVals).as(Seq("bi", "bv")))
+                              maxBucket: Int): DataFrame =
+    fingerprintBlockRows(df, idCol, fpCol, bits, maxHamming)
       .groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
-  }
 
   // ---- n-gram Jaccard -------------------------------------------------
 

@@ -301,6 +301,37 @@ class DedupSpec extends SparkSuite {
       (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)).toSet)
   }
 
+  test("fingerprint table: from-table pairs equal one-shot hammingPairs; " +
+      "against-table flags batch-vs-stored AND intra-batch") {
+    spark.sql("DROP TABLE IF EXISTS dedup_fp_inc")
+    val whDir = new java.io.File("spark-warehouse/dedup_fp_inc")
+    if (whDir.exists()) {
+      java.nio.file.Files.walk(whDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val fps = Seq(1L -> 0x0000L, 2L -> 0x0001L, 3L -> 0x0FF0L,
+      4L -> 0xFFFFL).toDF("id", "fp")
+    Dedup.writeFingerprintTable(fps, col("id"), col("fp"),
+      "dedup_fp_inc", buckets = 2)
+    val oneShot = Dedup.hammingPairs(fps, col("id"), col("fp"))
+      .as[(Long, Long, Int)].collect().toSet
+    val fromTable = Dedup.hammingPairsFromFingerprintTable(spark,
+        "dedup_fp_inc")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fromTable === oneShot)
+    // batch: 100 duplicates stored 1 (distance 0); 200/201 duplicate
+    // each other (distance 1) but nothing stored
+    val batch = Seq(100L -> 0x0000L, 200L -> 0x5550L, 201L -> 0x5551L)
+      .toDF("id", "fp")
+    val pairs = Dedup.hammingPairsAgainstFingerprintTable(spark,
+        "dedup_fp_inc", batch, col("id"), col("fp"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)), s"batch-vs-stored missing: $pairs")
+    assert(pairs.contains((200L, 201L)), s"intra-batch missing: $pairs")
+    assert(!pairs.contains((4L, 100L))) // distance 16 never flags
+  }
+
   test("jaccardPairs: blocked, thresholded, deterministic rounding") {
     val out = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
       blockCols = Seq("lang", "source"), n = 3, threshold = 0.2)

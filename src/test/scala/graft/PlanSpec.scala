@@ -268,6 +268,35 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"), p) // buckets line up
   }
 
+  test("bucketed fingerprint table: Hamming pair generation plans no " +
+      "bucket-key exchange") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    spark.sql("DROP TABLE IF EXISTS b_fps")
+    val whDir = new java.io.File("spark-warehouse/b_fps")
+    if (whDir.exists()) {
+      java.nio.file.Files.walk(whDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), Dedup.simhash16(col("text")).as("fp"))
+    Dedup.writeFingerprintTable(fps, col("id"), col("fp"), "b_fps",
+      buckets = 4)
+    // the self-join rides the bucketed (bi, bv) distribution: the only
+    // exchange left is the final pair distinct (pair-sized)
+    val pairs = Dedup.hammingPairsFromFingerprintTable(spark, "b_fps")
+    pairs.collect()
+    val p = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected only the distinct's exchange:\n$p")
+    assert(p.contains("Bucketed: true"), p)
+    val oneShot = Dedup.hammingPairs(fps, col("id"), col("fp"))
+    assert(pairs.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(pairs).count() === 0)
+  }
+
   test("bucketed band table: dedup pair generation plans no band-key " +
       "exchange; incremental pass shuffles only the batch side") {
     import org.apache.spark.sql.functions._
