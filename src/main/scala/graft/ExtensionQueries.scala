@@ -976,6 +976,38 @@ object ExtensionQueries {
           col("doc_id"), col("text"), Seq("hash", "join"))
         .orderBy("doc_id")),
 
+    // ---- pseudo-relevance feedback / query expansion (Rocchio'71 /
+    // RM-style): mine expansion terms from the BM25 top-10 feedback
+    // docs, ranked by LIFT P(t|feedback)/P(t|corpus) — kept as one
+    // exact integer cross-product ratio (the q_colloc_lift no-ln rule),
+    // min-count 3 valve against rare-term noise, seed terms excluded.
+    // Scale shape: feedback doc ids broadcast (10 rows); term counts
+    // are the same two shuffles the BM25/LM family already pays; the
+    // two 1-row totals ride the sanctioned scalar-subquery broadcast.
+    "q_query_expand" -> ((s, d) => {
+      val kws = Seq("join", "filter", "window", "scan")
+      val docs = Tables.documents(s, d)
+      val fbDocs = bm25Scores(s, d, kws)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id")
+      val terms = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val corpusCnt = terms.groupBy("term").agg(count(lit(1)).as("cn"))
+      val corpusTot = terms.agg(count(lit(1)).as("ct"))
+      val fbTerms = terms.join(broadcast(fbDocs), "doc_id")
+      val fbCnt = fbTerms.groupBy("term").agg(count(lit(1)).as("fn"))
+      val fbTot = fbTerms.agg(count(lit(1)).as("ft"))
+      fbCnt.filter(col("fn") >= 3 && !col("term").isin(kws: _*))
+        .join(corpusCnt, "term")
+        .crossJoin(broadcast(corpusTot))
+        .crossJoin(broadcast(fbTot))
+        .withColumn("lift", (col("fn") * col("ct")).cast("double") /
+          (col("ft") * col("cn")).cast("double"))
+        .select(col("term"), col("lift"))
+        .orderBy(col("lift").desc, col("term").asc)
+        .limit(10)
+    }),
+
     // ---- unigram LM quality score: mean corpus-probability of a doc's
     // tokens — the cheap LM-based quality signal (a doc of frequent,
     // ordinary tokens scores high; rare-token noise scores low). p(t) =
@@ -4782,6 +4814,24 @@ object ExtensionQueries {
     "q_mmr_diversify" -> mmrOracleSql(n = 30, k = 10),
 
     "q_mmr_join" -> mmrJoinOracleSql(nQueries = 3, n = 30, k = 5),
+
+    // PRF expansion: feedback docs from the shared bm25 chain; lift as
+    // one integer cross-product ratio, single ::DOUBLE division
+    "q_query_expand" ->
+      s"""WITH $bm25ScoreCte,
+         |fb AS (SELECT doc_id FROM r ORDER BY score DESC, doc_id LIMIT 10),
+         |ct AS (SELECT count(*) AS ct FROM toks),
+         |cc AS (SELECT term, count(*) AS cn FROM toks GROUP BY term),
+         |fbt AS (SELECT t.term FROM toks t JOIN fb USING (doc_id)),
+         |ft AS (SELECT count(*) AS ft FROM fbt),
+         |fc AS (SELECT term, count(*) AS fn FROM fbt GROUP BY term)
+         |SELECT f.term,
+         |  (f.fn * (SELECT ct FROM ct))::DOUBLE
+         |    / ((SELECT ft FROM ft) * c.cn)::DOUBLE AS lift
+         |FROM fc f JOIN cc c USING (term)
+         |WHERE f.fn >= 3
+         |  AND f.term NOT IN ('join', 'filter', 'window', 'scan')
+         |ORDER BY lift DESC, term LIMIT 10""".stripMargin,
 
     // RRF: replay both runs (bm25 CTE chain + the q_cosine_topk cosine),
     // rank over the ROUNDED run scores with id tiebreaks, fuse with

@@ -121,6 +121,29 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("hammingPairs equals brute force for random fingerprints at " +
+      "every (bits, maxHamming) layout") {
+    import graft.operators.Dedup
+    val fpGen = Gen.listOfN(24, Gen.chooseNum(0L, 0xFFFFL))
+    val layouts = Seq((16, 1), (16, 2), (16, 3), (12, 2))
+    samples(fpGen, 4).zipWithIndex.foreach { case (fps0, i) =>
+      val fps = fps0.zipWithIndex.map { case (f, j) => (j.toLong, f) }
+      layouts.foreach { case (bits, d) =>
+        val mask = (1L << bits) - 1
+        val masked = fps.map { case (id, f) => (id, f & mask) }
+        val got = Dedup.hammingPairs(masked.toDF("id", "fp"), col("id"),
+            col("fp"), bits = bits, maxHamming = d)
+          .select("id1", "id2", "hamming").as[(Long, Long, Int)]
+          .collect().toSet
+        val want = (for {
+          (a, fa) <- masked; (b, fb) <- masked if a < b
+          h = java.lang.Long.bitCount(fa ^ fb) if h <= d
+        } yield (a, b, h)).toSet
+        assert(got === want, s"sample $i layout ($bits, $d)")
+      }
+    }
+  }
+
   test("pre-filter commutes: filter-then-topk == topk-over-filtered-set") {
     val rows = (0L until 30L).map(i =>
       (i, Seq((i % 5).toFloat, (i % 4).toFloat), (i % 2).toInt))
