@@ -976,6 +976,14 @@ object ExtensionQueries {
           col("doc_id"), col("text"), Seq("hash", "join"))
         .orderBy("doc_id")),
 
+    // ---- phrase hits with result SNIPPETS (the search-highlight
+    // window): first-occurrence window of ±2 tokens around the match;
+    // only matching docs pay the token-array fetch and bounded slice.
+    "q_phrase_snippet" -> ((s, d) =>
+      graft.operators.PhraseSearch.phraseSnippets(Tables.documents(s, d),
+          col("doc_id"), col("text"), Seq("hash", "join"), ctx = 2)
+        .orderBy("doc_id")),
+
     // ---- pseudo-relevance feedback / query expansion (Rocchio'71 /
     // RM-style): mine expansion terms from the BM25 top-10 feedback
     // docs, ranked by LIFT P(t|feedback)/P(t|corpus) — kept as one
@@ -4814,6 +4822,32 @@ object ExtensionQueries {
     "q_mmr_diversify" -> mmrOracleSql(n = 30, k = 10),
 
     "q_mmr_join" -> mmrJoinOracleSql(nQueries = 3, n = 30, k = 5),
+
+    // snippet window replayed with the same 1-based clamp arithmetic:
+    // lo = max(1, s0-2), 6 tokens (phrase 2 + 2x2 context), end-clamped
+    "q_phrase_snippet" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x != '') AS tk FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(tk) AS term,
+        |    unnest(generate_series(1, len(tk))) AS pos
+        |  FROM toks),
+        |s0 AS (SELECT doc_id, pos AS start FROM p WHERE term = 'hash'),
+        |s1 AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'join'),
+        |m AS (
+        |  SELECT doc_id, start FROM s0
+        |  JOIN s1 USING (doc_id, start)),
+        |h AS (
+        |  SELECT doc_id, count(*) AS hits, min(start) AS s0
+        |  FROM m GROUP BY doc_id)
+        |SELECT h.doc_id, h.hits,
+        |  array_to_string(list_transform(
+        |    generate_series(greatest(1, s0 - 2),
+        |      least(len(tk), greatest(1, s0 - 2) + 5)),
+        |    i -> tk[i]), ' ') AS snippet
+        |FROM h JOIN toks USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // PRF expansion: feedback docs from the shared bm25 chain; lift as
     // one integer cross-product ratio, single ::DOUBLE division

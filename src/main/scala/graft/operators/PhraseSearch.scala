@@ -45,4 +45,33 @@ object PhraseSearch {
     starts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
   }
+
+  /** Matching docs with a result SNIPPET: `ctx` tokens of context on
+    * each side of the FIRST phrase occurrence (the search-result
+    * highlight window). The phrase match runs on the postings joins
+    * (codegen, distributed); only matching docs pay the token-array
+    * fetch join and the bounded slice — never a corpus-wide
+    * interpreted pass. Output: (doc_id, hits, snippet). */
+  def phraseSnippets(df: DataFrame, idCol: Column, textCol: Column,
+                     phrase: Seq[String], ctx: Int = 2): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val p = postings(df, idCol, textCol)
+    val starts = phrase.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    val hits = starts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"), min(col("start")).as("s0"))
+    val win = phrase.length + 2 * ctx // slice length, clamped at the end
+    hits.join(
+        df.select(idCol.as("doc_id"),
+          graft.functions.TextFunctions.tokens(textCol).as("tk")),
+        "doc_id")
+      // postings are 0-based, slice is 1-based: first window token is
+      // max(1, s0 + 1 - ctx)
+      .withColumn("snippet", concat_ws(" ",
+        slice(col("tk"), greatest(lit(1), col("s0") + 1 - ctx), lit(win))))
+      .select(col("doc_id"), col("hits"), col("snippet"))
+  }
 }

@@ -32,6 +32,26 @@ class PhraseSearchSpec extends SparkSuite {
     assert(out === Map(4L -> 2L)) // "a a a" -> starts 0 and 1
   }
 
+  test("phraseSnippets: window around the FIRST hit, clamped at both " +
+      "edges") {
+    val out = PhraseSearch.phraseSnippets(docs, col("doc_id"), col("text"),
+        Seq("hash", "join"), ctx = 2)
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 1: first hit at pos 0 -> left clamp; 6-token window from start
+    assert(out(1L) === ((2L, "hash join beats nested loop hash")))
+    // doc 3: hit at pos 0 of a 6-token doc -> window is the whole doc
+    assert(out(3L) === ((1L, "hash join mixed case and spacing")))
+    assert(!out.contains(2L)) // reversed pair never matches
+    // right-edge clamp: hit near the end keeps the snippet in bounds
+    val tail = Seq((9L, "one two three hash join"))
+      .toDF("doc_id", "text")
+    val t = PhraseSearch.phraseSnippets(tail, col("doc_id"), col("text"),
+        Seq("hash", "join"), ctx = 2)
+      .as[(Long, Long, String)].head()
+    assert(t === ((9L, 1L, "two three hash join")))
+  }
+
   test("postings: 0-based positions in token order") {
     val p = PhraseSearch.postings(docs.filter(col("doc_id") === 2L),
         col("doc_id"), col("text"))
