@@ -287,7 +287,7 @@ object Dedup {
 
   /** Contiguous pigeonhole block layout: remainder bits go to the FIRST
     * blocks (widths e.g. 16/3 → [6,5,5]); offsets are the running sum. */
-  private def blockVals(fp: Column, bits: Int, maxHamming: Int): Column = {
+  private[graft] def blockVals(fp: Column, bits: Int, maxHamming: Int): Column = {
     val nBlocks = maxHamming + 1
     require(bits >= nBlocks, s"need >= $nBlocks bits for $nBlocks blocks")
     val widths = Array.tabulate(nBlocks)(i =>

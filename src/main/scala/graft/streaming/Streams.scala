@@ -920,6 +920,100 @@ object Streams {
       .start()
   }
 
+  /** Streaming pigeonhole-Hamming near-dedup — the EXACT-recall
+    * incremental form of the simhash family ([[nearDedupStream]]'s
+    * FMGWS formulation buckets on the top fingerprint bits and misses
+    * Hamming diffs crossing them; here any pair within `maxHamming`
+    * shares one of the maxHamming+1 pigeonhole blocks by construction,
+    * so nothing inside the horizon is missed — the
+    * [[graft.operators.Dedup.hammingPairs]] guarantee, incremental).
+    *
+    * Same foreachBatch + hash-bucketed parquet state lifecycle as
+    * [[nearDedupStreamLsh]] (touched-bucket-only reads and swaps,
+    * horizon pruning at read AND rewrite, aside-dir crash recovery,
+    * replay-idempotent state and batch_id-partitioned output). The dup
+    * verdict is PAIRWISE within a block bucket — exact
+    * `bit_count(xor) <= maxHamming` against every state/earlier-batch
+    * row sharing the block, ordered by (ts, doc_id) — not
+    * first-occupant-of-bucket: two docs in one block bucket at Hamming
+    * distance > maxHamming both survive. Dropped docs still mark
+    * state (greedy chain closure, the LSH rule). */
+  def nearDedupStreamHamming(spark: SparkSession, docs: DataFrame,
+                             outDir: String, stateDir: String,
+                             checkpointDir: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             tsCol: String = "ts", bits: Int = 16,
+                             maxHamming: Int = 2,
+                             horizonMs: Long = 10L * 60 * 1000,
+                             nBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.hadoop.fs.Path
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val base = stateDir.stripSuffix("/")
+          recoverAsideBuckets(fs, base)
+          val keys = batch
+            .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+              graft.operators.Dedup.simhash16(col(textCol)).as("fp"))
+            .select(col("doc_id"), col("ts"), col("fp"),
+              posexplode(graft.operators.Dedup.blockVals(col("fp"), bits,
+                maxHamming)).as(Seq("bi", "bv")))
+            .withColumn("bucket",
+              pmod(hash(col("bi"), col("bv")), lit(nBuckets)))
+            .persist()
+          val touched = keys.select("bucket").distinct()
+            .collect().map(_.getInt(0)).sorted.toIndexedSeq
+          val maxTs = batch.agg(max(col(tsCol))).head().getTimestamp(0)
+          val cutoff = new java.sql.Timestamp(
+            if (horizonMs >= maxTs.getTime) 0L else maxTs.getTime - horizonMs)
+          val prior: Option[DataFrame] =
+            if (touched.exists(b => fs.exists(bucketPath(base, b))))
+              Some(spark.read.parquet(base)
+                .filter(col("bucket").isin(touched.map(Int.box): _*))
+                .filter(col("ts") >= lit(cutoff)))
+            else None
+          val batchKeys =
+            keys.select("bi", "bv", "fp", "ts", "doc_id", "bucket")
+          val allKeys = prior
+            .map(_.select("bi", "bv", "fp", "ts", "doc_id", "bucket")
+              .unionByName(batchKeys))
+            .getOrElse(batchKeys)
+            .dropDuplicates("bi", "bv", "doc_id", "ts")
+          // pairwise verdict: a batch doc is a dup iff some state or
+          // earlier-(ts, id) row shares a block AND is within maxHamming
+          val dups = keys.as("k")
+            .join(allKeys.as("s"),
+              col("k.bi") === col("s.bi") && col("k.bv") === col("s.bv"))
+            .filter(bit_count(col("k.fp").bitwiseXOR(col("s.fp")))
+              <= maxHamming)
+            .filter(struct(col("s.ts"), col("s.doc_id")) <
+              struct(col("k.ts"), col("k.doc_id")))
+            .select(col("k.doc_id").as(idCol)).distinct()
+          val kept = batch.join(dups, Seq(idCol), "left_anti")
+          kept.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          val tmp = new Path(base + "__upserting")
+          fs.delete(tmp, true)
+          allKeys.filter(col("ts") >= lit(cutoff))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(tmp.toString)
+          swapBuckets(fs, base, tmp, touched)
+          keys.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming IVF index maintenance — [[upsertStreamBucketed]]'s
     * incremental-rewrite pattern composed with the
     * [[graft.operators.Ann.buildIvfIndex]] layout

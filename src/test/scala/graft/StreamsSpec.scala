@@ -668,6 +668,59 @@ class StreamsSpec extends SparkSuite {
       .select("doc_id").as[Long].collect() === Array(1L))
   }
 
+  test("nearDedupStreamHamming: persisted block state EQUALS the batch " +
+      "relation; kept set matches the greedy pairwise replay") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val rows = docs.as[(Long, String)].collect()
+    val dir = Files.createTempDirectory("graft-ham-parity-").toString
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = Streams.nearDedupStreamHamming(spark,
+      input.toDF().toDF("doc_id", "text", "ts"),
+      s"$dir/out", s"$dir/state", s"$dir/chk",
+      horizonMs = 365L * 24 * 60 * 60 * 1000) // nothing expires
+    try {
+      rows.grouped(20).zipWithIndex.foreach { case (batch, i) =>
+        input.addData(batch.map { case (id, text) => (id, text, ts(i + 1)) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // state relation == the batch fingerprintBlockRows relation
+    val streamed = spark.read.parquet(s"$dir/state")
+      .select(col("doc_id"), col("fp"), col("bi"), col("bv"))
+      .as[(Long, Long, Int, Long)].collect().sorted
+    val batchRel = Dedup.fingerprintBlockRows(
+        docs.select(col("doc_id"),
+          Dedup.simhash16(col("text")).as("fp")),
+        col("doc_id"), col("fp"), bits = 16, maxHamming = 2)
+      .select(col("id"), col("fp"), col("bi"), col("bv"))
+      .as[(Long, Long, Int, Long)].collect().sorted
+    assert(streamed.length === batchRel.length)
+    assert(streamed === batchRel)
+    // kept set == greedy pairwise replay over (ts, id) order: a doc
+    // drops iff ANY prior doc (kept or dropped) is within Hamming 2;
+    // all docs mark state. Batch order here: 20-doc waves at ts 1,2,3,
+    // ids ascending within a wave (collect order is doc_id order).
+    val fps = docs.select(col("doc_id"),
+        Dedup.simhash16(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    // within a wave every doc shares one ts, so the stream's (ts, id)
+    // order is wave order then doc_id order — replay exactly that
+    val ordered = rows.grouped(20).flatMap(_.map(_._1).sorted).toSeq
+    val seen = scala.collection.mutable.ListBuffer[Long]()
+    val expectKept = ordered.filter { id =>
+      val dup = seen.exists(f =>
+        java.lang.Long.bitCount(f ^ fps(id)) <= 2)
+      seen += fps(id)
+      !dup
+    }.toSet
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === expectKept)
+  }
+
   test("nearDedupStreamLsh: full-replay persisted band state EQUALS the " +
       "batch band-table relation, and serves identical pairs") {
     // the cmsStream/bloomStream equivalence pattern for the LSH family:
