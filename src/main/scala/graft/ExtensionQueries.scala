@@ -666,6 +666,24 @@ object ExtensionQueries {
         .orderBy("event_type")
     }),
 
+    // ---- cohort retention matrix: users grouped by first-seen epoch
+    // week, activity counted per week offset — the classic cohort
+    // analysis, all integer arithmetic. Two user-keyed shuffles (the
+    // distinct and the first-seen min) + one tiny matrix aggregate.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val uw = ev0.withColumn("ts_us", eventTsUs(ev0))
+        .withColumn("wk", expr("ts_us div 604800000000"))
+        .select(col("user_id"), col("wk")).distinct()
+      val cohorts = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      uw.join(cohorts, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // ---- sessionization: 30-min-gap sessions per user. Two windows over
     // one shuffle on user_id (lag + running sum share the partitioning).
     "q_sessionize" -> ((s, d) => {
@@ -753,6 +771,35 @@ object ExtensionQueries {
       val qFull = queryVec(s, d)
       val cand = Knn.cosineTopK(Tables.embeddings(s, d),
         slice(col("embedding"), 1, 16), qFull.take(16), k = 100)
+      Knn.cosineTopK(cand, col("embedding"), qFull, k = 10)
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+    }),
+
+    // ---- binary-quantized retrieval: 64 hyperplane sign bits per
+    // embedding packed into two 32-bit halves (the phash convention —
+    // bit 63 weights wrap under HUGEINT sums), Hamming top-50 via
+    // bit_count on the packed halves, exact full-precision cosine
+    // rerank top-10. Completes the quantization ladder (SQ8 8×, PQ
+    // 32×, binary 256×): at scale the 16-byte sketch column is its own
+    // pruned scan and the rerank fetches only the candidate vectors.
+    // The 1-row query-sketch frame rides the sanctioned broadcast.
+    "q_knn_binary" -> ((s, d) => {
+      val qFull = queryVec(s, d)
+      val emb = Tables.embeddings(s, d)
+      val sig = emb.withColumn("bits",
+          graft.plans.HyperplaneBits.hyperplaneBitsNative(
+            col("embedding").cast("array<double>"), 64, 0.5))
+        .withColumn("hi", aggregate(slice(col("bits"), 1, 32), lit(0L),
+          (a, b) => a * lit(2L) + b))
+        .withColumn("lo", aggregate(slice(col("bits"), 33, 32), lit(0L),
+          (a, b) => a * lit(2L) + b))
+      val qSig = sig.filter(col("vec_id") === 0L)
+        .select(col("hi").as("qhi"), col("lo").as("qlo"))
+      val cand = sig.crossJoin(broadcast(qSig))
+        .withColumn("hamming",
+          bit_count(col("hi").bitwiseXOR(col("qhi"))) +
+            bit_count(col("lo").bitwiseXOR(col("qlo"))))
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(50)
       Knn.cosineTopK(cand, col("embedding"), qFull, k = 10)
         .select(col("vec_id"), col("label"), col("cos_sim"))
     }),
@@ -3966,6 +4013,61 @@ object ExtensionQueries {
          |SELECT id1, id2, cos FROM scored WHERE cos >= 0.25
          |ORDER BY id1, id2""".stripMargin
     },
+
+    // binary sketch replay: the 64 hyperplane bits from the same
+    // md5-plane fold, packed into two 32-bit halves by a *2+b fold
+    // (list_reduce's first-element seed equals the 0 seed here), then
+    // Hamming top-50 and the exact cosine rerank
+    "q_knn_binary" -> {
+      def dotSql(p: Int) =
+        s"""list_sum(list_transform(generate_series(1, len(e.embedding)),
+           |      i -> (e.embedding[i]::DOUBLE - 0.5)
+           |         * (CASE WHEN substr(md5('plane:$p:' || CAST(i AS VARCHAR)), 1, 1) <= '7'
+           |            THEN 1.0 ELSE -1.0 END)))""".stripMargin
+      val bitCols = (0 until 64).map(p =>
+        s"(CASE WHEN ${dotSql(p)} >= 0 THEN 1 ELSE 0 END) AS b$p")
+        .mkString(",\n  ")
+      val hiList = (0 until 32).map(p => s"b$p::BIGINT")
+        .mkString("[", ", ", "]")
+      val loList = (32 until 64).map(p => s"b$p::BIGINT")
+        .mkString("[", ", ", "]")
+      s"""WITH bitsrc AS MATERIALIZED (
+         |  SELECT vec_id, label,
+         |  $bitCols
+         |  FROM embeddings e),
+         |sig AS MATERIALIZED (
+         |  SELECT vec_id, label,
+         |    list_reduce($hiList, (a, b) -> a * 2 + b) AS hi,
+         |    list_reduce($loList, (a, b) -> a * 2 + b) AS lo
+         |  FROM bitsrc),
+         |sq AS (SELECT hi AS qhi, lo AS qlo FROM sig WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT s.vec_id, s.label,
+         |    bit_count(xor(s.hi, sq.qhi)) + bit_count(xor(s.lo, sq.qlo))
+         |      AS hamming
+         |  FROM sig s, sq
+         |  ORDER BY hamming, s.vec_id LIMIT 50),
+         |$qvCte
+         |SELECT c.vec_id, c.label,
+         |  round(
+         |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |      i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |     * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         |  6) AS cos_sim
+         |FROM cand c JOIN embeddings e USING (vec_id), q
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "q_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id)
+        |SELECT cw AS cohort_week, wk - cw AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
