@@ -305,6 +305,26 @@ object ExtensionQueries {
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
 
+  /** Synthetic hash-derived link graph shared by q_pagerank and
+    * q_graph_triangles: dense row indexes + 4 out-edges per doc,
+    * dst = (src + 1 + h mod (N−1)) mod N — never the src itself. */
+  private def linkGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.TextFunctions.tokenHash32
+    val nn = docCount(s, d)
+    val ids = graft.sources.Maintenance.withDenseIds(s,
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
+      .select(col("doc_id"), col("label_id").as("ridx"))
+    val e = ids
+      .select(col("ridx").as("src"),
+        explode(sequence(lit(1), lit(4))).as("ord"))
+      .withColumn("dst",
+        pmod(col("src") + 1 +
+          pmod(tokenHash32(concat_ws(":", lit("e"), col("src"),
+            col("ord"))), lit(nn - 1)), lit(nn)))
+    (ids, e)
+  }
+
   /** Session-scoped documents row count (same weak-session contract as
     * [[ivfIndex]]; the cached value is one Long). q_tfidf_simjoin's idf
     * needs N as a literal; without the cache every bench/verify
@@ -2339,24 +2359,24 @@ object ExtensionQueries {
     // contribution folds + an unrolled 5-step CTE oracle make the run
     // bit-reproducible (PageRank.pageRank scaladoc).
     "q_pagerank" -> ((s, d) => {
-      import graft.functions.TextFunctions.tokenHash32
-      val nn = Tables.documents(s, d).count()
-      val ids = graft.sources.Maintenance.withDenseIds(s,
-          Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
-        .select(col("doc_id"), col("label_id").as("ridx"))
-      // dst = (src + 1 + h mod (N-1)) mod N — never the src itself
-      val e = ids
-        .select(col("ridx").as("src"),
-          explode(sequence(lit(1), lit(4))).as("ord"))
-        .withColumn("dst",
-          pmod(col("src") + 1 +
-            pmod(tokenHash32(concat_ws(":", lit("e"), col("src"),
-              col("ord"))), lit(nn - 1)), lit(nn)))
+      val (ids, e) = linkGraph(s, d)
       val pr = PageRank.pageRank(ids.select(col("ridx")), col("ridx"),
         e, col("src"), col("dst"), col("ord"), iters = 5)
       pr.join(ids, pr("node") === ids("ridx"))
         .select(col("doc_id"), col("pagerank"))
         .orderBy("doc_id")
+    }),
+
+    // ---- exact triangle census on the link graph (degree-oriented
+    // node-iterator, Schank & Wagner 2005): orientation by (deg, id)
+    // bounds every oriented out-degree by O(√m), so the wedge
+    // self-join — the only quadratic-output stage, fixed-N pinned — is
+    // O(m^1.5) on ANY degree distribution; a hub node never owns a
+    // deg² wedge set. Closing-edge check is one linear fetch join;
+    // transitivity = 3T / ΣC(deg,2) in exact integers.
+    "q_graph_triangles" -> ((s, d) => {
+      val (_, e) = linkGraph(s, d)
+      graft.operators.GraphAlgos.triangleStats(e, col("src"), col("dst"))
     }),
 
     // ---- per-host crawl cap: keep the best `k` docs per host by
@@ -2722,9 +2742,23 @@ object ExtensionQueries {
     * list_reduce over an ORDER BY (src, ord) list, replaying Spark's
     * sorted-array fold bit-for-bit (0.0-seeded fold ≡ first-element
     * fold because 0.0 + x = x exactly for finite positive x). */
+  /** Shared synthetic link graph replay (ids, nn, e) — the hash-derived
+    * 4-out-edges-per-doc graph behind q_pagerank and q_graph_triangles. */
+  private lazy val linkEdgeCteSql: String = {
+    val hashE = hash32Sql("'e:' || s.ridx::VARCHAR || ':' || j.ord::VARCHAR")
+    s"""ids AS (
+       |  SELECT doc_id,
+       |    (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS ridx
+       |  FROM documents),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |e AS (
+       |  SELECT s.ridx AS src, j.ord AS ord,
+       |    ((s.ridx + 1 + ($hashE % (nn.n - 1))) % nn.n) AS dst
+       |  FROM ids s, (VALUES (1),(2),(3),(4)) j(ord), nn)""".stripMargin
+  }
+
   private lazy val pagerankOracleSql: String = {
     val iters = 5
-    val hashE = hash32Sql("'e:' || s.ridx::VARCHAR || ':' || j.ord::VARCHAR")
     val steps = (1 to iters).map { i =>
       s"""c$i AS (
          |  SELECT eo.dst AS node,
@@ -2739,15 +2773,7 @@ object ExtensionQueries {
          |  FROM ids CROSS JOIN nn LEFT JOIN c$i ON ids.ridx = c$i.node)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH ids AS (
-       |  SELECT doc_id,
-       |    (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS ridx
-       |  FROM documents),
-       |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
-       |e AS (
-       |  SELECT s.ridx AS src, j.ord AS ord,
-       |    ((s.ridx + 1 + ($hashE % (nn.n - 1))) % nn.n) AS dst
-       |  FROM ids s, (VALUES (1),(2),(3),(4)) j(ord), nn),
+    s"""WITH $linkEdgeCteSql,
        |od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src),
        |eo AS (SELECT e.src, e.ord, e.dst, od.odeg FROM e JOIN od USING (src)),
        |r0 AS (SELECT ids.ridx AS node, 1.0::DOUBLE / nn.n::DOUBLE AS r
@@ -5130,6 +5156,35 @@ object ExtensionQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pagerankOracleSql,
+
+    // triangle census: same edge replay, degree orientation via tuple
+    // comparison, wedge pairs joined against the (unique) up-rank
+    // closing orientation; ork is referenced 3x -> MATERIALIZED
+    "q_graph_triangles" ->
+      s"""WITH $linkEdgeCteSql,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |deg AS (SELECT nd, count(*) AS dg FROM (
+         |    SELECT a AS nd FROM und UNION ALL SELECT b AS nd FROM und)
+         |  GROUP BY nd),
+         |ed AS (
+         |  SELECT und.a, und.b, x.dg AS da, y.dg AS db
+         |  FROM und JOIN deg x ON x.nd = und.a JOIN deg y ON y.nd = und.b),
+         |ork AS MATERIALIZED (
+         |  SELECT CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS u,
+         |         CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS w,
+         |         CASE WHEN (da, a) < (db, b) THEN db ELSE da END AS dw
+         |  FROM ed),
+         |tri AS (
+         |  SELECT count(*) AS t FROM ork x
+         |  JOIN ork y ON x.u = y.u AND (x.dw, x.w) < (y.dw, y.w)
+         |  JOIN ork z ON z.u = x.w AND z.w = y.w),
+         |wd AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS w FROM deg)
+         |SELECT t AS n_triangles, w AS n_wedges,
+         |  CASE WHEN w = 0 THEN 0.0::DOUBLE
+         |       ELSE (3 * t)::DOUBLE / w::DOUBLE END AS global_cc
+         |FROM tri, wd""".stripMargin,
 
     "q_dense_ids" ->
       """SELECT doc_id, lang,
