@@ -1043,6 +1043,32 @@ object ExtensionQueries {
           col("doc_id"), col("text"), Seq("hash", "join"))
         .orderBy("doc_id")),
 
+    // ---- percolation / reverse search (the alerting & routing shape:
+    // stored queries match INCOMING docs): each stored query is an AND
+    // bag of terms; a doc matches iff it contains every term. The
+    // stored-query term table is registry-sized -> broadcast; matching
+    // is one distinct-terms join + a count-equality check against the
+    // query's term count — never a per-(doc × query) scan. Queries are
+    // id-derived from the shared keyword pool (deterministic).
+    "q_percolate" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("join", "filter")), (2L, Seq("window", "scan")),
+        (3L, Seq("hash", "merge", "sort")), (4L, Seq("vector")))
+      val qTerms = queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.length)) }
+        .toDF("query_id", "term", "n_terms")
+      val docTerms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .distinct()
+      docTerms.join(broadcast(qTerms), "term")
+        .groupBy(col("doc_id"), col("query_id"), col("n_terms"))
+        .agg(count(lit(1)).as("matched"))
+        .filter(col("matched") === col("n_terms"))
+        .select(col("doc_id"), col("query_id"))
+        .orderBy("doc_id", "query_id")
+    }),
+
     // ---- phrase hits with result SNIPPETS (the search-highlight
     // window): first-occurrence window of ±2 tokens around the match;
     // only matching docs pay the token-array fetch and bounded slice.
@@ -4950,6 +4976,24 @@ object ExtensionQueries {
     "q_mmr_diversify" -> mmrOracleSql(n = 30, k = 10),
 
     "q_mmr_join" -> mmrJoinOracleSql(nQueries = 3, n = 30, k = 5),
+
+    "q_percolate" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+        |    FROM documents)),
+        |qt AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 'join', 2), (1, 'filter', 2),
+        |    (2, 'window', 2), (2, 'scan', 2),
+        |    (3, 'hash', 3), (3, 'merge', 3), (3, 'sort', 3),
+        |    (4, 'vector', 1)) v(query_id, term, n_terms))
+        |SELECT doc_id, query_id::BIGINT AS query_id
+        |FROM dt JOIN qt USING (term)
+        |GROUP BY doc_id, query_id, n_terms
+        |HAVING count(*) = n_terms
+        |ORDER BY doc_id, query_id""".stripMargin,
 
     // snippet window replayed with the same 1-based clamp arithmetic:
     // lo = max(1, s0-2), 6 tokens (phrase 2 + 2x2 context), end-clamped
