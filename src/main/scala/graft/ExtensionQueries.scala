@@ -686,6 +686,28 @@ object ExtensionQueries {
         .orderBy("event_type")
     }),
 
+    // ---- 7-day moving average of daily event volume: a RANGE-frame
+    // window (value-based 6-preceding-days frame — skips missing days
+    // correctly where a ROWS frame would not), integer sums with one
+    // exact double division. One (type, day) aggregate shuffle + one
+    // type-partitioned window.
+    "q_moving_avg" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val daily = ev0.withColumn("ts_us", eventTsUs(ev0))
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("mov_sum", sum(col("n")).over(w))
+        .withColumn("mov_avg", col("mov_sum").cast("double") /
+          count(lit(1)).over(w).cast("double"))
+        .select(col("event_type"), col("day"), col("n"), col("mov_sum"),
+          col("mov_avg"))
+        .orderBy("event_type", "day")
+    }),
+
     // ---- cohort retention matrix: users grouped by first-seen epoch
     // week, activity counted per week offset — the classic cohort
     // analysis, all integer arithmetic. Two user-keyed shuffles (the
@@ -4110,6 +4132,19 @@ object ExtensionQueries {
          |FROM cand c JOIN embeddings e USING (vec_id), q
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     },
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  (sum(n) OVER w)::BIGINT AS mov_sum,
+        |  (sum(n) OVER w)::DOUBLE / (count(*) OVER w)::DOUBLE AS mov_avg
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH uw AS (
