@@ -825,6 +825,12 @@ object ExtensionQueries {
     // 32×, binary 256×): at scale the 16-byte sketch column is its own
     // pruned scan and the rerank fetches only the candidate vectors.
     // The 1-row query-sketch frame rides the sanctioned broadcast.
+    // LIMITATION (measured, KnnSpec): the sketch is blind WITHIN a
+    // tight near-dup cluster — every member is Hamming 0, so the
+    // candidate cut degenerates to id order there. On clustered
+    // corpora size the overfetch past the largest cluster or run the
+    // dedup family first (the exactDedup-first rule); recall is gated
+    // on separated data, the regime a coarse tier is for.
     "q_knn_binary" -> ((s, d) => {
       val qFull = queryVec(s, d)
       val emb = Tables.embeddings(s, d)

@@ -54,6 +54,61 @@ class KnnSpec extends SparkSuite {
     assert(prefixSims(0) === prefixSims(1))
   }
 
+  test("binary-sketch funnel: recall@10 on planted neighbors clears " +
+      "the floor; identical vectors always share a sketch") {
+    import graft.plans.HyperplaneBits
+    // planted-neighbor corpus: 15 small perturbations of the query +
+    // 185 deterministic pseudo-random distractors. (On a corpus of
+    // TIGHT near-duplicate clusters the sketch is blind WITHIN a
+    // cluster — every member is Hamming 0 — which is the documented
+    // overfetch-past-the-cluster / dedup-first caveat, so the recall
+    // floor is asserted on separated data, the regime the tier is for.)
+    def h(s: String): Double =
+      (math.abs(s.hashCode.toLong % 1000L).toDouble) / 1000.0
+    val qv = Seq.tabulate(64)(i => h(s"q:$i"))
+    val rows = (1L to 15L).map(id =>
+      (id, qv.zipWithIndex.map { case (v, i) =>
+        v + (h(s"p:$id:$i") - 0.5) * 0.02 })) ++
+      (16L to 200L).map(id =>
+        (id, Seq.tabulate(64)(i => h(s"r:$id:$i"))))
+    val emb = rows.toDF("vec_id", "embedding")
+    val sig = emb.withColumn("bits", HyperplaneBits.hyperplaneBitsNative(
+        col("embedding"), 64, 0.5))
+      .withColumn("hi", aggregate(slice(col("bits"), 1, 32), lit(0L),
+        (a, b) => a * lit(2L) + b))
+      .withColumn("lo", aggregate(slice(col("bits"), 33, 32), lit(0L),
+        (a, b) => a * lit(2L) + b))
+    val qBits = HyperplaneBits.signs(64, 64).map { row =>
+      var acc = 0.0; var i = 0
+      while (i < 64) { acc += (qv(i) - 0.5) * row(i); i += 1 }
+      if (acc >= 0) 1L else 0L
+    }
+    val qhi = qBits.take(32).foldLeft(0L)(_ * 2 + _)
+    val qlo = qBits.drop(32).foldLeft(0L)(_ * 2 + _)
+    val cand = sig
+      .withColumn("hamming",
+        bit_count(col("hi").bitwiseXOR(lit(qhi))) +
+          bit_count(col("lo").bitwiseXOR(lit(qlo))))
+      .orderBy(col("hamming").asc, col("vec_id").asc).limit(50)
+    val funnel = Knn.cosineTopK(cand, col("embedding"), qv, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Knn.cosineTopK(emb, col("embedding"), qv, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = funnel.intersect(brute).size
+    assert(recall >= 8, s"binary-sketch recall@10 = $recall/10")
+    // identical vectors share every bit: a copy of the query sketches
+    // to exactly (qhi, qlo)
+    val copy = Seq((999L, qv)).toDF("vec_id", "embedding")
+      .withColumn("bits", HyperplaneBits.hyperplaneBitsNative(
+        col("embedding"), 64, 0.5))
+      .withColumn("hi", aggregate(slice(col("bits"), 1, 32), lit(0L),
+        (a, b) => a * lit(2L) + b))
+      .withColumn("lo", aggregate(slice(col("bits"), 33, 32), lit(0L),
+        (a, b) => a * lit(2L) + b))
+      .select("hi", "lo").as[(Long, Long)].head()
+    assert(copy === ((qhi, qlo)))
+  }
+
   test("cosineTopK: descending similarity") {
     val out = Knn.cosineTopK(vecs.filter(col("vec_id") > 0),
       col("embedding"), Seq(1.0, 0.0), k = 2)
