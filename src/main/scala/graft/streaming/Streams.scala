@@ -637,6 +637,70 @@ object Streams {
     compactPartials(spark, countsDir,
       _.groupBy("h").agg(sum(col("nd")).as("nd")))
 
+  /** Streaming day-bucketed event counters with DECAY AT READ — the
+    * additive-state lifecycle ([[cmsStream]]/[[lineCountStream]]:
+    * per-batch partial partitions, a replayed batch overwrites its own
+    * partition, merge on read) applied to the q_decayed_count trending
+    * signal. The STORED state is the exact (event_type, day, n)
+    * histogram: decay is a pure function of (histogram, now), so
+    * [[decayedFromDayCounts]] applies the integer-scaled dyadic math
+    * for ANY `now` and the state never needs rewriting as time
+    * advances — a stored pre-decayed value would decay stale the
+    * moment it was written. State size is types × days, bounded. */
+  def dayCountStream(spark: SparkSession, events: DataFrame,
+                     countsDir: String, checkpointDir: String,
+                     tsCol: String = "ts",
+                     typeCol: String = "event_type")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.select(col(typeCol).as("event_type"),
+              expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+            .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(countsDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Merge-on-read over the partial day-count partitions (counts ADD).
+    * Crash-recovery first, like the sketch readers. */
+  def readDayCounts(spark: SparkSession, countsDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, countsDir)
+    spark.read.parquet(countsDir)
+      .groupBy("event_type", "day").agg(sum(col("n")).as("n"))
+  }
+
+  /** Fold accumulated day-count partials into one baseline partition —
+    * the [[compactCms]] rename-aside lifecycle. */
+  def compactDayCounts(spark: SparkSession, countsDir: String): Unit =
+    compactPartials(spark, countsDir,
+      _.groupBy("event_type", "day").agg(sum(col("n")).as("n")))
+
+  /** Decay-at-read over a (event_type, day, n) histogram: half-life one
+    * day, weights n·2^(50−age) summed in integer space (the
+    * q_decayed_count arithmetic at day granularity), one exact
+    * integer→double cast + /2^50 shift. */
+  def decayedFromDayCounts(counts: DataFrame, nowDay: Long): DataFrame =
+    counts
+      .withColumn("age_d", least(lit(nowDay) - col("day"), lit(50L)))
+      .withColumn("w",
+        expr("shiftleft(1L, cast(50 - age_d AS int))").cast("decimal(38,0)")
+          * col("n").cast("decimal(38,0)"))
+      .groupBy("event_type")
+      .agg((sum(col("w")).cast("double") / lit(1125899906842624.0))
+        .as("decayed_count"), sum(col("n")).as("n"))
+
   // ---- hash-bucketed state-dir machinery (shared by the bucketed
   // upsert and the LSH dedup state table) ------------------------------
 

@@ -950,6 +950,52 @@ class StreamsSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet === expected)
   }
 
+  test("dayCountStream: streamed histogram == batch counts after replay; " +
+      "decay-at-read matches the batch formula for any now") {
+    val dir = Files.createTempDirectory("graft-decay-stream-").toString
+    // pre-seed batch 0's partition as a crashed run's garbage — the
+    // replay must overwrite it or every decayed count inflates
+    Seq(("view", 7L, 999L)).toDF("event_type", "day", "n")
+      .write.parquet(s"$dir/counts/batch_id=0")
+    val ev = Seq(
+      ("view", ts(1)), ("view", ts(1)), ("click", ts(1)),
+      ("view", ts(1 + 1440)), ("click", ts(1 + 2880)),
+      ("view", ts(1 + 2880)), ("view", ts(1 + 2880)))
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val q = Streams.dayCountStream(spark,
+      input.toDF().toDF("event_type", "ts"), s"$dir/counts", s"$dir/chk")
+    try {
+      input.addData(ev.take(3): _*); q.processAllAvailable()
+      input.addData(ev.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = ev.toDF("event_type", "ts")
+    val expected = corpus
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    val streamed = Streams.readDayCounts(spark, s"$dir/counts")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed === expected)
+    // decay at read: equal to the same arithmetic over the batch
+    // histogram, for a `now` PAST the last event (state unchanged)
+    val nowDay = 5L
+    val viaStream = Streams.decayedFromDayCounts(
+        Streams.readDayCounts(spark, s"$dir/counts"), nowDay)
+      .as[(String, Double, Long)].collect().toSet
+    val viaBatch = Streams.decayedFromDayCounts(
+        expected.toSeq.toDF("event_type", "day", "n"), nowDay)
+      .as[(String, Double, Long)].collect().toSet
+    assert(viaStream === viaBatch)
+    // hand-check one cell: views at days 0 (2x), 1, 2 (2x) from now=5
+    // -> (2/32 + 1/16 + 2/8) = 0.375
+    assert(viaStream.find(_._1 == "view").get._2 === 0.375)
+    // compaction folds to one baseline partition, counts unchanged
+    Streams.compactDayCounts(spark, s"$dir/counts")
+    assert(Streams.readDayCounts(spark, s"$dir/counts")
+      .as[(String, Long, Long)].collect().toSet === expected)
+  }
+
   test("bloomStream: streamed bits == batch bits, replay safe, compaction preserves") {
     import graft.operators.BloomJoin
     val dir = Files.createTempDirectory("graft-bloom-stream-").toString
