@@ -53,6 +53,56 @@ class MmrSpec extends SparkSuite {
     }
   }
 
+  test("fold equals an independent Scala greedy reference on random " +
+      "candidate sets") {
+    // reference implementation mirrors the engine arithmetic exactly:
+    // index-ordered sums, BigDecimal HALF_UP round-6 (Spark round's
+    // double path), argmax by (score desc, id asc)
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def refMmr(cand: Seq[(Long, Seq[Double], Double)],
+               k: Int): Seq[(Long, Double)] = {
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double], Double)]()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      var rem = cand
+      while (out.size < k && rem.nonEmpty) {
+        val scored = rem.map { c =>
+          val pen = if (sel.isEmpty) 0.0
+            else sel.map(s => cos(c._2, s._2)).max
+          (c, 0.5 * c._3 - 0.5 * pen)
+        }
+        val best = scored.minBy { case (c, m) => (-m, c._1) }
+        sel += best._1; out += ((best._1._1, best._2))
+        rem = rem.filterNot(_._1 == best._1._1)
+      }
+      out.toSeq
+    }
+    def h(s: String): Double =
+      (math.abs(s.hashCode.toLong % 1000L).toDouble + 1.0) / 1001.0
+    (0 until 3).foreach { trial =>
+      val cand = (1L to 12L).map(id =>
+        (id, Seq.tabulate(6)(i => h(s"v:$trial:$id:$i")),
+          round6(h(s"q:$trial:$id"))))
+      val got = Mmr.diversify(cand.toDF("id", "vec", "qsim"),
+          col("id"), col("vec"), col("qsim"), k = 6)
+        .orderBy("rank").as[(Int, Long, Double)].collect()
+        .map(t => (t._2, t._3)).toSeq
+      val want = refMmr(cand, 6).map { case (id, m) =>
+        // engine output applies floorRound6 (floor(x*1e6 + 0.5)/1e6)
+        (id, math.floor(m * 1e6 + 0.5) / 1e6)
+      }
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("ties break on the smaller id") {
     val out = Mmr.diversify(cand.filter(col("id") =!= 3L),
         col("id"), col("vec"), col("qsim"), k = 1)
