@@ -686,6 +686,21 @@ object ExtensionQueries {
         .orderBy("event_type")
     }),
 
+    // ---- semi-structured extraction: the events `props` JSON column
+    // parsed ONCE per row (get_json_object pushes the single-path
+    // parse into codegen; the round-2 rule — multi-field extraction
+    // would use json_tuple to avoid OptimizeCsvJsonExprs re-splitting
+    // a shared from_json), then a decile rollup of the extracted
+    // metric per event type. Map-side parse + one small aggregate.
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type", "k_decile")),
+
     // ---- 7-day moving average of daily event volume: a RANGE-frame
     // window (value-based 6-preceding-days frame — skips missing days
     // correctly where a ROWS frame would not), integer sums with one
@@ -4138,6 +4153,15 @@ object ExtensionQueries {
          |FROM cand c JOIN embeddings e USING (vec_id), q
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     },
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  json_extract(props, '$.k')::BIGINT // 10 AS k_decile,
+        |  count(*) AS n,
+        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_moving_avg" ->
       """WITH daily AS (
