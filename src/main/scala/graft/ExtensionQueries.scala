@@ -723,6 +723,39 @@ object ExtensionQueries {
         .orderBy("event_type", "day")
     }),
 
+    // ---- robust anomaly flags on daily event rates: median + MAD per
+    // type via the rank-exact lower-median convention (q_median_manual
+    // — engine quantile()s interpolate float-divergently), anomaly =
+    // |n − med| > 3·MAD as a pure INTEGER comparison — no float enters
+    // the verdict. The pipeline-monitoring operator; per-type stats
+    // frames are group-count-sized and broadcast back.
+    "q_anomaly_days" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val daily = ev0.withColumn("ts_us", eventTsUs(ev0))
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy(col("event_type"))
+      val med = daily
+        .withColumn("rn", row_number().over(
+          byType.orderBy(col("n"), col("day"))))
+        .withColumn("cnt", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("n").as("med"))
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = dev
+        .withColumn("rn", row_number().over(
+          byType.orderBy(col("dev"), col("day"))))
+        .withColumn("cnt", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          col("mad"),
+          (col("dev") > col("mad") * 3).cast("int").as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // ---- cohort retention matrix: users grouped by first-seen epoch
     // week, activity counted per week offset — the classic cohort
     // analysis, all integer arithmetic. Two user-keyed shuffles (the
@@ -4174,6 +4207,36 @@ object ExtensionQueries {
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n, day,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY n, day) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM daily)
+        |  WHERE rn = (cnt + 1) // 2),
+        |dev AS (
+        |  SELECT d.event_type, d.day, d.n, m.med,
+        |    abs(d.n - m.med) AS dev
+        |  FROM daily d JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev, day,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY dev, day) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM dev)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, d.day, d.n, d.med, a.mad,
+        |  (d.dev > 3 * a.mad)::INT AS is_anomaly
+        |FROM dev d JOIN mad a USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
 
     "q_cohort_retention" ->
