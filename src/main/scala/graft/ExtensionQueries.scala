@@ -832,6 +832,28 @@ object ExtensionQueries {
         .select(col("doc_id"), col("quality"))
         .orderBy("doc_id")),
 
+    // ---- cross-language quality calibration: percentile rank of the
+    // quality score WITHIN each language — raw scores aren't
+    // comparable across languages (tokenization/stopword rates differ;
+    // why CCNet buckets per language), so the release threshold is
+    // applied to the percentile, not the raw score. pct = (rank−1)/
+    // (n−1) over the deterministic (quality, doc_id) order: an exact
+    // integer-ratio division (singleton languages pin to 1.0), no
+    // engine quantile interpolation anywhere. One language-keyed
+    // window shuffle.
+    "q_quality_percentile" -> ((s, d) => {
+      val byLang = Window.partitionBy(col("lang"))
+      withQualityScore(Tables.documents(s, d), col("text"))
+        .withColumn("rnk", row_number().over(
+          byLang.orderBy(col("quality"), col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(byLang))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          when(col("cnt") === 1, lit(1.0))
+            .otherwise((col("rnk") - 1).cast("double") /
+              (col("cnt") - 1).cast("double")).as("pct"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_tokens" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -3516,6 +3538,21 @@ object ExtensionQueries {
     "q_text_quality" ->
       s"""WITH $qualityCteSql
          |SELECT doc_id, quality FROM q ORDER BY doc_id""".stripMargin,
+
+    // per-language percentile rank: same quality CTE, rank/count
+    // windows, exact (rnk-1)/(cnt-1) ratio with the singleton pin
+    "q_quality_percentile" ->
+      s"""WITH $qualityCteSql,
+         |r AS (
+         |  SELECT d.doc_id, d.lang, q.quality,
+         |    row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY q.quality, d.doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY d.lang) AS cnt
+         |  FROM q JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, quality,
+         |  CASE WHEN cnt = 1 THEN 1.0::DOUBLE
+         |       ELSE (rnk - 1)::DOUBLE / (cnt - 1)::DOUBLE END AS pct
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // weighted-sample replay: identical quality relation, acceptance =
     // integer hash under floor(quality · 2^16) — the q_sample_mix
