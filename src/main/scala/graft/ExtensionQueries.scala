@@ -1064,6 +1064,22 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // ---- Hilbert-curve layout key beside q_zorder: same bucketing,
+    // strictly better locality (consecutive indexes are always
+    // grid-adjacent — Z-order jumps diagonally at power-of-two
+    // boundaries; ZOrderSpec measures the step-distance gap). One
+    // bounded per-row fold, integer-exact ⇒ hash-oracled via the
+    // unrolled level chain.
+    "q_hilbert" -> ((s, d) => {
+      val x = pmod(col("o_custkey"), lit(256))
+      val y = pmod(col("o_orderkey"), lit(256))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), x.as("bx"), y.as("by"),
+          graft.operators.ZOrder.hilbertValue(x, y, 8).as("h"))
+        .orderBy(col("h"), col("o_orderkey"))
+        .limit(20)
+    }),
+
     // ---- Unicode NFC normalization (native Normalizer expression): a
     // deterministic DECOMPOSED suffix (e+combining-acute, Hangul jamo
     // 가 as U+1100 U+1161) is appended so the query demonstrably
@@ -5091,6 +5107,45 @@ object ExtensionQueries {
       s"""SELECT o_orderkey, o_custkey % 256 AS bx, o_orderkey % 256 AS by,
          |  ($zSql) AS z
          |FROM orders ORDER BY z, o_orderkey LIMIT 20""".stripMargin
+    },
+
+    // Hilbert xy2d replayed as an unrolled level chain: per level s,
+    // quadrant bits via (v & s) > 0, d += s²·xor(3rx, ry), reflect
+    // against the full n−1 when ry=0 ∧ rx=1 then swap — the exact
+    // fold hilbertValue runs per row
+    "q_hilbert" -> {
+      val nm1 = 255
+      val sb = new StringBuilder
+      sb ++=
+        """WITH h0 AS (
+          |  SELECT o_orderkey, (o_custkey % 256) AS bx,
+          |    (o_orderkey % 256) AS by,
+          |    (o_custkey % 256)::BIGINT AS x,
+          |    (o_orderkey % 256)::BIGINT AS y, 0::BIGINT AS d
+          |  FROM orders)""".stripMargin
+      (0 until 8).reverse.map(k => 1L << k).zipWithIndex.foreach {
+        case (s, i) =>
+          sb ++=
+            s""",
+               |r${i + 1} AS (
+               |  SELECT o_orderkey, bx, by, x, y, d,
+               |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+               |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+               |  FROM h$i),
+               |h${i + 1} AS (
+               |  SELECT o_orderkey, bx, by,
+               |    CASE WHEN ry = 0 THEN
+               |      (CASE WHEN rx = 1 THEN $nm1 - y ELSE y END)
+               |      ELSE x END AS x,
+               |    CASE WHEN ry = 0 THEN
+               |      (CASE WHEN rx = 1 THEN $nm1 - x ELSE x END)
+               |      ELSE y END AS y,
+               |    d + ${s * s} * xor(3 * rx, ry) AS d
+               |  FROM r${i + 1})""".stripMargin
+      }
+      sb ++= "\nSELECT o_orderkey, bx, by, d AS h FROM h8 " +
+        "ORDER BY h, o_orderkey LIMIT 20"
+      sb.toString
     },
 
     "q_text_nfc" ->

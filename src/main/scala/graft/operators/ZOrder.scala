@@ -39,6 +39,43 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** 2-D Hilbert index of two `bits`-bit bucket columns — the
+    * space-filling curve with strictly better locality than Morton
+    * order (consecutive indexes are always grid-adjacent; Z-order
+    * jumps diagonally at every power-of-two boundary), at the cost of
+    * a per-level rotation state. The classic xy2d bit-level transform
+    * (public domain, e.g. Hamilton's or the Wikipedia formulation):
+    * fold over levels s = 2^(bits−1) … 1 carrying (x, y, d) state —
+    * one bounded expression per row, all integer arithmetic, so the
+    * DuckDB oracle unrolls the same levels as chained column stages
+    * and hash-matches exactly. Buckets are masked to their low `bits`
+    * like [[zValue]]. */
+  def hilbertValue(xCol: Column, yCol: Column, bits: Int): Column = {
+    require(bits > 0 && 2 * bits <= 62, s"need 0 < 2*bits <= 62, got $bits")
+    val mask = (1L << bits) - 1
+    val nm1 = lit(mask)
+    val init = struct(
+      xCol.cast("long").bitwiseAND(lit(mask)).as("x"),
+      yCol.cast("long").bitwiseAND(lit(mask)).as("y"),
+      lit(0L).as("d"))
+    val sVals = typedlit((0 until bits).reverse.map(k => 1L << k))
+    aggregate(sVals, init, (st, s) => {
+      val x = st.getField("x"); val y = st.getField("y")
+      val d = st.getField("d")
+      val rx = when(x.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val d2 = d + s * s * (lit(3L) * rx).bitwiseXOR(ry)
+      // ry == 0: reflect when rx == 1 (against the FULL n−1, the
+      // Wikipedia xy2d convention), then swap x and y
+      struct(
+        when(ry === 0,
+          when(rx === 1, nm1 - y).otherwise(y)).otherwise(x).as("x"),
+        when(ry === 0,
+          when(rx === 1, nm1 - x).otherwise(x)).otherwise(y).as("y"),
+        d2.as("d"))
+    }).getField("d")
+  }
+
   /** Sort by z-value and write — the layout pass. `fileRows` bounds rows
     * per file so min/max pruning has granularity to work with. */
   def writeZOrdered(df: DataFrame, dir: String, dims: Seq[Column],

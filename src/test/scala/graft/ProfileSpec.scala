@@ -74,4 +74,47 @@ class ProfileSpec extends SparkSuite {
     // interleave slot order: dims(0) owns the LSB
     assert(z((1, 0)) === 1L && z((0, 1)) === 2L && z((1, 1)) === 3L)
   }
+
+  test("hilbertValue: bijective, EVERY consecutive step grid-adjacent " +
+      "(the locality Z-order lacks), matches the reference transform") {
+    val bits = 6
+    val grid = spark.range(64L * 64L).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"))
+    val h = grid.select(col("x"), col("y"),
+        ZOrder.hilbertValue(col("x"), col("y"), bits).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // bijection onto [0, 4096)
+    assert(h.values.toSet.size === 4096)
+    assert(h.values.min === 0L && h.values.max === 4095L)
+    // perfect locality: walking the curve in index order moves exactly
+    // one Manhattan step every time. Z-order fails this at every
+    // power-of-two boundary (measure it for the contrast).
+    val byIdx = h.toSeq.map { case (xy, d) => (d, xy) }.sortBy(_._1).map(_._2)
+    val hilbertJumps = byIdx.sliding(2).count { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1L }
+    assert(hilbertJumps === 0)
+    // reference implementation (the Wikipedia xy2d loop) agrees exactly
+    def ref(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L); var s = 32L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 63 - x; y = 63 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    for (x <- 0L until 64L by 7L; y <- 0L until 64L by 5L)
+      assert(h((x, y)) === ref(x, y), s"($x,$y)")
+    // first-order orientation: (0,0)->0, (0,1)->1, (1,1)->2, (1,0)->3
+    val h1 = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L))
+      .toDF("x", "y")
+      .select(ZOrder.hilbertValue(col("x"), col("y"), 1))
+      .as[Long].collect().toSeq
+    assert(h1 === Seq(0L, 1L, 2L, 3L))
+  }
 }
