@@ -50,7 +50,14 @@ object ZOrder {
     * DuckDB oracle unrolls the same levels as chained column stages
     * and hash-matches exactly. Buckets are masked to their low `bits`
     * like [[zValue]]. */
-  def hilbertValue(xCol: Column, yCol: Column, bits: Int): Column = {
+  def hilbertValue(xCol: Column, yCol: Column, bits: Int): Column =
+    graft.plans.HilbertIndex.hilbertNative(xCol, yCol, bits)
+
+  /** Declarative reference formulation of [[hilbertValue]] (slower:
+    * `bits` interpreted struct-fold dispatches per row — 45 s for a
+    * 15M-row single-task pass at sf10 vs the native loop) — kept as
+    * the executable specification, parity-enforced in ProfileSpec. */
+  def hilbertValueHof(xCol: Column, yCol: Column, bits: Int): Column = {
     require(bits > 0 && 2 * bits <= 62, s"need 0 < 2*bits <= 62, got $bits")
     val mask = (1L << bits) - 1
     val nm1 = lit(mask)

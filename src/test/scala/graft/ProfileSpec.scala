@@ -116,5 +116,11 @@ class ProfileSpec extends SparkSuite {
       .select(ZOrder.hilbertValue(col("x"), col("y"), 1))
       .as[Long].collect().toSeq
     assert(h1 === Seq(0L, 1L, 2L, 3L))
+    // native kernel is bit-identical to the HOF reference formulation
+    val parity = grid.select(
+        ZOrder.hilbertValue(col("x"), col("y"), bits).as("n"),
+        ZOrder.hilbertValueHof(col("x"), col("y"), bits).as("r"))
+      .filter(col("n") =!= col("r")).count()
+    assert(parity === 0L)
   }
 }
