@@ -1182,14 +1182,8 @@ object ExtensionQueries {
       val qTerms = queries
         .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.length)) }
         .toDF("query_id", "term", "n_terms")
-      val docTerms = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .distinct()
-      docTerms.join(broadcast(qTerms), "term")
-        .groupBy(col("doc_id"), col("query_id"), col("n_terms"))
-        .agg(count(lit(1)).as("matched"))
-        .filter(col("matched") === col("n_terms"))
-        .select(col("doc_id"), col("query_id"))
+      graft.operators.Percolate.matches(Tables.documents(s, d),
+          col("doc_id"), col("text"), qTerms)
         .orderBy("doc_id", "query_id")
     }),
 

@@ -73,6 +73,38 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming percolation (the alerting shape — stored queries match
+    * INCOMING docs): [[graft.operators.Percolate.matches]] applied to
+    * each micro-batch — STATELESS per batch (matching is per-doc, no
+    * cross-batch state), so it runs in foreachBatch with the
+    * batch_id-partitioned replay-idempotent output of the other
+    * append sinks; streamed matches over any prefix equal the batch
+    * operator over the same docs (StreamsSpec). The query registry is
+    * re-read per batch, so registered queries can change mid-stream
+    * (the enrichWithDim slowly-changing rule). */
+  def percolateStream(spark: SparkSession, docs: DataFrame,
+                      queries: DataFrame, outDir: String,
+                      checkpointDir: String, idCol: String = "doc_id",
+                      textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Percolate.matches(batch, col(idCol),
+              col(textCol), queries)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   // ---- streaming joins ------------------------------------------------
 
   /** Stream-static enrichment: per-micro-batch broadcast hash join against

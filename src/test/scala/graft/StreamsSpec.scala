@@ -950,6 +950,38 @@ class StreamsSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet === expected)
   }
 
+  test("percolateStream: streamed matches over the full prefix equal " +
+      "the batch operator; replay overwrites its own output") {
+    import graft.operators.Percolate
+    val dir = Files.createTempDirectory("graft-perc-stream-").toString
+    // pre-seed batch 0's output as crashed-run garbage — replay must
+    // overwrite it or phantom matches survive
+    Seq((999L, 999L)).toDF("doc_id", "query_id")
+      .write.parquet(s"$dir/out/batch_id=0")
+    val queries = Seq((1L, "alpha", 2), (1L, "beta", 2), (2L, "gamma", 1))
+      .toDF("query_id", "term", "n_terms")
+    val docs = Seq(
+      (1L, "alpha beta and more"),      // matches q1
+      (2L, "alpha only here"),          // partial -> no match
+      (3L, "gamma ray burst"),          // matches q2
+      (4L, "ALPHA Beta gamma"))         // matches q1 AND q2 (ci tokens)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.percolateStream(spark,
+      input.toDF().toDF("doc_id", "text"), queries,
+      s"$dir/out", s"$dir/chk")
+    try {
+      input.addData(docs.take(2): _*); q.processAllAvailable()
+      input.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "query_id").as[(Long, Long)].collect().toSet
+    val batch = Percolate.matches(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), queries)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 1L), (3L, 2L), (4L, 1L), (4L, 2L)))
+  }
+
   test("dayCountStream: streamed histogram == batch counts after replay; " +
       "decay-at-read matches the batch formula for any now") {
     val dir = Files.createTempDirectory("graft-decay-stream-").toString
