@@ -936,5 +936,9 @@ object Scratch {
     }
     boxScan(s"$dir/zplain", "natural order")
     boxScan(s"$dir/zord", "z-ordered")
+    time("hilbert-ordered write 2M (10-bit x,y)")(
+      ZOrder.writeHilbertOrdered(zdf, s"$dir/hord",
+        col("x"), col("y"), bits = 10, fileRows = 16384))
+    boxScan(s"$dir/hord", "hilbert-ordered")
   }
 }

@@ -83,6 +83,19 @@ object ZOrder {
     }).getField("d")
   }
 
+  /** Sort by Hilbert index and write — [[writeZOrdered]]'s layout pass
+    * on the better-locality curve (measured comparison in BASELINE:
+    * `runMain graft.Scratch zorder`). */
+  def writeHilbertOrdered(df: DataFrame, dir: String, xCol: Column,
+                          yCol: Column, bits: Int,
+                          fileRows: Int = 1 << 20): Unit =
+    df.withColumn("_h", hilbertValue(xCol, yCol, bits))
+      .orderBy(col("_h"))
+      .drop("_h")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .parquet(dir)
+
   /** Sort by z-value and write — the layout pass. `fileRows` bounds rows
     * per file so min/max pruning has granularity to work with. */
   def writeZOrdered(df: DataFrame, dir: String, dims: Seq[Column],
