@@ -312,6 +312,10 @@ object ExtensionQueries {
       : (DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.tokenHash32
     val nn = docCount(s, d)
+    // pmod(h, nn - 1) with nn = 1 is pmod-by-zero = NULL — the graph
+    // would silently build NULL dst edges instead of failing loudly
+    require(nn >= 2,
+      s"linkGraph needs >= 2 documents to synthesize edges, got $nn")
     val ids = graft.sources.Maintenance.withDenseIds(s,
         Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
       .select(col("doc_id"), col("label_id").as("ridx"))
@@ -3966,10 +3970,16 @@ object ExtensionQueries {
         |    list(p ORDER BY p) AS ps
         |  FROM grams GROUP BY doc_id, n, g),
         |pd AS (
+        |  -- most frequent gram, count ties broken by max glen (struct max
+        |  -- is lexicographic — the Spark agg's exact rule)
         |  SELECT doc_id,
         |    (sum(CASE WHEN n = 1 THEN c * glen END))::BIGINT AS total_chars,
-        |    max(CASE WHEN n = 2 THEN c * glen END) AS top2,
-        |    max(CASE WHEN n = 3 THEN c * glen END) AS top3,
+        |    (max(CASE WHEN n = 2 THEN {'c': c, 'glen': glen} END)).c *
+        |      (max(CASE WHEN n = 2 THEN {'c': c, 'glen': glen} END)).glen
+        |      AS top2,
+        |    (max(CASE WHEN n = 3 THEN {'c': c, 'glen': glen} END)).c *
+        |      (max(CASE WHEN n = 3 THEN {'c': c, 'glen': glen} END)).glen
+        |      AS top3,
         |    flatten(list(CASE WHEN n = 5 AND c >= 2 THEN ps
         |      ELSE [] END)) AS starts
         |  FROM pg GROUP BY doc_id)

@@ -26,19 +26,27 @@ object Funnel {
         typeCol.as("event_type"))
       .groupBy("user_id")
       .agg(collect_list(struct(col("ts_us"), col("event_type"))).as("es"))
+    // typed Column lambdas, never a SQL expr string: a step name with a
+    // quote (or any SQL-significant character) is an ordinary string
+    // literal here, not injectable text. Steps compute under positional
+    // internal names and are aliased to the contract's `t_<step>` only in
+    // the final select (`.as` takes the name verbatim — no parsing), so
+    // arbitrary step names never pass through a column-name resolver.
     val withSteps = stepTypes.zipWithIndex.foldLeft(base) {
       case (df, (st, i)) =>
-        val after =
-          if (i == 0) "" else s" AND x.ts_us > t_${stepTypes(i - 1)}"
-        df.withColumn(s"t_$st", expr(
-          s"array_min(transform(filter(es, x -> x.event_type = '$st'" +
-            s"$after), x -> x.ts_us))"))
+        val matches: Column => Column = x => {
+          val m = x.getField("event_type") === lit(st)
+          if (i == 0) m else m && x.getField("ts_us") > col(s"__t_${i - 1}")
+        }
+        df.withColumn(s"__t_$i", array_min(
+          transform(filter(col("es"), matches), x => x.getField("ts_us"))))
     }
     withSteps.select(
       (col("user_id") +:
-        stepTypes.map(st => col(s"t_$st")) :+
-        stepTypes.map(st =>
-            when(col(s"t_$st").isNotNull, 1).otherwise(0))
+        stepTypes.indices.map(i =>
+          col(s"__t_$i").as(s"t_${stepTypes(i)}")) :+
+        stepTypes.indices.map(i =>
+            when(col(s"__t_$i").isNotNull, 1).otherwise(0))
           .reduce(_ + _).cast("int").as("stage_reached")): _*)
   }
 }

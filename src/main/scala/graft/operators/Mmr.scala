@@ -53,7 +53,11 @@ object Mmr {
     }
     val zero = expr(
       "cast(array() as array<struct<rank:int,pos:int,id:bigint,score:double>>)")
-    aggregate(
+    // n = 0 guard: sequence(0, n-1) on an empty candidate set yields
+    // [0, -1] and candAt(-1) = element_at(cs, 0) throws Spark's invalid-
+    // index error mid-fold. CaseWhen evaluates branches conditionally at
+    // runtime, so the fold below never runs when there are no candidates.
+    when(n === 0, zero).otherwise(aggregate(
       sequence(lit(1), lit(k)),
       zero,
       (sel, step) => {
@@ -80,7 +84,7 @@ object Mmr {
             best.getField("id").as("id"),
             best.getField("score").as("score"))))
           .otherwise(sel)
-      })
+      }))
   }
 
   private def candStruct(idCol: Column, vecCol: Column,

@@ -134,11 +134,19 @@ object QualityRules {
     val perGram = grams.groupBy("doc_id", "n", "gh")
       .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"),
         collect_list(when(col("n") === 5, col("p"))).as("ps"))
+    // MOST FREQUENT gram (max count), ties broken by max glen — among
+    // count-tied grams the emitted product c×glen is then fully
+    // determined, so both engines agree without sharing a hash function.
+    // (max over a struct is lexicographic on both Spark and DuckDB.)
+    def topOf(n: Int) = {
+      val t = max(when(col("n") === n, struct(col("c"), col("glen"))))
+      t.getField("c") * t.getField("glen")
+    }
     val perDoc = perGram.groupBy("doc_id").agg(
       // Σ over distinct tokens of count×len = total token chars
       sum(when(col("n") === 1, col("c") * col("glen"))).as("total_chars"),
-      max(when(col("n") === 2, col("c") * col("glen"))).as("top2"),
-      max(when(col("n") === 3, col("c") * col("glen"))).as("top3"),
+      topOf(2).as("top2"),
+      topOf(3).as("top3"),
       flatten(collect_list(when(col("n") === 5 && col("c") >= 2, col("ps"))))
         .as("starts"))
     toksOf(df).join(perDoc, Seq("doc_id"))

@@ -725,7 +725,12 @@ object Streams {
     * integer→double cast + /2^50 shift. */
   def decayedFromDayCounts(counts: DataFrame, nowDay: Long): DataFrame =
     counts
-      .withColumn("age_d", least(lit(nowDay) - col("day"), lit(50L)))
+      // clamp from BELOW too: a stored day later than the caller's nowDay
+      // (stale 'now', clock skew) would make age_d negative, the shift
+      // amount exceed 63, and shiftleft silently wrap mod 64 — clamping
+      // to 0 treats future days as "today" instead of producing garbage
+      .withColumn("age_d",
+        greatest(lit(0L), least(lit(nowDay) - col("day"), lit(50L))))
       .withColumn("w",
         expr("shiftleft(1L, cast(50 - age_d AS int))").cast("decimal(38,0)")
           * col("n").cast("decimal(38,0)"))

@@ -37,6 +37,23 @@ class FunnelSpec extends SparkSuite {
       (4L, None, None, None, 0)))
   }
 
+  test("funnel: SQL-significant characters in step names are ordinary " +
+      "data, not injectable text") {
+    val rows = Seq(
+      (1L, 10L, "o'brien's view"), (1L, 20L, "a; drop --"),
+      (2L, 20L, "a; drop --")) // step 2 without step 1 → stage 0
+      .toDF("u", "t", "e")
+    val out = Funnel.steps(rows, col("u"), col("t"), col("e"),
+      Seq("o'brien's view", "a; drop --"))
+    assert(out.columns.toSeq ===
+      Seq("user_id", "t_o'brien's view", "t_a; drop --", "stage_reached"))
+    val got = out.orderBy("user_id")
+      .as[(Long, Option[Long], Option[Long], Int)].collect().toSeq
+    assert(got === Seq(
+      (1L, Some(10L), Some(20L), 2),
+      (2L, None, None, 0)))
+  }
+
   test("funnel: guards reject empty or duplicated step lists") {
     val df = Seq((1L, 1L, "view")).toDF("u", "t", "e")
     intercept[IllegalArgumentException] {

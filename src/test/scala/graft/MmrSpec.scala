@@ -34,6 +34,17 @@ class MmrSpec extends SparkSuite {
     assert(out.count() === 3L)
   }
 
+  test("empty candidate set selects nothing (no element_at(-1) crash " +
+      "inside the fold)") {
+    val empty = cand.where(lit(false))
+    assert(Mmr.diversify(empty, col("id"), col("vec"), col("qsim"), k = 3)
+      .count() === 0L)
+    val emptyG = Seq.empty[(Long, Long, Seq[Double], Double)]
+      .toDF("qid", "id", "vec", "qsim")
+    assert(Mmr.diversifyGrouped(emptyG, col("qid"), col("id"), col("vec"),
+      col("qsim"), k = 3).count() === 0L)
+  }
+
   test("diversifyGrouped: per-query selections equal the single-query " +
       "fold run per group") {
     val grouped = Seq(10L, 20L).flatMap { qid =>

@@ -82,6 +82,25 @@ class SamplingSpec extends SparkSuite {
       (3L, 4L, 1.0, 0.0, 0.0)))
   }
 
+  test("gopherRepetition: top-gram is the MOST FREQUENT gram (not the " +
+      "max count×chars product); count ties break to the longer gram") {
+    import graft.operators.QualityRules
+    val d = Seq(
+      // "x y"×3 (6 chars) is most frequent; "longword1 longword2"×1 has
+      // the larger product (18) and must NOT win (the Gopher/Dolma rule)
+      (1L, "x y x y x y longword1 longword2"),
+      // "aa b" and "ccc d" both ×2 — tie breaks to max glen (ccc d → 8)
+      (2L, "aa b aa b ccc d ccc d"))
+      .toDF("doc_id", "text")
+    val got = QualityRules.gopherRepetition(d, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_token_chars", "top_2gram_char_frac")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 24L, 6.0 / 24.0),
+      (2L, 14L, 8.0 / 14.0)))
+  }
+
   test("hashSample is deterministic and roughly proportional") {
     val a = Sampling.hashSample(docs, col("doc_id"), 0.25)
       .select("doc_id").as[Long].collect().sorted

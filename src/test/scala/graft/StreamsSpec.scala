@@ -1028,6 +1028,17 @@ class StreamsSpec extends SparkSuite {
       .as[(String, Long, Long)].collect().toSet === expected)
   }
 
+  test("decayedFromDayCounts: a stored day PAST the caller's nowDay " +
+      "clamps to age 0 (weight 1) instead of wrapping the shift mod 64") {
+    // day 7 > nowDay 5: unclamped age_d = -2 would shift by 52 > 50;
+    // with shift wrap this silently produced garbage weights
+    val counts = Seq(("view", 7L, 3L), ("view", 5L, 1L))
+      .toDF("event_type", "day", "n")
+    val got = Streams.decayedFromDayCounts(counts, nowDay = 5L)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got === Seq(("view", 4.0, 4L))) // both at weight 1
+  }
+
   test("bloomStream: streamed bits == batch bits, replay safe, compaction preserves") {
     import graft.operators.BloomJoin
     val dir = Files.createTempDirectory("graft-bloom-stream-").toString
