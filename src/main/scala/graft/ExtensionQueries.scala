@@ -973,9 +973,15 @@ object ExtensionQueries {
 
     // ---- MinHash+LSH near-dup candidates: shingle→signature map-side,
     // one shuffle of exploded (band, digest) rows, bucket self-join.
+    // maxBucket=64 is the hot-bucket valve (a bucket of B members emits
+    // ~B²/2 pairs): a no-op at every bucket the shaped corpora produce
+    // below the 100×-replication regime, and the bound that keeps a
+    // dup-heavy corpus from emitting Σ cluster² (audited via
+    // lshOversizedBuckets — never silent). The oracle replicates the
+    // gate, so a trip still hash-matches.
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
-          col("text"))
+          col("text"), maxBucket = LshMaxBucket)
         .orderBy("id1", "id2")),
 
     // ---- the SAME pairs served from the persisted BUCKETED band table
@@ -984,7 +990,8 @@ object ExtensionQueries {
     // the final pair distinct — the recurring-dedup shuffle eliminated
     // (PlanSpec-asserted). Identical output ⇒ identical oracle.
     "q_dedup_minhash_bucketed" -> ((s, d) =>
-      Dedup.lshPairsFromBandTable(s, bandTable(s, d))
+      Dedup.lshPairsFromBandTable(s, bandTable(s, d),
+          maxBucket = LshMaxBucket)
         .orderBy("id1", "id2")),
 
     // ---- salted skew join: hot keys spread across `salts` reducers; the
@@ -1446,9 +1453,11 @@ object ExtensionQueries {
     // candidate pairs scored from the 8-slot signatures alone — the
     // fixed-bytes-per-doc scoring form for corpora where fetching full
     // shingle sets is the bottleneck. m/8 is exact binary arithmetic.
+    // Valved like q_dedup_minhash (the sf10 soak's 175M-pair run was
+    // this key unvalved); the oracle replicates the gate.
     "q_minhash_est" -> ((s, d) =>
       Dedup.minhashJaccardEst(Tables.documents(s, d), col("doc_id"),
-          col("text"))
+          col("text"), maxBucket = LshMaxBucket)
         .orderBy("id1", "id2")),
 
     // ---- LSH-bucketed Jaccard: the scale composition the jaccardPairs
@@ -2234,13 +2243,14 @@ object ExtensionQueries {
       // materialize the scored corpus: the language/quality filter would
       // otherwise be PUSHED THROUGH the staged projections, re-inlining
       // the expensive score expressions into the predicate (measured
-      // 7.2s vs 2.8s for the scored stage alone). localCheckpoint (eager)
-      // rather than persist(): same barrier, but the blocks are released
-      // by the ContextCleaner once this query's frame is collected instead
-      // of staying pinned in the shared Verify/Bench session forever
-      val scored = withLangId(
-        withQualityScore(docs, col("text")), col("text"))
-        .localCheckpoint(eager = true)
+      // 7.2s vs 2.8s for the scored stage alone). Dedup.checkpointed:
+      // RELIABLE checkpoint when a checkpoint dir is configured (a 100 TB
+      // run must survive executor loss — localCheckpoint blocks have no
+      // lineage to recompute), eager localCheckpoint otherwise (same
+      // barrier; blocks released by the ContextCleaner once this query's
+      // frame is collected, unlike persist() in a shared session)
+      val scored = Dedup.checkpointed(withLangId(
+        withQualityScore(docs, col("text")), col("text")))
       val filtered = scored
         .filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
       // exact dedup as ONE window pass (keep min doc_id per digest) — a
@@ -2272,12 +2282,12 @@ object ExtensionQueries {
       // spread the scan: quality scoring + langid + tokenize are fused
       // CPU-bound work, single-task on a 1-row-group source (sf10)
       val docs = graft.operators.Spread.forKernel(Tables.documents(s, d))
-      val scored = withLangId(
+      // reliable-or-local checkpoint toggle — the q_clean_pipeline note
+      val scored = Dedup.checkpointed(withLangId(
         withQualityScore(docs, col("text")), col("text"))
         .withColumn("ntok",
           size(graft.functions.TextFunctions.tokens(col("text")))
-            .cast("long"))
-        .localCheckpoint(eager = true)
+            .cast("long")))
       val f = scored
         .filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
       val kept = f
@@ -2292,8 +2302,7 @@ object ExtensionQueries {
           col("quality"),
           Dedup.lshCandidatePairs(kept, col("doc_id"), col("text")))
         .filter(col("is_rep") === 1).select("doc_id")
-      val nd = kept.join(repIds, "doc_id")
-        .localCheckpoint(eager = true)
+      val nd = Dedup.checkpointed(kept.join(repIds, "doc_id"))
       val byLang = Window.partitionBy("pred_lang")
         .orderBy(col("quality").desc, col("doc_id"))
       val fin = nd.withColumn("rnk", row_number().over(byLang))
@@ -3085,7 +3094,15 @@ object ExtensionQueries {
         |WHERE bit_count(xor(a.fp, c.fp)) <= 2
         |ORDER BY id1, id2""".stripMargin
 
-  private val lshPairsCte: String =
+  /** Hot-bucket valve for the declared minhash keys (q_dedup_minhash /
+    * q_dedup_minhash_bucketed / q_minhash_est) — the containment-family
+    * 64 convention: far above every bucket the shaped corpora produce
+    * (sf0.1 max band bucket is ~8), tripped only by the 100×-replication
+    * regime where emission would be Σ cluster² (sf10 soak: 175M pairs).
+    * The oracle replays the same gate ([[lshPairsCteValved]]). */
+  private val LshMaxBucket = 64
+
+  private val lshBandsCte: String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |    x -> x != '') AS tk FROM documents),
@@ -3109,10 +3126,31 @@ object ExtensionQueries {
        |bands AS (
        |  SELECT doc_id, b AS band_idx,
        |    (sig[b*2+1] % 2147483647) * 2000000011 + sig[b*2+2] AS band_key
-       |  FROM sig, generate_series(0, 3) t(b)),
+       |  FROM sig, generate_series(0, 3) t(b))""".stripMargin
+
+  private val lshPairsCte: String = lshBandsCte +
+    s""",
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** [[lshPairsCte]] with the hot-bucket valve replayed: buckets over
+    * `maxBucket` members emit no pairs (the Spark-side
+    * `Dedup.lshCandidatePairs(maxBucket = ...)` gate). */
+  private def lshPairsCteValved(maxBucket: Int): String = lshBandsCte +
+    s""",
+       |bkt AS (
+       |  SELECT band_idx, band_key FROM bands
+       |  GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
+       |gb AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_key
+       |  FROM bands b JOIN bkt k
+       |    ON b.band_idx = k.band_idx AND b.band_key = k.band_key),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM gb a JOIN gb b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id)""".stripMargin
 
@@ -3623,19 +3661,19 @@ object ExtensionQueries {
     // shingle, then 8 affine slots (37j+101)·h + (1009j+9176) mod 1e9+7,
     // band key = (sig[2b] % 2^31-1) * 2000000011 + sig[2b+1]
     "q_dedup_minhash" ->
-      s"""WITH $lshPairsCte
+      s"""WITH ${lshPairsCteValved(LshMaxBucket)}
          |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin,
 
     // bucketed-table variant: bucketing is a physical layout, so the
     // oracle is the identical LSH replay
     "q_dedup_minhash_bucketed" ->
-      s"""WITH $lshPairsCte
+      s"""WITH ${lshPairsCteValved(LshMaxBucket)}
          |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin,
 
     // signature-only scoring: slot-agreement count over the replayed
     // 8-slot signatures; /8 is exact binary arithmetic
     "q_minhash_est" ->
-      s"""WITH $lshPairsCte
+      s"""WITH ${lshPairsCteValved(LshMaxBucket)}
          |SELECT p.id1, p.id2,
          |  len(list_filter(generate_series(1, 8),
          |    i -> a.sig[i] = b.sig[i]))::DOUBLE / 8.0::DOUBLE AS est_jaccard

@@ -122,9 +122,17 @@ object Dedup {
     * but emission output is Σ bucket², quadratically larger (the
     * jaccardPairs rule, measured round 7). The bucketed-table path MUST
     * NOT pin: its whole point is that the pre-bucketed scan plans no
-    * exchange at all (PlanSpec-asserted). */
+    * exchange at all (PlanSpec-asserted).
+    *
+    * `maxBucket` valves hot buckets (a bucket of size B emits ~B²/2
+    * pairs — on a dup-heavy corpus Σ cluster² is the entire cost, the
+    * sf10 soak's 175M-pair q_minhash_est run); capped buckets are
+    * EXCLUDED and surfaced by [[lshOversizedBuckets]] — an audited
+    * decision, never silent truncation (the embedLshNearDupPairs /
+    * hammingPairs contract). */
   private def pairsFromBandRows(rows: DataFrame,
-                                pinWidth: Boolean = false): DataFrame =
+                                pinWidth: Boolean = false,
+                                maxBucket: Int = Int.MaxValue): DataFrame =
     (if (pinWidth)
        rows.repartition(
          rows.sparkSession.sessionState.conf.numShufflePartitions,
@@ -132,7 +140,9 @@ object Dedup {
      else rows)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 &&
+        (if (maxBucket == Int.MaxValue) lit(true)
+         else size(col("ids")) <= maxBucket))
       .select(explode(pairArray(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
@@ -143,12 +153,30 @@ object Dedup {
     * the exploded (band_idx, band_key) rows, then bucket-local pair
     * generation from the grouped id list — the signature pipeline runs
     * exactly once (a bucket self-join would recompute it per side), and
-    * cost is Σ bucket² in *pairs emitted*, not in recomputed hashes. */
+    * cost is Σ bucket² in *pairs emitted*, not in recomputed hashes.
+    * `maxBucket` is the hot-bucket valve (audited via
+    * [[lshOversizedBuckets]]): on a dup-heavy corpus where every band
+    * bucket is one giant near-dup cluster, the bound is what keeps the
+    * emission linear instead of Σ cluster²; the exactDedup-first
+    * pipeline rule makes real buckets small, so a finite cap is a
+    * no-op there. */
   def lshCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, numHashes: Int = 8,
-                        bands: Int = 4): DataFrame =
+                        bands: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
     pairsFromBandRows(bandRows(df, idCol, textCol, n, numHashes, bands),
-      pinWidth = true)
+      pinWidth = true, maxBucket = maxBucket)
+
+  /** The band buckets [[lshCandidatePairs]] dropped under its
+    * `maxBucket` cap — run alongside the pair query so a cap is always
+    * an audited decision (the [[jaccardOversizedBlocks]] contract). */
+  def lshOversizedBuckets(df: DataFrame, idCol: Column, textCol: Column,
+                          n: Int = 3, numHashes: Int = 8, bands: Int = 4,
+                          maxBucket: Int = Int.MaxValue): DataFrame =
+    bandRows(df, idCol, textCol, n, numHashes, bands)
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
 
   /** Persist the minhash band index BUCKETED (and sorted) by the band
     * key — the [[graft.sources.Bucketing]] pattern applied to the dedup
@@ -175,8 +203,9 @@ object Dedup {
     * the plan is the final pair distinct. Output is IDENTICAL to the
     * one-shot operator over the same corpus (same oracle). */
   def lshPairsFromBandTable(spark: org.apache.spark.sql.SparkSession,
-                            table: String): DataFrame =
-    pairsFromBandRows(spark.table(table))
+                            table: String,
+                            maxBucket: Int = Int.MaxValue): DataFrame =
+    pairsFromBandRows(spark.table(table), maxBucket = maxBucket)
 
   /** Recurring-ingest candidate pairs: an incoming batch against the
     * stored corpus band table PLUS the batch's own internal pairs —
@@ -214,8 +243,10 @@ object Dedup {
     * power-of-two numHashes — hash-oracle-able unrounded. */
   def minhashJaccardEst(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, numHashes: Int = 8,
-                        bands: Int = 4): DataFrame = {
-    val pairs = lshCandidatePairs(df, idCol, textCol, n, numHashes, bands)
+                        bands: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, n, numHashes, bands,
+      maxBucket)
     val sigs = Spread.forKernel(df.select(idCol.as("id"), textCol.as("_t")))
       .select(col("id"), minhashFromHashes(
         graft.plans.HashedShingles.shingleHashes(col("_t"), n, 4),
@@ -622,7 +653,7 @@ object Dedup {
     * `localCheckpoint` (executor-local blocks, no IO) otherwise. Both
     * truncate the plan identically; DedupSpec asserts label parity
     * across the toggle. */
-  private def checkpointed(df: DataFrame): DataFrame =
+  private[graft] def checkpointed(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)

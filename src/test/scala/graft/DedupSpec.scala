@@ -177,6 +177,31 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((1L, 4L))) // unrelated content shares no band
   }
 
+  test("LSH maxBucket valve: hot buckets emit no pairs, are surfaced " +
+      "by the oversized audit, and a wide cap equals unvalved") {
+    // 10 exact copies = one hot bucket per band; plus one small pair
+    val hot = (1L to 10L).map(i => (i, "the quick brown fox jumps " +
+      "over the lazy dog"))
+    val cold = Seq((100L, "totally different prose about spark engines"),
+      (101L, "totally different prose about spark engines"))
+    val corpus = (hot ++ cold).toDF("doc_id", "text")
+    val unvalved = Dedup.lshCandidatePairs(corpus, col("doc_id"),
+      col("text")).as[(Long, Long)].collect().toSet
+    assert(unvalved.size === 45 + 1) // C(10,2) hot pairs + the cold pair
+    val valved = Dedup.lshCandidatePairs(corpus, col("doc_id"),
+      col("text"), maxBucket = 5).as[(Long, Long)].collect().toSet
+    assert(valved === Set((100L, 101L)),
+      "hot-bucket pairs must be excluded under the cap")
+    // the cap is an AUDITED decision: the dropped buckets surface
+    val audited = Dedup.lshOversizedBuckets(corpus, col("doc_id"),
+      col("text"), maxBucket = 5).as[(Long, Long, Long)].collect()
+    assert(audited.nonEmpty && audited.forall(_._3 === 10L))
+    // a cap above every bucket is a no-op
+    val wide = Dedup.lshCandidatePairs(corpus, col("doc_id"),
+      col("text"), maxBucket = 64).as[(Long, Long)].collect().toSet
+    assert(wide === unvalved)
+  }
+
   test("lshPairsAgainstBandTable flags batch-vs-stored AND intra-batch " +
       "near-dups") {
     spark.sql("DROP TABLE IF EXISTS dedup_band_inc")
@@ -442,6 +467,32 @@ class DedupSpec extends SparkSuite {
     } finally {
       // restore the shared session's no-checkpoint-dir state (no public
       // unset API; private[spark] var via reflection)
+      sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq")
+        .foreach(_.invoke(sc, None))
+    }
+  }
+
+  test("curation composites: identical rows with a RELIABLE checkpoint " +
+      "dir set, and the reliable path actually writes") {
+    // the q_clean_pipeline / q_curation_funnel scored-corpus barrier
+    // must survive executor loss on a cluster: with a checkpoint dir the
+    // toggle takes df.checkpoint() (VERDICT round 10 item 1)
+    val sc = spark.sparkContext
+    val sfDir = "/root/testdata/sf0.001"
+    def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val localClean = run("q_clean_pipeline")
+    val localFunnel = run("q_curation_funnel")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur-chk").toString
+    sc.setCheckpointDir(dir)
+    try {
+      assert(run("q_clean_pipeline") === localClean)
+      assert(run("q_curation_funnel") === localFunnel)
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0,
+        "reliable checkpoint dir is empty — localCheckpoint was used")
+    } finally {
       sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq")
         .foreach(_.invoke(sc, None))
     }
