@@ -2540,19 +2540,21 @@ object ExtensionQueries {
 
     // ---- per-host crawl cap: keep the best `k` docs per host by
     // quality — the crawl-diversity quota (one domain must not dominate
-    // the corpus). Composition: urlHost ∘ quality ∘ ranked window; at
-    // scale the window swaps for the bounded-buffer TopK aggregator
-    // keyed on a dense host id (q_topk_per_group's physical shape).
+    // the corpus). Physical shape: the bounded-buffer TopK aggregator
+    // (q_topk_per_group's), NOT a ranked window — a hot host (the exact
+    // situation a crawl-diversity cap exists for) would serialize one
+    // window partition and sort all its rows; the aggregator trims to
+    // k map-side, so the shuffle carries ≤ k entries per host per task
+    // on ANY host skew. Oracle unchanged (the window formulation —
+    // identical contract, different physics).
     "q_host_cap" -> ((s, d) => {
       import graft.functions.UrlFunctions._
       val url = concat(lit("HTTPS://WWW."), upper(col("source")),
         lit(".Example.COM:443/Articles/"), col("doc_id"))
-      withQualityScore(Tables.documents(s, d), col("text"))
+      val scored = withQualityScore(Tables.documents(s, d), col("text"))
         .withColumn("host", urlHost(url))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("host"))
-            .orderBy(col("quality").desc, col("doc_id").asc)))
-        .filter(col("rn") <= 10)
+      graft.operators.TopK.topKPerGroupStr(s, scored, "host", "doc_id",
+          "quality", k = 10)
         .select(col("doc_id"), col("host"), col("quality"), col("rn"))
         .orderBy("host", "rn")
     }),

@@ -50,7 +50,40 @@ object Scratch {
     if (only.contains("explain")) runExplain(spark, args.drop(1))
     if (only.contains("spanprobe")) runSpanProbe(spark)
     if (only.contains("time")) runTime(spark, args.drop(1), noop)
+    if (only.contains("hostcap")) runHostCap(spark, noop)
     spark.stop()
+  }
+
+  /** Hot-host quota measurement (VERDICT r10 item 4): 4M synthetic rows,
+    * 50% on ONE host, the rest uniform over 100k hosts. Compares the
+    * ranked-window formulation (one reducer owns the hot host's 2M rows)
+    * against the bounded-buffer TopK aggregator (map-side k-trim). */
+  private def runHostCap(spark: SparkSession,
+      noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 32000000L
+    val rows = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit("hot.example.com"))
+        .otherwise(concat(lit("h"), pmod(xxhash64(col("id")), lit(100000L)),
+          lit(".example.com"))).as("host"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(1000000L)).cast("double")
+        / 1000000.0).as("quality"))
+      .localCheckpoint(eager = true) // measure the operators, not range()
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    def windowForm = rows
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    def aggForm = graft.operators.TopK.topKPerGroupStr(spark, rows,
+      "host", "doc_id", "quality", k = 10)
+    time("hostcap window warm")(noop(windowForm))
+    time("hostcap window")(noop(windowForm))
+    time("hostcap topk-agg warm")(noop(aggForm))
+    time("hostcap topk-agg")(noop(aggForm))
+    // same quota set (modulo rn types): sanity before believing a number
+    val a = windowForm.select("doc_id").except(
+      aggForm.select("doc_id")).count()
+    println(s"[scratch] hostcap symmetric-diff rows = $a")
   }
 
   /** `runMain graft.Scratch time <key> [key ...] [--reps N] [--sf <dir>]`

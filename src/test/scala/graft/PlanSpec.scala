@@ -40,6 +40,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("EqualTo(label,5)"), p)
   }
 
+  test("host cap plans the bounded-buffer aggregator, not a per-host " +
+      "window sort") {
+    // a hot host must never serialize one window partition: the quota
+    // runs as the TopK aggregator with map-side partials (VERDICT r10)
+    val p = plan(SparkEntry.queries("q_host_cap")(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_topkaggs") || p.contains("ObjectHashAggregate")
+      || p.contains("SortAggregate"), p) // aggregator path present
+  }
+
   test("dimension joins broadcast the small sides") {
     val p = plan(SparkEntry.queries("q_join_broadcast_dims")(spark, dir))
     assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)

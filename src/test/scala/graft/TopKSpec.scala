@@ -25,6 +25,22 @@ class TopKSpec extends SparkSuite {
     assert(got.take(2).map(_._2) === Array(11L, 12L))
   }
 
+  test("topKPerGroupStr (string group key) matches the window formulation") {
+    val df = Seq(
+      ("a.com", 10L, 5.0), ("a.com", 11L, 9.0), ("a.com", 12L, 9.0),
+      ("a.com", 13L, 1.0), ("b.org", 20L, 3.0),
+      ("c.net", 30L, 7.0), ("c.net", 31L, 2.0), ("c.net", 32L, 8.0))
+      .toDF("g", "id", "v")
+    val got = TopK.topKPerGroupStr(spark, df, "g", "id", "v", k = 2)
+      .orderBy("g", "rn").as[(String, Long, Double, Int)].collect()
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .orderBy("g", "rn").as[(String, Long, Double, Int)].collect()
+    assert(got === want)
+    // ties broken by id asc: a.com keeps 11 then 12 (both 9.0)
+    assert(got.take(2).map(_._2) === Array(11L, 12L))
+  }
+
   test("topKPerGroup emits at most k rows per group") {
     val df = (1L to 100L).map(i => (i % 5, i, i.toDouble)).toDF("g", "id", "v")
     val out = TopK.topKPerGroup(spark, df, "g", "id", "v", k = 3)
