@@ -548,6 +548,23 @@ object ExtensionQueries {
     })
   }
 
+  /** Session-scoped WordPiece vocabulary (derived from [[bpeMerges]] —
+    * same weak-session contract): distinct '##'-marked subword units of
+    * the merge-segmented vocabulary, driver-sized. */
+  private val wpVocabCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[String]]]())
+  private def wpVocab(s: SparkSession, d: String): Seq[String] = {
+    val perSession = wpVocabCache.synchronized {
+      wpVocabCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      graft.operators.BpeStats.wordpieceVocab(Tables.documents(s, dir),
+        col("text"), bpeMerges(s, dir))
+    })
+  }
+
   /** Residual PQ model over the [[ivfIndex]] cell structure (IVF-PQ),
     * cached with the same lifecycle. */
   private val ivfPqCache = java.util.Collections.synchronizedMap(
@@ -1323,6 +1340,19 @@ object ExtensionQueries {
     "q_bpe_encode" -> ((s, d) =>
       graft.operators.BpeStats.bpeTokens(Tables.documents(s, d),
           col("doc_id"), col("text"), bpeMerges(s, d))
+        .orderBy("doc_id")),
+
+    // ---- WordPiece encode under the BPE-trained units — the reference
+    // model's ACTUAL tokenization scheme (all-MiniLM-L6-v2 is a BERT
+    // tokenizer: greedy longest-match-first over '##'-marked subwords;
+    // the BPE keys cover the unit TRAINING, this key covers the
+    // encoding). Greedy loop = one fold over the DISTINCT word table
+    // (vocab-bounded); oracle unrolls the identical loop as 16 chained
+    // column stages (the Hilbert xy2d pattern) with the vocab CTE
+    // MATERIALIZED.
+    "q_wordpiece_encode" -> ((s, d) =>
+      graft.operators.BpeStats.wordpieceTokens(Tables.documents(s, d),
+          col("doc_id"), col("text"), wpVocab(s, d))
         .orderBy("doc_id")),
 
     // ---- one-pass data profiling: every metric for every column in a
@@ -2875,6 +2905,52 @@ object ExtensionQueries {
          |                ' ' || b.l || b.r END
          |         ELSE acc || ' ' || x END) AS sym, wcnt
          |  FROM seg${k - 1}, best$k b)""".stripMargin
+    sb.toString
+  }
+
+  /** Unrolled WordPiece greedy loop for the q_wordpiece_encode oracle:
+    * vocab = distinct '##'-marked units of the seg8 (BPE-trained)
+    * segmentation — MATERIALIZED, or each of the 16 stages re-inlines
+    * the whole 8-round merge chain (the chained-CTE blowup trap); then
+    * 16 column stages over the distinct-word table, each advancing the
+    * greedy cursor by the LONGEST vocab match at the position (list_max
+    * over the static 1..16 length band — lengths past the longest unit
+    * never match). Same stripMargin layout constraint as
+    * [[bpeOracleCtes]]. */
+  private def wordpieceOracleCtes(n: Int, maxChars: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeOracleCtes(n)
+    sb ++=
+      s""",
+         |wpv AS MATERIALIZED (
+         |  SELECT list(DISTINCT CASE WHEN i = 1 THEN s
+         |                            ELSE '##' || s END) AS vs
+         |  FROM (SELECT unnest(string_split(sym, ' ')) AS s,
+         |          unnest(generate_series(1,
+         |            len(string_split(sym, ' ')))) AS i
+         |        FROM seg$n)),
+         |w0 AS (
+         |  SELECT DISTINCT word, 1 AS pos, 0 AS n,
+         |    length(word) > $maxChars AS unk
+         |  FROM toks)""".stripMargin
+    for (k <- 1 to maxChars) sb ++=
+      s""",
+         |w$k AS (
+         |  SELECT word,
+         |    CASE WHEN fin OR bl = 0 THEN pos ELSE pos + bl END AS pos,
+         |    CASE WHEN fin OR bl = 0 THEN n ELSE n + 1 END AS n,
+         |    CASE WHEN fin THEN unk WHEN bl = 0 THEN true
+         |         ELSE unk END AS unk
+         |  FROM (
+         |    SELECT word, pos, n, unk, (unk OR pos > length(word)) AS fin,
+         |      CASE WHEN unk OR pos > length(word) THEN 0 ELSE
+         |        list_max(list_transform(generate_series(1, $maxChars), l ->
+         |          CASE WHEN pos + l - 1 <= length(word)
+         |                AND list_contains(vs,
+         |                  CASE WHEN pos = 1 THEN substring(word, pos, l)
+         |                       ELSE '##' || substring(word, pos, l) END)
+         |               THEN l ELSE 0 END)) END AS bl
+         |    FROM w${k - 1}, wpv))""".stripMargin
     sb.toString
   }
 
@@ -4856,6 +4932,17 @@ object ExtensionQueries {
          |  sum(len(string_split(v.sym, ' ')))::BIGINT AS n_bpe_tokens,
          |  count(*)::BIGINT AS n_words
          |FROM toks t JOIN seg8 v USING (word)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_wordpiece_encode" ->
+      s"""WITH ${wordpieceOracleCtes(8, 16)},
+         |enc AS (
+         |  SELECT word, CASE WHEN unk THEN 1 ELSE n END AS wtok, unk
+         |  FROM w16)
+         |SELECT t.doc_id, sum(e.wtok)::BIGINT AS n_wp_tokens,
+         |  sum(CASE WHEN e.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk_words,
+         |  count(*)::BIGINT AS n_words
+         |FROM toks t JOIN enc e USING (word)
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_sketch_kmv" ->

@@ -143,6 +143,89 @@ object BpeStats {
     out.result()
   }
 
+  // --- WordPiece (greedy longest-match-first) ---------------------------
+
+  /** WordPiece vocabulary derived from a trained BPE merge table (the
+    * reference model's `all-MiniLM-L6-v2` tokenizes with WordPiece;
+    * BPE-training the units and WordPiece-encoding under them is the
+    * classic BERT recipe — Wu et al. 2016, Devlin et al. 2019): segment
+    * the distinct-word vocabulary by the merge chain, then every
+    * word-INITIAL symbol enters as-is and every word-INTERNAL symbol
+    * enters '##'-prefixed (the continuation marker). Driver-sized by
+    * construction (distinct subword units — the centroids/codebook
+    * collect contract), deterministic given the merges. */
+  def wordpieceVocab(df: DataFrame, textCol: Column,
+      merges: Seq[(Int, String, String, Long)]): Seq[String] = {
+    val segmented = merges.foldLeft(charSeg(col("word"))) {
+      case (seg, (_, l, r, _)) => mergeFold(seg, lit(l), lit(r))
+    }
+    df.select(explode(tokens(textCol)).as("word")).distinct()
+      .select(posexplode(split(segmented, " ")).as(Seq("i", "s")))
+      .select(when(col("i") === 0, col("s"))
+        .otherwise(concat(lit("##"), col("s"))).as("tok"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** WordPiece-encode under a vocabulary: per word, greedy
+    * longest-match-first — at each position take the LONGEST prefix of
+    * the remainder that is in the vocab ('##'-prefixed when not
+    * word-initial); a position with no match (or a word over
+    * `maxWordChars`, the max_input_chars_per_word convention) makes the
+    * whole word [UNK] = one token.
+    *
+    * Scale shape: the greedy loop runs over the DISTINCT word table only
+    * (one fold expression, `maxWordChars` bounded steps — vocabulary-
+    * sized compute, zero extra corpus passes), then per-occurrence
+    * counts join back per document: corpus × vocab hash join, nothing
+    * quadratic — the [[bpeTokens]] contract. Match lengths scan a STATIC
+    * 1..maxWordChars band (lengths past the longest unit never match),
+    * so the DuckDB oracle unrolls the identical loop with no
+    * runtime-computed constant. Output: (doc_id, n_wp_tokens,
+    * n_unk_words, n_words). */
+  def wordpieceTokens(df: DataFrame, idCol: Column, textCol: Column,
+      vocab: Seq[String], maxWordChars: Int = 16): DataFrame = {
+    val vs = typedLit(vocab)
+    val word = col("word")
+    val enc = aggregate(
+      sequence(lit(1), lit(maxWordChars)),
+      struct(lit(1).as("pos"), lit(0).as("n"),
+        (length(word) > maxWordChars).as("unk")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val n = st.getField("n")
+        val unk = st.getField("unk")
+        val done = unk || pos > length(word)
+        // longest matching unit length at `pos` (0 = no match): max over
+        // the static length band of l where the (##-marked) substring is
+        // in the vocab — greedy longest-match-first as one array_max
+        val bl = array_max(transform(sequence(lit(1), lit(maxWordChars)),
+          l => {
+            val sub = word.substr(pos, l)
+            val cand = when(pos === 1, sub)
+              .otherwise(concat(lit("##"), sub))
+            when(pos + l - 1 <= length(word) && array_contains(vs, cand), l)
+              .otherwise(lit(0))
+          }))
+        when(done, st).otherwise(
+          when(bl === 0,
+            struct(pos.as("pos"), n.as("n"), lit(true).as("unk")))
+            .otherwise(struct((pos + bl).as("pos"), (n + 1).as("n"),
+              unk.as("unk"))))
+      })
+    val encoded = df.select(explode(tokens(textCol)).as("word")).distinct()
+      .select(word, enc.as("e"))
+      .select(word,
+        when(col("e.unk"), 1).otherwise(col("e.n")).as("wtok"),
+        col("e.unk").as("unk"))
+    df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("word"))
+      .join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(sum("wtok").as("n_wp_tokens"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words"),
+        count(lit(1)).as("n_words"))
+  }
+
   /** Tokenize under a trained merge table: apply the merges IN ORDER to
     * the distinct-word vocabulary (the folds chain into one column
     * expression — vocabulary-sized compute, zero corpus passes), then

@@ -31,6 +31,34 @@ class BpeStatsSpec extends SparkSuite {
     assert(got.toSeq === Seq(("ab", 1L))) // tie with "ac" broken by pair asc
   }
 
+  test("wordpieceTokens: greedy longest-match-first against a " +
+      "hand-tokenized fixture; no-match and over-length words are [UNK]") {
+    val vocab = Seq("un", "##aff", "##able", "##b", "a", "ab")
+    val df = Seq(
+      (1L, "unaffable"),       // un ##aff ##able → 3 (the BERT-paper case)
+      (2L, "ab"),              // LONGEST match: 'ab' (1), never a + ##b
+      (3L, "ab ax"),           // 'ax': a matches, ##x doesn't → UNK (1)
+      (4L, "a" * 17))          // over maxWordChars → UNK without scanning
+      .toDF("doc_id", "text")
+    val got = BpeStats.wordpieceTokens(df, col("doc_id"), col("text"),
+        vocab).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 0L, 1L),
+      (2L, 1L, 0L, 1L),
+      (3L, 2L, 1L, 2L),
+      (4L, 1L, 1L, 1L)))
+  }
+
+  test("wordpieceVocab: ##-marked units of the merge-segmented " +
+      "vocabulary, distinct and sorted") {
+    // merges (a,b): "abc" segments "ab c", "ab" segments "ab"
+    val df = Seq("abc ab").toDF("text")
+    val vocab = BpeStats.wordpieceVocab(df, col("text"),
+      Seq((1, "a", "b", 1L)))
+    assert(vocab === Seq("##c", "ab"))
+  }
+
   test("trainMerges: canonical greedy merge order on a known corpus") {
     // words: aaab x3, ab x2.
     // seg0: "a a a b":3, "a b":2 → pairs: (a,a):6, (a,b):5 → merge (a,a)
