@@ -1110,6 +1110,22 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // ---- 3-D Hilbert layout key (Skilling's transpose algorithm):
+    // real layout keys are 3-4 dims (lang × source × time) where the
+    // 2-D xy2d kernel can't go. Native codegen kernel; curve property
+    // (bijection + unit grid steps) exhaustively proven in ProfileSpec;
+    // integer-exact ⇒ hash-oracled via the unrolled stage chain.
+    "q_hilbert3" -> ((s, d) => {
+      val x = pmod(col("o_custkey"), lit(256))
+      val y = pmod(col("o_orderkey"), lit(256))
+      val z = pmod(expr("o_orderkey div 256"), lit(256))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), x.as("bx"), y.as("by"), z.as("bz"),
+          graft.operators.ZOrder.hilbertValueN(Seq(x, y, z), 8).as("h"))
+        .orderBy(col("h"), col("o_orderkey"))
+        .limit(20)
+    }),
+
     // ---- Unicode NFC normalization (native Normalizer expression): a
     // deterministic DECOMPOSED suffix (e+combining-acute, Hangul jamo
     // 가 as U+1100 U+1161) is appended so the query demonstrably
@@ -5278,6 +5294,71 @@ object ExtensionQueries {
       }
       sb ++= "\nSELECT o_orderkey, bx, by, d AS h FROM h8 " +
         "ORDER BY h, o_orderkey LIMIT 20"
+      sb.toString
+    },
+
+    // Skilling n-D Hilbert replayed as chained column stages: one CTE
+    // per (level q, axis i) inverse-undo step (invert axis 0 / exchange
+    // low bits with axis 0 — both branches reference the PREVIOUS
+    // stage's columns, the per-row-fold unroll rule), then Gray encode,
+    // the rotation xor, and the bit interleave as one integer OR chain.
+    "q_hilbert3" -> {
+      val n = 3; val bits = 8
+      def xs(i: Int) = s"x$i"
+      val sb = new StringBuilder
+      sb ++=
+        """WITH g0 AS (
+          |  SELECT o_orderkey, (o_custkey % 256) AS bx,
+          |    (o_orderkey % 256) AS by, ((o_orderkey // 256) % 256) AS bz,
+          |    (o_custkey % 256)::BIGINT AS x0,
+          |    (o_orderkey % 256)::BIGINT AS x1,
+          |    ((o_orderkey // 256) % 256)::BIGINT AS x2
+          |  FROM orders)""".stripMargin
+      var stage = 0
+      for (k <- (1 until bits).reverse; i <- 0 until n) {
+        val q = 1L << k; val p = q - 1
+        val cols = (0 until n).map { j =>
+          if (j == 0)
+            s"""CASE WHEN (${xs(i)} & $q) != 0 THEN xor(x0, $p)
+               |         ELSE xor(x0, xor(x0, ${xs(i)}) & $p) END AS x0"""
+              .stripMargin
+          else if (j == i)
+            s"""CASE WHEN (${xs(i)} & $q) != 0 THEN ${xs(i)}
+               |         ELSE xor(${xs(i)}, xor(x0, ${xs(i)}) & $p)
+               |         END AS ${xs(i)}""".stripMargin
+          else xs(j)
+        }
+        stage += 1
+        sb ++=
+          s""",
+             |g$stage AS (
+             |  SELECT o_orderkey, bx, by, bz,
+             |    ${cols.mkString(",\n    ")}
+             |  FROM g${stage - 1})""".stripMargin
+      }
+      // Gray encode (prefix xor of the originals), rotation xor, and the
+      // interleave — axis 0 most significant at each level
+      val tExpr = (1 until bits).reverse
+        .map(k => s"CASE WHEN (x2 & ${1L << k}) != 0 THEN ${(1L << k) - 1} ELSE 0 END")
+        .foldLeft("0::BIGINT")((acc, term) => s"xor($acc, $term)")
+      val dExpr = (for {
+        k <- (0 until bits).reverse
+        i <- 0 until n
+      } yield s"(((${xs(i)} >> $k) & 1) << ${k * n + (n - 1 - i)})")
+        .mkString(" | ")
+      sb ++=
+        s""",
+           |gg AS (
+           |  SELECT o_orderkey, bx, by, bz, x0,
+           |    xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2
+           |  FROM g$stage),
+           |gt AS (SELECT *, $tExpr AS t FROM gg),
+           |gf AS (
+           |  SELECT o_orderkey, bx, by, bz, xor(x0, t) AS x0,
+           |    xor(x1, t) AS x1, xor(x2, t) AS x2
+           |  FROM gt)
+           |SELECT o_orderkey, bx, by, bz, ($dExpr) AS h
+           |FROM gf ORDER BY h, o_orderkey LIMIT 20""".stripMargin
       sb.toString
     },
 

@@ -34,6 +34,7 @@ object Scratch {
 
     if (only.forall(_ == "ann")) runAnn(spark, noop)
     if (only.forall(_ == "zorder")) runZOrder(spark)
+    if (only.contains("zorder3")) runZOrder3(spark)
     if (only.forall(_ == "bloom")) runBloom(spark, noop)
     if (only.forall(_ == "simjoin")) runSimJoin(spark, noop)
     if (only.forall(_ == "graphlayers")) runGraphLayers(spark, noop)
@@ -973,5 +974,46 @@ object Scratch {
       ZOrder.writeHilbertOrdered(zdf, s"$dir/hord",
         col("x"), col("y"), bits = 10, fileRows = 16384))
     boxScan(s"$dir/hord", "hilbert-ordered")
+  }
+
+  /** 3-D layout comparison (VERDICT r10 item 6): the [[runZOrder]]
+    * box-scan methodology at 3 dims — 2M rows over a 128³ grid (7-bit
+    * buckets ≈ 1 row/cell), 16×16×16 box, natural vs Morton vs the n-D
+    * Skilling Hilbert key. */
+  private def runZOrder3(spark: SparkSession): Unit = {
+    import graft.operators.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-z3-")
+    val zn = 2000000L
+    val zdf = spark.range(zn).select(col("id"),
+      pmod(hash(col("id"), lit(1)), lit(128)).as("x"),
+      pmod(hash(col("id"), lit(2)), lit(128)).as("y"),
+      pmod(hash(col("id"), lit(3)), lit(128)).as("z"),
+      md5(col("id").cast("string")).as("payload"))
+    val dims = Seq(col("x"), col("y"), col("z"))
+    time("plain write 2M (natural order)")(
+      zdf.write.mode("overwrite").option("maxRecordsPerFile", 16384L)
+        .parquet(s"$dir/plain"))
+    time("z-ordered write 2M (7-bit x,y,z)")(
+      ZOrder.writeZOrdered(zdf, s"$dir/zord", dims, bits = 7,
+        fileRows = 16384))
+    time("hilbertN write 2M (7-bit x,y,z)")(
+      ZOrder.writeHilbertNOrdered(zdf, s"$dir/hord", dims, bits = 7,
+        fileRows = 16384))
+    def boxScan(path: String, label: String): Unit = {
+      val df = spark.read.parquet(path)
+        .filter(col("x").between(40, 55) && col("y").between(64, 79) &&
+          col("z").between(100, 115))
+      val qe = df.queryExecution
+      val matched = time(s"box scan 16^3 ($label)")(
+        qe.executedPlan.execute().count())
+      val decoded = qe.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+      val ratio = zn.toDouble / math.max(1L, decoded)
+      println(f"[scratch] $label%s: rows decoded = $decoded%d of $zn%d, " +
+        f"matched = $matched%d (pruning ratio $ratio%.1f x)")
+    }
+    boxScan(s"$dir/plain", "natural order")
+    boxScan(s"$dir/zord", "z-ordered 3d")
+    boxScan(s"$dir/hord", "hilbertN 3d")
   }
 }

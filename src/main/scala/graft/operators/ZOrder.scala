@@ -83,6 +83,70 @@ object ZOrder {
     }).getField("d")
   }
 
+  /** n-dimensional Hilbert index (Skilling's transpose algorithm, AIP
+    * 2004) of `dims` bucket columns, `bits` bits each — the layout key
+    * for 3–4-dim locality (lang × source × time) where [[hilbertValue]]'s
+    * 2-D xy2d kernel can't go. Native codegen kernel; the curve property
+    * (bijection + unit grid steps) is exhaustively asserted in
+    * ProfileSpec for n = 2, 3, 4. At n = 2 the Skilling orientation is a
+    * REFLECTION of xy2d — both Hilbert curves, not interchangeable keys
+    * within one layout. */
+  def hilbertValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && bits > 0 && dims.size * bits <= 62,
+      s"need 0 < dims*bits <= 62, got ${dims.size} x $bits")
+    graft.plans.HilbertNIndex.hilbertNNative(dims, bits)
+  }
+
+  /** Declarative reference formulation of [[hilbertValueN]] (interpreted
+    * per-row folds — executable specification only, parity-enforced in
+    * ProfileSpec; the DuckDB oracle unrolls the same stages). */
+  def hilbertValueNHof(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 1 && bits > 0 && n * bits <= 62,
+      s"need 0 < dims*bits <= 62, got $n x $bits")
+    val mask = (1L << bits) - 1
+    val x0 = array(dims.map(_.cast("long").bitwiseAND(lit(mask))): _*)
+    // inverse undo: fold over (q, i) — q outer msb-first, axis i inner
+    val qiSteps = typedlit(for {
+      k <- (1 until bits).reverse
+      i <- 0 until n
+    } yield (1L << k, i.toLong))
+    val undone = aggregate(qiSteps, x0, (xs, st) => {
+      val q = st.getField("_1")
+      val i = st.getField("_2").cast("int")
+      val p = q - 1
+      val xh = element_at(xs, 1)
+      val xi = element_at(xs, i + 1)
+      val t = xh.bitwiseXOR(xi).bitwiseAND(p)
+      transform(xs, (xj, j) =>
+        when(xi.bitwiseAND(q) =!= 0,
+          when(j === 0, xh.bitwiseXOR(p)).otherwise(xj))
+        .otherwise(
+          when(j === 0, xh.bitwiseXOR(t))
+            .when(j === i, xi.bitwiseXOR(t))
+            .otherwise(xj)))
+    })
+    // Gray encode: sequential X[i] ^= X[i-1] == prefix-XOR of originals
+    val gray = transform(undone, (_, j) =>
+      aggregate(slice(undone, lit(1), j + 1), lit(0L),
+        (a, b) => a.bitwiseXOR(b)))
+    val qs = typedlit((1 until bits).reverse.map(k => 1L << k))
+    val t2 = aggregate(qs, lit(0L), (a, q) =>
+      when(element_at(gray, n).bitwiseAND(q) =!= 0,
+        a.bitwiseXOR(q - 1)).otherwise(a))
+    val fin = transform(gray, xj => xj.bitwiseXOR(t2))
+    // interleave: level msb-first, axis 0 highest → d = fold(d*2 + bit);
+    // the level rides as its 2^k mask (shiftright takes only literal
+    // counts — the round-10 shiftleft note)
+    val kiSteps = typedlit(for {
+      k <- (0 until bits).reverse
+      i <- 0 until n
+    } yield (1L << k, i.toLong))
+    aggregate(kiSteps, lit(0L), (d, st) =>
+      d * 2 + when(element_at(fin, st.getField("_2").cast("int") + 1)
+        .bitwiseAND(st.getField("_1")) =!= 0, 1L).otherwise(0L))
+  }
+
   /** Sort by Hilbert index and write — [[writeZOrdered]]'s layout pass
     * on the better-locality curve (measured comparison in BASELINE:
     * `runMain graft.Scratch zorder`). */
@@ -90,6 +154,18 @@ object ZOrder {
                           yCol: Column, bits: Int,
                           fileRows: Int = 1 << 20): Unit =
     df.withColumn("_h", hilbertValue(xCol, yCol, bits))
+      .orderBy(col("_h"))
+      .drop("_h")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .parquet(dir)
+
+  /** Sort by the n-D Hilbert index and write — [[writeHilbertOrdered]]
+    * for 3+ dims (measured 3-D comparison in BASELINE:
+    * `runMain graft.Scratch zorder3`). */
+  def writeHilbertNOrdered(df: DataFrame, dir: String, dims: Seq[Column],
+                           bits: Int, fileRows: Int = 1 << 20): Unit =
+    df.withColumn("_h", hilbertValueN(dims, bits))
       .orderBy(col("_h"))
       .drop("_h")
       .write.mode("overwrite")

@@ -123,4 +123,63 @@ class ProfileSpec extends SparkSuite {
       .filter(col("n") =!= col("r")).count()
     assert(parity === 0L)
   }
+
+  test("hilbertValueN: bijective with unit grid steps at n = 2, 3, 4 " +
+      "(exhaustive), native == HOF, and == a Skilling reference") {
+    // independent Scala reference: Skilling's AxesToTranspose + interleave
+    def ref(xs0: Seq[Long], bits: Int): Long = {
+      val n = xs0.size; val mask = (1L << bits) - 1
+      val x = xs0.map(_ & mask).toArray
+      var q = 1L << (bits - 1)
+      while (q > 1) {
+        val p = q - 1
+        for (i <- 0 until n)
+          if ((x(i) & q) != 0) x(0) ^= p
+          else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        q >>= 1
+      }
+      for (i <- 1 until n) x(i) ^= x(i - 1)
+      var t = 0L; q = 1L << (bits - 1)
+      while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+      var d = 0L
+      for (k <- (bits - 1) to 0 by -1; i <- 0 until n)
+        d = (d << 1) | (((x(i) ^ t) >> k) & 1L)
+      d
+    }
+    for ((n, bits) <- Seq((2, 3), (3, 3), (4, 2))) {
+      val side = 1L << bits
+      val cells = Seq.fill(n)(0L until side).foldLeft(Seq(Seq.empty[Long])) {
+        (acc, r) => acc.flatMap(c => r.map(v => c :+ v))
+      }
+      val df = cells.map(c => Tuple1(c)).toDF("xs")
+      val dims = (0 until n).map(i => element_at(col("xs"), i + 1))
+      val got = df.select(col("xs"),
+          ZOrder.hilbertValueN(dims, bits).as("h"),
+          ZOrder.hilbertValueNHof(dims, bits).as("r"))
+        .collect().map(r => (r.getSeq[Long](0), r.getLong(1), r.getLong(2)))
+      // native == HOF executable spec == independent reference
+      got.foreach { case (xs, h, r) =>
+        assert(h === r, s"HOF mismatch at $xs")
+        assert(h === ref(xs, bits), s"reference mismatch at $xs")
+      }
+      // bijection onto [0, side^n)
+      val ds = got.map(_._2)
+      assert(ds.toSet.size === cells.size && ds.min === 0L &&
+        ds.max === cells.size - 1L, s"n=$n bits=$bits not a bijection")
+      // the Hilbert property: EVERY consecutive index is one grid step
+      val byIdx = got.sortBy(_._2).map(_._1)
+      byIdx.sliding(2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(a.zip(b).map { case (p, v) => math.abs(p - v) }.sum === 1L,
+          s"n=$n bits=$bits jump between $a and $b")
+      }
+    }
+    // a NULL element yields NULL, not garbage (try_element_at: ANSI-safe)
+    val bad = Seq(Seq(1L, 2L, 3L), Seq(1L)).toDF("xs")
+    val hs = bad.select(ZOrder.hilbertValueN(
+        Seq(try_element_at(col("xs"), lit(1)),
+          try_element_at(col("xs"), lit(2))), 4).as("h"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(hs(0).isDefined && hs(1).isEmpty)
+  }
 }
