@@ -52,7 +52,59 @@ object Scratch {
     if (only.contains("spanprobe")) runSpanProbe(spark)
     if (only.contains("time")) runTime(spark, args.drop(1), noop)
     if (only.contains("hostcap")) runHostCap(spark, noop)
+    if (only.contains("graph256")) runGraph256(spark)
     spark.stop()
+  }
+
+  /** 256-shard graph-ANN serve (VERDICT r10 item 7): the merge-bound
+    * measurement — 1M × 64-dim clustered corpus, 256 shards, single-query
+    * serves from the persisted index. Each shard ships only its top-k
+    * and the final merge is TakeOrderedAndProject, so 256 shards cost
+    * 256 beam searches of parallel work, not a driver merge of
+    * ef × 256 rows. */
+  private def runGraph256(spark: SparkSession): Unit = {
+    import graft.operators.{GraphAnn, Knn}
+    val n = 1000000L; val dim = 64; val nClusters = 256; val shards = 256
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          pmod(hash(col("id"), j), lit(1000)).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph256-").toString
+    val g = time(s"graph build S=$shards m=16 efC=100 (1M x $dim)") {
+      val b = GraphAnn.buildGraph(corpus, col("vec_id"), col("embedding"),
+        numShards = shards, m = 16, efConstruction = 100)
+      b.persist().count(); b
+    }
+    time("writeGraphIndex (256 shard dirs)")(GraphAnn.writeGraphIndex(g, dir))
+    g.unpersist()
+    // serve: indexed path re-reads the store per query (the cold /
+    // one-shot cost); resident path loads shard graphs once per executor
+    // and repeats pay only the beam searches + the k x shards merge
+    def serve(label: String,
+              f: Seq[Double] => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (0 until 10).map { i =>
+        val tq0 = System.nanoTime()
+        val q = Knn.vectorAt(corpus, col("vec_id"), 4242L + i * 97,
+          col("embedding"))
+        val tq = (System.nanoTime() - tq0) / 1e9
+        val t0 = System.nanoTime()
+        val rows = f(q).collect()
+        require(rows.length == 10)
+        val ts = (System.nanoTime() - t0) / 1e9
+        println(f"[scratch]   $label q$i: vectorAt $tq%.2f s, serve $ts%.2f s")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scratch] graph256 $label: first ${times.head}%.2f s, " +
+        f"median-of-9-warm ${times.tail.sorted.apply(4)}%.2f s " +
+        f"(k=10 ef=100, $shards shards)")
+    }
+    serve("indexed (re-reads store)", q =>
+      GraphAnn.graphTopKIndexed(spark, dir, q, k = 10, ef = 100))
+    serve("resident (cached shard graphs)", q =>
+      GraphAnn.graphTopKResident(spark, dir, q, k = 10, ef = 100))
   }
 
   /** Hot-host quota measurement (VERDICT r10 item 4): 4M synthetic rows,

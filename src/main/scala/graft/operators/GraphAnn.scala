@@ -326,11 +326,17 @@ object GraphAnn {
 
   /** Search every shard: greedy-descend that shard's upper layers from
     * its top node (ef=1 — the O(log n) hops), then beam-search layer 0
-    * with width `ef`; merge the per-shard top-`ef` on the driver.
-    * Output: (vec_id, dist) — dist rounded L2 like [[Knn.knnExact]],
-    * ties on id. `ef` caps per-shard work AND what each search task
-    * ships (ef × numShards rows total reach the `TakeOrderedAndProject`
-    * merge — never the corpus). */
+    * with width `ef`. Output: (vec_id, dist) — dist rounded L2 like
+    * [[Knn.knnExact]], ties on id.
+    *
+    * Merge bound (the 256-shard question): `ef` caps per-shard WORK
+    * only; each shard ships just its top-`k` (beamSearch returns
+    * best-first — no result outside a shard's top-k can reach the
+    * global top-k), so k × numShards rows total feed the final merge,
+    * and that merge is `TakeOrderedAndProject` (plan-asserted in
+    * GraphAnnSpec): per-PARTITION top-k executor-side, k × partitions
+    * rows at the driver — never ef × shards, never the corpus.
+    * Measured at 256 shards in BASELINE.md (Scratch graphserve). */
   def graphTopK(graph: DataFrame, query: Seq[Double], k: Int,
                 ef: Int = 100): DataFrame =
     graphTopKNodes(shardWhole(graph), query, k, ef)
@@ -364,8 +370,16 @@ object GraphAnn {
           val g = new ShardGraph(maxLevel)
           g.load(nodes)
           val entry0 = g.descend(q, 0)
+          // top-k of the shard's top-ef: ef bounds search width (recall),
+          // k bounds what ships — nothing past a shard's k-th can make
+          // the global top-k. The trim MUST use the exact downstream
+          // ordering (ROUNDED dist, id): trimming on raw d2 could drop
+          // an element that wins a rounded tie on the smaller id, which
+          // the hash-oracled exhaustive keys would see.
           beamSearch(entry0, q, efEff, g.vecs, g.adj0)
             .map { case (d2, id) => (id, d2) }
+            .sortBy { case (id, d2) => (roundedDist(d2), id) }
+            .take(k)
         }
       }
       .toDF("vec_id", "_d2")
@@ -374,6 +388,14 @@ object GraphAnn {
       .limit(k)
       .select("vec_id", "dist")
   }
+
+  /** Spark `round(sqrt(d2), 6)` replicated exactly (double path =
+    * BigDecimal HALF_UP — the MmrSpec reference-arithmetic note): the
+    * per-shard trim in [[graphTopKNodes]] must order by the IDENTICAL
+    * value the final `orderBy` computes. */
+  private def roundedDist(d2: Double): Double =
+    java.math.BigDecimal.valueOf(math.sqrt(d2))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Fail-fast ceiling on the shard-graph bytes ONE search task may
     * materialize on-heap (a task holds every node of its shards —
@@ -599,30 +621,58 @@ object GraphAnn {
                             dir: String)
       : org.apache.spark.sql.Dataset[GraphNode] = {
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shardDirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
-      .map(_.getPath)
-      .sortBy(_.getName.stripPrefix("shard=").toInt)
-    require(shardDirs.nonEmpty,
-      s"no shard=* directories under $dir — not a writeGraphIndex layout")
-    val perShard = shardDirs.map { p =>
-      val shard = p.getName.stripPrefix("shard=").toInt
-      withLayers(spark.read.parquet(p.toString))
-        .withColumn("shard", lit(shard))
-        .select(col("shard"), col("id"), col("vec"), col("neighbors"),
-          col("layers"))
-        .as[GraphNode]
-        .coalesce(1)
-        .rdd
-    }
-    val union = spark.sparkContext.union(perShard.toIndexedSeq)
+    val union = spark.sparkContext.union(
+      shardRdds(spark, dir).map(_._4).toIndexedSeq)
     // the name is the only place the lineage surfaces in a SQL plan
     // (ExternalRDDScan) — GraphAnnSpec asserts on it to prove the
     // serving path reads this on-disk index
     union.setName(s"graft-graph-aligned:$dir")
     spark.createDataset(union)
+  }
+
+  /** Session-scoped cache of the QUERY-INDEPENDENT per-shard node RDDs
+    * (shard, dirPath, fingerprint, rdd) — driver-side LINEAGE handles,
+    * not data (the session-cache size contract). Building them costs one
+    * `spark.read.parquet` per shard dir — footer/schema work on the
+    * DRIVER — which at 256 shards was ~20 s of pure per-QUERY planning
+    * (measured, Scratch graph256): the executor-resident graph cache was
+    * hitting while every serve re-planned 256 tiny DataFrames. Reuse is
+    * validated by the same file-listing fingerprints the resident cache
+    * uses, so a rewritten shard rebuilds its lineage on the next query;
+    * the RDDs hold no data, so the indexed path still re-READS parquet
+    * per invocation — only the planning is amortized. */
+  private val shardRddCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        (Seq[String],
+         Seq[(Int, String, String, org.apache.spark.rdd.RDD[GraphNode])])]]())
+
+  private def shardRdds(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Int, String, String, org.apache.spark.rdd.RDD[GraphNode])] = {
+    import spark.implicits._
+    val fps = shardDirsFingerprinted(spark, dir)
+    val perSession = shardRddCache.synchronized {
+      shardRddCache.computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String,
+          (Seq[String],
+           Seq[(Int, String, String, org.apache.spark.rdd.RDD[GraphNode])])]())
+    }
+    val cached = perSession.get(dir)
+    if (cached != null && cached._1 == fps.map(_._3)) cached._2
+    else {
+      val built = fps.map { case (shard, path, fp) =>
+        (shard, path, fp,
+          withLayers(spark.read.parquet(path))
+            .withColumn("shard", lit(shard))
+            .select(col("shard"), col("id"), col("vec"), col("neighbors"),
+              col("layers"))
+            .as[GraphNode]
+            .coalesce(1)
+            .rdd)
+      }
+      perSession.put(dir, (fps.map(_._3), built))
+      built
+    }
   }
 
   // ---- resident serving tier ------------------------------------------
@@ -698,20 +748,13 @@ object GraphAnn {
   private def residentRdd[T: scala.reflect.ClassTag](
       spark: org.apache.spark.sql.SparkSession, dir: String,
       perShard: ShardGraph => Iterator[T]): org.apache.spark.rdd.RDD[T] = {
-    import spark.implicits._
-    val rdds = shardDirsFingerprinted(spark, dir).map {
-      case (shard, path, fp) =>
-        withLayers(spark.read.parquet(path))
-          .withColumn("shard", lit(shard))
-          .select(col("shard"), col("id"), col("vec"), col("neighbors"),
-            col("layers"))
-          .as[GraphNode]
-          .coalesce(1)
-          .rdd
-          .mapPartitions { it =>
-            perShard(ResidentCache.getOrLoad(path, fp,
-              () => materializeGuarded(it)))
-          }
+    // node RDDs from the session cache ([[shardRdds]] — per-query work is
+    // one fingerprint listing plus the query's own mapPartitions lambda)
+    val rdds = shardRdds(spark, dir).map { case (_, path, fp, nodes) =>
+      nodes.mapPartitions { it =>
+        perShard(ResidentCache.getOrLoad(path, fp,
+          () => materializeGuarded(it)))
+      }
     }
     val union = spark.sparkContext.union(rdds.toIndexedSeq)
     union.setName(s"graft-graph-resident:$dir")
@@ -731,7 +774,10 @@ object GraphAnn {
     spark.createDataset(residentRdd(spark, dir, g =>
         if (g.vecs.isEmpty) Iterator.empty
         else beamSearch(g.descend(q, 0), q, efEff, g.vecs, g.adj0)
-          .iterator.map { case (d2, id) => (id, d2) }))
+          .map { case (d2, id) => (id, d2) }
+          // the graphTopKNodes k-trim, same rounded-tie ordering
+          .sortBy { case (id, d2) => (roundedDist(d2), id) }
+          .iterator.take(k)))
       .toDF("vec_id", "_d2")
       .withColumn("dist", round(sqrt(col("_d2")), 6))
       .orderBy(col("dist").asc, col("vec_id").asc)

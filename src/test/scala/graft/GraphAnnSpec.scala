@@ -234,6 +234,30 @@ class GraphAnnSpec extends SparkSuite {
         viaAligned.queryExecution.executedPlan)
   }
 
+  test("graphTopK merge bound: the final merge is TakeOrderedAndProject " +
+      "(per-partition top-k executor-side), and the per-shard trim " +
+      "orders by the ROUNDED dist — a rounded tie goes to the smaller id") {
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 8, m = 8, efConstruction = 40)
+    val q = Knn.vectorAt(emb, col("vec_id"), 13L, col("embedding"))
+    val df = GraphAnn.graphTopK(g, q, k = 5, ef = 64)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
+    // rounding-tie regression: ids 5 and 3 both at dist 1.000000 after
+    // round-6 (raw d2 differs); a trim on RAW d2 at k=1 would keep id 5
+    // (strictly closer) and drop id 3 — the downstream (rounded, id)
+    // order and the exhaustive oracles want id 3
+    val tie = Seq(
+      (5L, Seq(1.0000001)), (3L, Seq(1.0000004)), (9L, Seq(2.0)))
+      .toDF("vec_id", "embedding")
+    val tg = GraphAnn.buildGraph(tie, col("vec_id"), col("embedding"),
+      numShards = 1, m = 4, efConstruction = 10)
+    val got = GraphAnn.graphTopK(tg, Seq(0.0), k = 1, ef = 100)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((3L, 1.0)))
+  }
+
   test("every shard graph is connected: layer-0 BFS from the entry " +
       "reaches the whole shard") {
     // the exhaustive-beam==exact machinery proof rests on shard
