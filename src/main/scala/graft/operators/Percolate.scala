@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   * times the registry's term selectivity. */
 object Percolate {
 
+  /** Small-registry fast path: the registry broadcasts, ONE term join +
+    * a count-equality check. A million-rule registry won't broadcast —
+    * that regime is [[matchesShuffled]]. */
   def matches(docs: DataFrame, idCol: Column, textCol: Column,
               queries: DataFrame): DataFrame =
     docs
@@ -23,4 +26,74 @@ object Percolate {
       .agg(count(lit(1)).as("matched"))
       .filter(col("matched") === col("n_terms"))
       .select(col("doc_id"), col("query_id"))
+
+  /** The (doc_id, distinct term) relation both paths match against. */
+  private def docTerms(docs: DataFrame, idCol: Column,
+                       textCol: Column): DataFrame =
+    docs
+      .select(idCol.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
+      .dropDuplicates("doc_id", "term")
+
+  /** Each rule's ROUTING term — its rarest term by corpus doc-frequency
+    * (ties by term string): the candidate set for an AND rule is the
+    * posting list of its rarest term, so routing there minimizes
+    * Σ_rules df(routing) — the Elasticsearch-percolator candidate
+    * strategy. A rule term absent from the corpus routes at df = 0
+    * (the rule can never match — zero candidates is the right answer). */
+  private def routingTerms(docTermRel: DataFrame,
+                           queries: DataFrame): DataFrame = {
+    val dfreq = docTermRel.groupBy("term").agg(count(lit(1)).as("df"))
+    val t = queries.join(dfreq, Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col("query_id"), col("n_terms"))
+      .agg(min(struct(col("df"), col("term"))).as("r"))
+    t.select(col("query_id"), col("n_terms"),
+      col("r.term").as("term"), col("r.df").as("routing_df"))
+  }
+
+  /** Registry-scale percolation: NO broadcast of the registry — rules
+    * route through their rarest term ([[routingTerms]]), candidates are
+    * one SHUFFLED (term) join of the doc-term relation against the
+    * routing-term table, and each candidate verifies its rule's full
+    * AND bag against the doc's term set via two linear fetch joins
+    * (unpinned — the fixed-N rule). Output is IDENTICAL to [[matches]]
+    * over the served rules (rows-parity spec at a 100k-rule registry).
+    *
+    * Shape at scale: shuffle cost is Σ_rules df(rarest term) candidate
+    * rows — never |docs| × |rules|, never the Σ_rules Σ_terms df(term)
+    * the count-equality form pays. `maxDf` is the term-selectivity
+    * valve: a rule whose RAREST term's df exceeds it (an all-stopword
+    * rule — its candidate set is a full corpus scan by construction) is
+    * EXCLUDED and surfaced by [[unservableRules]] — an audited
+    * decision, never silent truncation (the dedup-family contract). */
+  def matchesShuffled(docs: DataFrame, idCol: Column, textCol: Column,
+                      queries: DataFrame,
+                      maxDf: Long = Long.MaxValue): DataFrame = {
+    val dt = docTerms(docs, idCol, textCol)
+    val served = routingTerms(dt, queries)
+      .filter(col("routing_df") <= maxDf)
+      .select("query_id", "term")
+    val ruleBags = queries.groupBy("query_id")
+      .agg(sort_array(collect_set(col("term"))).as("qterms"))
+    val docBags = dt.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("term"))).as("dterms"))
+    dt.join(served, Seq("term"))
+      .select(col("doc_id"), col("query_id"))
+      .join(ruleBags, "query_id")
+      .join(docBags, "doc_id")
+      .filter(forall(col("qterms"), t => array_contains(col("dterms"), t)))
+      .select(col("doc_id"), col("query_id"))
+  }
+
+  /** The rules [[matchesShuffled]] dropped under its `maxDf` valve —
+    * (query_id, routing term, routing_df) of every rule whose rarest
+    * term is still hotter than the cap. Run alongside the match query
+    * so a cap is always an audited decision; route these (few, all-hot-
+    * term) rules to the broadcast path or rewrite them. */
+  def unservableRules(docs: DataFrame, idCol: Column, textCol: Column,
+                      queries: DataFrame, maxDf: Long): DataFrame =
+    routingTerms(docTerms(docs, idCol, textCol), queries)
+      .filter(col("routing_df") > maxDf)
+      .select(col("query_id"), col("term"), col("routing_df"))
 }
