@@ -458,7 +458,8 @@ object ExtensionQueries {
       if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
         fs.delete(loc, true)
         Dedup.connectedComponentsStar(
-            Dedup.lshPairsFromBandTable(s, bandTable(s, dir)))
+            Dedup.lshPairsFromBandTable(s, bandTable(s, dir),
+              maxBucket = LshMaxBucket))
           .withColumnRenamed("id", "doc_id")
           .write.mode("overwrite").parquet(loc.toString)
       }
@@ -1420,7 +1421,7 @@ object ExtensionQueries {
     "q_dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
           Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
-            col("text")))
+            col("text"), maxBucket = LshMaxBucket))
         .orderBy("id")),
 
     // ---- the same labeling via large-star/small-star contraction —
@@ -1450,13 +1451,14 @@ object ExtensionQueries {
     "q_cluster_rep" -> ((s, d) =>
       Dedup.clusterRepresentatives(Tables.documents(s, d), col("doc_id"),
           length(col("text")),
-          Dedup.lshPairsFromBandTable(s, bandTable(s, d)))
+          Dedup.lshPairsFromBandTable(s, bandTable(s, d),
+            maxBucket = LshMaxBucket))
         .orderBy("doc_id")),
 
     "q_dedup_components_star" -> ((s, d) =>
       Dedup.connectedComponentsStar(
           Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
-            col("text")))
+            col("text"), maxBucket = LshMaxBucket))
         .orderBy("id")),
 
     // ---- SimHash fingerprints (near-identical token multisets ⇒ small
@@ -1512,7 +1514,7 @@ object ExtensionQueries {
     // candidate pairs. Oracled: the whole composition is deterministic.
     "q_ngram_jaccard_lsh" -> ((s, d) =>
       Dedup.jaccardLsh(Tables.documents(s, d), col("doc_id"), col("text"),
-          n = 3, threshold = 0.2)
+          n = 3, threshold = 0.2, maxBucket = LshMaxBucket)
         .orderBy("id1", "id2")),
 
     // ---- the SAME Hamming pairs served from the persisted BUCKETED
@@ -2372,11 +2374,17 @@ object ExtensionQueries {
     // block (the quadratic term bounded by block size; fixed-N pin on
     // the pair stage), banded levenshtein kernel filtered map-side.
     // The string-distance member of the similarity-join family.
+    // maxBlock=512 is the hot-block valve (jaccardPairs' convention,
+    // ~5x the largest sf0.1 block): on the 100x-replicated corpus the
+    // verbatim-copied names make every prefix block 10,000 strong =
+    // 7.5B candidate pairs corpus-wide (measured, round 11) - the
+    // valve excludes them, audited via FuzzyJoin.oversizedBlocks, and
+    // the oracle replicates the gate so a trip still hash-matches.
     "q_fuzzy_join" -> ((s, d) => {
       val c = Tables.customer(s, d)
         .withColumn("_blk", substring(col("c_name"), 1, 16))
       graft.operators.FuzzyJoin.editDistancePairs(c, col("c_custkey"),
-          col("c_name"), Seq("_blk"), maxDist = 1)
+          col("c_name"), Seq("_blk"), maxDist = 1, maxBlock = 512)
         .orderBy("id1", "id2")
     }),
 
@@ -3222,17 +3230,12 @@ object ExtensionQueries {
        |    (sig[b*2+1] % 2147483647) * 2000000011 + sig[b*2+2] AS band_key
        |  FROM sig, generate_series(0, 3) t(b))""".stripMargin
 
-  private val lshPairsCte: String = lshBandsCte +
-    s""",
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id)""".stripMargin
-
-  /** [[lshPairsCte]] with the hot-bucket valve replayed: buckets over
-    * `maxBucket` members emit no pairs (the Spark-side
-    * `Dedup.lshCandidatePairs(maxBucket = ...)` gate). */
+  /** [[lshBandsCte]] + the pairs CTE with the hot-bucket valve replayed:
+    * buckets over `maxBucket` members emit no pairs (the Spark-side
+    * `Dedup.lshCandidatePairs(maxBucket = ...)` gate). EVERY declared
+    * LSH-pair consumer (minhash, est, components, cluster_rep,
+    * split_leakage_safe, jaccard_lsh) runs the valved relation at
+    * [[LshMaxBucket]] — one family, one gate. */
   private def lshPairsCteValved(maxBucket: Int): String = lshBandsCte +
     s""",
        |bkt AS (
@@ -3805,7 +3808,7 @@ object ExtensionQueries {
     // LSH blocking (same CTE as q_dedup_minhash) + exact Jaccard scoring
     // over 32-bit shingle hashes (same scorer as q_ngram_jaccard)
     "q_ngram_jaccard_lsh" ->
-      s"""WITH $lshPairsCte,
+      s"""WITH ${lshPairsCteValved(LshMaxBucket)},
          |sh32 AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(sh, s -> ${hash32Sql("s")})) AS h
@@ -3866,7 +3869,7 @@ object ExtensionQueries {
     // CC over the LSH pair graph: transitive closure via a recursive CTE
     // (tiny at oracle scale), component = min reachable id.
     "q_dedup_components" ->
-      s"""WITH RECURSIVE $lshPairsCte,
+      s"""WITH RECURSIVE ${lshPairsCteValved(LshMaxBucket)},
          |edges AS (
          |  SELECT id1 AS a, id2 AS b FROM pairs
          |  UNION SELECT id2, id1 FROM pairs),
@@ -3880,7 +3883,7 @@ object ExtensionQueries {
 
     // star-contraction must label identically to min-label CC — same SQL
     "q_dedup_components_star" ->
-      s"""WITH RECURSIVE $lshPairsCte,
+      s"""WITH RECURSIVE ${lshPairsCteValved(LshMaxBucket)},
          |edges AS (
          |  SELECT id1 AS a, id2 AS b FROM pairs
          |  UNION SELECT id2, id1 FROM pairs),
@@ -3926,7 +3929,7 @@ object ExtensionQueries {
          |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_cluster_rep" ->
-      s"""WITH RECURSIVE $lshPairsCte,
+      s"""WITH RECURSIVE ${lshPairsCteValved(LshMaxBucket)},
          |edges AS (
          |  SELECT id1 AS a, id2 AS b FROM pairs
          |  UNION SELECT id2, id1 FROM pairs),
@@ -4636,13 +4639,16 @@ object ExtensionQueries {
 
     // fuzzy join: identical prefix-block + unit-cost Levenshtein DP in
     // both engines
+    // hot blocks excluded at 512 (the Spark-side maxBlock gate)
     "q_fuzzy_join" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
-        |  FROM customer)
+        |  FROM customer),
+        |g AS (SELECT blk FROM c GROUP BY blk HAVING count(*) <= 512),
+        |cg AS (SELECT c.* FROM c JOIN g USING (blk))
         |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
         |  levenshtein(a.c_name, b.c_name)::INT AS dist
-        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |FROM cg a JOIN cg b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id1, id2""".stripMargin,
 
@@ -4677,7 +4683,7 @@ object ExtensionQueries {
     // same recursive-components CTE as q_dedup_components, same split
     // hash as q_split_assign — keyed on the component label
     "q_split_leakage_safe" ->
-      s"""WITH RECURSIVE $lshPairsCte,
+      s"""WITH RECURSIVE ${lshPairsCteValved(LshMaxBucket)},
          |edges AS (
          |  SELECT id1 AS a, id2 AS b FROM pairs
          |  UNION SELECT id2, id1 FROM pairs),

@@ -536,8 +536,10 @@ object Dedup {
     * is Σ cluster² (196 s on a ~60-copies-per-text 50k corpus). */
   def jaccardLsh(df: DataFrame, idCol: Column, textCol: Column,
                  n: Int = 3, numHashes: Int = 8, bands: Int = 4,
-                 threshold: Double = 0.2): DataFrame = {
-    val pairs = lshCandidatePairs(df, idCol, textCol, n, numHashes, bands)
+                 threshold: Double = 0.2,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, n, numHashes, bands,
+      maxBucket)
     val sh = Spread.forKernel(df.select(idCol.as("id"), textCol.as("_t")))
       .select(col("id"),
         array_distinct(
