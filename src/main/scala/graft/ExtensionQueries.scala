@@ -1234,6 +1234,28 @@ object ExtensionQueries {
         .orderBy("doc_id", "query_id")
     }),
 
+    // ---- registry-scale percolation: the SAME stored-query semantics as
+    // q_percolate, but NO registry broadcast — rules route through their
+    // rarest corpus term (the Elasticsearch-percolator candidate
+    // strategy), candidates form via one shuffled (term) join, each
+    // verified against the rule's full AND bag. maxDf=4000 is the
+    // term-selectivity valve (a rule whose RAREST term is hotter is a
+    // full corpus scan by construction — excluded, audited via
+    // Percolate.unservableRules); the oracle replicates the gate so a
+    // trip still hash-matches at every SF.
+    "q_percolate_shuffled" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("join", "filter")), (2L, Seq("window", "scan")),
+        (3L, Seq("hash", "merge", "sort")), (4L, Seq("vector")))
+      val qTerms = queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.length)) }
+        .toDF("query_id", "term", "n_terms")
+      graft.operators.Percolate.matchesShuffled(Tables.documents(s, d),
+          col("doc_id"), col("text"), qTerms, maxDf = 4000L)
+        .orderBy("doc_id", "query_id")
+    }),
+
     // ---- phrase hits with result SNIPPETS (the search-highlight
     // window): first-occurrence window of ±2 tokens around the match;
     // only matching docs pay the token-array fetch and bounded slice.
@@ -5440,6 +5462,33 @@ object ExtensionQueries {
         |    (4, 'vector', 1)) v(query_id, term, n_terms))
         |SELECT doc_id, query_id::BIGINT AS query_id
         |FROM dt JOIN qt USING (term)
+        |GROUP BY doc_id, query_id, n_terms
+        |HAVING count(*) = n_terms
+        |ORDER BY doc_id, query_id""".stripMargin,
+
+    // physical rewrite of q_percolate (shuffled rarest-term routing) —
+    // identical match semantics; the maxDf=4000 valve replicated: a rule
+    // whose rarest term (absent terms at df=0) exceeds the cap is
+    // excluded in both engines
+    "q_percolate_shuffled" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+        |    FROM documents)),
+        |qt AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 'join', 2), (1, 'filter', 2),
+        |    (2, 'window', 2), (2, 'scan', 2),
+        |    (3, 'hash', 3), (3, 'merge', 3), (3, 'sort', 3),
+        |    (4, 'vector', 1)) v(query_id, term, n_terms)),
+        |dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        |served AS (
+        |  SELECT query_id FROM qt LEFT JOIN dfreq USING (term)
+        |  GROUP BY query_id HAVING min(coalesce(df, 0)) <= 4000)
+        |SELECT doc_id, query_id::BIGINT AS query_id
+        |FROM dt JOIN qt USING (term)
+        |JOIN served USING (query_id)
         |GROUP BY doc_id, query_id, n_terms
         |HAVING count(*) = n_terms
         |ORDER BY doc_id, query_id""".stripMargin,

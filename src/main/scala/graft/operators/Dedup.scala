@@ -472,18 +472,22 @@ object Dedup {
         array_distinct(
           graft.plans.HashedShingles.shingleHashes(col("_t"), n, 8))
           .as("sh"): _*)
-    // block-count gate as a BROADCAST semi join: the per-block count
-    // aggregate is map-side-partial into a blocks-sized frame (tiny), so
-    // gating adds no corpus shuffle — a window count would sort the whole
-    // corpus by block first
+    // block-count gate as a BROADCAST anti join on the OVERSIZED
+    // complement: the per-block count aggregate is map-side-partial into
+    // a blocks-sized frame, and only blocks past the cap are broadcast —
+    // that side is bounded above by corpus/maxBlock (it IS the
+    // [[jaccardOversizedBlocks]] audit frame), where the kept side would
+    // be O(distinct blocks) = corpus-linear, a driver-killing forced
+    // broadcast at 100 TB. A window count would sort the whole corpus by
+    // block first; this gates map-side against a handful of hot keys.
     val gated =
       if (maxBlock == Int.MaxValue) sh
       else sh.join(
         broadcast(df.groupBy(blockCols.map(col): _*)
           .agg(count(lit(1)).as("_bn"))
-          .filter(col("_bn") <= maxBlock)
+          .filter(col("_bn") > maxBlock)
           .drop("_bn")),
-        blockCols, "left_semi")
+        blockCols, "left_anti")
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     // EXPLICIT fixed-N repartition on the block key: AQE sizes

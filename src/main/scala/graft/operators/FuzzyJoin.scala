@@ -33,14 +33,20 @@ object FuzzyJoin {
     val v = Spread.forKernel(
       df.select(idCol.as("id") +: blockCols.map(col) :+
         strCol.as("s"): _*))
+    // Gate polarity: broadcast the OVERSIZED complement and anti-join.
+    // The kept side is O(distinct blocks) — corpus-linear for prefix
+    // blocks, a multi-GB forced broadcast at 100 TB. The oversized side
+    // is bounded above by corpus/maxBlock (in practice a handful of hot
+    // blocks — it IS the [[oversizedBlocks]] audit frame), so the
+    // broadcast stays driver-safe at any corpus size.
     val gated =
       if (maxBlock == Int.MaxValue) v
       else v.join(
         broadcast(v.groupBy(blockCols.map(col): _*)
           .agg(count(lit(1)).as("_bn"))
-          .filter(col("_bn") <= maxBlock)
+          .filter(col("_bn") > maxBlock)
           .drop("_bn")),
-        blockCols, "left_semi")
+        blockCols, "left_anti")
     // fixed-N pin: quadratic-OUTPUT pair join (the jaccardPairs rule)
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val part = gated.repartition(nPart, blockCols.map(col): _*)

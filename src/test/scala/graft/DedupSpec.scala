@@ -392,6 +392,16 @@ class DedupSpec extends SparkSuite {
       blockCols = Seq("lang", "source"), n = 3, threshold = 0.2,
       maxBlock = 100).as[(Long, Long, Double)].collect().toSet
     assert(open === max)
+    // gate polarity: the broadcast side is the OVERSIZED complement
+    // (LeftAnti build, bounded by corpus/maxBlock), never the kept-block
+    // side (O(distinct blocks) — corpus-linear, a forced multi-GB
+    // broadcast at 100 TB)
+    val p = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+        blockCols = Seq("lang", "source"), n = 3, threshold = 0.2,
+        maxBlock = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("LeftSemi"), p)
   }
 
   test("cosineNearDupPairs: blocked pairs above threshold only") {
