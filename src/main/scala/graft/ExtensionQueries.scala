@@ -566,6 +566,25 @@ object ExtensionQueries {
     })
   }
 
+  /** Session-scoped trained unigram-LM vocab (seed 60 multi-char
+    * candidates, hard-EM round, prune to 40, re-score — deterministic
+    * throughout, same weak-session contract as [[bpeMerges]]):
+    * q_unigram_train and q_unigram_encode share ONE training run. */
+  private val ugVocabCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]]())
+  private def ugVocab(s: SparkSession, d: String): Seq[(String, Long)] = {
+    val perSession = ugVocabCache.synchronized {
+      ugVocabCache.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String,
+          Seq[(String, Long)]]())
+    }
+    perSession.computeIfAbsent(d, { dir =>
+      graft.operators.UnigramLm.trainUnigram(Tables.documents(s, dir),
+        col("text"), nMulti = 60, keepMulti = 40)
+    })
+  }
+
   /** Residual PQ model over the [[ivfIndex]] cell structure (IVF-PQ),
     * cached with the same lifecycle. */
   private val ivfPqCache = java.util.Collections.synchronizedMap(
@@ -1392,6 +1411,27 @@ object ExtensionQueries {
     "q_wordpiece_encode" -> ((s, d) =>
       graft.operators.BpeStats.wordpieceTokens(Tables.documents(s, d),
           col("doc_id"), col("text"), wpVocab(s, d))
+        .orderBy("doc_id")),
+
+    // ---- unigram-LM (SentencePiece-style) training — the THIRD
+    // tokenizer family (T5/Llama lineage) beside BPE and WordPiece:
+    // seed candidates → integer-lexicographic Viterbi segmentation →
+    // hard-EM usage re-estimation → prune → re-score (chars never
+    // pruned). Every post-seed stage is vocabulary-sized; the oracle
+    // replays the identical 2-round loop as unrolled 16-stage dp CTE
+    // chains (the wordpiece pattern).
+    "q_unigram_train" -> ((s, d) => {
+      import s.implicits._
+      ugVocab(s, d).toDF("unit", "usage")
+        .orderBy(col("usage").desc, col("unit"))
+    }),
+
+    // ---- encode under the trained unigram vocab: Viterbi fold over the
+    // DISTINCT word table only, counts join back per document — corpus ×
+    // vocab hash join, nothing quadratic (the q_bpe_encode contract).
+    "q_unigram_encode" -> ((s, d) =>
+      graft.operators.UnigramLm.unigramTokens(Tables.documents(s, d),
+          col("doc_id"), col("text"), ugVocab(s, d))
         .orderBy("doc_id")),
 
     // ---- one-pass data profiling: every metric for every column in a
@@ -2997,6 +3037,114 @@ object ExtensionQueries {
          |                       ELSE '##' || substring(word, pos, l) END)
          |               THEN l ELSE 0 END)) END AS bl
          |    FROM w${k - 1}, wpv))""".stripMargin
+    sb.toString
+  }
+
+  /** One unrolled Viterbi dp chain for the unigram-LM oracles: stages
+    * `$p1..$p$maxW` over the distinct-word table, each appending the
+    * best (ntok, negssum, units) entry for the next prefix length. The
+    * winner per position is `list_sort(...)[1]` over (ntok, negssum, l)
+    * structs — DuckDB struct sort is lexicographic by field order,
+    * matching Spark's `array_min` struct ordering, and the order is
+    * total (l unique), so both engines walk the identical path. Same
+    * stripMargin layout constraint as [[bpeOracleCtes]]. */
+  private def unigramDpCtes(p: String, prev0: String, v: String,
+      maxW: Int, maxU: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s""",
+         |${p}0 AS (
+         |  SELECT word, wcnt,
+         |    [{ntok: 0, negssum: 0::BIGINT, units: []::VARCHAR[]}] AS dp
+         |  FROM $prev0)""".stripMargin
+    for (k <- 1 to maxW) sb ++=
+      s""",
+         |$p$k AS (
+         |  SELECT word, wcnt, list_append(dp,
+         |    CASE WHEN $k > length(word) OR best IS NULL
+         |    THEN {ntok: 999999, negssum: 0::BIGINT, units: []::VARCHAR[]}
+         |    ELSE {ntok: best.ntok, negssum: best.negssum,
+         |          units: list_append(dp[$k - best.l + 1].units,
+         |            substring(word, $k - best.l + 1, best.l))} END) AS dp
+         |  FROM (
+         |    SELECT word, wcnt, dp,
+         |      (list_sort(list_filter(list_transform(
+         |        generate_series(1, $maxU), l ->
+         |        CASE WHEN l <= $k AND $k <= length(word)
+         |              AND list_position($v.us,
+         |                substring(word, $k - l + 1, l)) > 0
+         |             THEN {ntok: dp[$k - l + 1].ntok + 1,
+         |                   negssum: dp[$k - l + 1].negssum
+         |                     - $v.ss[list_position($v.us,
+         |                         substring(word, $k - l + 1, l))],
+         |                   l: l}
+         |             ELSE NULL END), x -> x IS NOT NULL)))[1] AS best
+         |    FROM $p${k - 1}, $v))""".stripMargin
+    sb.toString
+  }
+
+  /** Unrolled 2-round unigram-LM training for the q_unigram_train /
+    * q_unigram_encode oracles: seed substring counts → round-1 Viterbi
+    * chain (a0..a16) under the seed scores → usage1 → prune multis to
+    * keepMulti by (usage desc, unit) → round-2 chain (b0..b16) under the
+    * usage scores → usage2. Vocab lists MATERIALIZED (each is referenced
+    * by all 16 stages of its round — the wpv rule). */
+  private def unigramOracleCtes(nMulti: Int, keepMulti: Int, maxW: Int,
+      maxU: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS word
+         |  FROM documents),
+         |wc AS (
+         |  SELECT word, count(*)::BIGINT AS wcnt FROM toks
+         |  WHERE length(word) <= $maxW GROUP BY word),
+         |sub AS (
+         |  SELECT substring(word, i, l) AS unit, sum(wcnt)::BIGINT AS score
+         |  FROM wc,
+         |    unnest(range(1, length(word) + 1)) t(i),
+         |    unnest(range(1, ${maxU + 1})) s(l)
+         |  WHERE i + l - 1 <= length(word)
+         |  GROUP BY 1),
+         |v1c AS MATERIALIZED (
+         |  SELECT unit, score FROM sub WHERE length(unit) = 1),
+         |v1m AS MATERIALIZED (
+         |  SELECT unit, score FROM sub WHERE length(unit) >= 2
+         |  ORDER BY score DESC, unit LIMIT $nMulti),
+         |v1 AS MATERIALIZED (
+         |  SELECT list(unit ORDER BY unit) AS us,
+         |    list(score ORDER BY unit) AS ss
+         |  FROM (SELECT * FROM v1c UNION ALL SELECT * FROM v1m))"""
+        .stripMargin
+    sb ++= unigramDpCtes("a", "wc", "v1", maxW, maxU)
+    sb ++=
+      s""",
+         |u1 AS MATERIALIZED (
+         |  SELECT unit, sum(wcnt)::BIGINT AS usage FROM (
+         |    SELECT unnest(dp[length(word) + 1].units) AS unit, wcnt
+         |    FROM a$maxW)
+         |  GROUP BY unit),
+         |v2m AS MATERIALIZED (
+         |  SELECT v.unit, coalesce(u.usage, 0::BIGINT) AS score
+         |  FROM v1m v LEFT JOIN u1 u USING (unit)
+         |  ORDER BY score DESC, v.unit LIMIT $keepMulti),
+         |v2c AS MATERIALIZED (
+         |  SELECT v.unit, coalesce(u.usage, 0::BIGINT) AS score
+         |  FROM v1c v LEFT JOIN u1 u USING (unit)),
+         |v2 AS MATERIALIZED (
+         |  SELECT list(unit ORDER BY unit) AS us,
+         |    list(score ORDER BY unit) AS ss
+         |  FROM (SELECT * FROM v2c UNION ALL SELECT * FROM v2m))"""
+        .stripMargin
+    sb ++= unigramDpCtes("b", "wc", "v2", maxW, maxU)
+    sb ++=
+      s""",
+         |u2 AS MATERIALIZED (
+         |  SELECT unit, sum(wcnt)::BIGINT AS usage FROM (
+         |    SELECT unnest(dp[length(word) + 1].units) AS unit, wcnt
+         |    FROM b$maxW)
+         |  GROUP BY unit)""".stripMargin
     sb.toString
   }
 
@@ -4987,6 +5135,28 @@ object ExtensionQueries {
          |  sum(CASE WHEN e.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk_words,
          |  count(*)::BIGINT AS n_words
          |FROM toks t JOIN enc e USING (word)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // unigram-LM training replayed exactly: seed counts, two unrolled
+    // 16-stage Viterbi chains (integer lexicographic objective — the
+    // no-transcendentals rule), hard-EM usage, prune, re-score
+    "q_unigram_train" ->
+      s"""WITH ${unigramOracleCtes(60, 40, 16, 4)}
+         |SELECT vu.unit, coalesce(u2.usage, 0::BIGINT) AS usage
+         |FROM (SELECT unit FROM v2c UNION ALL SELECT unit FROM v2m) vu
+         |LEFT JOIN u2 USING (unit)
+         |ORDER BY usage DESC, unit""".stripMargin,
+
+    "q_unigram_encode" ->
+      s"""WITH ${unigramOracleCtes(60, 40, 16, 4)},
+         |wt AS (
+         |  SELECT word, dp[length(word) + 1].ntok AS wtok FROM b16
+         |  UNION ALL
+         |  SELECT DISTINCT word, 1 AS wtok FROM toks
+         |  WHERE length(word) > 16)
+         |SELECT t.doc_id, sum(wt.wtok)::BIGINT AS n_ug_tokens,
+         |  count(*)::BIGINT AS n_words
+         |FROM toks t JOIN wt USING (word)
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_sketch_kmv" ->
