@@ -873,6 +873,24 @@ object ExtensionQueries {
         .select(col("doc_id"), col("quality"))
         .orderBy("doc_id")),
 
+    // ---- model-based quality classifier (the DCLM/FineWeb-edu shape
+    // beside the rule-based Gopher and LM-score filters): a hashed
+    // linear (fastText-style) scorer — native feature-hash kernel,
+    // anchor-derived literal weights, classification at the exact
+    // rational threshold 0 (sigmoid is monotone: p > 0.5 ⟺ logit > 0 —
+    // the no-transcendentals rule). Map-side only, no shuffle.
+    "q_quality_classifier" -> ((s, d) => {
+      val w = graft.operators.QualityRules.anchorWeights(64,
+        clfCleanAnchors, clfJunkAnchors)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          floorRound6(graft.operators.QualityRules.classifierLogit(
+            col("text"), 64, w)).as("clf_score"))
+        .select(col("doc_id"), col("clf_score"),
+          when(col("clf_score") > 0, 1).otherwise(0).as("is_quality"))
+        .orderBy("doc_id")
+    }),
+
     // ---- cross-language quality calibration: percentile rank of the
     // quality score WITHIN each language — raw scores aren't
     // comparable across languages (tokenization/stopword rates differ;
@@ -3296,6 +3314,17 @@ object ExtensionQueries {
   private def hash16Sql(e: String): String = hashNSql(e, 4)
   private def hash32Sql(e: String): String = hashNSql(e, 8)
 
+  /** Anchor-token lists behind the q_quality_classifier weights: clean
+    * anchors are the corpus' query-language vocabulary, junk anchors mix
+    * spam markers with two in-corpus negatives ("slow", "dup") so real
+    * docs land on BOTH sides of the threshold. Shared by the Spark
+    * weights ([[graft.operators.QualityRules.anchorWeights]]) and the
+    * oracle's SQL replay of the same derivation. */
+  private val clfCleanAnchors = Seq("query", "join", "filter", "window",
+    "scan", "hash", "merge", "sort", "vector", "table", "column", "data")
+  private val clfJunkAnchors = Seq("slow", "dup", "spam", "click",
+    "free", "casino", "lottery", "winner")
+
   /** Shared CTE chain producing the per-doc quality relation
     * `q(doc_id, quality)` — the DuckDB replay of
     * [[graft.functions.TextFunctions.withQualityScore]], used by both
@@ -3859,6 +3888,49 @@ object ExtensionQueries {
     "q_text_quality" ->
       s"""WITH $qualityCteSql
          |SELECT doc_id, quality FROM q ORDER BY doc_id""".stripMargin,
+
+    // hashed linear classifier replayed exactly: the q_feature_hash
+    // dim-64 embedding, weights re-derived from the shared anchor lists
+    // (+1 clean / −1 junk per hash bucket), dot as an in-order list_sum,
+    // trailing + 0.0 canonicalizing −0.0
+    "q_quality_classifier" -> {
+      val cleanL = clfCleanAnchors.map(t => s"'$t'").mkString(", ")
+      val junkL = clfJunkAnchors.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |bk AS (
+         |  SELECT doc_id, list_transform(tk, t -> ${hash16Sql("t")} % 64) AS b
+         |  FROM toks),
+         |cnt AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 63),
+         |    i -> len(list_filter(b, x -> x = i))::DOUBLE) AS c FROM bk),
+         |n AS (
+         |  SELECT doc_id, c,
+         |    sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM cnt),
+         |wt AS (
+         |  SELECT j, sum(delta)::DOUBLE AS wv FROM (
+         |    SELECT ${hash16Sql("t")} % 64 AS j, 1 AS delta
+         |    FROM unnest([$cleanL]) u(t)
+         |    UNION ALL
+         |    SELECT ${hash16Sql("t")} % 64 AS j, -1 AS delta
+         |    FROM unnest([$junkL]) u(t))
+         |  GROUP BY j),
+         |w AS MATERIALIZED (
+         |  SELECT list(coalesce(wt.wv, 0.0::DOUBLE) ORDER BY g.j) AS wv
+         |  FROM generate_series(0, 63) g(j) LEFT JOIN wt ON g.j = wt.j),
+         |s AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> (CASE WHEN nrm > 0 THEN c[i] / nrm ELSE 0.0 END)
+         |        * wv[i])) + 0.0 AS raw
+         |  FROM n, w)
+         |SELECT doc_id,
+         |  ${graft.functions.Rounding.floorRoundSql("raw", 6)} AS clf_score,
+         |  CASE WHEN ${graft.functions.Rounding.floorRoundSql("raw", 6)} > 0
+         |       THEN 1 ELSE 0 END AS is_quality
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     // per-language percentile rank: same quality CTE, rank/count
     // windows, exact (rnk-1)/(cnt-1) ratio with the singleton pin

@@ -167,4 +167,48 @@ object QualityRules {
         (col("dup5_chars").cast("double") /
           col("total_chars").cast("double")).as("dup_5gram_char_frac"))
   }
+
+  // ---- model-based quality classifier (fastText-style) ---------------
+
+  /** Weight vector of a hashed linear quality classifier, derived from
+    * labeled anchor-token lists (the fastText bag-of-hashed-words model
+    * with a one-step centroid fit): each clean-anchor token adds +1 to
+    * its feature-hash bucket, each junk-anchor token −1. The hash is the
+    * [[graft.plans.FeatureHashEmbed]] bucket function (first 16 md5
+    * bits mod `dim`), so the weights live in the SAME feature space the
+    * scorer hashes documents into, and the derivation replays in SQL.
+    * Driver-sized (a literal array) — the DCLM/FineWeb deployment shape,
+    * where training is offline and the engine ships the weights. */
+  def anchorWeights(dim: Int, clean: Seq[String],
+      junk: Seq[String]): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String): Int = {
+      md.reset()
+      val d = md.digest(
+        t.toLowerCase.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % dim
+    }
+    val w = new Array[Double](dim)
+    clean.foreach(t => w(bucket(t)) += 1.0)
+    junk.foreach(t => w(bucket(t)) -= 1.0)
+    w.toSeq
+  }
+
+  /** Classifier logit: w · φ(text), with φ the L2-normalized
+    * feature-hash embedding (native kernel). Sigmoid is MONOTONE, so
+    * p > 0.5 ⟺ logit > 0 — the classification threshold is the exact
+    * rational 0, never a libm sigmoid (the no-transcendentals rule).
+    * The dot is a left fold in bucket order seeded at 0.0 with a final
+    * `+ 0.0` (canonicalizes a possible −0.0 from zero-feature ×
+    * negative-weight products identically in both engines). Map-side
+    * only — one codegen'd kernel pass plus a dim-bounded fold per row,
+    * no shuffle, no state. */
+  def classifierLogit(textCol: Column, dim: Int,
+      weights: Seq[Double]): Column = {
+    require(weights.length == dim, s"need $dim weights, got ${weights.length}")
+    val emb = graft.functions.VectorFunctions.featureHashEmbeddingD(
+      textCol, dim)
+    aggregate(zip_with(emb, typedLit(weights), (x, w) => x * w),
+      lit(0.0), (acc, v) => acc + v) + lit(0.0)
+  }
 }

@@ -39,6 +39,24 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("quality classifier: planted junk doc scores below planted clean " +
+      "doc and below the threshold") {
+    import graft.operators.QualityRules
+    val clean = Seq("query", "join", "filter", "window", "scan", "hash")
+    val junk = Seq("spam", "click", "free", "casino")
+    val w = QualityRules.anchorWeights(64, clean, junk)
+    val docs = Seq(
+      (1L, "query join filter window scan hash"),   // all clean anchors
+      (2L, "spam click free casino spam click"))    // all junk anchors
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        QualityRules.classifierLogit(col("text"), 64, w).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0, s"clean doc should score positive: ${got(1L)}")
+    assert(got(2L) < 0, s"junk doc should score negative: ${got(2L)}")
+    assert(got(2L) < got(1L))
+  }
+
   test("gopherFlags: each rule binds on its crafted violator") {
     import graft.operators.QualityRules
     // distinct words keep trigrams unique (the rep rule must not fire
