@@ -1618,6 +1618,66 @@ object ExtensionQueries {
           col("text"), n = 3, maxDf = 64, threshold = 0.8)
         .orderBy("id1", "id2")),
 
+    // ---- unified valve audit: every hot-key valve's exclusion frame,
+    // one table per run — lsh buckets, jaccard metadata blocks, hamming
+    // fingerprint buckets, containment shingle dfs, fuzzy-join prefix
+    // blocks, percolation routing terms — each at its DECLARED key's
+    // exact params, so every silent-exclusion decision the engine can
+    // make is visible (and oracle-checked) in one place. Empty at test
+    // scales by design (the valves sit above every shaped-corpus
+    // maximum); populated exactly when a 100×-replication regime trips
+    // a gate.
+    "q_valve_audit" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val lsh = Dedup.lshOversizedBuckets(docs, col("doc_id"), col("text"),
+          n = 3, numHashes = 8, bands = 4, maxBucket = LshMaxBucket)
+        .select(lit("lsh_bucket").as("valve"),
+          concat_ws(":", col("band_idx").cast("string"),
+            col("band_key").cast("string")).as("bucket"),
+          col("n").cast("long").as("n"))
+      val jac = Dedup.jaccardOversizedBlocks(docs, col("doc_id"),
+          Seq("lang", "source"), maxBlock = 512)
+        .select(lit("jaccard_block").as("valve"),
+          concat_ws(":", col("lang"), col("source")).as("bucket"),
+          col("n").cast("long").as("n"))
+      val ham = Dedup.hammingOversizedBuckets(
+          graft.operators.Spread.forKernel(
+            docs.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), Dedup.simhash16(col("text")).as("fp")),
+          col("doc_id"), col("fp"), bits = 16, maxHamming = 2,
+          maxBucket = 512)
+        .select(lit("hamming_bucket").as("valve"),
+          concat_ws(":", col("bi").cast("string"),
+            col("bv").cast("string")).as("bucket"),
+          col("n").cast("long").as("n"))
+      val cont = Dedup.containmentOversizedShingles(docs, col("doc_id"),
+          col("text"), n = 3, maxDf = 64)
+        .select(lit("containment_shingle").as("valve"),
+          col("h").cast("string").as("bucket"),
+          col("df").cast("long").as("n"))
+      val fz = graft.operators.FuzzyJoin.oversizedBlocks(
+          Tables.customer(s, d).select(col("c_custkey").as("id"),
+            substring(col("c_name"), 1, 16).as("_blk"),
+            col("c_name").as("s")),
+          Seq("_blk"), maxBlock = 512)
+        .select(lit("fuzzy_block").as("valve"), col("_blk").as("bucket"),
+          col("n").cast("long").as("n"))
+      val qTerms = Seq(
+        (1L, Seq("join", "filter")), (2L, Seq("window", "scan")),
+        (3L, Seq("hash", "merge", "sort")), (4L, Seq("vector")))
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.length)) }
+        .toDF("query_id", "term", "n_terms")
+      val perc = graft.operators.Percolate.unservableRules(docs,
+          col("doc_id"), col("text"), qTerms, maxDf = 4000L)
+        .select(lit("percolate_rule").as("valve"),
+          concat_ws(":", col("query_id").cast("string"), col("term"))
+            .as("bucket"),
+          col("routing_df").cast("long").as("n"))
+      lsh.union(jac).union(ham).union(cont).union(fz).union(perc)
+        .orderBy("valve", "bucket")
+    }),
+
     // ---- cross-doc boilerplate shingles (C4-style cleanse step): word
     // 3-grams appearing in ≥5 distinct docs. One uniform shuffle with
     // map-side partial counts.
@@ -4222,6 +4282,95 @@ object ExtensionQueries {
     // 512 valve, exact bit_count(xor) <= 2 filter. `%`/`//`/xor match
     // Spark shiftright/bitwiseAND/XOR for nonnegative 16-bit prints.
     "q_simhash_pairs" -> simhashPairsOracleSql,
+
+    // every valve's exclusion frame replayed at the declared params —
+    // lsh bands (>64), jaccard (lang, source) blocks (>512), hamming
+    // (bi, bv) buckets (>512), containment shingle dfs (>64), fuzzy
+    // 16-char name-prefix blocks (>512), percolation rules whose rarest
+    // routing term exceeds df 4000
+    "q_valve_audit" ->
+      s"""WITH $lshBandsCte,
+         |lshov AS (
+         |  SELECT 'lsh_bucket' AS valve,
+         |    band_idx::VARCHAR || ':' || band_key::VARCHAR AS bucket,
+         |    count(*)::BIGINT AS n
+         |  FROM bands GROUP BY band_idx, band_key HAVING count(*) > 64),
+         |jacov AS (
+         |  SELECT 'jaccard_block' AS valve, lang || ':' || source AS bucket,
+         |    count(*)::BIGINT AS n
+         |  FROM documents GROUP BY lang, source HAVING count(*) > 512),
+         |hamh AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_filter(string_split_regex(lower(text), '\\s+'),
+         |        x -> x != ''), tk -> ${hash16Sql("tk")}) AS hashes
+         |  FROM documents),
+         |hamf AS (
+         |  SELECT doc_id,
+         |    coalesce(list_sum(list_transform(generate_series(0, 15), b ->
+         |      CASE WHEN list_sum(list_transform(hashes, h ->
+         |             CASE WHEN (floor(h / (2.0 ** b))::BIGINT % 2) = 1
+         |                  THEN 1 ELSE -1 END)) > 0
+         |           THEN 2.0 ** b ELSE 0 END))::BIGINT, 0) AS fp
+         |  FROM hamh),
+         |hamb AS (
+         |  SELECT doc_id, bi,
+         |    CASE bi WHEN 0 THEN fp % 64
+         |            WHEN 1 THEN (fp // 64) % 32
+         |            ELSE (fp // 2048) % 32 END AS bv
+         |  FROM hamf CROSS JOIN (SELECT unnest([0, 1, 2]) AS bi) u),
+         |hamov AS (
+         |  SELECT 'hamming_bucket' AS valve,
+         |    bi::VARCHAR || ':' || bv::VARCHAR AS bucket,
+         |    count(*)::BIGINT AS n
+         |  FROM hamb GROUP BY bi, bv HAVING count(*) > 512),
+         |cshl AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [array_to_string(tk, ' ')] END AS sh
+         |  FROM toks),
+         |chs AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(sh, s -> ${hash32Sql("s")})) AS h
+         |    FROM cshl)),
+         |contov AS (
+         |  SELECT 'containment_shingle' AS valve, h::VARCHAR AS bucket,
+         |    count(*)::BIGINT AS n
+         |  FROM chs GROUP BY h HAVING count(*) > 64),
+         |fzov AS (
+         |  SELECT 'fuzzy_block' AS valve, substr(c_name, 1, 16) AS bucket,
+         |    count(*)::BIGINT AS n
+         |  FROM customer GROUP BY 2 HAVING count(*) > 512),
+         |pdt AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(list_filter(
+         |      string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+         |    FROM documents)),
+         |pqt AS (
+         |  SELECT * FROM (VALUES
+         |    (1, 'join', 2), (1, 'filter', 2),
+         |    (2, 'window', 2), (2, 'scan', 2),
+         |    (3, 'hash', 3), (3, 'merge', 3), (3, 'sort', 3),
+         |    (4, 'vector', 1)) v(query_id, term, n_terms)),
+         |pdf AS (SELECT term, count(*) AS df FROM pdt GROUP BY term),
+         |prt AS (
+         |  SELECT query_id, term, df FROM (
+         |    SELECT q.query_id, q.term, coalesce(f.df, 0) AS df,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY coalesce(f.df, 0), q.term) AS rn
+         |    FROM pqt q LEFT JOIN pdf f USING (term))
+         |  WHERE rn = 1),
+         |percov AS (
+         |  SELECT 'percolate_rule' AS valve,
+         |    query_id::VARCHAR || ':' || term AS bucket, df::BIGINT AS n
+         |  FROM prt WHERE df > 4000)
+         |SELECT valve, bucket, n FROM (
+         |  SELECT * FROM lshov UNION ALL SELECT * FROM jacov
+         |  UNION ALL SELECT * FROM hamov UNION ALL SELECT * FROM contov
+         |  UNION ALL SELECT * FROM fzov UNION ALL SELECT * FROM percov)
+         |ORDER BY valve, bucket""".stripMargin,
 
     // bucketing is a physical layout, so the oracle is identical
     "q_simhash_pairs_bucketed" -> simhashPairsOracleSql,
