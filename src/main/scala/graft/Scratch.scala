@@ -53,6 +53,13 @@ object Scratch {
     if (only.contains("time")) runTime(spark, args.drop(1), noop)
     if (only.contains("hostcap")) runHostCap(spark, noop)
     if (only.contains("graph256")) runGraph256(spark)
+    // `runMain graft.Scratch graphshards [nShards ...]` — serve cost at
+    // cluster shard counts, grouped vs one-task-per-shard
+    if (only.contains("graphshards"))
+      runGraphShards(spark,
+        args.drop(1).map(_.toInt).toSeq match {
+          case Nil => Seq(1024, 4096); case s => s
+        })
     spark.stop()
   }
 
@@ -105,6 +112,59 @@ object Scratch {
       GraphAnn.graphTopKIndexed(spark, dir, q, k = 10, ef = 100))
     serve("resident (cached shard graphs)", q =>
       GraphAnn.graphTopKResident(spark, dir, q, k = 10, ef = 100))
+  }
+
+  /** Graph-ANN serve at CLUSTER shard counts (VERDICT r11 item 7): at
+    * 10k+ shards the one-task-per-shard serve is bound by task
+    * scheduling (waves × dispatch), not beam work. Measures warm
+    * resident serves at each shard count with shardsPerTask 1 vs a
+    * grouping that lands near 4×cores tasks, plus the one-time
+    * session-lineage planning cost the shard count drives. */
+  private def runGraphShards(spark: SparkSession, shardCounts: Seq[Int]): Unit = {
+    import graft.operators.{GraphAnn, Knn}
+    val n = 1000000L; val dim = 64; val nClusters = 256
+    val cores = spark.sparkContext.defaultParallelism
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          pmod(hash(col("id"), j), lit(1000)).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    shardCounts.foreach { shards =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-gshards$shards-").toString
+      val g = time(s"graphshards build S=$shards (1M x $dim)") {
+        val b = GraphAnn.buildGraph(corpus, col("vec_id"),
+          col("embedding"), numShards = shards, m = 16,
+          efConstruction = 100)
+        b.persist().count(); b
+      }
+      time(s"graphshards writeGraphIndex ($shards dirs)")(
+        GraphAnn.writeGraphIndex(g, dir))
+      g.unpersist()
+      // one-time per-session planning (shard-count-linear driver work)
+      time(s"graphshards first-serve incl. $shards-dir lineage planning")(
+        GraphAnn.graphTopKResident(spark, dir,
+          Knn.vectorAt(corpus, col("vec_id"), 4242L, col("embedding")),
+          k = 10).collect())
+      def warm(label: String, group: Int): Unit = {
+        val times = (0 until 9).map { i =>
+          val q = Knn.vectorAt(corpus, col("vec_id"), 5000L + i * 97,
+            col("embedding"))
+          val t0 = System.nanoTime()
+          val rows = GraphAnn.graphTopKResident(spark, dir, q, k = 10,
+            ef = 100, shardsPerTask = group).collect()
+          require(rows.length == 10)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scratch] graphshards S=$shards $label: " +
+          f"median-of-9-warm ${times.sorted.apply(4)}%.2f s " +
+          f"(tasks=${(shards + group - 1) / group})")
+      }
+      warm("per-shard (g=1)", 1)
+      val grouped = math.max(1, shards / (4 * cores))
+      warm(s"grouped (g=$grouped)", grouped)
+    }
   }
 
   /** Hot-host quota measurement (VERDICT r10 item 4): 4M synthetic rows,

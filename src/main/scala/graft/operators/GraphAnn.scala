@@ -747,7 +747,9 @@ object GraphAnn {
     * [[readGraphIndexAligned]] — no shuffle anywhere in the lineage. */
   private def residentRdd[T: scala.reflect.ClassTag](
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      perShard: ShardGraph => Iterator[T]): org.apache.spark.rdd.RDD[T] = {
+      perShard: ShardGraph => Iterator[T],
+      shardsPerTask: Int = 1): org.apache.spark.rdd.RDD[T] = {
+    require(shardsPerTask >= 1, s"shardsPerTask must be >= 1, got $shardsPerTask")
     // node RDDs from the session cache ([[shardRdds]] — per-query work is
     // one fingerprint listing plus the query's own mapPartitions lambda)
     val rdds = shardRdds(spark, dir).map { case (_, path, fp, nodes) =>
@@ -758,7 +760,21 @@ object GraphAnn {
     }
     val union = spark.sparkContext.union(rdds.toIndexedSeq)
     union.setName(s"graft-graph-resident:$dir")
-    union
+    // shard-GROUP serving: at cluster shard counts (10k+) a one-task-
+    // per-shard serve is bound by SCHEDULING (tasks × waves), not beam
+    // work — ~244-row shards cost microseconds of search under
+    // milliseconds of task dispatch. A no-shuffle coalesce groups g
+    // parent partitions per task: the task runs its g shards' compute
+    // SEQUENTIALLY in place, the lazy-input contract survives (a
+    // ResidentCache hit still never opens its shard's parquet), and the
+    // per-query task count drops to ⌈shards/g⌉. Grouping is a READ-side
+    // choice per query — the index layout on disk is untouched.
+    if (shardsPerTask == 1) union
+    else {
+      val nParts = math.max(1,
+        (union.getNumPartitions + shardsPerTask - 1) / shardsPerTask)
+      union.coalesce(nParts, shuffle = false)
+    }
   }
 
   /** [[graphTopKIndexed]] from the executor-resident cache: first query
@@ -767,7 +783,7 @@ object GraphAnn {
     * graph, same search). */
   def graphTopKResident(spark: org.apache.spark.sql.SparkSession,
                         dir: String, query: Seq[Double], k: Int,
-                        ef: Int = 100): DataFrame = {
+                        ef: Int = 100, shardsPerTask: Int = 1): DataFrame = {
     import spark.implicits._
     val q = query.toArray
     val efEff = math.max(ef, k)
@@ -777,7 +793,7 @@ object GraphAnn {
           .map { case (d2, id) => (id, d2) }
           // the graphTopKNodes k-trim, same rounded-tie ordering
           .sortBy { case (id, d2) => (roundedDist(d2), id) }
-          .iterator.take(k)))
+          .iterator.take(k), shardsPerTask))
       .toDF("vec_id", "_d2")
       .withColumn("dist", round(sqrt(col("_d2")), 6))
       .orderBy(col("dist").asc, col("vec_id").asc)
@@ -791,7 +807,8 @@ object GraphAnn {
     * the one shuffle is the bounded per-query top-k merge. */
   def graphKnnJoinResident(queries: DataFrame, qIdCol: Column,
                            qVecCol: Column, dir: String, k: Int,
-                           ef: Int = 100, maxBatch: Int = 100000)
+                           ef: Int = 100, maxBatch: Int = 100000,
+                           shardsPerTask: Int = 1)
       : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -803,7 +820,7 @@ object GraphAnn {
         else bq.value.iterator.flatMap { case (qid, q) =>
           beamSearch(g.descend(q, 0), q, efEff, g.vecs, g.adj0)
             .map { case (d2, id) => (qid, id, d2) }
-        }))
+        }, shardsPerTask))
       .toDF("query_id", "match_id", "_d2")
       .select(col("query_id"), col("match_id"),
         (-round(sqrt(col("_d2")), 6)).as("negdist"))

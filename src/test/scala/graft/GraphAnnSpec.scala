@@ -395,4 +395,38 @@ class GraphAnnSpec extends SparkSuite {
     assert(GraphAnn.ResidentCache.loads.get() > loadsAfterFirst,
       "rewritten shards must reload")
   }
+
+  test("shard-group serving: grouped tasks return identical results to " +
+      "one-task-per-shard, warm groups never reload") {
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 8, m = 8, efConstruction = 40)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-grouped").toString
+    GraphAnn.writeGraphIndex(g, dir)
+    GraphAnn.ResidentCache.clear()
+    val q = Knn.vectorAt(emb, col("vec_id"), 5L, col("embedding"))
+    val perShard = GraphAnn.graphTopKResident(spark, dir, q, k = 10)
+      .as[(Long, Double)].collect()
+    // grouped read-side serve: 8 shards in ⌈8/3⌉ = 3 tasks — identical
+    // output (same graphs, same searches, merge order unchanged)
+    val grouped = GraphAnn.graphTopKResident(spark, dir, q, k = 10,
+      shardsPerTask = 3).as[(Long, Double)].collect()
+    assert(grouped === perShard)
+    // warm: the grouped path hits the same ResidentCache — no reloads
+    val loads = GraphAnn.ResidentCache.loads.get()
+    val again = GraphAnn.graphTopKResident(spark, dir, q, k = 10,
+      shardsPerTask = 8).as[(Long, Double)].collect()
+    assert(again === perShard)
+    assert(GraphAnn.ResidentCache.loads.get() === loads,
+      "grouped warm serve must not reload any shard")
+    // batch-join parity under grouping
+    val queries = emb.filter(col("vec_id") < 5)
+    val j1 = GraphAnn.graphKnnJoinResident(queries, col("vec_id"),
+      col("embedding"), dir, k = 5).as[(Long, Long, Double, Int)]
+      .collect().sortBy(r => (r._1, r._4))
+    val j2 = GraphAnn.graphKnnJoinResident(queries, col("vec_id"),
+      col("embedding"), dir, k = 5, shardsPerTask = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(j2 === j1)
+  }
 }
