@@ -675,8 +675,14 @@ object Dedup {
     // labels only ever DECREASE (min of a set containing the old value),
     // so the fixpoint test is "sum of labels unchanged" — one tiny
     // aggregate instead of a frame-vs-frame diff join per iteration
+    // coalesce to 0: sum over an EMPTY label table is NULL, and the pair
+    // input CAN be empty — a fully-valved LSH round (the sf10 100×-
+    // replication regime) produces zero candidate pairs (caught by the
+    // round-12 full-inventory sf10 verify: NPE on the null sum)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var it = 0
     var changed = true

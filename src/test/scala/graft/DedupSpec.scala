@@ -425,6 +425,13 @@ class DedupSpec extends SparkSuite {
     assert(cc === Map(2L -> 2L, 3L -> 2L, 5L -> 2L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: EMPTY pair input returns empty labels " +
+      "(a fully-valved LSH round produces zero candidates)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+    assert(Dedup.connectedComponentsStar(empty).collect().isEmpty)
+  }
+
   test("connectedComponents: non-convergence throws instead of returning wrong labels") {
     // a 12-node path needs ~diameter iterations; cap at 2 → must throw,
     // not silently return a still-split labeling
