@@ -1807,9 +1807,15 @@ object ExtensionQueries {
 
     // ---- embedding-cosine near-dup pairs, label-blocked, 20% sample
     // (full blocked variant is the operator; the sample keeps the oracle
-    // tractable).
+    // tractable). NATIVE per-pair kernel (normalize once per row, cos =
+    // 1 − ‖â−b̂‖²/2 through the codegen'd squared-L2): the HOF form ran
+    // the interpreted cosine INSIDE the join predicate (Catalyst fuses
+    // the threshold filter into the SMJ condition) — fine at oracle
+    // blocks, a 45-min stall at the sf10 100×-replication pair counts
+    // (caught by the round-12 full-inventory sf10 verify). The oracle
+    // replays the native float path (the q_semantic_dedup recipe).
     "q_embed_neardup" -> ((s, d) =>
-      Dedup.cosineNearDupPairs(
+      Dedup.cosineNearDupPairsNative(
           Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
           col("vec_id"), col("embedding"), col("label"), threshold = 0.25)
         .orderBy("id1", "id2")),
@@ -4642,20 +4648,25 @@ object ExtensionQueries {
          |SELECT id1, id2, jaccard FROM j
          |WHERE jaccard >= 0.2 ORDER BY id1, id2""".stripMargin,
 
-    "q_embed_neardup" ->
+    // native float path replayed (normalize each element FIRST, cos =
+    // 1 − Σ(âᵢ−b̂ᵢ)²/2 — the squared-L2 recipe, no sqrt detour), label
+    // blocks, pair output
+    "q_embed_neardup" -> {
+      val cosSql = graft.functions.Rounding.floorRoundSql(
+        """1.0 - list_sum(list_transform(generate_series(1, len(a.embedding)),
+          |      i -> (a.embedding[i]::DOUBLE / a.nrm - b.embedding[i]::DOUBLE / b.nrm)
+          |         * (a.embedding[i]::DOUBLE / a.nrm - b.embedding[i]::DOUBLE / b.nrm))) / 2""".stripMargin, 6)
       s"""WITH e AS (
-         |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      t -> t::DOUBLE * t::DOUBLE))) AS nrm
+         |  FROM embeddings WHERE vec_id % 5 = 0),
          |p AS (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |    ${graft.functions.Rounding.floorRoundSql(
-               """list_sum(list_transform(generate_series(1, len(a.embedding)),
-                 |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-                 |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-                 |     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin, 6)}
-         |      AS cos
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id1, id2, cos FROM p WHERE cos >= 0.25
-         |ORDER BY id1, id2""".stripMargin,
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     // exhaustive semantic dedup: all-pairs normalized cosine via the
     // SAME float path as the Spark kernel (normalize each element FIRST,
