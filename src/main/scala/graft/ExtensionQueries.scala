@@ -1293,6 +1293,29 @@ object ExtensionQueries {
         .orderBy("doc_id", "query_id")
     }),
 
+    // ---- hybrid percolation router (round-12 verdict item 7): NO rule
+    // excluded — selective rules serve through the shuffled rarest-term
+    // path, all-hot-term rules route to the broadcast count-equality
+    // leg; the unservableRules audit frame is empty by construction.
+    // Output = the FULL q_percolate match set at every SF, so the
+    // oracle is q_percolate's (no valve replication needed). maxDf=3860
+    // splits the registry at sf0.1 (rule rarest-dfs straddle it there:
+    // 3825/3849 cold vs 3866/3891 hot), is all-cold at the small SFs
+    // and all-hot at sf1+ — the verify ladder exercises all-cold,
+    // split, and all-hot routings of the same semantics.
+    "q_percolate_hybrid" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("join", "filter")), (2L, Seq("window", "scan")),
+        (3L, Seq("hash", "merge", "sort")), (4L, Seq("vector")))
+      val qTerms = queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.length)) }
+        .toDF("query_id", "term", "n_terms")
+      graft.operators.Percolate.matchesHybrid(Tables.documents(s, d),
+          col("doc_id"), col("text"), qTerms, maxDf = 3860L)
+        .orderBy("doc_id", "query_id")
+    }),
+
     // ---- phrase hits with result SNIPPETS (the search-highlight
     // window): first-occurrence window of ±2 tokens around the match;
     // only matching docs pay the token-array fetch and bounded slice.
@@ -1623,10 +1646,12 @@ object ExtensionQueries {
     // fingerprint buckets, containment shingle dfs, fuzzy-join prefix
     // blocks, percolation routing terms — each at its DECLARED key's
     // exact params, so every silent-exclusion decision the engine can
-    // make is visible (and oracle-checked) in one place. Empty at test
-    // scales by design (the valves sit above every shaped-corpus
-    // maximum); populated exactly when a 100×-replication regime trips
-    // a gate.
+    // make is visible (and oracle-checked) in one place. The six
+    // exact-param frames are empty at test scales by design (the valves
+    // sit above every shaped-corpus maximum) and populate exactly when
+    // a 100×-replication regime trips a gate; a seventh deliberately
+    // TIGHT jaccard frame (maxBlock 8) keeps the key non-vacuous at
+    // every SF so the hash gate always checks real rows.
     "q_valve_audit" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -1636,11 +1661,29 @@ object ExtensionQueries {
           concat_ws(":", col("band_idx").cast("string"),
             col("band_key").cast("string")).as("bucket"),
           col("n").cast("long").as("n"))
+      // NULL-safe bucket label (coalesce BOTH here and in the oracle):
+      // concat_ws silently skips NULLs while SQL || yields NULL — a
+      // parity break that would surface exactly in the 100×-replication
+      // regime this key exists to audit (documents.lang/source are
+      // non-null in the shaped corpus, but the frame must not depend on
+      // that invariant).
+      def blockLabel =
+        concat_ws(":", coalesce(col("lang"), lit("")),
+          coalesce(col("source"), lit("")))
       val jac = Dedup.jaccardOversizedBlocks(docs, col("doc_id"),
           Seq("lang", "source"), maxBlock = 512)
-        .select(lit("jaccard_block").as("valve"),
-          concat_ws(":", col("lang"), col("source")).as("bucket"),
+        .select(lit("jaccard_block").as("valve"), blockLabel.as("bucket"),
           col("n").cast("long").as("n"))
+      // a deliberately TIGHT companion valve (maxBlock 8 vs the declared
+      // key's 512) so this audit key is NON-VACUOUS at every SF: the six
+      // exact-param frames are legitimately empty at shaped-corpus
+      // scales, and an empty-vs-empty hash match proves nothing
+      // (round-12 verdict item 3). Bounded output at any SF: ≤ one row
+      // per distinct (lang, source).
+      val jacTight = Dedup.jaccardOversizedBlocks(docs, col("doc_id"),
+          Seq("lang", "source"), maxBlock = 8)
+        .select(lit("jaccard_block_tight").as("valve"),
+          blockLabel.as("bucket"), col("n").cast("long").as("n"))
       val ham = Dedup.hammingOversizedBuckets(
           graft.operators.Spread.forKernel(
             docs.select(col("doc_id"), col("text")))
@@ -1674,7 +1717,8 @@ object ExtensionQueries {
           concat_ws(":", col("query_id").cast("string"), col("term"))
             .as("bucket"),
           col("routing_df").cast("long").as("n"))
-      lsh.union(jac).union(ham).union(cont).union(fz).union(perc)
+      lsh.union(jac).union(jacTight).union(ham).union(cont).union(fz)
+        .union(perc)
         .orderBy("valve", "bucket")
     }),
 
@@ -2546,6 +2590,25 @@ object ExtensionQueries {
           "c_acctbal", bands, "lo", "hi", bucketWidth = 200.0)
         .select(col("c_custkey"), col("s_suppkey"))
         .orderBy("c_custkey", "s_suppkey")
+    }),
+
+    // ---- the same interval join reduced to one exact checksum row: the
+    // non-vacuous gate at SFs where the pair OUTPUT is dump-bound (~2.7B
+    // pairs at sf10 — round-12 verdict item 2). Pure integer arithmetic
+    // (count, key sums, a modular pair checksum) so DuckDB computes the
+    // identical values without materializing the pairs either.
+    "q_range_join_agg" -> ((s, d) => {
+      val bands = Tables.supplier(s, d)
+        .select(col("s_suppkey"), (col("s_acctbal") - 100).as("lo"),
+          (col("s_acctbal") + 100).as("hi"))
+      RangeJoin.rangeJoin(
+          Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+          "c_acctbal", bands, "lo", "hi", bucketWidth = 200.0)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c_custkey")).as("sum_c"),
+          sum(col("s_suppkey")).as("sum_s"),
+          sum(pmod(col("c_custkey") * lit(100003L) + col("s_suppkey"),
+            lit(1000000007L))).as("checksum"))
     }),
 
     // ---- as-of self-join: each order's previous order of the same
@@ -4302,9 +4365,15 @@ object ExtensionQueries {
          |    count(*)::BIGINT AS n
          |  FROM bands GROUP BY band_idx, band_key HAVING count(*) > 64),
          |jacov AS (
-         |  SELECT 'jaccard_block' AS valve, lang || ':' || source AS bucket,
+         |  SELECT 'jaccard_block' AS valve,
+         |    coalesce(lang, '') || ':' || coalesce(source, '') AS bucket,
          |    count(*)::BIGINT AS n
          |  FROM documents GROUP BY lang, source HAVING count(*) > 512),
+         |jactov AS (
+         |  SELECT 'jaccard_block_tight' AS valve,
+         |    coalesce(lang, '') || ':' || coalesce(source, '') AS bucket,
+         |    count(*)::BIGINT AS n
+         |  FROM documents GROUP BY lang, source HAVING count(*) > 8),
          |hamh AS (
          |  SELECT doc_id,
          |    list_transform(
@@ -4374,6 +4443,7 @@ object ExtensionQueries {
          |  FROM prt WHERE df > 4000)
          |SELECT valve, bucket, n FROM (
          |  SELECT * FROM lshov UNION ALL SELECT * FROM jacov
+         |  UNION ALL SELECT * FROM jactov
          |  UNION ALL SELECT * FROM hamov UNION ALL SELECT * FROM contov
          |  UNION ALL SELECT * FROM fzov UNION ALL SELECT * FROM percov)
          |ORDER BY valve, bucket""".stripMargin,
@@ -5060,6 +5130,15 @@ object ExtensionQueries {
         |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
+    "q_range_join_agg" ->
+      """SELECT count(*)::BIGINT AS n_pairs,
+        |  sum(c_custkey)::BIGINT AS sum_c,
+        |  sum(s_suppkey)::BIGINT AS sum_s,
+        |  sum((c_custkey * 100003 + s_suppkey) % 1000000007)::BIGINT
+        |    AS checksum
+        |FROM customer JOIN supplier
+        |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100""".stripMargin,
+
     "q_asof_join" ->
       """SELECT o_orderkey, o_custkey,
         |  lag(o_orderkey) OVER (PARTITION BY o_custkey
@@ -5379,6 +5458,17 @@ object ExtensionQueries {
          |LEFT JOIN u2 USING (unit)
          |ORDER BY usage DESC, unit""".stripMargin,
 
+    // INVARIANT the parity rests on: this oracle reuses the b16 dp
+    // chain, whose Viterbi segmentation ran under the ROUND-1 usage
+    // scores, while the Spark side re-runs Viterbi under the FINAL
+    // usage2 scores. Parity holds because the key emits only ntok
+    // (token COUNT), and ntok is score-independent: the lexicographic
+    // objective (min ntok, then max usage-sum) decides the count by its
+    // FIRST component alone, and the reachable-segmentation set depends
+    // only on vocab MEMBERSHIP, which prune fixes before either scoring.
+    // If this key ever emits the chosen units, or the objective stops
+    // being count-first, re-derive a third dp chain under usage2 scores
+    // for exact path parity (round-12 ADVICE).
     "q_unigram_encode" ->
       s"""WITH ${unigramOracleCtes(60, 40, 16, 4)},
          |wt AS (
@@ -5891,6 +5981,26 @@ object ExtensionQueries {
         |SELECT doc_id, query_id::BIGINT AS query_id
         |FROM dt JOIN qt USING (term)
         |JOIN served USING (query_id)
+        |GROUP BY doc_id, query_id, n_terms
+        |HAVING count(*) = n_terms
+        |ORDER BY doc_id, query_id""".stripMargin,
+
+    // the hybrid router serves EVERY rule (shuffled + broadcast legs),
+    // so its oracle is q_percolate's full match set — no valve clause
+    "q_percolate_hybrid" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+        |    FROM documents)),
+        |qt AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 'join', 2), (1, 'filter', 2),
+        |    (2, 'window', 2), (2, 'scan', 2),
+        |    (3, 'hash', 3), (3, 'merge', 3), (3, 'sort', 3),
+        |    (4, 'vector', 1)) v(query_id, term, n_terms))
+        |SELECT doc_id, query_id::BIGINT AS query_id
+        |FROM dt JOIN qt USING (term)
         |GROUP BY doc_id, query_id, n_terms
         |HAVING count(*) = n_terms
         |ORDER BY doc_id, query_id""".stripMargin,

@@ -142,8 +142,12 @@ object Scratch {
       time(s"graphshards writeGraphIndex ($shards dirs)")(
         GraphAnn.writeGraphIndex(g, dir))
       g.unpersist()
-      // one-time per-session planning (shard-count-linear driver work)
-      time(s"graphshards first-serve incl. $shards-dir lineage planning")(
+      // one-time per-session lineage planning, isolated from the cold
+      // decode: one whole-index read sliced by partition pruning
+      // (constant driver jobs in the shard count since round 13)
+      time(s"graphshards $shards-dir lineage planning (pure)")(
+        GraphAnn.readGraphIndexAligned(spark, dir).rdd.getNumPartitions)
+      time(s"graphshards first-serve at $shards (cold decode)")(
         GraphAnn.graphTopKResident(spark, dir,
           Knn.vectorAt(corpus, col("vec_id"), 4242L, col("embedding")),
           k = 10).collect())

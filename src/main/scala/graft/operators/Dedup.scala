@@ -480,9 +480,16 @@ object Dedup {
     // be O(distinct blocks) = corpus-linear, a driver-killing forced
     // broadcast at 100 TB. A window count would sort the whole corpus by
     // block first; this gates map-side against a handful of hot keys.
+    // null block keys are dropped BEFORE the gate: an anti join cannot
+    // match a NULL build key, so post-flip they would survive the gate,
+    // ride the fixed-N repartition, and only then be null-rejected by
+    // the pair join's equi condition — wasted shuffle if a large
+    // null-metadata block exists at scale (round-12 ADVICE).
+    val nonNull = sh.filter(
+      blockCols.map(col(_).isNotNull).reduce(_ && _))
     val gated =
-      if (maxBlock == Int.MaxValue) sh
-      else sh.join(
+      if (maxBlock == Int.MaxValue) nonNull
+      else nonNull.join(
         broadcast(df.groupBy(blockCols.map(col): _*)
           .agg(count(lit(1)).as("_bn"))
           .filter(col("_bn") > maxBlock)

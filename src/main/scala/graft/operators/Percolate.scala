@@ -17,10 +17,14 @@ object Percolate {
     * that regime is [[matchesShuffled]]. */
   def matches(docs: DataFrame, idCol: Column, textCol: Column,
               queries: DataFrame): DataFrame =
-    docs
-      .select(idCol.as("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
-      .dropDuplicates("doc_id", "term")
+    matchesOn(docTerms(docs, idCol, textCol), queries)
+
+  /** The broadcast count-equality match over a prebuilt doc-term
+    * relation — shared by [[matches]] and [[matchesHybrid]]'s hot-rule
+    * leg. */
+  private def matchesOn(docTermRel: DataFrame,
+                        queries: DataFrame): DataFrame =
+    docTermRel
       .join(broadcast(queries), Seq("term"))
       .groupBy(col("doc_id"), col("query_id"), col("n_terms"))
       .agg(count(lit(1)).as("matched"))
@@ -74,16 +78,53 @@ object Percolate {
     val served = routingTerms(dt, queries)
       .filter(col("routing_df") <= maxDf)
       .select("query_id", "term")
+    shuffledOn(dt, queries, served)
+  }
+
+  /** The routed-candidate verify leg over prebuilt relations — shared by
+    * [[matchesShuffled]] and [[matchesHybrid]]. `servedRouting` is
+    * (query_id, routing term) for the rules this leg serves. */
+  private def shuffledOn(dt: DataFrame, queries: DataFrame,
+                         servedRouting: DataFrame): DataFrame = {
     val ruleBags = queries.groupBy("query_id")
       .agg(sort_array(collect_set(col("term"))).as("qterms"))
     val docBags = dt.groupBy("doc_id")
       .agg(sort_array(collect_list(col("term"))).as("dterms"))
-    dt.join(served, Seq("term"))
+    dt.join(servedRouting, Seq("term"))
       .select(col("doc_id"), col("query_id"))
       .join(ruleBags, "query_id")
       .join(docBags, "doc_id")
       .filter(forall(col("qterms"), t => array_contains(col("dterms"), t)))
       .select(col("doc_id"), col("query_id"))
+  }
+
+  /** Hybrid router: NO rule is excluded. Rules whose rarest term is
+    * selective enough (`routing_df ≤ maxDf`) serve through the
+    * registry-scale shuffled path; the remainder — all-hot-term rules,
+    * few by construction (every one of their terms is a near-stopword)
+    * — route through the broadcast count-equality leg, which handles a
+    * corpus-scan candidate set gracefully because its aggregate is
+    * map-side partial. [[unservableRules]] is empty by construction
+    * under this router (round-12 verdict item 7). The doc-term relation
+    * and the routing-df table are computed ONCE and feed both legs.
+    *
+    * The broadcast leg's build side is the unserved RULE subset —
+    * registry-bounded; a registry that is MOSTLY all-stopword rules
+    * would degrade to the broadcast path's full cost, which is the
+    * right answer (those rules' candidate sets are corpus scans however
+    * they route — there is no cheaper plan, only an audited refusal,
+    * which is what [[matchesShuffled]] + [[unservableRules]] provide
+    * when refusal is preferable). */
+  def matchesHybrid(docs: DataFrame, idCol: Column, textCol: Column,
+                    queries: DataFrame, maxDf: Long): DataFrame = {
+    val dt = docTerms(docs, idCol, textCol)
+    val rt = routingTerms(dt, queries)
+    val served = rt.filter(col("routing_df") <= maxDf)
+      .select("query_id", "term")
+    val hotRules = queries.join(
+      rt.filter(col("routing_df") > maxDf).select("query_id"),
+      Seq("query_id"), "left_semi")
+    shuffledOn(dt, queries, served).unionByName(matchesOn(dt, hotRules))
   }
 
   /** The rules [[matchesShuffled]] dropped under its `maxDf` valve —

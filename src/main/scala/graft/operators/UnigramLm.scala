@@ -77,11 +77,15 @@ object UnigramLm {
     * highest score sum (negated for min), then shortest unit: a total
     * order, so both engines pick the identical path. Single characters
     * of every corpus word are always in the vocab (never pruned), so
-    * every position is reachable. */
+    * every position is reachable. Vocab membership + score fetch is one
+    * [[graft.plans.VocabScore]] hash lookup (NULL ⇔ absent) — O(1) per
+    * candidate where the round-12 `array_contains`/`array_position`
+    * pair scanned the vocab array linearly, the wrong shape at a real
+    * 32k SentencePiece vocabulary. */
   private def viterbiDp(word: Column, units: Seq[String],
       scores: Seq[Long]): Column = {
-    val us = typedLit(units)
-    val ss = typedLit(scores)
+    def unitScore(u: Column): Column =
+      graft.plans.VocabScore.vocabScore(u, units, scores)
     val L = length(word)
     val emptyUnits = array().cast("array<string>")
     val init = array(struct(lit(0).as("ntok"), lit(0L).as("negssum"),
@@ -90,13 +94,12 @@ object UnigramLm {
       val cands = filter(transform(sequence(lit(1), lit(MaxUnitChars)),
         l => {
           val u = word.substr(k - l + 1, l)
-          when(l <= k && k <= L && array_contains(us, u), {
+          val sc = unitScore(u)
+          when(l <= k && k <= L && sc.isNotNull, {
             val prev = element_at(dp, k - l + 1)
             struct(
               (prev.getField("ntok") + 1).as("ntok"),
-              (prev.getField("negssum") -
-                element_at(ss, array_position(us, u).cast("int")))
-                .as("negssum"),
+              (prev.getField("negssum") - sc).as("negssum"),
               l.as("l"))
           }).otherwise(lit(null))
         }), c => c.isNotNull)
@@ -136,13 +139,19 @@ object UnigramLm {
     * weighted occurrence), one Viterbi+usage round, prune the multi-char
     * set to `keepMulti` by (usage desc, unit) — characters are NEVER
     * pruned, guaranteeing coverage — re-score everything by usage (the
-    * M step), segment once more under the re-estimated scores, and
-    * return the final vocab with its round-2 usage. Eager at call time
-    * (two vocabulary-sized jobs + driver-sized collects — the
+    * M step), then run `emRounds − 1` further segment-and-rescore
+    * rounds over the pruned vocab and return it with its final usage.
+    * The default `emRounds = 2` is the declared-key behavior (one
+    * post-prune round, the shape the oracle CTE chain replays); real
+    * SentencePiece runs a handful — each extra round is one more
+    * vocabulary-sized job, nothing corpus-scale. Eager at call time
+    * (vocabulary-sized jobs + driver-sized collects — the
     * [[BpeStats.trainMerges]] precedent); deterministic throughout, so
     * session caching cannot change results. */
   def trainUnigram(df: DataFrame, textCol: Column, nMulti: Int = 60,
-      keepMulti: Int = 40): Seq[(String, Long)] = {
+      keepMulti: Int = 40, emRounds: Int = 2): Seq[(String, Long)] = {
+    require(emRounds >= 2,
+      s"emRounds must be >= 2 (seed round + post-prune round), got $emRounds")
     val words = wordCounts(df, textCol).persist()
     try {
       val subs = substringCounts(words).persist()
@@ -157,11 +166,16 @@ object UnigramLm {
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       val keptMulti = multi.map { case (u, _) => (u, usage1.getOrElse(u, 0L)) }
         .sortBy { case (u, c) => (-c, u) }.take(keepMulti)
-      val v2 = chars.map { case (u, _) => (u, usage1.getOrElse(u, 0L)) } ++
+      var vocab = chars.map { case (u, _) => (u, usage1.getOrElse(u, 0L)) } ++
         keptMulti
-      val usage2 = segmentedUsage(words, v2)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-      v2.map { case (u, _) => (u, usage2.getOrElse(u, 0L)) }
+      var round = 1
+      while (round < emRounds) {
+        val usage = segmentedUsage(words, vocab)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        vocab = vocab.map { case (u, _) => (u, usage.getOrElse(u, 0L)) }
+        round += 1
+      }
+      vocab
     } finally words.unpersist()
   }
 

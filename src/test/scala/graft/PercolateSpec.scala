@@ -25,7 +25,10 @@ class PercolateSpec extends SparkSuite {
     val v = vocab.length
     val rows = (0 until nRules).flatMap { i =>
       val n = 2 + (i % 2)
-      val ts = (0 until n).map(j => vocab(((i * 31 + j * 97) % v + v) % v))
+      // prime multipliers so the index walk covers the WHOLE vocabulary
+      // for any vocab size (i * 31 collapsed mod the shaped corpus's
+      // v = 31 vocab — every rule drew from 3 terms)
+      val ts = (0 until n).map(j => vocab(((i * 7919 + j * 104729) % v + v) % v))
         .distinct
       ts.map(t => (i.toLong, t, ts.length))
     }
@@ -39,6 +42,26 @@ class PercolateSpec extends SparkSuite {
     val viaShuffle = Percolate.matchesShuffled(docs, col("doc_id"),
       col("text"), reg).as[(Long, Long)].collect().toSet
     assert(viaShuffle === viaBroadcast)
+    assert(viaBroadcast.nonEmpty, "registry should produce some matches")
+  }
+
+  test("matchesHybrid == matches (broadcast) at a 100k-rule registry " +
+      "with a valve that genuinely splits the legs") {
+    val reg = registry(100000)
+    // the shaped corpus has ~31 distinct terms with dfs 25–415 (median
+    // 391 of 500 docs): maxDf = 390 routes roughly half the rules to
+    // the broadcast leg and half through the shuffled leg — both legs
+    // must carry real traffic for this parity to mean anything
+    val maxDf = 390L
+    val hot = Percolate.unservableRules(docs, col("doc_id"), col("text"),
+      reg, maxDf).count()
+    assert(hot > 0 && hot < 100000,
+      s"valve must split the registry, got $hot hot rules")
+    val viaBroadcast = Percolate.matches(docs, col("doc_id"), col("text"),
+      reg).as[(Long, Long)].collect().toSet
+    val viaHybrid = Percolate.matchesHybrid(docs, col("doc_id"),
+      col("text"), reg, maxDf = maxDf).as[(Long, Long)].collect().toSet
+    assert(viaHybrid === viaBroadcast)
     assert(viaBroadcast.nonEmpty, "registry should produce some matches")
   }
 

@@ -22,13 +22,15 @@ for name, sql in sorted(oracle.items()):
         skipped += 1
         continue
     t0 = time.time()
+    # files check BEFORE duckdb.connect(): the early-continue path must
+    # not leak one open connection per missing key over a long run
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output", flush=True); fail += 1; continue
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    files = glob.glob(f"{out}/{name}/*.parquet")
-    if not files:
-        print(f"FAIL {name}: no spark output", flush=True); fail += 1; continue
     try:
         got = pd.read_parquet(f"{out}/{name}")
         exp = con.sql(sql).df()
