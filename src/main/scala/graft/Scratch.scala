@@ -60,7 +60,124 @@ object Scratch {
         args.drop(1).map(_.toInt).toSeq match {
           case Nil => Seq(1024, 4096); case s => s
         })
+    // `runMain graft.Scratch unigramscale [--sf dir] [--nmulti N]
+    //  [--keep N] [--em N]` — unigram-LM train/encode at realistic
+    // vocab scale (round-12 verdict item 5)
+    if (only.contains("unigramscale")) runUnigramScale(spark, args.drop(1))
+    // `runMain graft.Scratch graphupserts [shards]` — streaming upsert
+    // batches interleaved with grouped serves at cluster shard counts
+    // (round-12 verdict item 8's measurement row)
+    if (only.contains("graphupserts"))
+      runGraphUpserts(spark, args.drop(1).headOption.map(_.toInt)
+        .getOrElse(1024))
     spark.stop()
+  }
+
+  /** Unigram-LM at realistic vocabulary scale (round-12 verdict item 5):
+    * the declared key trains ~100 units for oracle replayability; a real
+    * SentencePiece vocab is 1k–32k. Same code path
+    * ([[graft.operators.UnigramLm]]) with nMulti/keepMulti/emRounds
+    * scaled up — measures the train wall (corpus-touched-once + EM
+    * rounds of vocabulary-sized jobs) and the encode wall (distinct-word
+    * Viterbi under a |vocab|-entry [[graft.plans.VocabScore]] hash map +
+    * one corpus join). */
+  private def runUnigramScale(spark: SparkSession,
+      args: Array[String]): Unit = {
+    import graft.operators.UnigramLm
+    val opts = args.sliding(2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v }.toMap
+    val dir = opts.getOrElse("--sf", "/tmp/graft-sf1")
+    val nMulti = opts.getOrElse("--nmulti", "1500").toInt
+    val keep = opts.getOrElse("--keep", "1000").toInt
+    val em = opts.getOrElse("--em", "3").toInt
+    val docs = Tables.documents(spark, dir)
+    println(s"[scratch] unigramscale corpus = ${docs.count()} docs ($dir)")
+    val vocab = time(s"unigram train nMulti=$nMulti keep=$keep em=$em") {
+      UnigramLm.trainUnigram(docs, col("text"), nMulti = nMulti,
+        keepMulti = keep, emRounds = em)
+    }
+    println(s"[scratch] trained vocab = ${vocab.size} units " +
+      s"(${vocab.count(_._1.length >= 2)} multi-char)")
+    val totals = time(s"unigram encode vocab=${vocab.size}") {
+      UnigramLm.unigramTokens(docs, col("doc_id"), col("text"), vocab)
+        .agg(sum("n_ug_tokens").as("tok"), sum("n_words").as("w"))
+        .collect()(0)
+    }
+    println(s"[scratch] encode totals: tokens=${totals.get(0)} " +
+      s"words=${totals.get(1)}")
+  }
+
+  /** Streaming graph upserts INTERLEAVED with grouped serving at cluster
+    * shard counts (round-12 verdict item 8's measurement): build a
+    * 1M × 64 index at `shards` dirs, reach warm grouped steady state,
+    * run one [[graft.streaming.Streams.graphUpsertStream]] micro-batch
+    * of new ids, and measure (a) the batch wall, (b) the FIRST grouped
+    * serve after the swap — fingerprint re-plan + touched-shard reloads
+    * — and (c) the warm steady state after. Untouched shards must serve
+    * from the ResidentCache throughout (the lazy-input contract). */
+  private def runGraphUpserts(spark: SparkSession, shards: Int): Unit = {
+    import graft.operators.{GraphAnn, Knn}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val n = 1000000L; val dim = 64; val nClusters = 256
+    val cores = spark.sparkContext.defaultParallelism
+    val group = math.max(1, shards / (4 * cores))
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          pmod(hash(col("id"), j), lit(1000)).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft-gupserts$shards-").toString
+    val idx = s"$base/idx"
+    val g = time(s"graphupserts build S=$shards (1M x $dim)") {
+      val b = GraphAnn.buildGraph(corpus, col("vec_id"), col("embedding"),
+        numShards = shards, m = 16, efConstruction = 100)
+      b.persist().count(); b
+    }
+    time(s"graphupserts writeGraphIndex ($shards dirs)")(
+      GraphAnn.writeGraphIndex(g, idx))
+    g.unpersist()
+    def serve(i: Int): Double = {
+      val q = Knn.vectorAt(corpus, col("vec_id"), 5000L + i * 97,
+        col("embedding"))
+      val t0 = System.nanoTime()
+      val rows = GraphAnn.graphTopKResident(spark, idx, q, k = 10,
+        ef = 100, shardsPerTask = group).collect()
+      require(rows.length == 10)
+      (System.nanoTime() - t0) / 1e9
+    }
+    serve(0) // cold decode
+    val warm0 = (1 to 5).map(serve).sorted.apply(2)
+    println(f"[scratch] graphupserts S=$shards pre-upsert warm grouped " +
+      f"(g=$group): median-of-5 $warm0%.2f s")
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = graft.streaming.Streams.graphUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), idx, s"$base/chk",
+      numShards = shards, m = 16, efConstruction = 100)
+    try {
+      // 100 brand-new ids — the incremental-insert path; ~min(100,
+      // shards) touched dirs swapped, every other shard byte-untouched
+      val adds = (0 until 100).map { i =>
+        val id = n + i
+        (id, (0 until dim).map(j =>
+          (if (j == id % nClusters) 10.0 else 0.0) +
+            (math.abs((id * 31 + j).hashCode) % 1000) / 1000.0))
+      }
+      time(s"graphupserts upsert batch (100 adds into S=$shards)") {
+        input.addData(adds); q.processAllAvailable()
+      }
+      val tFirst = serve(100)
+      println(f"[scratch] graphupserts S=$shards FIRST grouped serve " +
+        f"after swap (re-plan + touched reloads): $tFirst%.2f s")
+      val warm1 = (101 to 105).map(serve).sorted.apply(2)
+      println(f"[scratch] graphupserts S=$shards post-upsert warm grouped " +
+        f"(g=$group): median-of-5 $warm1%.2f s")
+      val total = GraphAnn.readGraphIndex(spark, idx).count()
+      println(s"[scratch] graphupserts final index rows = $total " +
+        s"(expect ${n + 100})")
+    } finally q.stop()
   }
 
   /** 256-shard graph-ANN serve (VERDICT r10 item 7): the merge-bound

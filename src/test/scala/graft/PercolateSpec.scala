@@ -35,19 +35,36 @@ class PercolateSpec extends SparkSuite {
     rows.toDF("query_id", "term", "n_terms")
   }
 
+  /** Distributed parity signature: the 100k-rule match set is tens of
+    * millions of (rule, doc) pairs — a driver `collect().toSet` per side
+    * cost ~250 s of boxing/Set-building per test (the r13 suite-wall
+    * regression); (count, Σ pair-hash) compares the same multiset with
+    * the work staying in executors. xxhash64 sums ride DECIMAL(38,0)
+    * (the ANSI LONG-overflow rule). */
+  private def matchSig(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(col("query_id"), col("doc_id")).cast("decimal(38,0)")))
+      .head()
+    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  }
+
+  // shared across both 100k-rule tests: the registry build and the
+  // broadcast-form reference signature each cost tens of seconds — one
+  // evaluation serves both parities
+  private lazy val reg100k = registry(100000)
+  private lazy val broadcastSig100k = matchSig(
+    Percolate.matches(docs, col("doc_id"), col("text"), reg100k))
+
   test("matchesShuffled == matches (broadcast) at a 100k-rule registry") {
-    val reg = registry(100000)
-    val viaBroadcast = Percolate.matches(docs, col("doc_id"), col("text"),
-      reg).as[(Long, Long)].collect().toSet
-    val viaShuffle = Percolate.matchesShuffled(docs, col("doc_id"),
-      col("text"), reg).as[(Long, Long)].collect().toSet
-    assert(viaShuffle === viaBroadcast)
-    assert(viaBroadcast.nonEmpty, "registry should produce some matches")
+    val viaShuffle = matchSig(
+      Percolate.matchesShuffled(docs, col("doc_id"), col("text"), reg100k))
+    assert(viaShuffle === broadcastSig100k)
+    assert(broadcastSig100k._1 > 0, "registry should produce some matches")
   }
 
   test("matchesHybrid == matches (broadcast) at a 100k-rule registry " +
       "with a valve that genuinely splits the legs") {
-    val reg = registry(100000)
+    val reg = reg100k
     // the shaped corpus has ~31 distinct terms with dfs 25–415 (median
     // 391 of 500 docs): maxDf = 390 routes roughly half the rules to
     // the broadcast leg and half through the shuffled leg — both legs
@@ -57,12 +74,10 @@ class PercolateSpec extends SparkSuite {
       reg, maxDf).count()
     assert(hot > 0 && hot < 100000,
       s"valve must split the registry, got $hot hot rules")
-    val viaBroadcast = Percolate.matches(docs, col("doc_id"), col("text"),
-      reg).as[(Long, Long)].collect().toSet
-    val viaHybrid = Percolate.matchesHybrid(docs, col("doc_id"),
-      col("text"), reg, maxDf = maxDf).as[(Long, Long)].collect().toSet
-    assert(viaHybrid === viaBroadcast)
-    assert(viaBroadcast.nonEmpty, "registry should produce some matches")
+    val viaHybrid = matchSig(Percolate.matchesHybrid(docs, col("doc_id"),
+      col("text"), reg, maxDf = maxDf))
+    assert(viaHybrid === broadcastSig100k)
+    assert(broadcastSig100k._1 > 0, "registry should produce some matches")
   }
 
   test("term-selectivity valve: an all-hot-term rule is excluded AND " +

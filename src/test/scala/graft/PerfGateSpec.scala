@@ -63,4 +63,50 @@ class PerfGateSpec extends SparkSuite {
       s"queries over the ${f"$budget%.2f"}s budget (median ${f"$median%.2f"}s): " +
         over.map { case (n, t) => f"$n=$t%.2f s" }.mkString(", "))
   }
+
+  /** ABSOLUTE sf0.1 budgets for the heaviest keys (round-12 verdict item
+    * 6): the self-calibrating sf0.01 gate above catches per-row
+    * pathologies relative to the inventory median, but a regression
+    * CONFINED to one heavy key (the round-11 q_fuzzy_join 2.5× class)
+    * moves the median too little to trip it. These budgets pin each key
+    * to ~2.5× its recorded BENCH_r12 sf0.1 median (median-of-3 here, so
+    * this host's documented multi-second stalls don't flake the gate;
+    * 2.5× headroom covers the recorded single-pass variance bands).
+    * Update a budget ONLY with a BASELINE.md note explaining the new
+    * recorded median. */
+  private val sf01Budgets: Seq[(String, Double)] = Seq(
+    "q_curation_funnel"       -> 19.0, // r12 median 7.56 s
+    "q_tfidf_simjoin"         -> 11.0, // 4.13
+    "q_containment_pairs"     -> 10.0, // 4.02
+    "q_gopher_repetition"     -> 10.0, // 3.80
+    "q_cluster_rep"           -> 10.0, // 3.72
+    "q_dedup_components_star" ->  9.0, // 3.61
+    "q_dedup_substring"       ->  9.0, // 3.32
+    "q_lm_score2"             ->  8.0, // 3.22
+    "q_dedup_components"      ->  7.0, // 2.75
+    "q_fuzzy_join"            ->  6.0, // 2.27
+    "q_embed_neardup_lsh"     ->  6.0, // 2.23
+    "q_valve_audit"           ->  6.0) // 2.16
+
+  test("heaviest keys hold their recorded sf0.1 budgets (median of 3)") {
+    val dir01 = "/root/testdata/sf0.1"
+    val byName = SparkEntry.queries
+    Tables.names.foreach(t => Tables.load(spark, dir01, t).count())
+    // warmup: footers, codegen, one-time index/vocab training
+    sf01Budgets.foreach { case (name, _) =>
+      byName(name)(spark, dir01).write.format("noop").mode("overwrite").save()
+    }
+    val over = sf01Budgets.flatMap { case (name, budget) =>
+      val med = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        byName(name)(spark, dir01)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+      if (med > budget) Some(f"$name=$med%.2f s (budget $budget%.1f)")
+      else None
+    }
+    assert(over.isEmpty,
+      s"heavy keys over their recorded sf0.1 budgets: ${over.mkString(", ")}")
+  }
 }
