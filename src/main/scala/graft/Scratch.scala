@@ -90,7 +90,16 @@ object Scratch {
     val nMulti = opts.getOrElse("--nmulti", "1500").toInt
     val keep = opts.getOrElse("--keep", "1000").toInt
     val em = opts.getOrElse("--em", "3").toInt
+    // the synthetic documents text has ~31 distinct words — far too few
+    // 2–4-char substrings to seed a 1k-unit vocabulary. Salt each doc
+    // with two deterministic 16-char md5-hex words: the hex alphabet
+    // yields ~70k candidate units and ~2 distinct words PER DOC, so the
+    // distinct-word Viterbi table reaches corpus scale (~100k words at
+    // sf1) — the shape a real crawl corpus gives this operator.
     val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat_ws(" ", col("text"),
+        substring(md5(col("doc_id").cast("string")), 1, 16),
+        substring(md5(col("doc_id").cast("string")), 17, 16)).as("text"))
     println(s"[scratch] unigramscale corpus = ${docs.count()} docs ($dir)")
     val vocab = time(s"unigram train nMulti=$nMulti keep=$keep em=$em") {
       UnigramLm.trainUnigram(docs, col("text"), nMulti = nMulti,

@@ -117,6 +117,42 @@ object UnigramLm {
     })
   }
 
+  /** [[viterbiDp]] without the `units` path arrays: dp entries carry only
+    * (ntok, negssum), so each position appends a 2-field struct instead
+    * of copying a growing string array — the ENCODE-path variant, where
+    * only the token COUNT is consumed ([[unigramTokens]]). Identical
+    * candidate comparison (the (ntok, negssum, l) total order — the
+    * units field never participates in it), so ntok values match
+    * [[viterbiDp]]'s exactly (walls in BASELINE.md's unigramscale row). */
+  private def viterbiNtokDp(word: Column, units: Seq[String],
+      scores: Seq[Long]): Column = {
+    def unitScore(u: Column): Column =
+      graft.plans.VocabScore.vocabScore(u, units, scores)
+    val L = length(word)
+    val init = array(struct(lit(0).as("ntok"), lit(0L).as("negssum")))
+    aggregate(sequence(lit(1), lit(MaxWordChars)), init, (dp, k) => {
+      val cands = filter(transform(sequence(lit(1), lit(MaxUnitChars)),
+        l => {
+          val u = word.substr(k - l + 1, l)
+          val sc = unitScore(u)
+          when(l <= k && k <= L && sc.isNotNull, {
+            val prev = element_at(dp, k - l + 1)
+            struct(
+              (prev.getField("ntok") + 1).as("ntok"),
+              (prev.getField("negssum") - sc).as("negssum"),
+              l.as("l"))
+          }).otherwise(lit(null))
+        }), c => c.isNotNull)
+      val best = array_min(cands)
+      val entry = when(k > L || best.isNull,
+          struct(lit(Unreachable).as("ntok"), lit(0L).as("negssum")))
+        .otherwise(struct(
+          best.getField("ntok").as("ntok"),
+          best.getField("negssum").as("negssum")))
+      concat(dp, array(entry))
+    })
+  }
+
   /** Segment the distinct-word table under a scored vocab: (word, wcnt,
     * units, ntok) — the Viterbi path's units with multiplicity. */
   def segmentWords(words: DataFrame, vocab: Seq[(String, Long)]): DataFrame = {
@@ -187,7 +223,7 @@ object UnigramLm {
     * n_ug_tokens, n_words). */
   def unigramTokens(df: DataFrame, idCol: Column, textCol: Column,
       vocab: Seq[(String, Long)]): DataFrame = {
-    val dp = viterbiDp(col("word"), vocab.map(_._1), vocab.map(_._2))
+    val dp = viterbiNtokDp(col("word"), vocab.map(_._1), vocab.map(_._2))
     val wordTok = df.select(explode(tokens(textCol)).as("word")).distinct()
       .select(col("word"),
         when(length(col("word")) > MaxWordChars, lit(1))

@@ -4,7 +4,7 @@ with wall-clock per key and incremental output — for the long sf10
 full-inventory verify where a single monolithic run would hide progress
 and one pathological oracle would stall the rest.
 Usage: check_each.py <sfDir> <verifyOutDir> [--skip k1,k2] [query ...]"""
-import sys, json, glob, time, duckdb, pandas as pd
+import os, sys, json, glob, time, duckdb, pandas as pd
 
 sf, out = sys.argv[1], sys.argv[2]
 args = sys.argv[3:]
@@ -28,6 +28,13 @@ for name, sql in sorted(oracle.items()):
     if not files:
         print(f"FAIL {name}: no spark output", flush=True); fail += 1; continue
     con = duckdb.connect()
+    # cap DuckDB's footprint and let it SPILL instead of OOM-ing the
+    # host: the sf10 q_gopher_repetition replay grew past 127 GB RSS and
+    # was oom-killed with the default (80%-of-RAM) limit. Override with
+    # GRAFT_DUCK_MEM; spill files go under the verify out dir.
+    mem = os.environ.get("GRAFT_DUCK_MEM", "48GB")
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql(f"SET temp_directory='{out}/.duckdb_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
