@@ -4557,47 +4557,88 @@ object ExtensionQueries {
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> x != '') AS tk FROM documents),
+        |-- lead-window shingling (the Spark side's form): the previous
+        |-- unnest carried the WHOLE tk array once per position — ~1.6B
+        |-- in-flight list elements at sf10, untracked by memory_limit
+        |-- (three 130-GB oom-kills); per-token rows + lead() are linear
         |ex AS (
-        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |    unnest(generate_series(1, len(tk))) AS p
         |  FROM toks),
+        |w AS (
+        |  SELECT doc_id, p, tok,
+        |    lead(tok, 1) OVER win AS tok1,
+        |    lead(tok, 2) OVER win AS tok2,
+        |    lead(tok, 3) OVER win AS tok3,
+        |    lead(tok, 4) OVER win AS tok4
+        |  FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
         |grams AS (
         |  SELECT doc_id, p, n,
-        |    array_to_string(tk[p : p+n-1], ' ') AS g,
-        |    list_sum(list_transform(tk[p : p+n-1],
-        |      x -> len(x)))::BIGINT AS glen
-        |  FROM ex, (VALUES (1),(2),(3),(5)) ns(n)
-        |  WHERE p + n - 1 <= len(tk)),
+        |    CASE n WHEN 1 THEN tok WHEN 2 THEN tok || ' ' || tok1
+        |      WHEN 3 THEN tok || ' ' || tok1 || ' ' || tok2
+        |      ELSE tok || ' ' || tok1 || ' ' || tok2 || ' ' || tok3 ||
+        |        ' ' || tok4 END AS g,
+        |    (CASE n WHEN 1 THEN len(tok) WHEN 2 THEN len(tok) + len(tok1)
+        |      WHEN 3 THEN len(tok) + len(tok1) + len(tok2)
+        |      ELSE len(tok) + len(tok1) + len(tok2) + len(tok3) +
+        |        len(tok4) END)::BIGINT AS glen
+        |  FROM w, (VALUES (1),(2),(3),(5)) ns(n)
+        |  WHERE CASE n WHEN 1 THEN TRUE WHEN 2 THEN tok1 IS NOT NULL
+        |    WHEN 3 THEN tok2 IS NOT NULL ELSE tok4 IS NOT NULL END),
+        |-- no list() aggregate states anywhere: DuckDB hash-agg list
+        |-- states do not spill and drove the replay to 130 GB; the
+        |-- dup-5-gram coverage is a positions JOIN instead (a covered
+        |-- position is one within [s, s+4] of ANY >=2-count 5-gram
+        |-- start s — DISTINCT before summing, same set as the old
+        |-- per-position list_filter)
         |pg AS (
-        |  SELECT doc_id, n, g, count(*)::BIGINT AS c, max(glen) AS glen,
-        |    list(p ORDER BY p) AS ps
+        |  SELECT doc_id, n, g, count(*)::BIGINT AS c, max(glen) AS glen
         |  FROM grams GROUP BY doc_id, n, g),
-        |pd AS (
-        |  -- most frequent gram, count ties broken by max glen (struct max
-        |  -- is lexicographic — the Spark agg's exact rule)
+        |pd0 AS (
+        |  -- most frequent gram, count ties broken by max glen. The
+        |  -- lexicographic (c, glen) max rides ONE BIGINT (c·2^31 +
+        |  -- glen; exact while glen < 2^31 — glen is a per-doc char sum,
+        |  -- orders of magnitude below): a STRUCT-typed max agg state
+        |  -- heap-allocates per update untracked by memory_limit — the
+        |  -- last of the replay's three 130-GB allocation sites
         |  SELECT doc_id,
         |    (sum(CASE WHEN n = 1 THEN c * glen END))::BIGINT AS total_chars,
-        |    (max(CASE WHEN n = 2 THEN {'c': c, 'glen': glen} END)).c *
-        |      (max(CASE WHEN n = 2 THEN {'c': c, 'glen': glen} END)).glen
-        |      AS top2,
-        |    (max(CASE WHEN n = 3 THEN {'c': c, 'glen': glen} END)).c *
-        |      (max(CASE WHEN n = 3 THEN {'c': c, 'glen': glen} END)).glen
-        |      AS top3,
-        |    flatten(list(CASE WHEN n = 5 AND c >= 2 THEN ps
-        |      ELSE [] END)) AS starts
-        |  FROM pg GROUP BY doc_id)
-        |SELECT t.doc_id,
+        |    max(CASE WHEN n = 2 THEN c * 2147483648 + glen END) AS m2,
+        |    max(CASE WHEN n = 3 THEN c * 2147483648 + glen END) AS m3
+        |  FROM pg GROUP BY doc_id),
+        |pd AS (
+        |  SELECT doc_id, total_chars,
+        |    (m2 // 2147483648) * (m2 % 2147483648) AS top2,
+        |    (m3 // 2147483648) * (m3 % 2147483648) AS top3
+        |  FROM pd0),
+        |g5 AS (
+        |  SELECT doc_id, g FROM grams WHERE n = 5
+        |  GROUP BY doc_id, g HAVING count(*) >= 2),
+        |starts AS (
+        |  SELECT gr.doc_id, gr.p FROM grams gr
+        |  JOIN g5 ON gr.doc_id = g5.doc_id AND gr.g = g5.g
+        |  WHERE gr.n = 5),
+        |covered AS (
+        |  SELECT DISTINCT e.doc_id, e.p, len(e.tok) AS toklen
+        |  FROM ex e JOIN starts s
+        |    ON e.doc_id = s.doc_id AND e.p >= s.p AND e.p < s.p + 5),
+        |cov AS (
+        |  SELECT doc_id, sum(toklen)::BIGINT AS covchars
+        |  FROM covered GROUP BY doc_id)
+        |SELECT pd.doc_id,
         |  pd.total_chars AS n_token_chars,
         |  coalesce(pd.top2::DOUBLE / pd.total_chars::DOUBLE,
         |    0.0::DOUBLE) AS top_2gram_char_frac,
         |  coalesce(pd.top3::DOUBLE / pd.total_chars::DOUBLE,
         |    0.0::DOUBLE) AS top_3gram_char_frac,
-        |  coalesce(list_sum(list_transform(generate_series(1, len(t.tk)),
-        |      pp -> CASE WHEN len(list_filter(pd.starts,
-        |          s -> s <= pp AND pp < s + 5)) > 0
-        |        THEN len(t.tk[pp]) ELSE 0 END)),
-        |    0)::DOUBLE / pd.total_chars::DOUBLE AS dup_5gram_char_frac
-        |FROM toks t JOIN pd USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |  coalesce(cov.covchars, 0)::DOUBLE / pd.total_chars::DOUBLE
+        |    AS dup_5gram_char_frac
+        |FROM pd LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // ^ deliberately NO final ORDER BY: the checkers sort rows before
+    // comparing, and a trailing ORDER BY flips DuckDB's plan from
+    // streaming to full materialization — measured 10.8 GB / 29 s
+    // without it vs five 130-GB oom-kills with it at sf10 (the
+    // order-by-materialization trap; profile in BASELINE.md r13)
 
     // line dedup: the oracle groups RAW lines (the raw-shingle pattern —
     // a Spark-side xxhash64 collision would surface as a mismatch);

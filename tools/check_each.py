@@ -35,6 +35,13 @@ for name, sql in sorted(oracle.items()):
     mem = os.environ.get("GRAFT_DUCK_MEM", "48GB")
     con.sql(f"SET memory_limit='{mem}'")
     con.sql(f"SET temp_directory='{out}/.duckdb_spill'")
+    # window/list intermediates are buffered PER THREAD and not all of
+    # them count against memory_limit — the 32-thread default blew past
+    # a 90GB limit to 130 GB RSS on the sf10 gopher replay; fewer
+    # threads bound the untracked share
+    threads = os.environ.get("GRAFT_DUCK_THREADS")
+    if threads:
+        con.sql(f"SET threads={int(threads)}")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
