@@ -64,6 +64,12 @@ object Scratch {
     //  [--keep N] [--em N]` — unigram-LM train/encode at realistic
     // vocab scale (round-12 verdict item 5)
     if (only.contains("unigramscale")) runUnigramScale(spark, args.drop(1))
+    // `runMain graft.Scratch wordpiecescale [--sf dir] [--vocab N]` —
+    // WordPiece encode at the reference tokenizer's real vocabulary
+    // size (all-MiniLM-L6-v2 = BERT WordPiece, 30,522 entries;
+    // round-13 verdict item 1)
+    if (only.contains("wordpiecescale"))
+      runWordpieceScale(spark, args.drop(1))
     // `runMain graft.Scratch graphupserts [shards]` — streaming upsert
     // batches interleaved with grouped serves at cluster shard counts
     // (round-12 verdict item 8's measurement row)
@@ -114,6 +120,56 @@ object Scratch {
     }
     println(s"[scratch] encode totals: tokens=${totals.get(0)} " +
       s"words=${totals.get(1)}")
+  }
+
+  /** WordPiece encode at realistic vocabulary scale (round-13 verdict
+    * item 1, the one `weak`): the declared key encodes under a small
+    * BPE-derived vocab for oracle replayability; the reference's actual
+    * tokenizer (all-MiniLM-L6-v2 = BERT WordPiece) carries 30,522
+    * entries, where the pre-round-14 `array_contains` membership was
+    * ~|vocab|×16×16 ≈ 10⁶ string comparisons per distinct word. Same
+    * code path ([[graft.operators.BpeStats.wordpieceTokens]], now a
+    * [[graft.plans.VocabScore]] O(1) hash lookup) with the vocabulary
+    * padded to BERT size: the char-level base (wordpieceVocab under
+    * zero merges — every corpus word stays encodable, so the greedy
+    * loop runs its full 16×16 band instead of short-circuiting to
+    * [UNK]) plus deterministic multi-char hex units (bare + '##'
+    * continuation forms) that give the md5-salt words (unigramscale
+    * recipe) real longest-match work. */
+  private def runWordpieceScale(spark: SparkSession,
+      args: Array[String]): Unit = {
+    import graft.operators.BpeStats
+    val opts = args.sliding(2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v }.toMap
+    val dir = opts.getOrElse("--sf", "/tmp/graft-sf1")
+    val target = opts.getOrElse("--vocab", "30522").toInt
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat_ws(" ", col("text"),
+        substring(md5(col("doc_id").cast("string")), 1, 16),
+        substring(md5(col("doc_id").cast("string")), 17, 16)).as("text"))
+    println(s"[scratch] wordpiecescale corpus = ${docs.count()} docs ($dir)")
+    val base = time("wordpiecescale char-level base vocab") {
+      BpeStats.wordpieceVocab(docs, col("text"), Nil)
+    }
+    val hex = "0123456789abcdef"
+    val pad = Iterator.from(2).flatMap { len =>
+      def units(prefix: String, l: Int): Iterator[String] =
+        if (l == 0) Iterator(prefix)
+        else hex.iterator.flatMap(c => units(prefix + c, l - 1))
+      units("", len).flatMap(u => Iterator(u, "##" + u))
+    }
+    val vocab = (base ++ pad.filterNot(base.contains)
+      .take(math.max(0, target - base.size))).sorted
+    println(s"[scratch] vocab = ${vocab.size} units " +
+      s"(${base.size} char-level base + ${vocab.size - base.size} hex pad)")
+    val totals = time(s"wordpiece encode vocab=${vocab.size}") {
+      BpeStats.wordpieceTokens(docs, col("doc_id"), col("text"), vocab)
+        .agg(sum("n_wp_tokens").as("tok"), sum("n_unk_words").as("unk"),
+          sum("n_words").as("w"))
+        .collect()(0)
+    }
+    println(s"[scratch] encode totals: tokens=${totals.get(0)} " +
+      s"unk_words=${totals.get(1)} words=${totals.get(2)}")
   }
 
   /** Streaming graph upserts INTERLEAVED with grouped serving at cluster

@@ -732,6 +732,7 @@ object GraphAnn {
       val idxsByShard: Map[Int, Set[Int]] = shardOfPart.iterator.zipWithIndex
         .collect { case (Some(s), i) => (s, i) }.toSeq
         .groupMap(_._1)(_._2).map { case (s, is) => (s, is.toSet) }
+      val hosts = executorHosts(spark)
       fps.map { case (shard, path, fp) =>
         // each prune closure captures ONLY its own partition-index set
         // (usually one element) — the per-stage task binary stays small
@@ -742,9 +743,51 @@ object GraphAnn {
         val one =
           if (pruned.getNumPartitions <= 1) pruned
           else pruned.coalesce(1, shuffle = false)
-        (shard, path, fp, one)
+        (shard, path, fp, homed(shard, one, hosts))
       }
     }
+  }
+
+  /** Distinct executor hosts, sorted — the home ring for [[homed]].
+    * Computed once per lineage build (the plan is session-cached); a
+    * fleet change (dynamic allocation, executor loss) re-rings on the
+    * next rebuild — shards re-home, caches refill, never a wrong
+    * answer. Empty/singleton ⇒ homing is a no-op (local mode). */
+  private def executorHosts(
+      spark: org.apache.spark.sql.SparkSession): IndexedSeq[String] =
+    spark.sparkContext.statusTracker.getExecutorInfos
+      .map(_.host()).distinct.sorted.toIndexedSeq
+
+  /** Pin a shard RDD's preferred location to `hosts(shard mod |hosts|)`
+    * — the stable shard→host home (round-13 verdict item 2).
+    * [[org.apache.spark.rdd.PartitionPruningRDD]] tasks carry no
+    * locality preference, so without this the scheduler sprays each
+    * shard's serves across the fleet and every executor's
+    * [[ResidentCache]] working set trends toward the WHOLE index; with
+    * it, delay scheduling sends shard S's serves to one host and the
+    * cluster-wide resident set PARTITIONS ≈ |index|/|hosts| per host.
+    * A preference, not a constraint: a busy/lost home falls back to any
+    * executor after the locality wait — a cache miss there, never a
+    * wrong answer. Host-level (public `statusTracker` surface) — on
+    * multi-executor hosts the per-host cache count stays ≥ 1 but the
+    * cross-HOST replication is what OOMs at 100 TB. */
+  private def homed[T: scala.reflect.ClassTag](shard: Int,
+      rdd: org.apache.spark.rdd.RDD[T],
+      hosts: IndexedSeq[String]): org.apache.spark.rdd.RDD[T] =
+    if (hosts.length <= 1) rdd
+    else new HomedRdd(rdd, Seq(hosts(math.floorMod(shard, hosts.length))))
+
+  /** Narrow identity wrapper carrying a pinned preferred location. */
+  private final class HomedRdd[T](prev: org.apache.spark.rdd.RDD[T],
+      home: Seq[String])(implicit ct: scala.reflect.ClassTag[T])
+      extends org.apache.spark.rdd.RDD[T](prev) {
+    override def getPartitions: Array[org.apache.spark.Partition] =
+      firstParent[T].partitions
+    override def compute(split: org.apache.spark.Partition,
+        ctx: org.apache.spark.TaskContext): Iterator[T] =
+      firstParent[T].iterator(split, ctx)
+    override protected def getPreferredLocations(
+        split: org.apache.spark.Partition): Seq[String] = home
   }
 
   /** Round-12 per-shard-directory planning, kept as the fallback when
@@ -755,15 +798,17 @@ object GraphAnn {
       fps: Seq[(Int, String, String)])
       : Seq[(Int, String, String, org.apache.spark.rdd.RDD[GraphNode])] = {
     import spark.implicits._
+    val hosts = executorHosts(spark)
     fps.map { case (shard, path, fp) =>
       (shard, path, fp,
-        withLayers(spark.read.parquet(path))
-          .withColumn("shard", lit(shard))
-          .select(col("shard"), col("id"), col("vec"), col("neighbors"),
-            col("layers"))
-          .as[GraphNode]
-          .coalesce(1)
-          .rdd)
+        homed(shard,
+          withLayers(spark.read.parquet(path))
+            .withColumn("shard", lit(shard))
+            .select(col("shard"), col("id"), col("vec"), col("neighbors"),
+              col("layers"))
+            .as[GraphNode]
+            .coalesce(1)
+            .rdd, hosts))
     }
   }
 
@@ -784,20 +829,65 @@ object GraphAnn {
     * its next query, while an unchanged shard's task leaves its input
     * iterator unconsumed so the parquet files are never even opened
     * (FileScanRDD opens lazily). At most one graph per served shard dir
-    * stays cached — the resident working set a serving executor is
-    * sized for. On a cluster each executor caches only the shards
-    * scheduled onto it; a locality miss is a reload, never a wrong
-    * answer. */
+    * stays cached, and the TOTAL resident bytes are LRU-bounded by
+    * [[capBytes]] (round-13 verdict item 2: without a bound, long
+    * serving sessions trend each executor's working set toward the
+    * whole index — executor-OOM territory at 100 TB-corpus index
+    * sizes). Eviction order is least-recently-SERVED; the entry being
+    * served is never evicted, so a cap smaller than one shard still
+    * serves correctly (it just reloads every time). An evicted shard's
+    * next query is a reload — never a wrong answer. Stable shard→host
+    * homes come from the planning side ([[homed]]): with locality
+    * honored, the cluster-wide working set PARTITIONS across executors
+    * instead of converging to full replication, and this bound is the
+    * backstop for locality misses. */
   private[graft] object ResidentCache {
-    private val graphs = new java.util.concurrent.ConcurrentHashMap[
-      String, (String, ShardGraph)]()
+    private final class Entry(val fp: String, val g: ShardGraph,
+        val bytes: Long) {
+      val tick = new java.util.concurrent.atomic.AtomicLong
+    }
+    private val graphs =
+      new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    private val ticker = new java.util.concurrent.atomic.AtomicLong
+    private val bytesUsed = new java.util.concurrent.atomic.AtomicLong
+    private val evictLock = new Object
+    /** Resident-byte budget per JVM (per executor on a cluster).
+      * Default: `graft.graph.residentCacheBytes` system property, else
+      * unbounded (the pre-round-14 behavior — a deployment opts into a
+      * budget sized to executor memory). Settable at runtime; shrinking
+      * takes effect at the next load. */
+    private[graft] val capBytes = new java.util.concurrent.atomic.AtomicLong(
+      sys.props.get("graft.graph.residentCacheBytes").map(_.toLong)
+        .getOrElse(Long.MaxValue))
     /** Total cold loads — observable cache behavior for GraphAnnSpec. */
     private[graft] val loads = new java.util.concurrent.atomic.AtomicLong
+    /** Total LRU evictions (fingerprint-change replacements excluded). */
+    private[graft] val evictions = new java.util.concurrent.atomic.AtomicLong
+    private[graft] def residentBytes: Long = bytesUsed.get()
+    private[graft] def residentEntries: Int = graphs.size()
+
+    /** Decoded size estimate: vector payload + adjacency payload + JVM
+      * object/LongMap-slot overhead per node and per edge list. An
+      * estimate (eviction budget, not an allocator) — deliberately on
+      * the high side so the cap errs toward evicting early. */
+    private def estimateBytes(g: ShardGraph): Long = {
+      var b = 0L
+      g.vecs.foreachValue(v => b += 64L + v.length * 8L)
+      def adj(m: mutable.LongMap[mutable.ArrayBuffer[Long]]): Unit =
+        m.foreachValue(a => b += 64L + a.length * 8L)
+      adj(g.adj0)
+      g.adjUpper.foreach(adj)
+      b
+    }
+
     private[operators] def getOrLoad(key: String, fingerprint: String,
-        load: () => Array[GraphNode]): ShardGraph =
-      graphs.compute(key, (_, cur) =>
-        if (cur != null && cur._1 == fingerprint) cur
+        load: () => Array[GraphNode]): ShardGraph = {
+      // per-key atomic: concurrent tasks for the SAME shard load once;
+      // different shards load in parallel (no global lock around load())
+      val e = graphs.compute(key, (_, cur) =>
+        if (cur != null && cur.fp == fingerprint) cur
         else {
+          if (cur != null) bytesUsed.addAndGet(-cur.bytes)
           loads.incrementAndGet()
           val nodes = load()
           val maxLevel = nodes.iterator
@@ -805,9 +895,44 @@ object GraphAnn {
             .foldLeft(0)(math.max)
           val g = new ShardGraph(maxLevel)
           g.load(nodes)
-          (fingerprint, g)
-        })._2
-    def clear(): Unit = graphs.clear()
+          val entry = new Entry(fingerprint, g, estimateBytes(g))
+          bytesUsed.addAndGet(entry.bytes)
+          entry
+        })
+      e.tick.set(ticker.incrementAndGet())
+      if (bytesUsed.get() > capBytes.get()) evictLru(keep = key)
+      e.g
+    }
+
+    /** Evict least-recently-served entries until under budget. One
+      * evictor at a time (the scan is O(resident entries) — executor
+      * shard counts, not corpus sizes); `keep` (the entry being served
+      * right now) is exempt so the serve in flight never loses its
+      * graph. Removal is conditional on identity, so a concurrent
+      * fingerprint-swap of the victim key is never double-subtracted. */
+    private def evictLru(keep: String): Unit = evictLock.synchronized {
+      val cap = capBytes.get()
+      while (bytesUsed.get() > cap && graphs.size() > 1) {
+        var victimKey: String = null
+        var victim: Entry = null
+        var minTick = Long.MaxValue
+        graphs.forEach { (k, e) =>
+          if (k != keep && e.tick.get() < minTick) {
+            minTick = e.tick.get(); victimKey = k; victim = e
+          }
+        }
+        if (victimKey == null) return
+        if (graphs.remove(victimKey, victim)) {
+          bytesUsed.addAndGet(-victim.bytes)
+          evictions.incrementAndGet()
+        }
+      }
+    }
+
+    def clear(): Unit = evictLock.synchronized {
+      graphs.clear()
+      bytesUsed.set(0L)
+    }
   }
 
   /** One (shard, dirPath, fingerprint) per shard=N directory, from ONE

@@ -429,4 +429,55 @@ class GraphAnnSpec extends SparkSuite {
       .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
     assert(j2 === j1)
   }
+
+  test("resident cache LRU bound: a byte cap smaller than the index " +
+      "evicts least-recently-served shards, keeps resident bytes under " +
+      "the cap, and capped serves return identical results") {
+    val g = GraphAnn.buildGraph(emb, col("vec_id"), col("embedding"),
+      numShards = 8, m = 8, efConstruction = 40)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-resident-lru").toString
+    GraphAnn.writeGraphIndex(g, dir)
+    GraphAnn.ResidentCache.clear()
+    val cap0 = GraphAnn.ResidentCache.capBytes.get()
+    try {
+      val q = Knn.vectorAt(emb, col("vec_id"), 5L, col("embedding"))
+      // uncapped pass: the whole 8-shard index goes resident
+      val uncapped = GraphAnn.graphTopKResident(spark, dir, q, k = 10)
+        .as[(Long, Double)].collect()
+      val fullBytes = GraphAnn.ResidentCache.residentBytes
+      assert(fullBytes > 0L)
+      assert(GraphAnn.ResidentCache.residentEntries === 8)
+      // cap at ~3 shards' worth: the working set no longer fits
+      val cap = fullBytes * 3 / 8
+      GraphAnn.ResidentCache.capBytes.set(cap)
+      GraphAnn.ResidentCache.clear()
+      val loads0 = GraphAnn.ResidentCache.loads.get()
+      val ev0 = GraphAnn.ResidentCache.evictions.get()
+      val capped = GraphAnn.graphTopKResident(spark, dir, q, k = 10)
+        .as[(Long, Double)].collect()
+      assert(capped === uncapped,
+        "a capped cache must serve the same answers (misses reload)")
+      assert(GraphAnn.ResidentCache.residentBytes <= cap,
+        s"resident ${GraphAnn.ResidentCache.residentBytes} B over cap $cap B")
+      assert(GraphAnn.ResidentCache.residentEntries < 8,
+        "a 3/8 cap cannot hold all 8 shards")
+      assert(GraphAnn.ResidentCache.evictions.get() > ev0,
+        "over-budget loads must evict")
+      // capped repeat: identical again; reloads are BOUNDED — at most
+      // one cold load per shard per serve (never a thrash loop within
+      // one serve: the in-flight entry is eviction-exempt)
+      val again = GraphAnn.graphTopKResident(spark, dir, q, k = 10)
+        .as[(Long, Double)].collect()
+      assert(again === uncapped)
+      val reloads = GraphAnn.ResidentCache.loads.get() - loads0
+      assert(reloads >= 9L,
+        "a cache smaller than the working set must reload on the repeat")
+      assert(reloads <= 16L, s"at most 8 loads per serve, saw $reloads")
+      assert(GraphAnn.ResidentCache.residentBytes <= cap)
+    } finally {
+      GraphAnn.ResidentCache.capBytes.set(cap0)
+      GraphAnn.ResidentCache.clear()
+    }
+  }
 }

@@ -43,7 +43,11 @@ class PercolateSpec extends SparkSuite {
     * (the ANSI LONG-overflow rule). */
   private def matchSig(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
     val r = df.agg(count(lit(1)),
-      sum(xxhash64(col("query_id"), col("doc_id")).cast("decimal(38,0)")))
+      // sum() over zero rows is NULL — coalesce so an empty match set
+      // reports as (0, 0) and fails the count assertion with its real
+      // message instead of an NPE here (round-13 ADVICE #1)
+      coalesce(sum(xxhash64(col("query_id"), col("doc_id"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
       .head()
     (r.getLong(0), BigDecimal(r.getDecimal(1)))
   }

@@ -68,13 +68,22 @@ class PerfGateSpec extends SparkSuite {
     * 6): the self-calibrating sf0.01 gate above catches per-row
     * pathologies relative to the inventory median, but a regression
     * CONFINED to one heavy key (the round-11 q_fuzzy_join 2.5× class)
-    * moves the median too little to trip it. These budgets pin each key
-    * to ~2.5× its recorded BENCH_r12 sf0.1 median (median-of-3 here, so
-    * this host's documented multi-second stalls don't flake the gate;
-    * 2.5× headroom covers the recorded single-pass variance bands).
-    * Update a budget ONLY with a BASELINE.md note explaining the new
-    * recorded median. */
-  private val sf01Budgets: Seq[(String, Double)] = Seq(
+    * moves the median too little to trip it.
+    *
+    * Budget source (round-13 verdict item 7): 2.5 × the key's recorded
+    * sf0.1 median in the COMMITTED close-bench artifact
+    * (`BENCH_local.json` — per-key medians-of-3), so the gate tightens
+    * automatically as the engine gets faster instead of drifting from
+    * hand-copied numbers; the r12 medians below remain the floor when
+    * the artifact is absent (fresh checkout pre-bench). Host
+    * calibration (round-13 ADVICE #2): every budget is scaled by
+    * max(1, this-run 12-key median / artifact 12-key median) — a
+    * uniformly slower or contended host inflates ALL measurements and
+    * the factor with them, staying green, while a single-key regression
+    * barely moves the 12-key median and still fails. The
+    * `GRAFT_PERF_BUDGET_SCALE` env var multiplies on top (explicit
+    * escape hatch for qualitatively different hardware). */
+  private val sf01Fallback: Seq[(String, Double)] = Seq(
     "q_curation_funnel"       -> 19.0, // r12 median 7.56 s
     "q_tfidf_simjoin"         -> 11.0, // 4.13
     "q_containment_pairs"     -> 10.0, // 4.02
@@ -88,23 +97,54 @@ class PerfGateSpec extends SparkSuite {
     "q_embed_neardup_lsh"     ->  6.0, // 2.23
     "q_valve_audit"           ->  6.0) // 2.16
 
+  /** Per-key medians from the committed bench artifact, when present.
+    * The file is one JSON object whose `queries` map is the only place
+    * `"q_*": number` pairs occur — a regex scan is exact here and keeps
+    * the test dependency-free. */
+  private def artifactMedians: Map[String, Double] = {
+    val f = new java.io.File("BENCH_local.json")
+    if (!f.isFile) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   test("heaviest keys hold their recorded sf0.1 budgets (median of 3)") {
     val dir01 = "/root/testdata/sf0.1"
     val byName = SparkEntry.queries
+    val recorded = artifactMedians
+    val budgets = sf01Fallback.map { case (name, floor) =>
+      name -> recorded.get(name).map(_ * 2.5).getOrElse(floor)
+    }
     Tables.names.foreach(t => Tables.load(spark, dir01, t).count())
     // warmup: footers, codegen, one-time index/vocab training
-    sf01Budgets.foreach { case (name, _) =>
+    budgets.foreach { case (name, _) =>
       byName(name)(spark, dir01).write.format("noop").mode("overwrite").save()
     }
-    val over = sf01Budgets.flatMap { case (name, budget) =>
+    val measured = budgets.map { case (name, budget) =>
       val med = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         byName(name)(spark, dir01)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
-      if (med > budget) Some(f"$name=$med%.2f s (budget $budget%.1f)")
-      else None
+      (name, med, budget)
+    }
+    def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val hostFactor = {
+      val arts = sf01Fallback.flatMap { case (n, _) => recorded.get(n) }
+      val uniform =
+        if (arts.length == sf01Fallback.length)
+          math.max(1.0, medianOf(measured.map(_._2)) / medianOf(arts))
+        else 1.0
+      uniform * sys.env.getOrElse("GRAFT_PERF_BUDGET_SCALE", "1.0").toDouble
+    }
+    val over = measured.collect {
+      case (name, med, budget) if med > budget * hostFactor =>
+        f"$name=$med%.2f s (budget $budget%.2f × host $hostFactor%.2f)"
     }
     assert(over.isEmpty,
       s"heavy keys over their recorded sf0.1 budgets: ${over.mkString(", ")}")
