@@ -242,7 +242,63 @@ object Scratch {
       val total = GraphAnn.readGraphIndex(spark, idx).count()
       println(s"[scratch] graphupserts final index rows = $total " +
         s"(expect ${n + 100})")
+      // ---- replacement-heavy worst case (round-13 verdict item 6):
+      // 100 EXISTING ids spread across the id range — every touched
+      // shard takes the deterministic full-rebuild path (~min(100, S)
+      // whole-shard rebuilds vs the incremental-insert batch above)
+      val repl = (0 until 100).map { i =>
+        val id = i * (n / 100)
+        (id, (0 until dim).map(j =>
+          (if (j == id % nClusters) 10.0 else 0.0) +
+            (math.abs((id * 37 + j).hashCode) % 1000) / 1000.0))
+      }
+      time(s"graphupserts REPLACEMENT batch (100 existing ids, " +
+          s"~${math.min(100, shards)} shard rebuilds)") {
+        input.addData(repl); q.processAllAvailable()
+      }
+      val tFirstR = serve(200)
+      println(f"[scratch] graphupserts S=$shards first grouped serve " +
+        f"after replacement swap: $tFirstR%.2f s")
+      val warm2 = (201 to 205).map(serve).sorted.apply(2)
+      println(f"[scratch] graphupserts S=$shards post-replacement warm " +
+        f"grouped (g=$group): median-of-5 $warm2%.2f s")
     } finally q.stop()
+    // ---- size-triggered split storm (round-13 verdict item 5): a
+    // second stream armed with maxShardRows just under the current
+    // per-shard size — a spread add batch pushes its touched shards
+    // over, so ~touched-many splits fire in ONE batched job per round
+    var splitCount = 0
+    val capRows = (n + 200) / shards // ≈ current per-shard rows − ε
+    val input2 = MemoryStream[(Long, Seq[Double])](spark)
+    val q2 = graft.streaming.Streams.graphUpsertStream(spark,
+      input2.toDF().toDF("vec_id", "embedding"), idx, s"$base/chk2",
+      numShards = shards, m = 16, efConstruction = 100,
+      maxShardRows = capRows,
+      onSplit = (_, s) => splitCount += s.size)
+    try {
+      val adds2 = (0 until 2000).map { i =>
+        val id = n + 1000 + i
+        (id, (0 until dim).map(j =>
+          (if (j == id % nClusters) 10.0 else 0.0) +
+            (math.abs((id * 31 + j).hashCode) % 1000) / 1000.0))
+      }
+      time(s"graphupserts SPLIT storm (2000 adds, cap=$capRows " +
+          s"rows/shard, batched split job per round)") {
+        input2.addData(adds2); q2.processAllAvailable()
+      }
+      println(s"[scratch] graphupserts splits fired = $splitCount " +
+        s"(dirs now ${graft.operators.GraphAnn.listShardDirIds(
+          org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration), idx).size})")
+      serve(300) // first post-split serve (re-plan + reloads)
+      val warm3 = (301 to 305).map(serve).sorted.apply(2)
+      println(f"[scratch] graphupserts post-SPLIT warm grouped " +
+        f"(g=$group): median-of-5 $warm3%.2f s")
+      val total2 = GraphAnn.readGraphIndex(spark, idx).count()
+      // replacements replace in place — only the two add batches grow
+      println(s"[scratch] graphupserts final rows after split storm = " +
+        s"$total2 (expect ${n + 100 + 2000})")
+    } finally q2.stop()
   }
 
   /** 256-shard graph-ANN serve (VERDICT r10 item 7): the merge-bound

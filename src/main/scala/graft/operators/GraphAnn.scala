@@ -316,6 +316,76 @@ object GraphAnn {
       .toDF()
   }
 
+  // ---- shard growth: extendible-hash dir naming -----------------------
+  //
+  // The build writes dirs shard=n, n = pmod(hash(id), S) — depth 0. A
+  // size-triggered SPLIT of dir n at depth j rehashes its rows by
+  // pmod(hash(id), S·2^(j+1)): every row lands on n or n + S·2^j (the
+  // two residues of n at the doubled modulus), so the split touches
+  // exactly one parent dir and creates exactly one sibling — the
+  // touched-dirs-only publication the upsert swap already uses. No
+  // metadata file is needed: the dir SET encodes each leaf's depth,
+  // because sibling n + S·2^j can only exist if n split at depth j
+  // (its name is ≥ S·2^j, so its minimum depth is j+1, and its unique
+  // parent at that depth is n). Serving never consults the mapping —
+  // it fans out over whatever shard=* dirs exist — so splits are
+  // invisible to every read path; only upsert ROUTING needs the rule.
+
+  /** Smallest depth a dir named `n` can have: 0 for base names (n < S),
+    * else j+1 where 2^j ≤ n/S < 2^(j+1) (the depth its creating split
+    * ran at). */
+  private[graft] def minShardDepth(n: Int, s: Int): Int =
+    if (n < s) 0 else 32 - Integer.numberOfLeadingZeros(n / s)
+
+  /** Actual depth of leaf dir `n` given the current dir set: walk up
+    * from the minimum while the sibling its split-at-depth-j would have
+    * created exists. */
+  private[graft] def shardDepth(n: Int, s: Int, dirs: Set[Int]): Int = {
+    var j = minShardDepth(n, s)
+    while (dirs.contains(n + (s << j))) j += 1
+    j
+  }
+
+  /** The shard ids present under an index dir (one driver listing). */
+  private[graft] def listShardDirIds(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Set[Int] = {
+    val root = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).iterator.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case nm if nm.startsWith("shard=") =>
+        nm.stripPrefix("shard=").toInt }
+      .toSet
+  }
+
+  /** Route an id to its leaf shard dir under the extendible-hash dir
+    * set: among the candidate residues pmod(hash(id), S·2^j), the one
+    * naming an existing depth-j leaf wins (checked deepest-first; a
+    * residue equal to a leaf's name at the leaf's OWN modulus implies
+    * membership, and leaves partition the id space, so at most one
+    * level matches). Ids whose leaf dir does not exist yet fall back to
+    * the base residue — the pre-split behavior. With an unsplit index
+    * (all dirs at depth 0) this reduces to pmod(hash(id), S) exactly. */
+  private[graft] def routeShard(idCol: Column, s: Int,
+      dirs: Set[Int]): Column = {
+    val h = hash(idCol)
+    val base = pmod(h, lit(s)).cast("int")
+    if (dirs.isEmpty) base
+    else {
+      val depths = dirs.iterator.map(n => n -> shardDepth(n, s, dirs)).toMap
+      (1 to depths.values.max).foldLeft(base) { (acc, j) =>
+        val atJ = depths.collect { case (n, d) if d == j => n }.toSeq
+        if (atJ.isEmpty) acc
+        else {
+          val cand = pmod(h, lit(s << j)).cast("int")
+          // fold builds inner-out: deeper levels wrap later, so the
+          // deepest check evaluates first
+          when(cand.isInCollection(atJ), cand).otherwise(acc)
+        }
+      }
+    }
+  }
+
   /** Backfill the `layers` column for indexes written by the pre-layers
     * flat-NSW format (no such column): they load as all-level-0 graphs
     * and search exactly as they did when written — a format upgrade,

@@ -1311,7 +1311,24 @@ object Streams {
     * well-defined (removing a node's edges can strand its neighbors'
     * only route). Only the touched shards are rewritten; a shard whose
     * nodes are all deleted disappears from the layout. Deleting an
-    * absent id is a no-op rewrite of its shard. */
+    * absent id is a no-op rewrite of its shard.
+    *
+    * Shard GROWTH (round-13 verdict item 5): without a re-shard path,
+    * sustained upserts fatten every shard forever — warm-serve cost and
+    * per-shard build memory grow linearly with no recourse short of a
+    * full rebuild. `maxShardRows` arms a size-triggered SPLIT: after the
+    * swap, any touched shard over the limit is split into two children
+    * under the extendible-hash dir naming
+    * ([[graft.operators.GraphAnn.routeShard]] — the dir set itself
+    * encodes each leaf's depth, no metadata file): its rows rehash by
+    * the doubled modulus, each child rebuilds as an independent HNSW
+    * graph IN an executor (deterministic — same discipline as the
+    * replacement rebuild), and publication swaps exactly the parent dir
+    * plus its new sibling. Untouched shards are never read, rewritten,
+    * or moved; serving fans out over whatever `shard=*` dirs exist, so
+    * splits need no reader-side coordination. Children still over the
+    * limit split again within the same batch (log-bounded).
+    * `onSplit(batchId, splits)` reports each (parent, newSibling). */
   def graphUpsertStream(spark: SparkSession, src: DataFrame,
                         indexDir: String, checkpointDir: String,
                         idCol: String = "vec_id",
@@ -1320,7 +1337,10 @@ object Streams {
                         efConstruction: Int = 100, maxLevel: Int = 3,
                         onBatch: (Long, Long, Seq[Int]) => Unit =
                           (_, _, _) => (),
-                        deleteCol: Option[String] = None)
+                        deleteCol: Option[String] = None,
+                        maxShardRows: Long = Long.MaxValue,
+                        onSplit: (Long, Seq[(Int, Int)]) => Unit =
+                          (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{GraphAnn, GraphNode}
     src.writeStream
@@ -1341,8 +1361,10 @@ object Streams {
             .withColumn("_del", tombstoneFlag(deleteCol))
             .select(col(idCol).cast("long").as("id"),
               when(!col("_del"), col(vecCol).cast("array<double>")).as("vec"))
-            .withColumn("shard",
-              pmod(hash(col("id")), lit(numShards)).cast("int"))
+            // route against the CURRENT dir set (split-aware; reduces to
+            // pmod(hash(id), numShards) while no shard has split)
+            .withColumn("shard", GraphAnn.routeShard(col("id"), numShards,
+              GraphAnn.listShardDirIds(fs, base)))
             .persist()
           val rows = allRows.filter(col("vec").isNotNull)
           val touched = allRows.select("shard").distinct()
@@ -1403,6 +1425,67 @@ object Streams {
             .parquet(tmp.toString)
           swapBuckets(fs, base, tmp, touched, part = "shard")
           allRows.unpersist()
+          // ---- size-triggered shard split (touched shards only) -------
+          // ALL of a round's oversized shards split in ONE job: at
+          // cluster scale a threshold crossing hits many shards in the
+          // same epoch, and per-shard driver-looped jobs would be the
+          // O(shards) planning defect all over again. Child dir names
+          // never collide: a sibling name determines its parent
+          // uniquely, and siblings of existing dirs don't exist yet by
+          // the depth rule. Children still oversized (skewed parent)
+          // split again next round — log-bounded.
+          if (maxShardRows < Long.MaxValue) {
+            val splits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            var pending: Seq[Int] = touched
+            while (pending.nonEmpty) {
+              val present = pending.filter(sh =>
+                fs.exists(bucketPath(base, sh, part = "shard")))
+              val over =
+                if (present.isEmpty) Seq.empty[Int]
+                else spark.read.parquet(base)
+                  .filter(col("shard").isin(present.map(Int.box): _*))
+                  .groupBy("shard").count()
+                  .filter(col("count") > maxShardRows)
+                  .select("shard").collect().map(_.getInt(0)).sorted.toSeq
+              if (over.isEmpty) pending = Seq.empty
+              else {
+                val dirSet = GraphAnn.listShardDirIds(fs, base)
+                val cmods = over.map(n => (n,
+                  numShards << GraphAnn.shardDepth(n, numShards, dirSet)))
+                // rehash each parent's rows at its doubled modulus and
+                // rebuild every child executor-side — the same
+                // deterministic from-scratch discipline as replacement
+                val splitTmp = new Path(base + "__splitting")
+                fs.delete(splitTmp, true)
+                spark.read.parquet(base)
+                  .filter(col("shard").isin(over.map(Int.box): _*))
+                  .select(col("shard").cast("int").as("parent"),
+                    col("id"), col("vec"))
+                  .join(broadcast(cmods.toDF("parent", "cmod")), "parent")
+                  .select(col("id"), col("vec"),
+                    pmod(hash(col("id")), col("cmod") * 2)
+                      .cast("int").as("shard"))
+                  .repartition(2 * over.size, col("shard"))
+                  .as[(Long, Seq[Double], Int)]
+                  .mapPartitions { it =>
+                    it.toArray.groupBy(_._3).iterator.flatMap {
+                      case (sh, rows) =>
+                        GraphAnn.buildShard(sh,
+                          rows.map(r => (r._1, r._2.toArray)),
+                          m, efConstruction, maxLevel)
+                    }
+                  }
+                  .toDF()
+                  .write.mode("overwrite").partitionBy("shard")
+                  .parquet(splitTmp.toString)
+                val children = cmods.flatMap { case (n, c) => Seq(n, n + c) }
+                swapBuckets(fs, base, splitTmp, children, part = "shard")
+                splits ++= cmods.map { case (n, c) => (n, n + c) }
+                pending = children
+              }
+            }
+            if (splits.nonEmpty) onSplit(batchId, splits.toSeq)
+          }
           onBatch(batchId, nAdds, rebuilt)
         }
         ()

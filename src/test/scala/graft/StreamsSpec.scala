@@ -1279,6 +1279,98 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("graphUpsertStream: size-triggered shard split — extendible " +
+      "children partition the parent exactly, untouched shards stay " +
+      "byte-identical, and routing finds split leaves") {
+    // Round-13 verdict item 5: the graph tier's growth lifecycle. A
+    // touched shard over maxShardRows splits into two extendible-hash
+    // children (rows rehashed at the doubled modulus), publication
+    // swaps exactly the parent dir + its new sibling, and subsequent
+    // upserts route to the LEAF dirs (a replacement of a child-resident
+    // id rebuilds that child only). Serving needs no coordination — it
+    // fans out over whatever shard=* dirs exist.
+    import graft.operators.GraphAnn
+    val dir = Files.createTempDirectory("graft-graph-split-").toString
+    val idx = s"$dir/idx"
+    val mods = spark.range(0, 4000)
+      .select(col("id"), pmod(hash(col("id")), lit(4)).cast("int"),
+        pmod(hash(col("id")), lit(8)).cast("int"))
+      .as[(Long, Int, Int)].collect()
+    val m4 = mods.map(r => r._1 -> r._2).toMap
+    val m8 = mods.map(r => r._1 -> r._3).toMap
+    // every dir NOT in shard t's split family (names ≡ t mod 4) must
+    // survive all batches byte-identical (names + mtimes)
+    def snapshot(tFamily: Int): Map[String, Map[String, Long]] = {
+      val d = new java.io.File(idx)
+      d.listFiles().filter { f =>
+        f.isDirectory && f.getName.startsWith("shard=") &&
+          f.getName.stripPrefix("shard=").toInt % 4 != tFamily
+      }.map(s => s.getName -> s.listFiles().filter(_.isFile)
+        .map(f => f.getName -> f.lastModified()).toMap).toMap
+    }
+    var splitLog = Vector.empty[(Int, Int)]
+    var metrics = Vector.empty[(Long, Long, Seq[Int])]
+    val base = (0L until 32L)
+    // cap = the fullest base shard's row count, so batch 1 splits
+    // nothing and ONE more row into that shard trips the trigger
+    val t = base.groupBy(m4).view.mapValues(_.size).maxBy(_._2)._1
+    val cap = base.count(i => m4(i) == t).toLong
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = Streams.graphUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), idx, s"$dir/chk",
+      numShards = 4, m = 4, efConstruction = 16,
+      onBatch = (b, n, r) => metrics :+= ((b, n, r)),
+      maxShardRows = cap,
+      onSplit = (_, s) => splitLog ++= s)
+    try {
+      input.addData(base.map(i => (i, Seq(i.toDouble, 0.0))))
+      q.processAllAvailable()
+      assert(splitLog.isEmpty, s"no shard is over $cap rows yet")
+      val others = snapshot(tFamily = t)
+      val adds2 = (100L until 4000L).filter(i => m4(i) == t).take(2)
+      input.addData(adds2.map(i => (i, Seq(i.toDouble, 0.0))))
+      q.processAllAvailable()
+      assert(splitLog === Vector((t, t + 4)),
+        "the oversized shard must split into its depth-1 children")
+      // exact node set preserved; children partition the parent's rows
+      // at the doubled modulus
+      val g2 = GraphAnn.readGraphIndex(spark, idx)
+      assert(g2.select("id").as[Long].collect().sorted ===
+        (base ++ adds2).toArray.sorted)
+      val byShard = g2.select("shard", "id").as[(Int, Long)].collect()
+        .groupMap(_._1)(_._2)
+      assert(byShard(t).forall(i => m8(i) == t))
+      assert(byShard(t + 4).forall(i => m8(i) == t + 4))
+      // search still exact after the split (ef ≥ corpus ⇒ exhaustive)
+      assert(GraphAnn.graphTopK(g2, Seq(5.2, 0.0), k = 3, ef = 256)
+        .select("vec_id").as[Long].collect() === Array(5L, 6L, 4L))
+      // replacement of a SIBLING-resident id: routing must find the
+      // split leaf — exactly that child rebuilds
+      val repl = byShard(t + 4).min
+      input.addData(Seq((repl, Seq(2000.0, 0.0))))
+      q.processAllAvailable()
+      assert(metrics.last._3 === Seq(t + 4),
+        "the replacement must rebuild the split leaf, not the parent name")
+      // deeper split: push child t (depth 1) over the limit — its
+      // sibling at the doubled modulus is t + 8
+      val nT = byShard(t).length
+      val adds4 = (100L until 4000L)
+        .filter(i => m8(i) == t && !adds2.contains(i))
+        .take(cap.toInt + 1 - nT)
+      input.addData(adds4.map(i => (i, Seq(i.toDouble, 0.0))))
+      q.processAllAvailable()
+      assert(splitLog.take(2) === Vector((t, t + 4), (t, t + 8)),
+        s"expected a depth-2 split of child $t, saw $splitLog")
+      val g4 = GraphAnn.readGraphIndex(spark, idx)
+      assert(g4.select("id").as[Long].collect().sorted ===
+        (base ++ adds2 ++ adds4).toArray.sorted)
+      assert(GraphAnn.graphTopK(g4, Seq(2000.0, 0.0), k = 1, ef = 256)
+        .select("vec_id").as[Long].collect() === Array(repl))
+      assert(snapshot(tFamily = t) === others,
+        "shards outside the split family must stay byte-identical")
+    } finally q.stop()
+  }
+
   test("graphUpsertStream x shard-group serving: grouped serves track " +
       "every upsert batch; untouched shards stay byte-identical") {
     // Round-12 verdict item 8: graphUpsertStream (incremental insert +
