@@ -1397,6 +1397,15 @@ object ExtensionQueries {
           col("doc_id"), col("text"), vocabSize = 50)
         .orderBy("doc_id")),
 
+    // ---- DSIR importance weights (Xie et al. 2023): every non-English
+    // doc scored by how target-like (English) its hashed-unigram
+    // profile is — fixed-point smoothed probability ratios, pure BIGINT
+    // (see operators/Dsir.scala for the 100 TB shape + exactness notes).
+    "q_dsir_weights" -> ((s, d) =>
+      graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
+          col("doc_id"), col("text"), col("lang") === "en")
+        .orderBy("doc_id")),
+
     // ---- CCNet head/middle/tail split: per-language LM-quality
     // terciles, rank-based cuts (integer arithmetic — exact, no
     // interpolated percentiles). One window shuffle on lang; the 100 TB
@@ -5382,6 +5391,41 @@ object ExtensionQueries {
         |  FROM l)
         |SELECT w1, w2, pair_cnt, lift, rn FROM r
         |WHERE rn <= 100 ORDER BY rn""".stripMargin,
+
+    // DSIR replay: same md5-nibble bucket hash, same add-one-smoothed
+    // fixed-point ratio in HUGEINT (// == Spark div on positives)
+    "q_dsir_weights" -> {
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang = 'en' AS is_target,
+         |    unnest(list_filter(
+         |      string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+         |  FROM documents),
+         |bk AS (
+         |  SELECT doc_id, is_target,
+         |    ${hash16Sql("term")} % 256 AS bucket
+         |  FROM toks),
+         |prof AS (
+         |  SELECT doc_id, is_target, bucket, count(*)::BIGINT AS cnt
+         |  FROM bk GROUP BY 1, 2, 3),
+         |marg AS (
+         |  SELECT bucket,
+         |    coalesce(sum(cnt) FILTER (WHERE is_target), 0)::BIGINT AS ct,
+         |    coalesce(sum(cnt) FILTER (WHERE NOT is_target), 0)::BIGINT AS cr
+         |  FROM prof GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(ct)::BIGINT AS ctt, sum(cr)::BIGINT AS crt FROM marg),
+         |sc AS (
+         |  SELECT bucket,
+         |    ((10000::HUGEINT * (ct + 1) * (crt + 256))
+         |      // ((cr + 1)::HUGEINT * (ctt + 256)))::BIGINT AS s
+         |  FROM marg, tot)
+         |SELECT p.doc_id, sum(p.cnt * s.s)::BIGINT AS dsir_weight,
+         |  sum(p.cnt)::BIGINT AS n_tokens
+         |FROM prof p JOIN sc s USING (bucket)
+         |WHERE NOT p.is_target
+         |GROUP BY p.doc_id
+         |ORDER BY p.doc_id""".stripMargin
+    },
 
     // oov rate vs the deterministic top-50 vocab (cnt desc, term asc)
     "q_oov_rate" ->

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** DSIR-style importance weighting for pretraining-data selection
+  * (Xie et al., NeurIPS 2023 — "Data Selection for Language Models via
+  * Importance Resampling"): score every NON-target document by the
+  * likelihood ratio of its hashed-unigram profile under the target vs
+  * raw bucket distributions — the standard recipe for picking raw-web
+  * documents that look like a curated target corpus.
+  *
+  * Spark-first shape (100 TB): ONE pass builds the per-doc
+  * (bucket, count) profile (map-side-combined groupBy); the
+  * bucket-marginal totals are a B-row aggregate COLLECTED to the
+  * driver (B = 256 — the bounded-collect contract, same class as
+  * centroids/codebooks); per-bucket scores return as a broadcast HASH
+  * join; the weight is one more doc_id groupBy. Nothing quadratic, no
+  * global window, no 1-row cross join. The profile lineage is consumed
+  * by two jobs (marginals, weights) — at 100 TB persist the profile or
+  * fuse it with the pipeline's other per-doc token stats.
+  *
+  * Cross-engine exactness: the paper scores with
+  * Σ_b c_b·log(p̂_t(b)/p̂_r(b)); transcendentals never hash-match across
+  * engines, so the score here is the add-one-smoothed probability
+  * RATIO in fixed point instead of its log:
+  * s_b = (FP·(ct_b+1)·(Cr+B)) div ((cr_b+1)·(Ct+B)), positive floored
+  * integer division (Spark `div` == DuckDB `//` on positive operands),
+  * FP = 10⁴. Per-doc weight = Σ_b c_b·s_b — pure BIGINT arithmetic,
+  * hash-matchable; per-bucket it is a monotone transform of the same
+  * smoothed ratio the paper uses. Bucketing is md5-derived
+  * ([[TextFunctions.tokenHash16]] mod B) so the oracle recomputes the
+  * assignment from scratch (the "md5 only where the oracle must replay
+  * the hash" rule).
+  */
+object Dsir {
+
+  /** (doc_id, dsir_weight, n_tokens) for every non-target document
+    * with at least one token. `isTarget` marks the rows whose
+    * distribution the weights should favor. */
+  def importanceWeights(df: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int = 256,
+      fixedPoint: Long = 10000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prof = df.select(idCol.as("doc_id"), isTarget.as("is_target"),
+        explode(TextFunctions.tokens(textCol)).as("term"))
+      .withColumn("bucket",
+        pmod(TextFunctions.tokenHash16(col("term")), lit(buckets)))
+      .groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    // bucket marginals: ≤ B rows — driver-sized by construction
+    val marg = prof.groupBy("bucket")
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), col("cnt")).otherwise(0L)).as("cr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ctTot = BigInt(marg.map(_._2).sum)
+    val crTot = BigInt(marg.map(_._3).sum)
+    val b = BigInt(buckets)
+    // BigInt on the driver: the numerator FP·(ct+1)·(Cr+B) exceeds LONG
+    // at large corpora; the floored quotient is LONG-small again
+    val scores = marg.map { case (bk, ct, cr) =>
+      (bk, ((BigInt(fixedPoint) * (BigInt(ct) + 1) * (crTot + b)) /
+        ((BigInt(cr) + 1) * (ctTot + b))).toLong)
+    }.toSeq
+    prof.filter(!col("is_target"))
+      .join(broadcast(scores.toDF("bucket", "s")), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("s")).as("dsir_weight"),
+        sum("cnt").as("n_tokens"))
+  }
+}
