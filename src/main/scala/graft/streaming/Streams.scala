@@ -761,6 +761,61 @@ object Streams {
   private[streaming] def asidePath(base: String, b: Int,
       part: String = "bucket") =
     new org.apache.hadoop.fs.Path(s"$base/.${part}_${b}_old") // hidden
+  private[streaming] def pendingShardPath(base: String, s: Int) =
+    new org.apache.hadoop.fs.Path(s"$base/.shard_${s}_pending") // hidden
+
+  /** Crash recovery for the graph-shard SPLIT protocol. A split moves
+    * rows ACROSS dirs, so the plain per-dir aside swap is not enough —
+    * a crash after the parent was replaced by child-n-only content but
+    * before the sibling landed would lose the sibling half. The live
+    * protocol therefore parks the sibling at a HIDDEN `_pending` path
+    * first and makes the parent swap the commit point; every crash
+    * window is then decidable from dir EXISTENCE alone:
+    *
+    *   pending + parent dir + NO aside  → split never began its swap:
+    *     roll BACK (drop the pending sibling; parent intact).
+    *   pending + aside + NO parent dir  → swap began, not committed:
+    *     roll BACK (drop pending; [[recoverAsideBuckets]] restores the
+    *     parent from its aside).
+    *   pending + aside + parent dir     → committed (the parent dir
+    *     holds child-n content): roll FORWARD (promote the pending
+    *     sibling, drop the old-parent aside).
+    *
+    * Idempotent — a crash during recovery re-decides from the same
+    * checks. Must run BEFORE [[recoverAsideBuckets]] (the roll-forward
+    * case must consume its aside before the generic pass could restore
+    * it over the committed child). */
+  private[streaming] def recoverShardSplits(
+      fs: org.apache.hadoop.fs.FileSystem, base: String,
+      numShards: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(root)) return
+    val pat = """\.shard_(\d+)_pending""".r
+    fs.listStatus(root).map(_.getPath.getName).foreach {
+      case pat(sStr) =>
+        val s = sStr.toInt
+        val pending = pendingShardPath(base, s)
+        if (s < numShards) fs.delete(pending, true) // never a sibling name
+        else {
+          val p = s - (numShards <<
+            (graft.operators.GraphAnn.minShardDepth(s, numShards) - 1))
+          val parentDir = bucketPath(base, p, part = "shard")
+          val aside = asidePath(base, p, part = "shard")
+          if (fs.exists(aside) && fs.exists(parentDir)) {
+            // post-commit: promote the sibling, drop the old parent
+            if (!fs.exists(bucketPath(base, s, part = "shard")))
+              renameOrThrow(fs, pending, bucketPath(base, s, part = "shard"))
+            else fs.delete(pending, true)
+            fs.delete(aside, true)
+          } else {
+            // pre-commit: drop the sibling; the parent is intact at its
+            // dir or comes back via recoverAsideBuckets
+            fs.delete(pending, true)
+          }
+        }
+      case _ => ()
+    }
+  }
 
   /** Crash recovery: restore EVERY partition dir a died swap left aside —
     * not just ones the current batch touches. A swap that died between
@@ -1353,6 +1408,7 @@ object Streams {
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
           val base = indexDir.stripSuffix("/")
+          recoverShardSplits(fs, base, numShards) // before the aside pass
           recoverAsideBuckets(fs, base, part = "shard")
           // a key is EITHER an upsert or a tombstone after the dedup;
           // tombstones keep a null vec — that null IS their tag on the
@@ -1478,10 +1534,37 @@ object Streams {
                   .toDF()
                   .write.mode("overwrite").partitionBy("shard")
                   .parquet(splitTmp.toString)
-                val children = cmods.flatMap { case (n, c) => Seq(n, n + c) }
-                swapBuckets(fs, base, splitTmp, children, part = "shard")
-                splits ++= cmods.map { case (n, c) => (n, n + c) }
-                pending = children
+                // per-parent commit protocol (see [[recoverShardSplits]]):
+                // the sibling parks hidden first, the parent swap is the
+                // commit point — every crash window rolls back to the
+                // intact parent or forward to both children; rows never
+                // vanish or duplicate
+                val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+                cmods.foreach { case (n, c) =>
+                  val freshN = new Path(s"$splitTmp/shard=$n")
+                  val freshS = new Path(s"$splitTmp/shard=${n + c}")
+                  // a degenerate hash (one empty child) skips the swap:
+                  // the parent stays fat but correct, and re-attempting
+                  // would reproduce the same halves — don't loop on it
+                  if (fs.exists(freshN) && fs.exists(freshS)) {
+                    val pendingSib = pendingShardPath(base, n + c)
+                    fs.delete(pendingSib, true)
+                    renameOrThrow(fs, freshS, pendingSib)
+                    val aside = asidePath(base, n, part = "shard")
+                    fs.delete(aside, true)
+                    renameOrThrow(fs, bucketPath(base, n, part = "shard"),
+                      aside)
+                    renameOrThrow(fs, freshN,
+                      bucketPath(base, n, part = "shard")) // commit point
+                    renameOrThrow(fs, pendingSib,
+                      bucketPath(base, n + c, part = "shard"))
+                    fs.delete(aside, true)
+                    done += ((n, n + c))
+                  }
+                }
+                fs.delete(splitTmp, true)
+                splits ++= done
+                pending = done.toSeq.flatMap { case (n, s2) => Seq(n, s2) }
               }
             }
             if (splits.nonEmpty) onSplit(batchId, splits.toSeq)
