@@ -33,38 +33,82 @@ import graft.functions.TextFunctions
   * ([[TextFunctions.tokenHash16]] mod B) so the oracle recomputes the
   * assignment from scratch (the "md5 only where the oracle must replay
   * the hash" rule).
+  *
+  * The pieces are exposed separately because the marginal histogram is
+  * ADDITIVE: [[graft.streaming.Streams.dsirStream]] maintains it
+  * incrementally with the partial-partition lifecycle (per-batch
+  * (bucket, ct, cr) rows, merge-on-read), and serving scores any
+  * candidate corpus against the current marginals without touching the
+  * corpora that produced them.
   */
 object Dsir {
 
-  /** (doc_id, dsir_weight, n_tokens) for every non-target document
-    * with at least one token. `isTarget` marks the rows whose
-    * distribution the weights should favor. */
-  def importanceWeights(df: DataFrame, idCol: Column, textCol: Column,
-      isTarget: Column, buckets: Int = 256,
-      fixedPoint: Long = 10000L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val prof = df.select(idCol.as("doc_id"), isTarget.as("is_target"),
+  /** Per-doc hashed-unigram profile: (doc_id, is_target, bucket, cnt).
+    * One corpus pass, map-side-combined. */
+  def profile(df: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int = 256): DataFrame =
+    df.select(idCol.as("doc_id"), isTarget.as("is_target"),
         explode(TextFunctions.tokens(textCol)).as("term"))
       .withColumn("bucket",
         pmod(TextFunctions.tokenHash16(col("term")), lit(buckets)))
       .groupBy("doc_id", "is_target", "bucket")
       .agg(count(lit(1)).as("cnt"))
-    // bucket marginals: ≤ B rows — driver-sized by construction
-    val marg = prof.groupBy("bucket")
+
+  /** Bucket marginals of a profile: (bucket, ct, cr) — ≤ B rows.
+    * Additive across corpora/batches: marginals of a union are the
+    * bucket-wise sums of the parts' marginals. */
+  def bucketMarginals(prof: DataFrame): DataFrame =
+    prof.groupBy("bucket")
       .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"),
         sum(when(!col("is_target"), col("cnt")).otherwise(0L)).as("cr"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  /** Fixed-point per-bucket scores from collected marginals. BigInt on
+    * the driver: the numerator FP·(ct+1)·(Cr+B) exceeds LONG at large
+    * corpora; the floored quotient is LONG-small again. */
+  def bucketScores(marg: Seq[(Long, Long, Long)], buckets: Int,
+      fixedPoint: Long): Seq[(Long, Long)] = {
     val ctTot = BigInt(marg.map(_._2).sum)
     val crTot = BigInt(marg.map(_._3).sum)
     val b = BigInt(buckets)
-    // BigInt on the driver: the numerator FP·(ct+1)·(Cr+B) exceeds LONG
-    // at large corpora; the floored quotient is LONG-small again
-    val scores = marg.map { case (bk, ct, cr) =>
+    marg.map { case (bk, ct, cr) =>
       (bk, ((BigInt(fixedPoint) * (BigInt(ct) + 1) * (crTot + b)) /
         ((BigInt(cr) + 1) * (ctTot + b))).toLong)
-    }.toSeq
+    }
+  }
+
+  /** Weight candidate docs against EXTERNAL marginals (the serving
+    * shape — e.g. marginals maintained by a stream): every candidate
+    * doc with ≥ 1 token gets (doc_id, dsir_weight, n_tokens). */
+  def weightsAgainst(candidates: DataFrame, idCol: Column,
+      textCol: Column, marginals: DataFrame, buckets: Int = 256,
+      fixedPoint: Long = 10000L): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val marg = marginals.select(col("bucket").cast("long"),
+        col("ct").cast("long"), col("cr").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val scores = bucketScores(marg, buckets, fixedPoint)
+    profile(candidates, idCol, textCol, lit(false), buckets)
+      .join(broadcast(scores.toDF("bucket", "s")), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("s")).as("dsir_weight"),
+        sum("cnt").as("n_tokens"))
+  }
+
+  /** (doc_id, dsir_weight, n_tokens) for every non-target document
+    * with at least one token, marginals and weights from one corpus.
+    * `isTarget` marks the rows whose distribution the weights should
+    * favor. */
+  def importanceWeights(df: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int = 256,
+      fixedPoint: Long = 10000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prof = profile(df, idCol, textCol, isTarget, buckets)
+    // bucket marginals: ≤ B rows — driver-sized by construction
+    val marg = bucketMarginals(prof)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val scores = bucketScores(marg, buckets, fixedPoint)
     prof.filter(!col("is_target"))
       .join(broadcast(scores.toDF("bucket", "s")), "bucket")
       .groupBy("doc_id")

@@ -563,6 +563,60 @@ object Streams {
     fs.delete(aside, true)
   }
 
+  /** Streaming DSIR marginal maintenance — the incremental form of
+    * [[graft.operators.Dsir.bucketMarginals]], on [[cmsStream]]'s
+    * append-partials lifecycle: the (bucket, ct, cr) histogram is
+    * ADDITIVE (marginals of a union = bucket-wise sums of the parts),
+    * so each micro-batch writes its own ≤ B-row partial into a
+    * `batch_id` partition with dynamic overwrite — a crash-replayed
+    * batch overwrites ITS OWN partition, totals stay exact. The stored
+    * state is the exact histogram, never a derived score (the
+    * decayed-counter rule: a stored derived value is stale the moment
+    * it is written) — weights come at READ via
+    * [[readDsirMarginals]] + [[graft.operators.Dsir.weightsAgainst]],
+    * which is the serving shape: score ANY candidate corpus against
+    * whatever the target/raw streams have accumulated so far. */
+  def dsirStream(spark: SparkSession, docs: DataFrame, statsDir: String,
+                 checkpointDir: String, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 targetCol: String = "is_target", buckets: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dsir.bucketMarginals(
+              graft.operators.Dsir.profile(batch.toDF(), col(idCol),
+                col(textCol), col(targetCol).cast("boolean"), buckets))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statsDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Merge-on-read over the partial marginal histograms: one
+    * groupBy-sum over ≤ B rows per partial. */
+  def readDsirMarginals(spark: SparkSession, statsDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, statsDir)
+    spark.read.parquet(statsDir)
+      .groupBy("bucket")
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+  }
+
+  /** Fold accumulated partials into one `batch_id=-1` baseline — the
+    * [[compactCms]] contract (stream stopped, whole-dir swap). */
+  def compactDsir(spark: SparkSession, statsDir: String): Unit =
+    compactPartials(spark, statsDir,
+      _.groupBy("bucket").agg(sum(col("ct")).as("ct"),
+        sum(col("cr")).as("cr")))
+
   /** Streaming Bloom-filter maintenance — the incremental form of
     * [[graft.operators.BloomJoin.buildBits]], with [[cmsStream]]'s
     * append-partials lifecycle: bloom words OR-merge exactly as CMS

@@ -1279,6 +1279,60 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dsirStream: streamed marginals equal the batch marginals of the " +
+      "union; serving weights equal the one-shot operator; replay " +
+      "overwrites its own partition; compaction preserves totals") {
+    import graft.operators.Dsir
+    val dir = Files.createTempDirectory("graft-dsir-stream-").toString
+    val stats = s"$dir/stats"
+    // pre-seed batch 0's partial as if a crashed run committed output
+    // but not the checkpoint — the replaying batch must OVERWRITE it
+    Seq((0L, 999999L, 999999L))
+      .toDF("bucket", "ct", "cr")
+      .write.parquet(s"$stats/batch_id=0")
+    val b1 = Seq((1L, "alpha beta gamma alpha", true),
+      (10L, "alpha beta zeta", false))
+    val b2 = Seq((2L, "beta gamma gamma", true),
+      (11L, "zeta eta theta", false))
+    val b3 = Seq((3L, "alpha gamma", true),
+      (12L, "alpha beta gamma", false))
+    val union = (b1 ++ b2 ++ b3)
+      .toDF("doc_id", "text", "is_target")
+    val input = MemoryStream[(Long, String, Boolean)](spark)
+    val q = Streams.dsirStream(spark,
+      input.toDF().toDF("doc_id", "text", "is_target"), stats, s"$dir/chk")
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def margMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.select(col("bucket").cast("long"), col("ct"), col("cr"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val streamed = margMap(Streams.readDsirMarginals(spark, stats))
+    val batch = margMap(Dsir.bucketMarginals(Dsir.profile(union,
+      col("doc_id"), col("text"), col("is_target"))))
+    assert(streamed === batch,
+      "merge-on-read marginals must equal the union's batch marginals " +
+        "(and the pre-seeded stale partial must have been overwritten)")
+    // serving: weights against the STREAMED marginals == the one-shot
+    // operator over the union (same candidates, same histogram)
+    val raw = union.filter(!col("is_target"))
+    val viaStream = Dsir.weightsAgainst(raw, col("doc_id"), col("text"),
+        Streams.readDsirMarginals(spark, stats))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val oneShot = Dsir.importanceWeights(union, col("doc_id"),
+        col("text"), col("is_target"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(viaStream === oneShot)
+    // compaction (stream stopped): one baseline partition, same totals
+    Streams.compactDsir(spark, stats)
+    assert(margMap(Streams.readDsirMarginals(spark, stats)) === batch)
+    assert(spark.read.parquet(stats).select("batch_id").distinct()
+      .as[Long].collect() === Array(-1L))
+  }
+
   test("graphUpsertStream: size-triggered shard split — extendible " +
       "children partition the parent exactly, untouched shards stay " +
       "byte-identical, and routing finds split leaves") {
