@@ -53,6 +53,9 @@ object Scratch {
     if (only.contains("time")) runTime(spark, args.drop(1), noop)
     if (only.contains("hostcap")) runHostCap(spark, noop)
     if (only.contains("graph256")) runGraph256(spark)
+    // `runMain graft.Scratch graphlru` — resident serving under a
+    // ResidentCache byte cap of half the index (r13 verdict item 2)
+    if (only.contains("graphlru")) runGraphLru(spark)
     // `runMain graft.Scratch graphshards [nShards ...]` — serve cost at
     // cluster shard counts, grouped vs one-task-per-shard
     if (only.contains("graphshards"))
@@ -350,6 +353,64 @@ object Scratch {
       GraphAnn.graphTopKIndexed(spark, dir, q, k = 10, ef = 100))
     serve("resident (cached shard graphs)", q =>
       GraphAnn.graphTopKResident(spark, dir, q, k = 10, ef = 100))
+  }
+
+  /** Resident-cache LRU bound under serving load (round-13 verdict item
+    * 2's measurement): 1M × 64 at 256 shards, warm resident serves
+    * uncapped, then with `capBytes` at HALF the decoded index — the
+    * executor-OOM scenario the bound exists for. With the cap, each
+    * serve reloads the evicted half (capped steady state ≈ the decode
+    * cost of cap-missed shards); the bound trades wall for a hard
+    * memory ceiling, and results stay identical (spec-pinned). */
+  private def runGraphLru(spark: SparkSession): Unit = {
+    import graft.operators.{GraphAnn, Knn}
+    val n = 1000000L; val dim = 64; val nClusters = 256; val shards = 256
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(j === col("id") % nClusters, lit(10.0)).otherwise(lit(0.0)) +
+          pmod(hash(col("id"), j), lit(1000)).cast("double") / 1000.0)
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graphlru-").toString
+    val g = GraphAnn.buildGraph(corpus, col("vec_id"), col("embedding"),
+      numShards = shards, m = 16, efConstruction = 100)
+    g.persist().count()
+    time("graphlru writeGraphIndex")(GraphAnn.writeGraphIndex(g, dir))
+    g.unpersist()
+    def serve(i: Int): Double = {
+      val q = Knn.vectorAt(corpus, col("vec_id"), 4242L + i * 97,
+        col("embedding"))
+      val t0 = System.nanoTime()
+      require(GraphAnn.graphTopKResident(spark, dir, q, k = 10,
+        ef = 100).collect().length == 10)
+      (System.nanoTime() - t0) / 1e9
+    }
+    GraphAnn.ResidentCache.clear()
+    val cap0 = GraphAnn.ResidentCache.capBytes.get()
+    try {
+      val cold = serve(0)
+      val warm = (1 to 5).map(serve).sorted.apply(2)
+      val full = GraphAnn.ResidentCache.residentBytes
+      println(f"[scratch] graphlru S=$shards uncapped: cold $cold%.2f s, " +
+        f"warm median-of-5 $warm%.2f s, resident ${full / 1e6}%.0f MB " +
+        f"(${GraphAnn.ResidentCache.residentEntries} shards)")
+      GraphAnn.ResidentCache.capBytes.set(full / 2)
+      GraphAnn.ResidentCache.clear()
+      val loads0 = GraphAnn.ResidentCache.loads.get()
+      serve(100) // refill under the cap
+      val capped = (101 to 105).map(serve).sorted.apply(2)
+      val reloadsPerServe =
+        (GraphAnn.ResidentCache.loads.get() - loads0) / 6.0
+      println(f"[scratch] graphlru S=$shards cap=half-index: steady " +
+        f"median-of-5 $capped%.2f s, resident " +
+        f"${GraphAnn.ResidentCache.residentBytes / 1e6}%.0f MB " +
+        f"(${GraphAnn.ResidentCache.residentEntries} shards, " +
+        f"$reloadsPerServe%.0f reloads/serve)")
+    } finally {
+      GraphAnn.ResidentCache.capBytes.set(cap0)
+      GraphAnn.ResidentCache.clear()
+    }
   }
 
   /** Graph-ANN serve at CLUSTER shard counts (VERDICT r11 item 7): at
