@@ -1422,6 +1422,16 @@ class StreamsSpec extends SparkSuite {
         .select("vec_id").as[Long].collect() === Array(repl))
       assert(snapshot(tFamily = t) === others,
         "shards outside the split family must stay byte-identical")
+      // resident serving composes with splits: the session lineage
+      // cache re-plans on the changed dir set (new sibling dirs appear
+      // in the fingerprint list) and serves the split index identically
+      // to the shuffle path
+      val viaResident = GraphAnn.graphTopKResident(spark, idx,
+        Seq(5.2, 0.0), k = 3, ef = 256).as[(Long, Double)].collect()
+      val viaShuffle = GraphAnn.graphTopK(g4, Seq(5.2, 0.0), k = 3,
+        ef = 256).as[(Long, Double)].collect()
+      assert(viaResident === viaShuffle,
+        "resident serve must re-plan over the post-split dir set")
     } finally q.stop()
   }
 
