@@ -1842,6 +1842,17 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- graded contamination fraction (Brown et al. 2020 appendix
+    // C): per-doc fraction of distinct 3-grams shared with the heldout
+    // slice — grade-then-threshold instead of drop-on-any-hit.
+    "q_contamination_frac" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFraction(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- SPAN-level decontamination (the actual C4/Lee et al. scrub):
     // where q_decontaminate drops whole docs sharing any shingle with
     // the heldout slice, this excises only the contaminated n-token
@@ -4695,6 +4706,31 @@ object ExtensionQueries {
          |SELECT DISTINCT e.doc_id AS doc_id FROM ex e
          |JOIN bsh ON e.sh = bsh.sh
          |WHERE e.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
+
+    // the q_decontaminate replay graded: LEFT join against the heldout
+    // gram set, per-doc hit fraction as exact int/int IEEE division
+    "q_contamination_frac" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x != '') AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(generate_series(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |  ELSE [array_to_string(tk, ' ')] END AS g FROM toks),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(g, s -> ${hash32Sql("s")})) AS sh
+         |  FROM grams),
+         |ex AS (SELECT doc_id, unnest(sh) AS sh FROM sh),
+         |bsh AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 97 = 0)
+         |SELECT e.doc_id, count(*)::BIGINT AS n_grams,
+         |  count(b.sh)::BIGINT AS hit_grams,
+         |  count(b.sh)::DOUBLE / count(*)::DOUBLE AS contam_frac
+         |FROM ex e LEFT JOIN bsh b ON e.sh = b.sh
+         |WHERE e.doc_id % 97 <> 0
+         |GROUP BY e.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // the q_dedup_substring replay with the bad-span set sourced from
     // the heldout slice (doc_id % 97 = 0) instead of self-counts; the

@@ -1142,6 +1142,31 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** GRADED contamination (the GPT-3 appendix-C methodology, Brown et
+    * al. 2020; PaLM and Llama report the same statistic): where
+    * [[contaminatedDocs]] flags any-shared-shingle binary overlap, this
+    * reports the FRACTION of each corpus doc's DISTINCT word n-grams
+    * that appear anywhere in the benchmark — the signal used to grade
+    * dirty docs by severity and pick a removal threshold instead of
+    * dropping on a single chance collision. Same shape as the binary
+    * form: benchmark gram set deduped and BROADCAST (heldout-sized),
+    * corpus grams hashed map-side, one shuffle for the per-doc ratio;
+    * the fraction is an exact int/int IEEE division (both engines
+    * agree bit-for-bit on counts < 2^53). */
+  def contaminationFraction(df: DataFrame, idCol: Column, textCol: Column,
+                            benchmark: DataFrame, bTextCol: Column,
+                            n: Int = 3): DataFrame = {
+    val b = benchmark.select(explode(array_distinct(
+        graft.plans.HashedShingles.shingleHashes(bTextCol, n, 8))).as("sh"))
+      .distinct().withColumn("hit", lit(1))
+    explodedShingles(df, idCol, textCol, n)
+      .join(broadcast(b), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("hit_grams"))
+      .withColumn("contam_frac",
+        col("hit_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
   // ---- embedding-cosine near-dup -------------------------------------
 
   /** Blocked pairwise cosine near-dup: pairs within the same `blockCol`
