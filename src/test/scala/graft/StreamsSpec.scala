@@ -1492,14 +1492,19 @@ class StreamsSpec extends SparkSuite {
       // child committed, before the sibling promoted) → roll FORWARD:
       // sibling promoted, aside dropped. Simulate on a REAL split state:
       // run a real split, then rewind its last two steps.
+      // The first stream must be STOPPED and the second gets its OWN
+      // source — two live streams on one MemoryStream both consume
+      // every batch and race their swaps on the same index dir.
+      q.stop()
       var splitLog = Vector.empty[(Int, Int)]
+      val input2 = MemoryStream[(Long, Seq[Double])](spark)
       val q2 = Streams.graphUpsertStream(spark,
-        input.toDF().toDF("vec_id", "embedding"), idx, s"$dir/chk2",
+        input2.toDF().toDF("vec_id", "embedding"), idx, s"$dir/chk2",
         numShards = 4, m = 4, efConstruction = 16,
         maxShardRows = 1, // everything touched is oversized
         onSplit = (_, s) => splitLog ++= s)
       try {
-        input.addData(Seq((1002L, Seq(1002.0, 0.0))))
+        input2.addData(Seq((1002L, Seq(1002.0, 0.0))))
         q2.processAllAvailable()
         assert(splitLog.nonEmpty, "the cap-1 stream must split")
         val (n, sib) = splitLog.head
@@ -1508,7 +1513,7 @@ class StreamsSpec extends SparkSuite {
         assert(dirOf(sib).renameTo(
           new java.io.File(s"$idx/.shard_${sib}_pending")))
         copyDir(dirOf(n), new java.io.File(s"$idx/.shard_${n}_old"))
-        input.addData(Seq((1003L, Seq(1003.0, 0.0))))
+        input2.addData(Seq((1003L, Seq(1003.0, 0.0))))
         q2.processAllAvailable()
         assert(dirOf(sib).exists, "window C: sibling must be promoted")
         assert(!new java.io.File(s"$idx/.shard_${sib}_pending").exists)
