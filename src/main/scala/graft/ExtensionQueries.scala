@@ -1853,6 +1853,23 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- DSIR selection endpoint: Bernoulli importance RESAMPLING —
+    // keep each raw doc with probability ∝ its dsir weight (rate =
+    // w / max_w, the q_sample_weighted integer-hash acceptance with a
+    // data-derived per-row rate). The paper's Gumbel-top-k draw needs
+    // log (never hash-matchable); Bernoulli-∝-weight is the standard
+    // acceptance-sampling variant of the same resampling step. max_w
+    // is one driver-collected row (bounded-collect contract).
+    "q_dsir_select" -> ((s, d) => {
+      val w = graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
+        col("doc_id"), col("text"), col("lang") === "en")
+      val maxW = w.agg(max("dsir_weight")).collect()(0).getLong(0)
+      graft.operators.Sampling.weightedSample(w, col("doc_id"),
+          col("dsir_weight").cast("double") / lit(maxW.toDouble))
+        .select("doc_id", "dsir_weight")
+        .orderBy("doc_id")
+    }),
+
     // ---- SPAN-level decontamination (the actual C4/Lee et al. scrub):
     // where q_decontaminate drops whole docs sharing any shingle with
     // the heldout slice, this excises only the contaminated n-token
@@ -3452,6 +3469,43 @@ object ExtensionQueries {
   }
 
   private val stopSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Shared DSIR replay CTEs (`dw` = (doc_id, dsir_weight, n_tokens)
+    * for every non-English doc): same md5-nibble bucket hash as the
+    * Spark side, same add-one-smoothed fixed-point ratio in HUGEINT
+    * (`//` == Spark `div` on positives). Used by q_dsir_weights and
+    * q_dsir_select. */
+  private def dsirCteSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, lang = 'en' AS is_target,
+       |    unnest(list_filter(
+       |      string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+       |  FROM documents),
+       |bk AS (
+       |  SELECT doc_id, is_target,
+       |    ${hash16Sql("term")} % 256 AS bucket
+       |  FROM toks),
+       |prof AS (
+       |  SELECT doc_id, is_target, bucket, count(*)::BIGINT AS cnt
+       |  FROM bk GROUP BY 1, 2, 3),
+       |marg AS (
+       |  SELECT bucket,
+       |    coalesce(sum(cnt) FILTER (WHERE is_target), 0)::BIGINT AS ct,
+       |    coalesce(sum(cnt) FILTER (WHERE NOT is_target), 0)::BIGINT AS cr
+       |  FROM prof GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(ct)::BIGINT AS ctt, sum(cr)::BIGINT AS crt FROM marg),
+       |sc AS (
+       |  SELECT bucket,
+       |    ((10000::HUGEINT * (ct + 1) * (crt + 256))
+       |      // ((cr + 1)::HUGEINT * (ctt + 256)))::BIGINT AS s
+       |  FROM marg, tot),
+       |dw AS (
+       |  SELECT p.doc_id, sum(p.cnt * s.s)::BIGINT AS dsir_weight,
+       |    sum(p.cnt)::BIGINT AS n_tokens
+       |  FROM prof p JOIN sc s USING (bucket)
+       |  WHERE NOT p.is_target
+       |  GROUP BY p.doc_id)""".stripMargin
 
   /** DuckDB spelling of TextFunctions.tokenHash16/32: first `digits` md5
     * hex digits as a BIGINT via nibble arithmetic (portable, no hex casts). */
@@ -5430,38 +5484,21 @@ object ExtensionQueries {
 
     // DSIR replay: same md5-nibble bucket hash, same add-one-smoothed
     // fixed-point ratio in HUGEINT (// == Spark div on positives)
-    "q_dsir_weights" -> {
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang = 'en' AS is_target,
-         |    unnest(list_filter(
-         |      string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
-         |  FROM documents),
-         |bk AS (
-         |  SELECT doc_id, is_target,
-         |    ${hash16Sql("term")} % 256 AS bucket
-         |  FROM toks),
-         |prof AS (
-         |  SELECT doc_id, is_target, bucket, count(*)::BIGINT AS cnt
-         |  FROM bk GROUP BY 1, 2, 3),
-         |marg AS (
-         |  SELECT bucket,
-         |    coalesce(sum(cnt) FILTER (WHERE is_target), 0)::BIGINT AS ct,
-         |    coalesce(sum(cnt) FILTER (WHERE NOT is_target), 0)::BIGINT AS cr
-         |  FROM prof GROUP BY 1),
-         |tot AS (
-         |  SELECT sum(ct)::BIGINT AS ctt, sum(cr)::BIGINT AS crt FROM marg),
-         |sc AS (
-         |  SELECT bucket,
-         |    ((10000::HUGEINT * (ct + 1) * (crt + 256))
-         |      // ((cr + 1)::HUGEINT * (ctt + 256)))::BIGINT AS s
-         |  FROM marg, tot)
-         |SELECT p.doc_id, sum(p.cnt * s.s)::BIGINT AS dsir_weight,
-         |  sum(p.cnt)::BIGINT AS n_tokens
-         |FROM prof p JOIN sc s USING (bucket)
-         |WHERE NOT p.is_target
-         |GROUP BY p.doc_id
-         |ORDER BY p.doc_id""".stripMargin
-    },
+    "q_dsir_weights" ->
+      s"""WITH $dsirCteSql
+         |SELECT doc_id, dsir_weight, n_tokens FROM dw
+         |ORDER BY doc_id""".stripMargin,
+
+    // Bernoulli importance resampling over the shared dw CTE: the
+    // q_sample_weighted acceptance hash under rate w / max(w)
+    "q_dsir_select" ->
+      s"""WITH $dsirCteSql
+         |SELECT doc_id, dsir_weight FROM dw
+         |WHERE ${hash16Sql("doc_id::VARCHAR")}
+         |      < floor(dsir_weight::DOUBLE
+         |              / (SELECT max(dsir_weight) FROM dw)::DOUBLE
+         |              * 65536.0)::BIGINT
+         |ORDER BY doc_id""".stripMargin,
 
     // oov rate vs the deterministic top-50 vocab (cnt desc, term asc)
     "q_oov_rate" ->
