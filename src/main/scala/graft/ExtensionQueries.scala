@@ -1380,6 +1380,16 @@ object ExtensionQueries {
           col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- interpolated Kneser-Ney bigram LM score (the smoothing the
+    // CCNet filter's actual KenLM models use): absolute discount D=3/4
+    // (exact binary fraction) + continuation-probability interpolation;
+    // exactly normalized (Σ_w P(w|v) = 1, LmScoreSpec). All model
+    // tables derive from ONE bigram count shuffle.
+    "q_lm_score_kn" -> ((s, d) =>
+      graft.operators.LmScore.lmScoreKn(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ---- collocation mining by lift (PMI's ratio kept rational — the
     // no-ln oracle rule; log only rescales the order): top bigram
     // associations above a min pair count. One uniform bigram-count
@@ -1776,6 +1786,38 @@ object ExtensionQueries {
       QualityRules.gopherRepetition(Tables.documents(s, d), col("doc_id"),
           col("text"))
         .orderBy("doc_id")),
+
+    // ---- the C4 rule cleanse (Raffel et al. 2020 §2.2): LINE-level
+    // retention (terminal punctuation, ≥3 words, no "javascript") plus
+    // page-level drops ("lorem ipsum", '{', <5 surviving lines). Page
+    // structure synthesized id-derived (the q_dedup_lines pattern):
+    // token-slice body lines framed by banner/footer lines, with the
+    // drop markers injected on doc_id moduli so every rule fires. The
+    // whole cleanse is ONE higher-order-function projection over the
+    // line array — zero shuffles, scan-speed at 100 TB.
+    "q_c4_filters" -> ((s, d) => {
+      val tk = graft.functions.TextFunctions.tokens(col("text"))
+      def seg(from: Int, n: Int): Column =
+        array_join(slice(tk, from, n), " ")
+      val page = concat_ws("\n",
+        concat(lit("about the "), col("source"), lit(" network.")),
+        concat(seg(1, 12), lit(".")),
+        seg(13, 4),
+        when(col("doc_id") % 7 === 0,
+          lit("please enable javascript to continue."))
+          .otherwise(concat(seg(17, 8), lit("?"))),
+        when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet."))
+          .otherwise(concat(lit("copyright "), col("lang"),
+            lit(" all rights reserved."))),
+        when(col("doc_id") % 13 === 0, lit("function() { return; }"))
+          .otherwise(concat(seg(25, 2), lit("!"))),
+        lit("subscribe"),
+        concat(seg(30, 6), lit(".")))
+      graft.operators.C4Filters.clean(
+          Tables.documents(s, d).withColumn("_pg", page),
+          col("doc_id"), col("_pg"))
+        .orderBy("doc_id")
+    }),
 
     // ---- cross-doc LINE-level dedup (the CCNet/RefinedWeb line scrub):
     // lines shared by >= 2 docs are boilerplate and removed from every
@@ -4714,6 +4756,51 @@ object ExtensionQueries {
     // without it vs five 130-GB oom-kills with it at sf10 (the
     // order-by-materialization trap; profile in BASELINE.md r13)
 
+    // C4 cleanse replay: the synthesized page, the line-retention
+    // list_filter, and the page-drop CASE mirror the Spark higher-order
+    // projection predicate-for-predicate (right(l,1) on both engines so
+    // empty lines compare equal; list slices are 1-based inclusive =
+    // slice(tk, from, n))
+    "q_c4_filters" ->
+      s"""WITH tkx AS (
+         |  SELECT doc_id, lang, source, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+         |  FROM documents),
+         |pg AS (
+         |  SELECT doc_id, concat_ws(chr(10),
+         |    'about the ' || source || ' network.',
+         |    coalesce(array_to_string(tk[1:12], ' '), '') || '.',
+         |    coalesce(array_to_string(tk[13:16], ' '), ''),
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN 'please enable javascript to continue.'
+         |         ELSE coalesce(array_to_string(tk[17:24], ' '), '') || '?' END,
+         |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+         |         ELSE 'copyright ' || lang || ' all rights reserved.' END,
+         |    CASE WHEN doc_id % 13 = 0 THEN 'function() { return; }'
+         |         ELSE coalesce(array_to_string(tk[25:26], ' '), '') || '!' END,
+         |    'subscribe',
+         |    coalesce(array_to_string(tk[30:35], ' '), '') || '.') AS page
+         |  FROM tkx),
+         |k AS (
+         |  SELECT doc_id, page, string_split(page, chr(10)) AS ls,
+         |    list_filter(string_split(page, chr(10)), l ->
+         |      right(l, 1) IN ('.', '!', '?', '"')
+         |      AND len(list_filter(string_split_regex(lower(l), '\\s+'),
+         |              x -> x != '')) >= 3
+         |      AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM pg),
+         |c AS (
+         |  SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept_lines,
+         |    CASE WHEN NOT (contains(lower(page), 'lorem ipsum')
+         |                   OR contains(lower(page), '{'))
+         |          AND len(kept) >= 5
+         |         THEN array_to_string(kept, chr(10)) END AS clean
+         |  FROM k)
+         |SELECT doc_id, n_lines, n_kept_lines,
+         |  clean IS NOT NULL AS page_kept,
+         |  length(clean) AS clean_len, md5(clean) AS clean_md5
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // line dedup: the oracle groups RAW lines (the raw-shingle pattern —
     // a Spark-side xxhash64 collision would surface as a mismatch);
     // rebuild via position-ordered string_agg, NULL-skipping on the
@@ -5554,6 +5641,49 @@ object ExtensionQueries {
          |SELECT doc_id, count(*)::BIGINT AS n_tokens,
          |  ${graft.functions.Rounding.floorRoundSql(
               "list_sum(list(ps ORDER BY prev, cur)) / count(*)", 6)} AS lm_score2
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // interpolated Kneser-Ney replay: every model table derives from
+    // the bigram count table; the probability tree mirrors the Spark
+    // when-cascade operation-for-operation (exact casts, D = 0.75 an
+    // exact binary fraction); fold ordered by (prev, cur)
+    "q_lm_score_kn" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, s.cur AS cur, s.prev AS prev FROM (
+         |    SELECT doc_id, unnest([{'cur': tk[i+1],
+         |        'prev': CASE WHEN i > 0 THEN tk[i] ELSE '' END}
+         |      for i in range(0, len(tk))]) AS s
+         |    FROM toks)),
+         |bi AS (SELECT prev, cur, count(*)::BIGINT AS bc
+         |       FROM occ WHERE prev <> '' GROUP BY prev, cur),
+         |pv AS (SELECT prev, sum(bc)::BIGINT AS pc,
+         |         count(*)::BIGINT AS n1f FROM bi GROUP BY prev),
+         |cv AS (SELECT cur, count(*)::BIGINT AS n1r FROM bi GROUP BY cur),
+         |bt AS (SELECT sum(n1f)::DOUBLE AS b FROM pv),
+         |p0 AS (
+         |  SELECT o.doc_id, o.prev, o.cur,
+         |    coalesce(c.n1r, 0)::DOUBLE / (SELECT b FROM bt) AS pcont,
+         |    v.pc AS pc, v.n1f AS n1f, b2.bc AS bc
+         |  FROM occ o
+         |  LEFT JOIN cv c ON o.cur = c.cur
+         |  LEFT JOIN pv v ON o.prev = v.prev
+         |  LEFT JOIN bi b2 ON o.prev = b2.prev AND o.cur = b2.cur),
+         |p AS (
+         |  SELECT doc_id, prev, cur,
+         |    CASE WHEN prev = '' THEN pcont
+         |         WHEN pc IS NULL THEN pcont
+         |         ELSE greatest(coalesce(bc, 0)::DOUBLE - 0.75, 0.0)
+         |                / pc::DOUBLE
+         |              + (0.75 * n1f::DOUBLE / pc::DOUBLE) * pcont
+         |    END AS ps
+         |  FROM p0)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  ${graft.functions.Rounding.floorRoundSql(
+              "list_sum(list(ps ORDER BY prev, cur)) / count(*)", 6)} AS lm_score_kn
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ppl_buckets" ->

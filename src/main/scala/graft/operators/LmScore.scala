@@ -164,6 +164,98 @@ object LmScore {
           / col("n_tokens")))
       .select(col("doc_id"), col("n_tokens"), col("lm_score"))
 
+  // ---- interpolated Kneser-Ney ------------------------------------------
+
+  /** Bigram LM score with INTERPOLATED KNESER-NEY smoothing (Kneser &
+    * Ney 1995; Chen & Goodman 1999's interpolated variant) — the
+    * smoothing the CCNet filter's actual KenLM models ship (Heafield
+    * 2011), upgrading [[lmScore2]]'s stupid backoff from a heuristic
+    * discount to the absolute-discounting estimator:
+    *
+    *   P(w | v) = max(c(v,w) − D, 0)/c(v) + D·N1+(v·)/c(v) · Pcont(w)
+    *   Pcont(w) = N1+(·w) / N1+(··)
+    *
+    * where c(v) = Σ_w c(v,w), N1+(v·)/N1+(·w) are distinct-continuation
+    * counts, and N1+(··) is the bigram-type total. A doc-initial token
+    * (prev = '') scores Pcont(w) — the lower-order KN distribution,
+    * which models how NOVEL a word's contexts are rather than how
+    * frequent the word is (the "San Francisco" effect: "Francisco" is
+    * frequent but follows only "San", so its continuation probability
+    * is tiny). D = 3/4 — an exact BINARY fraction (the 0.75 convention
+    * is also Chen & Goodman's fitted value region), so the discount is
+    * bit-exact cross-engine; every probability is a fixed tree of
+    * long→double casts, divisions and one multiply-add, and the per-doc
+    * mean folds in (prev, cur)-sorted order — hash-oracled as
+    * `q_lm_score_kn`. With c(v) = Σ_w c(v,w) the estimator is exactly
+    * normalized: Σ_w P(w|v) = 1 for every seen v (LmScoreSpec proves
+    * it on the corpus).
+    *
+    * Scale shape: ALL model tables derive from the bigram count table —
+    * one uniform (prev, cur) count shuffle, then two bounded regroups
+    * of the bigram-TYPE table (vocabulary-sized, far smaller than the
+    * corpus) for the prev/cur continuation stats; scoring is three
+    * shuffle joins back onto occurrences (a 100 TB vocabulary is not
+    * broadcast-size) and one doc regroup. Linear — no n² term. */
+  def lmScoreKn(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+    val bi = knBigramCounts(occ)
+    scoreKn(occ, bi, knPrevStats(bi), knCurStats(bi))
+  }
+
+  /** Score under STORED Kneser-Ney statistics — the recurring-ingest
+    * form: new batches score under a reference corpus' persisted bigram
+    * count table ([[knBigramCounts]]; the two continuation-stat tables
+    * re-derive from it, vocabulary-sized work). Unseen bigrams keep
+    * only the interpolation term (the max(·,0) clamp), unseen prev
+    * backs all the way off to Pcont(cur), unseen cur contributes 0. */
+  def lmScoreKnWith(df: DataFrame, idCol: Column, textCol: Column,
+      biCounts: DataFrame): DataFrame =
+    scoreKn(bigramOccurrences(df, idCol, textCol), biCounts,
+      knPrevStats(biCounts), knCurStats(biCounts))
+
+  /** The persistable KN model: the bigram count table
+    * (prev, cur, _bc). Everything else derives from it. */
+  def knBigramCounts(occ: DataFrame): DataFrame =
+    occ.filter(col("prev") =!= "")
+      .groupBy("prev", "cur").agg(count(lit(1)).as("_bc"))
+
+  /** (prev, _pc = Σ_w c(prev,w), _n1f = N1+(prev ·)) — one regroup of
+    * the bigram-type table. */
+  private def knPrevStats(bi: DataFrame): DataFrame =
+    bi.groupBy("prev").agg(sum("_bc").as("_pc"), count(lit(1)).as("_n1f"))
+
+  /** (cur, _n1r = N1+(· cur)). */
+  private def knCurStats(bi: DataFrame): DataFrame =
+    bi.groupBy("cur").agg(count(lit(1)).as("_n1r"))
+
+  private def scoreKn(occ: DataFrame, bi: DataFrame, prevStats: DataFrame,
+      curStats: DataFrame): DataFrame = {
+    // N1+(··): bigram-type total — one driver scalar (the unigramProbs
+    // head() rule), exact as a long sum of the type counts
+    val btypes = prevStats.agg(sum("_n1f")).head().getLong(0).toDouble
+    occ.join(curStats, Seq("cur"), "left")
+      .withColumn("_pcont",
+        coalesce(col("_n1r"), lit(0L)).cast("double") / lit(btypes))
+      .join(prevStats, Seq("prev"), "left")
+      .join(bi, Seq("prev", "cur"), "left")
+      .withColumn("ps",
+        when(col("prev") === "", col("_pcont"))
+          .when(col("_pc").isNull, col("_pcont"))
+          .otherwise(
+            greatest(coalesce(col("_bc"), lit(0L)).cast("double")
+                - lit(0.75), lit(0.0)) / col("_pc").cast("double")
+              + (lit(0.75) * col("_n1f").cast("double")
+                  / col("_pc").cast("double")) * col("_pcont")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(
+          struct(col("prev"), col("cur"), col("ps")))).as("arr"))
+      .withColumn("lm_score_kn", floorRound6(
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("ps"))
+          / col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("lm_score_kn"))
+  }
+
   /** Collocation mining by LIFT — the association statistic phrase /
     * multi-word-expression extraction ranks candidate bigrams with.
     * Lift is PMI's inside-the-log ratio kept RATIONAL (the no-ln oracle

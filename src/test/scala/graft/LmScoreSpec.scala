@@ -98,6 +98,82 @@ class LmScoreSpec extends SparkSuite {
     assert(got === Seq((1L, 3L, 0L, 0.0), (2L, 4L, 2L, 0.5)))
   }
 
+  test("lmScoreKn: hand-computed interpolated Kneser-Ney on a 2-doc " +
+      "corpus (D = 3/4)") {
+    // corpus "a b", "a c": bigram types (a,b):1, (a,c):1
+    // pc(a)=2, N1+(a·)=2; N1+(·b)=N1+(·c)=1, N1+(··)=2 → pcont(b)=1/2
+    // doc "a b": pos0 'a' → pcont(a)=0 (a never a bigram's cur);
+    // pos1 (a,b) → (1−.75)/2 + (.75·2/2)·(1/2) = 0.125+0.375 = 0.5
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = LmScore.lmScoreKn(docs, col("doc_id"), col("text"))
+      .select("doc_id", "lm_score_kn").as[(Long, Double)].collect().toMap
+    assert(got(1L) === fr6((0.0 + 0.5) / 2.0))
+  }
+
+  test("lmScoreKn: the estimator is exactly normalized — sum over the " +
+      "continuation vocabulary of P(w|v) is 1 for every seen context v") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick dog sleeps over the brown fox"),
+      (3L, "a quick brown dog jumps a fence")).toDF("doc_id", "text")
+    // independent driver-side re-derivation from the persistable table
+    val bi = LmScore.knBigramCounts(
+        docs.select(col("doc_id"), col("text"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "cur")))
+          .withColumn("prev", when(col("p") > 0,
+            element_at(split(col("text"), " "), col("p"))).otherwise(lit("")))
+          .select(col("doc_id"), col("prev"), col("cur")))
+      .as[(String, String, Long)].collect()
+    val pc = bi.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._3).sum }
+    val n1f = bi.groupBy(_._1).map { case (v, xs) => v -> xs.length.toLong }
+    val n1r = bi.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val btot = n1f.values.sum.toDouble
+    val vocab = n1r.keys.toSeq
+    for (v <- pc.keys) {
+      val seen = bi.filter(_._1 == v).map { case (_, w, c) =>
+        math.max(c - 0.75, 0.0) / pc(v) }.sum
+      val interp = vocab.map(w =>
+        (0.75 * n1f(v) / pc(v)) * (n1r(w) / btot)).sum
+      assert(math.abs(seen + interp - 1.0) < 1e-9,
+        s"sum_w P(w|$v) = ${seen + interp}")
+    }
+  }
+
+  test("lmScoreKn: a scrambled doc scores strictly below its twin") {
+    val natural = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog lazy the over jumps fox brown quick the"
+    val docs = ((1L to 10L).map(i => (i, natural)) :+ (11L, scrambled))
+      .toDF("doc_id", "text")
+    val got = LmScore.lmScoreKn(docs, col("doc_id"), col("text"))
+      .select("doc_id", "lm_score_kn").as[(Long, Double)].collect().toMap
+    assert(got(11L) < got(1L),
+      s"scrambled ${got(11L)} should score below natural ${got(1L)}")
+  }
+
+  test("lmScoreKnWith: unseen prev backs off to the continuation " +
+      "probability; unseen cur contributes zero") {
+    val corpus = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val stats = LmScore.knBigramCounts(
+      Seq(("a", "b"), ("a", "c")).toDF("prev", "cur")
+        .groupBy("prev", "cur").count()
+        .select(col("prev"), col("cur"), col("count").as("_bc")))
+    // doc "b z a": pos0 'b' → pcont(b)=1/2; (b,z): prev b unseen as a
+    // context → pcont(z)=0; (z,a): prev unseen → pcont(a)=0
+    val got = LmScore.lmScoreKnWith(
+        Seq((10L, "b z a")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), stats)
+      .select("lm_score_kn").as[Double].head()
+    assert(got === fr6((0.5 + 0.0 + 0.0) / 3.0))
+    // sanity: the self-scored corpus agrees with lmScoreKnWith under
+    // its own statistics
+    val self = LmScore.lmScoreKn(corpus, col("doc_id"), col("text"))
+      .select("doc_id", "lm_score_kn").as[(Long, Double)].collect().toMap
+    val withOwn = LmScore.lmScoreKnWith(corpus, col("doc_id"), col("text"),
+        stats)
+      .select("doc_id", "lm_score_kn").as[(Long, Double)].collect().toMap
+    assert(self === withOwn)
+  }
+
   /** The repo's floorRound6: floor(x·10⁶ + 0.5)/10⁶. */
   private def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 }
