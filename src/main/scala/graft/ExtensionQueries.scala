@@ -1189,6 +1189,17 @@ object ExtensionQueries {
           col("doc_id"), col("text"), chunkTokens = 64, stride = 48)
         .orderBy("doc_id", "chunk_idx")),
 
+    // ---- T5 span-corruption planning (Raffel et al. 2020 §3.1.4):
+    // deterministic block-hash span placement (~15% corruption, spans
+    // of 3) and the resulting input/target example sizes — what the
+    // packing/budget stages consume. Entirely map-side; spread past
+    // the 1-row-group scan (interpreted per-block fold).
+    "q_span_corrupt" -> ((s, d) =>
+      graft.operators.SpanCorrupt.stats(
+          graft.operators.Spread.forKernel(Tables.documents(s, d)),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ---- BM25 keyword retrieval (Robertson/Spärck Jones): the ranking
     // function behind classic search, over the same token pipeline as
     // TF-IDF. Rational idf (N−df+0.5)/(df+0.5) — the log is omitted for
@@ -6213,6 +6224,38 @@ object ExtensionQueries {
          |  len(list_slice(tk, s + 1, s + 64))::INT AS n_tokens
          |FROM t, unnest(range(0, n, 48)) AS u(s)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // span-corruption replay: blocks via unnest(range(...)) (lateral
+    // args allowed in the unnest form), the block-offset hash is the
+    // portable md5-nibble spelling, partial-block clip via
+    // greatest/least; docs with zero tokens re-enter with zeros
+    "q_span_corrupt" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n, unnest(range(0, ((n - 1) // 20) + 1)) AS blk
+         |  FROM toks WHERE n > 0),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    greatest(0, least(3, n - (blk * 20 +
+         |      ${hash16Sql("'sc|' || doc_id::VARCHAR || '|' || blk::VARCHAR")}
+         |        % 18))) AS cr
+         |  FROM b),
+         |a AS (
+         |  SELECT doc_id, sum(cr)::BIGINT AS nc,
+         |    count(*) FILTER (WHERE cr > 0)::BIGINT AS ns
+         |  FROM c GROUP BY doc_id)
+         |SELECT t.doc_id, t.n::BIGINT AS n_tokens,
+         |  coalesce(a.ns, 0)::BIGINT AS n_spans,
+         |  coalesce(a.nc, 0)::BIGINT AS n_corrupt,
+         |  (t.n - coalesce(a.nc, 0))::BIGINT + coalesce(a.ns, 0)::BIGINT
+         |    AS n_input_tokens,
+         |  (coalesce(a.nc, 0) + coalesce(a.ns, 0))::BIGINT
+         |    AS n_target_tokens
+         |FROM toks t LEFT JOIN a ON t.doc_id = a.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q_profile" -> {
       def one(c: String) =
