@@ -219,6 +219,15 @@ object LmScore {
     occ.filter(col("prev") =!= "")
       .groupBy("prev", "cur").agg(count(lit(1)).as("_bc"))
 
+  /** [[knBigramCounts]] straight from a document frame — the form a
+    * recurring-ingest maintainer computes per batch
+    * ([[graft.streaming.Streams.knStream]]): bigram counts are ADDITIVE
+    * across batches (counts of a union = pair-wise sums), so per-batch
+    * partials merge exactly. */
+  def knBigramCountsOf(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame =
+    knBigramCounts(bigramOccurrences(df, idCol, textCol))
+
   /** (prev, _pc = Σ_w c(prev,w), _n1f = N1+(prev ·)) — one regroup of
     * the bigram-type table. */
   private def knPrevStats(bi: DataFrame): DataFrame =

@@ -617,6 +617,57 @@ object Streams {
       _.groupBy("bucket").agg(sum(col("ct")).as("ct"),
         sum(col("cr")).as("cr")))
 
+  /** Streaming Kneser-Ney model maintenance — the incremental form of
+    * [[graft.operators.LmScore.knBigramCountsOf]], on [[cmsStream]]'s
+    * append-partials lifecycle: bigram counts are ADDITIVE (counts of a
+    * union = pair-wise sums of the parts), so each micro-batch writes
+    * its own bigram-vocabulary-sized partial into a `batch_id`
+    * partition with dynamic overwrite — a crash-replayed batch
+    * overwrites ITS OWN partition, totals stay exact. The stored state
+    * is the exact count table, never a derived probability (the
+    * decayed-counter rule — and every KN quantity (c(v), N1+(v·),
+    * N1+(·w), N1+(··)) re-derives from the counts at read); scoring
+    * comes at READ via [[readKnBigrams]] +
+    * [[graft.operators.LmScore.lmScoreKnWith]] — score ANY candidate
+    * batch under whatever the reference stream has accumulated. */
+  def knStream(spark: SparkSession, docs: DataFrame, statsDir: String,
+               checkpointDir: String, idCol: String = "doc_id",
+               textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.LmScore.knBigramCountsOf(batch.toDF(),
+              col(idCol), col(textCol))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statsDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Merge-on-read over the partial bigram counts: one groupBy-sum,
+    * bigram-vocabulary-sized. */
+  def readKnBigrams(spark: SparkSession, statsDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, statsDir)
+    spark.read.parquet(statsDir)
+      .groupBy("prev", "cur")
+      .agg(sum(col("_bc")).as("_bc"))
+  }
+
+  /** Fold accumulated partials into one `batch_id=-1` baseline — the
+    * [[compactCms]] contract (stream stopped, whole-dir swap). */
+  def compactKn(spark: SparkSession, statsDir: String): Unit =
+    compactPartials(spark, statsDir,
+      _.groupBy("prev", "cur").agg(sum(col("_bc")).as("_bc")))
+
   /** Streaming Bloom-filter maintenance — the incremental form of
     * [[graft.operators.BloomJoin.buildBits]], with [[cmsStream]]'s
     * append-partials lifecycle: bloom words OR-merge exactly as CMS

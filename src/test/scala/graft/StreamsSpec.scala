@@ -1333,6 +1333,54 @@ class StreamsSpec extends SparkSuite {
       .as[Long].collect() === Array(-1L))
   }
 
+  test("knStream: streamed bigram counts equal the union's; scoring " +
+      "under them equals the one-shot Kneser-Ney; replay overwrites " +
+      "its own partition; compaction preserves totals") {
+    import graft.operators.LmScore
+    val dir = Files.createTempDirectory("graft-kn-stream-").toString
+    val stats = s"$dir/stats"
+    // pre-seed batch 0's partial as if a crashed run committed output
+    // but not the checkpoint — the replaying batch must OVERWRITE it
+    Seq(("stale", "pair", 999999L)).toDF("prev", "cur", "_bc")
+      .write.parquet(s"$stats/batch_id=0")
+    val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+    val b2 = Seq((2L, "the quick dog sleeps over the brown fox"))
+    val b3 = Seq((3L, "a quick brown dog jumps a fence"))
+    val union = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.knStream(spark,
+      input.toDF().toDF("doc_id", "text"), stats, s"$dir/chk")
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def cntMap(df: org.apache.spark.sql.DataFrame)
+        : Map[(String, String), Long] =
+      df.as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val streamed = cntMap(Streams.readKnBigrams(spark, stats))
+    val batch = cntMap(LmScore.knBigramCountsOf(union,
+      col("doc_id"), col("text")))
+    assert(streamed === batch,
+      "merge-on-read counts must equal the union's (and the stale " +
+        "pre-seeded partial must have been overwritten)")
+    // serving: KN scores under the STREAMED counts == the one-shot
+    // self-scored operator over the union (all model tables re-derive
+    // from the count table, so equality is exact)
+    val viaStream = LmScore.lmScoreKnWith(union, col("doc_id"),
+        col("text"), Streams.readKnBigrams(spark, stats))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val oneShot = LmScore.lmScoreKn(union, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(viaStream === oneShot)
+    // compaction (stream stopped): one baseline partition, same totals
+    Streams.compactKn(spark, stats)
+    assert(cntMap(Streams.readKnBigrams(spark, stats)) === batch)
+    assert(spark.read.parquet(stats).select("batch_id").distinct()
+      .as[Long].collect() === Array(-1L))
+  }
+
   test("graphUpsertStream: size-triggered shard split — extendible " +
       "children partition the parent exactly, untouched shards stay " +
       "byte-identical, and routing finds split leaves") {
