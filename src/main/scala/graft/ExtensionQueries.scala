@@ -1215,6 +1215,19 @@ object ExtensionQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(15)),
 
+    // ---- Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001,
+    // SIGIR): the language-model retrieval family beside BM25 —
+    // score(q,d) = Π_w (c(w,d) + μ·cf(w)/|C|) / (|d| + μ), μ = 64 (an
+    // exact binary integer). Every doc scores every query term (the
+    // unseen-term smoothing IS the model), so the fold is a PRODUCT in
+    // term-sorted order (1.0-seeded Spark fold = first-element-seeded
+    // DuckDB list_reduce, bit-equal since 1.0·x = x); the fixed
+    // operation tree hash-matches unrounded (the q_colloc_lift rule).
+    "q_ql_dirichlet" -> ((s, d) =>
+      qlScores(s, d, Seq("join", "filter", "window", "scan"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(15)),
+
     // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
     // SIGIR'09) of a BM25 keyword run and a cosine vector run —
     // score(d) = Σ_runs 1/(60 + rank_run(d)). Rank arithmetic only, so
@@ -3756,6 +3769,44 @@ object ExtensionQueries {
       .select(col("doc_id"), col("score"))
   }
 
+  /** Dirichlet-smoothed query-likelihood scores (Zhai & Lafferty 2001)
+    * over the documents table — see the q_ql_dirichlet comment for the
+    * estimator. Scale shape: tokenization map-side; the per-(doc, term)
+    * frame is doc-lengths × a |q|-row broadcast (linear — the sanctioned
+    * bounded-crossJoin shape, PlanSpec allowedBnlj); cf and the 1-row
+    * total broadcast; corpus shuffles are the doc-length groupBy and
+    * the per-doc product regroup — the bm25Scores shape exactly. */
+  private def qlScores(s: SparkSession, d: String,
+                       kws: Seq[String]): DataFrame = {
+    import s.implicits._
+    val mu = 64.0
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dls = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // 1-row lazy broadcast aggregate (the bm25 avgdl shape)
+    val tot = terms.agg(count(lit(1)).cast("double").as("total"))
+    val qterms = kws.toDF("term")
+    val cf = terms.filter(col("term").isin(kws: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tf = terms.filter(col("term").isin(kws: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val v = (coalesce(col("tf"), lit(0L)).cast("double") +
+        lit(mu) * (coalesce(col("cf"), lit(0L)).cast("double")
+          / col("total"))) /
+      (col("dl").cast("double") + lit(mu))
+    dls.crossJoin(broadcast(qterms))
+      .join(broadcast(cf), Seq("term"), "left")
+      .join(tf, Seq("doc_id", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("v", v)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("v"))))
+        .as("arr"))
+      .withColumn("score", aggregate(col("arr"), lit(1.0),
+        (a, x) => a * x.getField("v")))
+      .select(col("doc_id"), col("score"))
+  }
+
   private val qvCte =
     "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
 
@@ -6271,6 +6322,39 @@ object ExtensionQueries {
     "q_bm25_rank" ->
       s"""WITH $bm25ScoreCte
          |SELECT doc_id, score FROM r
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Dirichlet query-likelihood replay: per-(doc, query-term) smoothed
+    // values in the identical operation tree, term-ordered list_reduce
+    // product (first-element-seeded = Spark's 1.0-seeded fold)
+    "q_ql_dirichlet" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY doc_id),
+         |tot AS (SELECT count(*)::DOUBLE AS total FROM t),
+         |q AS (SELECT unnest(['join', 'filter', 'window', 'scan']) AS term),
+         |cf AS (
+         |  SELECT term, count(*)::BIGINT AS cf FROM t
+         |  WHERE term IN ('join', 'filter', 'window', 'scan')
+         |  GROUP BY term),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+         |  WHERE term IN ('join', 'filter', 'window', 'scan')
+         |  GROUP BY doc_id, term),
+         |v AS (
+         |  SELECT d.doc_id, q.term,
+         |    (coalesce(tf.tf, 0)::DOUBLE +
+         |       64.0 * (coalesce(cf.cf, 0)::DOUBLE / (SELECT total FROM tot)))
+         |      / (d.dl::DOUBLE + 64.0) AS v
+         |  FROM dl d
+         |  CROSS JOIN q
+         |  LEFT JOIN cf ON q.term = cf.term
+         |  LEFT JOIN tf ON d.doc_id = tf.doc_id AND q.term = tf.term)
+         |SELECT doc_id,
+         |  list_reduce(list(v ORDER BY term), (a, b) -> a * b) AS score
+         |FROM v GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // phrase search: zipped parallel unnest builds the 1-based postings;
