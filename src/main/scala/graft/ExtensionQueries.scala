@@ -1228,6 +1228,17 @@ object ExtensionQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(15)),
 
+    // ---- minimal query-term span (Tao & Zhai 2007): the proximity
+    // re-ranking feature between bag-of-words (q_bm25_rank) and exact
+    // adjacency (q_phrase_search) — shortest window containing ALL
+    // query terms, via the running-max sweep (|q| window columns over
+    // ONE doc-ordered pass of the term-filtered positions). All-integer.
+    "q_prox_minspan" -> ((s, d) =>
+      graft.operators.Proximity.minSpan(Tables.documents(s, d),
+          col("doc_id"), col("text"),
+          Seq("join", "filter", "window", "scan"))
+        .orderBy("doc_id")),
+
     // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
     // SIGIR'09) of a BM25 keyword run and a cosine vector run —
     // score(d) = Σ_runs 1/(60 + rank_run(d)). Rank arithmetic only, so
@@ -6356,6 +6367,41 @@ object ExtensionQueries {
          |  list_reduce(list(v ORDER BY term), (a, b) -> a * b) AS score
          |FROM v GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // minimal-span replay: zipped parallel unnest builds the 1-based
+    // positions (the phrase-search pattern), per-term running maxima as
+    // windowed conditional max, least + min all-integer
+    "q_prox_minspan" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, unnest(tk) AS term,
+         |    unnest(generate_series(1, len(tk))) AS pos
+         |  FROM toks),
+         |f AS (
+         |  SELECT doc_id, pos, term FROM pos
+         |  WHERE term IN ('join', 'filter', 'window', 'scan')),
+         |sw AS (
+         |  SELECT doc_id, pos,
+         |    max(CASE WHEN term = 'join' THEN pos END) OVER w AS l0,
+         |    max(CASE WHEN term = 'filter' THEN pos END) OVER w AS l1,
+         |    max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2,
+         |    max(CASE WHEN term = 'scan' THEN pos END) OVER w AS l3
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN l0 IS NOT NULL AND l1 IS NOT NULL
+         |          AND l2 IS NOT NULL AND l3 IS NOT NULL
+         |         THEN pos - least(l0, l1, l2, l3) + 1 END AS span
+         |  FROM sw)
+         |SELECT doc_id, min(span)::INT AS min_span,
+         |  count(*)::BIGINT AS n_occ
+         |FROM sp GROUP BY doc_id HAVING min(span) IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
 
     // phrase search: zipped parallel unnest builds the 1-based postings;
     // per-term start sets intersect via USING joins (base offset
