@@ -1277,6 +1277,44 @@ object ExtensionQueries {
         .limit(10)
     }),
 
+    // ---- 4-way reciprocal-rank fusion: BM25 + Dirichlet QL +
+    // proximity (min_span ASC — closer is better) + cosine vector, each
+    // an independently-oracled top-20 run, fused 1/(60 + rank) in a
+    // fixed run order (Cormack SIGIR'09). Serving shape: runs are
+    // bounded retrievals; the fusion joins four ≤20-row frames.
+    "q_rrf_fusion4" -> ((s, d) => {
+      val kRun = 20
+      val kws = Seq("join", "filter", "window", "scan")
+      def ranked(df: org.apache.spark.sql.DataFrame, id: Column,
+          ord: Seq[Column], as: String): org.apache.spark.sql.DataFrame =
+        df.orderBy(ord: _*).limit(kRun)
+          .withColumn(as, row_number().over(Window.orderBy(ord: _*)))
+          .select(id.as(s"${as}id"), col(as))
+      val bm = ranked(bm25Scores(s, d, kws), col("doc_id"),
+        Seq(col("score").desc, col("doc_id").asc), "br")
+      val ql = ranked(qlScores(s, d, kws), col("doc_id"),
+        Seq(col("score").desc, col("doc_id").asc), "qr")
+      val px = ranked(graft.operators.Proximity.minSpan(
+          Tables.documents(s, d), col("doc_id"), col("text"), kws),
+        col("doc_id"),
+        Seq(col("min_span").asc, col("doc_id").asc), "pr")
+      val cos = ranked(Knn.cosineTopK(Tables.embeddings(s, d),
+          col("embedding"), queryVec(s, d), k = kRun), col("vec_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), "cr")
+      def rr(c: Column): Column =
+        coalesce(lit(1.0) / (lit(60) + c), lit(0.0))
+      bm.join(ql, col("brid") === col("qrid"), "full_outer")
+        .withColumn("_i1", coalesce(col("brid"), col("qrid")))
+        .join(px, col("_i1") === col("prid"), "full_outer")
+        .withColumn("_i2", coalesce(col("_i1"), col("prid")))
+        .join(cos, col("_i2") === col("crid"), "full_outer")
+        .select(coalesce(col("_i2"), col("crid")).as("id"),
+          floorRound6(rr(col("br")) + rr(col("qr")) + rr(col("pr"))
+            + rr(col("cr"))).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("id").asc)
+        .limit(10)
+    }),
+
     // ---- exact-phrase search over the positional inverted index:
     // per-term candidate-start extraction (filter pushed to the scan),
     // k-way (doc, start) equi-join intersection, per-doc hit counts —
@@ -3818,6 +3856,75 @@ object ExtensionQueries {
       .select(col("doc_id"), col("score"))
   }
 
+  /** Shared CTE chunk for the Dirichlet QL score (q_ql_dirichlet and
+    * the 4-way fusion): ends with `qls` (doc_id, score). CTE names are
+    * ql-prefixed so the chunk composes beside bm25ScoreCte/qvCte. */
+  private val qlScoreCte: String =
+    """qlt AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+      |  FROM documents),
+      |qldl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM qlt
+      |         GROUP BY doc_id),
+      |qltot AS (SELECT count(*)::DOUBLE AS total FROM qlt),
+      |qlq AS (SELECT unnest(['join', 'filter', 'window', 'scan']) AS term),
+      |qlcf AS (
+      |  SELECT term, count(*)::BIGINT AS cf FROM qlt
+      |  WHERE term IN ('join', 'filter', 'window', 'scan')
+      |  GROUP BY term),
+      |qltf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM qlt
+      |  WHERE term IN ('join', 'filter', 'window', 'scan')
+      |  GROUP BY doc_id, term),
+      |qlv AS (
+      |  SELECT d.doc_id, qlq.term,
+      |    (coalesce(qltf.tf, 0)::DOUBLE +
+      |       64.0 * (coalesce(qlcf.cf, 0)::DOUBLE
+      |                 / (SELECT total FROM qltot)))
+      |      / (d.dl::DOUBLE + 64.0) AS v
+      |  FROM qldl d
+      |  CROSS JOIN qlq
+      |  LEFT JOIN qlcf ON qlq.term = qlcf.term
+      |  LEFT JOIN qltf ON d.doc_id = qltf.doc_id AND qlq.term = qltf.term),
+      |qls AS (
+      |  SELECT doc_id,
+      |    list_reduce(list(v ORDER BY term), (a, b) -> a * b) AS score
+      |  FROM qlv GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTE chunk for the minimal-span sweep (q_prox_minspan and
+    * the 4-way fusion): ends with `pxs` (doc_id, min_span, n_occ). */
+  private val proxSpanCte: String =
+    """pxt AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x != '') AS tk
+      |  FROM documents),
+      |pxp AS (
+      |  SELECT doc_id, unnest(tk) AS term,
+      |    unnest(generate_series(1, len(tk))) AS pos
+      |  FROM pxt),
+      |pxf AS (
+      |  SELECT doc_id, pos, term FROM pxp
+      |  WHERE term IN ('join', 'filter', 'window', 'scan')),
+      |pxw AS (
+      |  SELECT doc_id, pos,
+      |    max(CASE WHEN term = 'join' THEN pos END) OVER w AS l0,
+      |    max(CASE WHEN term = 'filter' THEN pos END) OVER w AS l1,
+      |    max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2,
+      |    max(CASE WHEN term = 'scan' THEN pos END) OVER w AS l3
+      |  FROM pxf
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pxsp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN l0 IS NOT NULL AND l1 IS NOT NULL
+      |          AND l2 IS NOT NULL AND l3 IS NOT NULL
+      |         THEN pos - least(l0, l1, l2, l3) + 1 END AS span
+      |  FROM pxw),
+      |pxs AS (
+      |  SELECT doc_id, min(span)::INT AS min_span,
+      |    count(*)::BIGINT AS n_occ
+      |  FROM pxsp GROUP BY doc_id HAVING min(span) IS NOT NULL)""".stripMargin
+
   private val qvCte =
     "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
 
@@ -6339,68 +6446,16 @@ object ExtensionQueries {
     // values in the identical operation tree, term-ordered list_reduce
     // product (first-element-seeded = Spark's 1.0-seeded fold)
     "q_ql_dirichlet" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, unnest(list_filter(
-         |    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
-         |  FROM documents),
-         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY doc_id),
-         |tot AS (SELECT count(*)::DOUBLE AS total FROM t),
-         |q AS (SELECT unnest(['join', 'filter', 'window', 'scan']) AS term),
-         |cf AS (
-         |  SELECT term, count(*)::BIGINT AS cf FROM t
-         |  WHERE term IN ('join', 'filter', 'window', 'scan')
-         |  GROUP BY term),
-         |tf AS (
-         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
-         |  WHERE term IN ('join', 'filter', 'window', 'scan')
-         |  GROUP BY doc_id, term),
-         |v AS (
-         |  SELECT d.doc_id, q.term,
-         |    (coalesce(tf.tf, 0)::DOUBLE +
-         |       64.0 * (coalesce(cf.cf, 0)::DOUBLE / (SELECT total FROM tot)))
-         |      / (d.dl::DOUBLE + 64.0) AS v
-         |  FROM dl d
-         |  CROSS JOIN q
-         |  LEFT JOIN cf ON q.term = cf.term
-         |  LEFT JOIN tf ON d.doc_id = tf.doc_id AND q.term = tf.term)
-         |SELECT doc_id,
-         |  list_reduce(list(v ORDER BY term), (a, b) -> a * b) AS score
-         |FROM v GROUP BY doc_id
+      s"""WITH $qlScoreCte
+         |SELECT doc_id, score FROM qls
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // minimal-span replay: zipped parallel unnest builds the 1-based
     // positions (the phrase-search pattern), per-term running maxima as
     // windowed conditional max, least + min all-integer
     "q_prox_minspan" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(
-         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
-         |  FROM documents),
-         |pos AS (
-         |  SELECT doc_id, unnest(tk) AS term,
-         |    unnest(generate_series(1, len(tk))) AS pos
-         |  FROM toks),
-         |f AS (
-         |  SELECT doc_id, pos, term FROM pos
-         |  WHERE term IN ('join', 'filter', 'window', 'scan')),
-         |sw AS (
-         |  SELECT doc_id, pos,
-         |    max(CASE WHEN term = 'join' THEN pos END) OVER w AS l0,
-         |    max(CASE WHEN term = 'filter' THEN pos END) OVER w AS l1,
-         |    max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2,
-         |    max(CASE WHEN term = 'scan' THEN pos END) OVER w AS l3
-         |  FROM f
-         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |sp AS (
-         |  SELECT doc_id,
-         |    CASE WHEN l0 IS NOT NULL AND l1 IS NOT NULL
-         |          AND l2 IS NOT NULL AND l3 IS NOT NULL
-         |         THEN pos - least(l0, l1, l2, l3) + 1 END AS span
-         |  FROM sw)
-         |SELECT doc_id, min(span)::INT AS min_span,
-         |  count(*)::BIGINT AS n_occ
-         |FROM sp GROUP BY doc_id HAVING min(span) IS NOT NULL
+      s"""WITH $proxSpanCte
+         |SELECT doc_id, min_span, n_occ FROM pxs
          |ORDER BY doc_id""".stripMargin,
 
     // phrase search: zipped parallel unnest builds the 1-based postings;
@@ -6564,6 +6619,56 @@ object ExtensionQueries {
          |    coalesce(1.0::DOUBLE / (60 + br), 0.0::DOUBLE)
          |      + coalesce(1.0::DOUBLE / (60 + cr), 0.0::DOUBLE) AS rrf
          |  FROM bm FULL JOIN cvr ON bm.id = cvr.id)
+         |SELECT id, ${graft.functions.Rounding.floorRoundSql("rrf", 6)}
+         |    AS rrf_score
+         |FROM f ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+
+    // 4-way fusion replay: the three text runs from their shared CTE
+    // chunks, the cosine run from the q_rrf_fusion shape; chained FULL
+    // JOINs on the running coalesce mirror the Spark join tree
+    "q_rrf_fusion4" ->
+      s"""WITH $bm25ScoreCte,
+         |bm AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS br
+         |  FROM r QUALIFY br <= 20),
+         |$qlScoreCte,
+         |qlr AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS qr
+         |  FROM qls QUALIFY qr <= 20),
+         |$proxSpanCte,
+         |pxr AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY min_span ASC, doc_id) AS pr
+         |  FROM pxs QUALIFY pr <= 20),
+         |$qvCte,
+         |cv AS (
+         |  SELECT e.vec_id,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |        i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         |    6) AS cos_sim
+         |  FROM embeddings e, q),
+         |cvr AS (
+         |  SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS cr
+         |  FROM cv QUALIFY cr <= 20),
+         |j1 AS (
+         |  SELECT coalesce(bm.id, qlr.id) AS id, br, qr
+         |  FROM bm FULL JOIN qlr ON bm.id = qlr.id),
+         |j2 AS (
+         |  SELECT coalesce(j1.id, pxr.id) AS id, br, qr, pr
+         |  FROM j1 FULL JOIN pxr ON j1.id = pxr.id),
+         |f AS (
+         |  SELECT coalesce(j2.id, cvr.id) AS id,
+         |    coalesce(1.0::DOUBLE / (60 + br), 0.0::DOUBLE)
+         |      + coalesce(1.0::DOUBLE / (60 + qr), 0.0::DOUBLE)
+         |      + coalesce(1.0::DOUBLE / (60 + pr), 0.0::DOUBLE)
+         |      + coalesce(1.0::DOUBLE / (60 + cr), 0.0::DOUBLE) AS rrf
+         |  FROM j2 FULL JOIN cvr ON j2.id = cvr.id)
          |SELECT id, ${graft.functions.Rounding.floorRoundSql("rrf", 6)}
          |    AS rrf_score
          |FROM f ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,

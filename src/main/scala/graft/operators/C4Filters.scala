@@ -48,25 +48,28 @@ object C4Filters {
       size(tokens(l)) >= minWordsPerLine &&
       !lower(l).contains("javascript")
 
-  /** Surviving lines of a page, original order, as one '\n'-joined
-    * string — NULL when the page itself is dropped. */
-  def cleanText(page: Column, minWordsPerLine: Int = 3,
-      minKeptLines: Int = 5): Column = {
-    val kept = filter(split(page, "\n"), l => lineKept(l, minWordsPerLine))
+  private def keptLines(page: Column, minWordsPerLine: Int): Column =
+    filter(split(page, "\n"), l => lineKept(l, minWordsPerLine))
+
+  private def joined(page: Column, kept: Column,
+      minKeptLines: Int): Column = {
     val dropped = pageDrop.map(m => lower(page).contains(m)).reduce(_ || _)
     when(!dropped && size(kept) >= minKeptLines, array_join(kept, "\n"))
   }
 
+  /** Surviving lines of a page, original order, as one '\n'-joined
+    * string — NULL when the page itself is dropped. */
+  def cleanText(page: Column, minWordsPerLine: Int = 3,
+      minKeptLines: Int = 5): Column =
+    joined(page, keptLines(page, minWordsPerLine), minKeptLines)
+
   /** The per-page audit frame (see object doc). */
   def clean(df: DataFrame, idCol: Column, pageCol: Column,
       minWordsPerLine: Int = 3, minKeptLines: Int = 5): DataFrame = {
-    val ls = split(pageCol, "\n")
-    val kept = filter(ls, l => lineKept(l, minWordsPerLine))
-    val dropped = pageDrop.map(m => lower(pageCol).contains(m)).reduce(_ || _)
-    val clean = when(!dropped && size(kept) >= minKeptLines,
-      array_join(kept, "\n"))
+    val kept = keptLines(pageCol, minWordsPerLine)
+    val clean = joined(pageCol, kept, minKeptLines)
     df.select(idCol.as("doc_id"),
-      size(ls).as("n_lines"),
+      size(split(pageCol, "\n")).as("n_lines"),
       size(kept).as("n_kept_lines"),
       clean.isNotNull.as("page_kept"),
       length(clean).as("clean_len"),
