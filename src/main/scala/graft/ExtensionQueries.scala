@@ -1472,6 +1472,25 @@ object ExtensionQueries {
           col("doc_id"), col("text"), minCount = 5, topK = 100)
         .orderBy("rn")),
 
+    // ---- per-doc lexical diversity: type-token ratio + Simpson
+    // concentration λ = Σc²/n² (the RATIONAL entropy stand-in — log is
+    // never hash-matchable); the gibberish/repetition quality signal
+    // beside q_gopher_repetition's gram fractions.
+    "q_token_diversity" -> ((s, d) =>
+      graft.operators.CorpusStats.tokenDiversity(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // ---- vocabulary growth curve (the Heaps-law saturation
+    // diagnostic): cumulative distinct 3-gram types per doc-id decile —
+    // does more data still buy new vocabulary? (unigrams of a template
+    // corpus saturate in decile 1 — vacuous). Lead-window shingling +
+    // one min-aggregate shuffle; the curve itself is a 10-row frame.
+    "q_vocab_growth" -> ((s, d) =>
+      graft.operators.CorpusStats.vocabGrowth(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .orderBy("decile")),
+
     // ---- vocabulary-coverage signal: per-doc OOV rate against the
     // corpus' own deterministic top-50 unigram vocab (bounded top-k ⇒
     // broadcast-size by construction; membership join map-side).
@@ -5826,6 +5845,54 @@ object ExtensionQueries {
          |  ${graft.functions.Rounding.floorRoundSql(
               "list_sum(list(ps ORDER BY prev, cur)) / count(*)", 6)} AS lm_score2
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // lexical-diversity replay: exact BIGINT Σc², two exact long/long
+    // divisions
+    "q_token_diversity" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+        |  FROM documents),
+        |c AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM t
+        |      GROUP BY doc_id, term)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS n_types,
+        |  count(*)::DOUBLE / sum(c)::DOUBLE AS ttr,
+        |  sum(c * c)::DOUBLE / (sum(c)::BIGINT * sum(c)::BIGINT)::DOUBLE
+        |    AS simpson
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // vocabulary growth replay: 3-gram types via zip-unnest + lead()
+    // (the gopher-oracle rule — an unnest carrying the tk list
+    // replicates the whole array per position and blows past
+    // memory_limit at sf10), first-doc per type, decile by integer
+    // division of the doc-id range, 10-row running sum
+    "q_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x != '') AS tk
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, len(tk) AS sz, unnest(tk) AS tok,
+        |    unnest(generate_series(1, len(tk))) AS p
+        |  FROM toks),
+        |t AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+        |      lead(tok, 2) OVER win AS term
+        |  FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+        |  QUALIFY p <= sz - 2),
+        |fd AS (SELECT term, min(doc_id) AS fd FROM t GROUP BY term),
+        |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |d AS (
+        |  SELECT (least(9, (fd * 10) // (SELECT m FROM mx)) + 1)::INT
+        |           AS decile
+        |  FROM fd)
+        |SELECT decile, count(*)::BIGINT AS new_types,
+        |  sum(count(*)) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_types
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     // interpolated Kneser-Ney replay: every model table derives from
     // the bigram count table; the probability tree mirrors the Spark
