@@ -42,8 +42,9 @@ object SpanCorrupt {
     val nBlocks = floor((nn - 1) / lit(blockLen)).cast("long") + 1
     val hMod = blockLen - spanLen + 1
     def h(b: Column): Column =
-      conv(substring(md5(concat(lit("sc|"), col("doc_id").cast("string"),
-        lit("|"), b.cast("string"))), 1, 4), 16, 10).cast("bigint") % hMod
+      graft.functions.TextFunctions.tokenHash16(
+        concat(lit("sc|"), col("doc_id").cast("string"),
+          lit("|"), b.cast("string"))) % hMod
     def corrupt(b: Column): Column =
       greatest(lit(0L), least(lit(spanLen.toLong),
         nn - (b * blockLen + h(b))))
