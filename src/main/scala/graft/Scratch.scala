@@ -79,7 +79,72 @@ object Scratch {
     if (only.contains("graphupserts"))
       runGraphUpserts(spark, args.drop(1).headOption.map(_.toInt)
         .getOrElse(1024))
+    // `runMain graft.Scratch knscale [--sf dir] [--batches N]` —
+    // streaming Kneser-Ney maintenance at corpus scale: per-batch
+    // partial walls, merge-on-read + serving walls, compaction
+    if (only.contains("knscale")) runKnScale(spark, args.drop(1))
     spark.stop()
+  }
+
+  /** Streaming Kneser-Ney maintenance at corpus scale: the sf1 corpus
+    * streamed through [[graft.streaming.Streams.knStream]] in N
+    * micro-batches (per-batch bigram-count partials), then
+    * merge-on-read, serving a candidate corpus under the streamed
+    * statistics, and compaction. Records the cost story StreamsSpec's
+    * small-fixture proof can't: partial walls at real batch sizes and
+    * whether merge-on-read stays serving-cheap as partials accumulate. */
+  private def runKnScale(spark: SparkSession, args: Array[String]): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    import graft.operators.LmScore
+    import spark.implicits._
+    val opts = args.sliding(2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v }.toMap
+    val dir = opts.getOrElse("--sf", "/tmp/graft-sf1")
+    val nb = opts.getOrElse("--batches", "10").toInt
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-knscale-").toString
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    println(s"[scratch] knscale corpus = ${rows.length} docs " +
+      s"in $nb batches ($dir)")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.knStream(spark, input.toDF().toDF("doc_id", "text"),
+      s"$base/stats", s"$base/chk")
+    val per = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      rows.grouped(math.max(1, (rows.length + nb - 1) / nb)).foreach { b =>
+        val t0 = System.nanoTime()
+        input.addData(b.toSeq); q.processAllAvailable()
+        per += (System.nanoTime() - t0) / 1e9
+      }
+    } finally q.stop()
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    println(f"[scratch] knscale ingest: ${per.length} batches, " +
+      f"first ${per.head}%.2f s, median ${med(per.toSeq)}%.2f s, " +
+      f"last ${per.last}%.2f s, total ${per.sum}%.2f s")
+    var t0 = System.nanoTime()
+    val types = Streams.readKnBigrams(spark, s"$base/stats").count()
+    println(f"[scratch] knscale merge-on-read: $types bigram types " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // serving: score a candidate corpus under the streamed statistics
+    val cand = Tables.documents(spark, "/root/testdata/sf0.1")
+    t0 = System.nanoTime()
+    LmScore.lmScoreKnWith(cand, col("doc_id"), col("text"),
+        Streams.readKnBigrams(spark, s"$base/stats"))
+      .write.format("noop").mode("overwrite").save()
+    println(f"[scratch] knscale serve (sf0.1 candidates): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    Streams.compactKn(spark, s"$base/stats")
+    val compactWall = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val types2 = Streams.readKnBigrams(spark, s"$base/stats").count()
+    println(f"[scratch] knscale compact: $compactWall%.2f s, " +
+      f"post-compact read $types2 types " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    require(types == types2, s"compaction changed the type count: " +
+      s"$types -> $types2")
   }
 
   /** Unigram-LM at realistic vocabulary scale (round-12 verdict item 5):
