@@ -128,12 +128,15 @@ object Scratch {
     println(f"[scratch] knscale merge-on-read: $types bigram types " +
       f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     // serving: score a candidate corpus under the streamed statistics
-    val cand = Tables.documents(spark, "/root/testdata/sf0.1")
+    // (--cand overrides; defaults to the --sf corpus so the harness
+    // runs on any host without a fixed testdata layout)
+    val candDir = opts.getOrElse("--cand", dir)
+    val cand = Tables.documents(spark, candDir)
     t0 = System.nanoTime()
     LmScore.lmScoreKnWith(cand, col("doc_id"), col("text"),
         Streams.readKnBigrams(spark, s"$base/stats"))
       .write.format("noop").mode("overwrite").save()
-    println(f"[scratch] knscale serve (sf0.1 candidates): " +
+    println(f"[scratch] knscale serve ($candDir candidates): " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     t0 = System.nanoTime()
     Streams.compactKn(spark, s"$base/stats")

@@ -61,6 +61,18 @@ object CorpusStats {
     * Output: (decile 1..10, new_types, cum_types). */
   def vocabGrowth(df: DataFrame, idCol: Column, textCol: Column,
       n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // driver scalar (the unigramProbs head() rule): the decile width.
+    // max() is NULL on an empty frame (no deciles to cut — return the
+    // empty curve) and the id may be int-typed — read via Number.
+    val maxId = Option(df.agg(max(idCol.cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]) match {
+      case Some(m) => m
+      case None =>
+        return Seq.empty[(Int, Long, Long)]
+          .toDF("decile", "new_types", "cum_types")
+    }
     val byPos = Window.partitionBy("doc_id").orderBy("p")
     val terms = Spread.forKernel(
         df.select(idCol.as("doc_id"), tokens(textCol).as("tk")))
@@ -70,8 +82,6 @@ object CorpusStats {
         col("t") +: (1 until n).map(j => lead(col("t"), j).over(byPos)): _*))
       .where(col("p") <= col("sz") - n)
       .select(col("doc_id"), col("term"))
-    // driver scalar (the unigramProbs head() rule): the decile width
-    val maxId = df.agg(max(idCol)).head().getLong(0)
     val firstDoc = terms.groupBy("term").agg(min(col("doc_id")).as("fd"))
     // fd*10/(maxId+1) floored: the double quotient of two exact longs
     // sits ≥ 1/(maxId+1) below the next integer whenever the true

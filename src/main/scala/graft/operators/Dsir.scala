@@ -87,7 +87,14 @@ object Dsir {
     val marg = marginals.select(col("bucket").cast("long"),
         col("ct").cast("long"), col("cr").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val scores = bucketScores(marg, buckets, fixedPoint)
+    // densify to ALL B buckets: external marginals only carry buckets
+    // the reference stream has SEEN, but the add-one-smoothed ratio is
+    // defined at (ct, cr) = (0, 0) — a candidate token hashing into an
+    // unseen bucket must score the prior ratio, not vanish from the
+    // weight sum through the inner join
+    val byBucket = marg.map(m => m._1 -> m).toMap
+    val dense = (0L until buckets).map(b => byBucket.getOrElse(b, (b, 0L, 0L)))
+    val scores = bucketScores(dense, buckets, fixedPoint)
     profile(candidates, idCol, textCol, lit(false), buckets)
       .join(broadcast(scores.toDF("bucket", "s")), "bucket")
       .groupBy("doc_id")

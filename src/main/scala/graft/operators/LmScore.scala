@@ -240,11 +240,17 @@ object LmScore {
   private def scoreKn(occ: DataFrame, bi: DataFrame, prevStats: DataFrame,
       curStats: DataFrame): DataFrame = {
     // N1+(··): bigram-type total — one driver scalar (the unigramProbs
-    // head() rule), exact as a long sum of the type counts
-    val btypes = prevStats.agg(sum("_n1f")).head().getLong(0).toDouble
+    // head() rule), exact as a long sum of the type counts. sum() is
+    // NULL over an empty bigram table (single-token-only corpus, or a
+    // serve before any stream batch committed bigrams) — Pcont has no
+    // support then, so every continuation probability is 0, matching
+    // the oracle's NULL/0 instead of an NPE.
+    val btypes = Option(prevStats.agg(sum("_n1f")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
     occ.join(curStats, Seq("cur"), "left")
       .withColumn("_pcont",
-        coalesce(col("_n1r"), lit(0L)).cast("double") / lit(btypes))
+        if (btypes == 0.0) lit(0.0)
+        else coalesce(col("_n1r"), lit(0L)).cast("double") / lit(btypes))
       .join(prevStats, Seq("prev"), "left")
       .join(bi, Seq("prev", "cur"), "left")
       .withColumn("ps",

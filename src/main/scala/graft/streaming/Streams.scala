@@ -605,6 +605,13 @@ object Streams {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     recoverDirSwap(fs, statsDir)
+    if (!hasCommittedPartials(fs, statsDir)) {
+      // serve-before-first-commit: the additive-marginals contract says
+      // "no partials yet" is the zero histogram, not a schema-inference
+      // crash
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("bucket", "ct", "cr")
+    }
     spark.read.parquet(statsDir)
       .groupBy("bucket")
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
@@ -657,6 +664,13 @@ object Streams {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     recoverDirSwap(fs, statsDir)
+    if (!hasCommittedPartials(fs, statsDir)) {
+      // serve-before-first-commit: additive counts start at the empty
+      // table (lmScoreKnWith backs every token off to Pcont = 0), not
+      // at Spark's 'unable to infer schema' parquet error
+      import spark.implicits._
+      return Seq.empty[(String, String, Long)].toDF("prev", "cur", "_bc")
+    }
     spark.read.parquet(statsDir)
       .groupBy("prev", "cur")
       .agg(sum(col("_bc")).as("_bc"))
@@ -946,6 +960,18 @@ object Streams {
     * `<dir>__old` aside): if the live dir is missing but the aside
     * exists, restore it — the crash loses the rebuilt copy (re-derived
     * on the next trigger), never the index itself. */
+  /** True iff `dir` holds at least one committed `batch_id=` partition
+    * — the partial-partition lifecycle's "has anything ever committed"
+    * probe, so merge-on-read readers can return their additive zero
+    * element instead of tripping parquet schema inference on an empty
+    * or missing directory. */
+  private[streaming] def hasCommittedPartials(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
   private[streaming] def recoverDirSwap(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(dir)

@@ -33,4 +33,17 @@ class CorpusStatsSpec extends SparkSuite {
       .as[(Int, Long, Long)].collect().toSeq
     assert(got === Seq((1, 1L, 1L), (2, 1L, 2L), (3, 1L, 3L)))
   }
+
+  test("vocabGrowth: an empty corpus returns the empty curve (same " +
+      "schema) and int-typed ids work — no NPE, no getLong cast") {
+    val empty = CorpusStats.vocabGrowth(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(empty.columns.toSeq === Seq("decile", "new_types", "cum_types"))
+    assert(empty.count() === 0L)
+    val intIds = (0 to 9).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val got = CorpusStats.vocabGrowth(intIds, col("doc_id"), col("text"))
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got === Seq((1, 1L, 1L)))
+  }
 }

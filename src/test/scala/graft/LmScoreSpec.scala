@@ -174,6 +174,22 @@ class LmScoreSpec extends SparkSuite {
     assert(self === withOwn)
   }
 
+  test("lmScoreKnWith: an EMPTY bigram table (single-token docs, or a " +
+      "serve before any stream batch) scores everything 0 — no NPE") {
+    val stats = Seq.empty[(String, String, Long)].toDF("prev", "cur", "_bc")
+    val got = LmScore.lmScoreKnWith(
+        Seq((10L, "a b c"), (11L, "z")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), stats)
+      .select("doc_id", "lm_score_kn").as[(Long, Double)].collect().toMap
+    assert(got === Map(10L -> 0.0, 11L -> 0.0))
+    // self-scored single-token corpus: its own bigram table is empty too
+    val self = LmScore.lmScoreKn(
+        Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select("lm_score_kn").as[Double].collect()
+    assert(self.toSeq === Seq(0.0, 0.0))
+  }
+
   /** The repo's floorRound6: floor(x·10⁶ + 0.5)/10⁶. */
   private def fr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 }

@@ -1381,6 +1381,35 @@ class StreamsSpec extends SparkSuite {
       .as[Long].collect() === Array(-1L))
   }
 
+  test("readKnBigrams/readDsirMarginals: serve BEFORE the first stream " +
+      "commit returns the additive zero element, not a parquet " +
+      "schema-inference crash") {
+    import graft.operators.{Dsir, LmScore}
+    val dir = Files.createTempDirectory("graft-precommit-").toString
+    // missing dir AND existing-but-uncommitted dir (checkpoint files
+    // only, no batch_id= partition) both count as "nothing committed"
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/kn2"))
+    for (stats <- Seq(s"$dir/kn", s"$dir/kn2")) {
+      val bi = Streams.readKnBigrams(spark, stats)
+      assert(bi.columns.toSeq === Seq("prev", "cur", "_bc"))
+      assert(bi.count() === 0L)
+      // full serve path: every token backs off to Pcont = 0
+      val scored = LmScore.lmScoreKnWith(
+          Seq((1L, "a b")).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), bi)
+        .select("lm_score_kn").as[Double].collect()
+      assert(scored.toSeq === Seq(0.0))
+    }
+    val marg = Streams.readDsirMarginals(spark, s"$dir/dsir")
+    assert(marg.columns.toSeq === Seq("bucket", "ct", "cr"))
+    assert(marg.count() === 0L)
+    // weightsAgainst under the zero histogram: every bucket scores the
+    // smoothed prior ratio — defined, not a crash
+    val w = Dsir.weightsAgainst(Seq((1L, "a b")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), marg)
+    assert(w.count() === 1L)
+  }
+
   test("graphUpsertStream: size-triggered shard split — extendible " +
       "children partition the parent exactly, untouched shards stay " +
       "byte-identical, and routing finds split leaves") {
