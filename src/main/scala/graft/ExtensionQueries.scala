@@ -1999,8 +1999,13 @@ object ExtensionQueries {
     // acceptance-sampling variant of the same resampling step. max_w
     // is one driver-collected row (bounded-collect contract).
     "q_dsir_select" -> ((s, d) => {
-      val w = graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
-        col("doc_id"), col("text"), col("lang") === "en")
+      // checkpoint the weights frame: max_w (a driver scalar) and the
+      // acceptance sample both read the materialized weights — the
+      // corpus is profiled once and the weight groupBy runs once per
+      // invocation, not once per consumer
+      val w = Dedup.checkpointed(
+        graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
+          col("doc_id"), col("text"), col("lang") === "en"))
       val maxW = w.agg(max("dsir_weight")).collect()(0).getLong(0)
       graft.operators.Sampling.weightedSample(w, col("doc_id"),
           col("dsir_weight").cast("double") / lit(maxW.toDouble))

@@ -17,9 +17,9 @@ import graft.functions.TextFunctions
   * driver (B = 256 — the bounded-collect contract, same class as
   * centroids/codebooks); per-bucket scores return as a broadcast HASH
   * join; the weight is one more doc_id groupBy. Nothing quadratic, no
-  * global window, no 1-row cross join. The profile lineage is consumed
-  * by two jobs (marginals, weights) — at 100 TB persist the profile or
-  * fuse it with the pipeline's other per-doc token stats.
+  * global window, no 1-row cross join. The profile lineage feeds two
+  * jobs (marginals, weights), so [[importanceWeights]] CHECKPOINTS it
+  * — the corpus is tokenized and profiled once per run.
   *
   * Cross-engine exactness: the paper scores with
   * Σ_b c_b·log(p̂_t(b)/p̂_r(b)); transcendentals never hash-match across
@@ -111,7 +111,13 @@ object Dsir {
       fixedPoint: Long = 10000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val prof = profile(df, idCol, textCol, isTarget, buckets)
+    // the profile feeds TWO jobs (the marginals collect, then the
+    // weights groupBy) — checkpoint it so the corpus is tokenized and
+    // profiled ONCE per run (reliable checkpoint when a dir is set —
+    // the 100 TB option — else executor-local; the Dedup.checkpointed
+    // seam; DsirSpec counts the corpus scans)
+    val prof = Dedup.checkpointed(
+      profile(df, idCol, textCol, isTarget, buckets))
     // bucket marginals: ≤ B rows — driver-sized by construction
     val marg = bucketMarginals(prof)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

@@ -38,6 +38,20 @@ class DsirSpec extends SparkSuite {
     assert(again === w)
   }
 
+  test("the corpus is profiled ONCE per run: the checkpointed profile " +
+      "feeds both the marginals collect and the weights job") {
+    val acc = spark.sparkContext.longAccumulator("corpus-scans")
+    val tick = udf { (s: String) => acc.add(1); s }
+    val ticking = docs.select(col("doc_id"), tick(col("text")).as("text"),
+      col("is_en"))
+    val w = Dsir.importanceWeights(ticking, col("doc_id"), col("text"),
+      col("is_en"))
+    w.collect() // second consumer of the profile lineage
+    assert(acc.value === docs.count(),
+      s"corpus rows scanned ${acc.value} times for ${docs.count()} rows — " +
+        "the profile lineage must be checkpointed, not re-derived per job")
+  }
+
   test("plan: score join is a broadcast HASH join — no nested loop, " +
       "no cartesian, no global window") {
     val df = Dsir.importanceWeights(docs.repartition(2), col("doc_id"),
