@@ -1463,6 +1463,17 @@ object ExtensionQueries {
           col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- trigram MODIFIED Kneser-Ney (the actual shipped KenLM
+    // config — Heafield 2011 / Chen & Goodman 1999 §3): order-specific
+    // discounts D1/D2/D3+ from count-of-counts (exact IEEE trees, 3/4
+    // fallback when the closed form is undefined), trigram → bigram
+    // continuation → unigram continuation interpolation. ONE trigram
+    // count shuffle; every lower-order table derives from it.
+    "q_lm_score_kn3" -> ((s, d) =>
+      graft.operators.LmScore.lmScoreKn3(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ---- collocation mining by lift (PMI's ratio kept rational — the
     // no-ln oracle rule; log only rescales the order): top bigram
     // associations above a min pair count. One uniform bigram-count
@@ -5940,6 +5951,124 @@ object ExtensionQueries {
          |SELECT doc_id, count(*)::BIGINT AS n_tokens,
          |  ${graft.functions.Rounding.floorRoundSql(
               "list_sum(list(ps ORDER BY prev, cur)) / count(*)", 6)} AS lm_score_kn
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // trigram modified-KN replay: every model table derives from the
+    // trigram count table; the two discount triples are 1-row CTEs
+    // whose CASE trees mirror modKnDiscounts operation-for-operation
+    // (exact long→double casts, left-assoc mul/div chains); the
+    // probability cascade mirrors the Spark when-chain; fold ordered
+    // by (u, v, w)
+    "q_lm_score_kn3" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, s.w AS w, s.v AS v, s.u AS u FROM (
+         |    SELECT doc_id, unnest([{'w': tk[i+1],
+         |        'v': CASE WHEN i > 0 THEN tk[i] ELSE '' END,
+         |        'u': CASE WHEN i > 1 THEN tk[i-1] ELSE '' END}
+         |      for i in range(0, len(tk))]) AS s
+         |    FROM toks)),
+         |tri AS (SELECT u, v, w, count(*)::BIGINT AS tc
+         |        FROM occ WHERE u <> '' GROUP BY u, v, w),
+         |bc AS (SELECT v, w, count(*)::BIGINT AS bc2
+         |       FROM tri GROUP BY v, w),
+         |ctx3 AS (SELECT u, v, sum(tc)::BIGINT AS cv3,
+         |    count(*) FILTER (WHERE tc = 1)::BIGINT AS n1c,
+         |    count(*) FILTER (WHERE tc = 2)::BIGINT AS n2c,
+         |    count(*) FILTER (WHERE tc >= 3)::BIGINT AS n3pc
+         |  FROM tri GROUP BY u, v),
+         |ctx2 AS (SELECT v, sum(bc2)::BIGINT AS cv2,
+         |    count(*) FILTER (WHERE bc2 = 1)::BIGINT AS m1c,
+         |    count(*) FILTER (WHERE bc2 = 2)::BIGINT AS m2c,
+         |    count(*) FILTER (WHERE bc2 >= 3)::BIGINT AS m3pc
+         |  FROM bc GROUP BY v),
+         |nr AS (SELECT w, count(*)::BIGINT AS n1r FROM bc GROUP BY w),
+         |bt AS (SELECT count(*)::DOUBLE AS b FROM bc),
+         |tst AS (SELECT
+         |    count(*) FILTER (WHERE tc = 1)::BIGINT AS n1,
+         |    count(*) FILTER (WHERE tc = 2)::BIGINT AS n2,
+         |    count(*) FILTER (WHERE tc = 3)::BIGINT AS n3,
+         |    count(*) FILTER (WHERE tc = 4)::BIGINT AS n4
+         |  FROM tri),
+         |bst AS (SELECT
+         |    count(*) FILTER (WHERE bc2 = 1)::BIGINT AS n1,
+         |    count(*) FILTER (WHERE bc2 = 2)::BIGINT AS n2,
+         |    count(*) FILTER (WHERE bc2 = 3)::BIGINT AS n3,
+         |    count(*) FILTER (WHERE bc2 = 4)::BIGINT AS n4
+         |  FROM bc),
+         |disc AS (SELECT
+         |    CASE WHEN t.n1 > 0 AND t.n2 > 0 AND t.n3 > 0
+         |      THEN greatest(1.0::DOUBLE - 2.0::DOUBLE
+         |        * (t.n1::DOUBLE / (t.n1 + 2 * t.n2)::DOUBLE)
+         |        * t.n2::DOUBLE / t.n1::DOUBLE, 0.0::DOUBLE)
+         |      ELSE 0.75::DOUBLE END AS ta,
+         |    CASE WHEN t.n1 > 0 AND t.n2 > 0 AND t.n3 > 0
+         |      THEN greatest(2.0::DOUBLE - 3.0::DOUBLE
+         |        * (t.n1::DOUBLE / (t.n1 + 2 * t.n2)::DOUBLE)
+         |        * t.n3::DOUBLE / t.n2::DOUBLE, 0.0::DOUBLE)
+         |      ELSE 0.75::DOUBLE END AS tb,
+         |    CASE WHEN t.n1 > 0 AND t.n2 > 0 AND t.n3 > 0
+         |      THEN greatest(3.0::DOUBLE - 4.0::DOUBLE
+         |        * (t.n1::DOUBLE / (t.n1 + 2 * t.n2)::DOUBLE)
+         |        * t.n4::DOUBLE / t.n3::DOUBLE, 0.0::DOUBLE)
+         |      ELSE 0.75::DOUBLE END AS tcd,
+         |    CASE WHEN b.n1 > 0 AND b.n2 > 0 AND b.n3 > 0
+         |      THEN greatest(1.0::DOUBLE - 2.0::DOUBLE
+         |        * (b.n1::DOUBLE / (b.n1 + 2 * b.n2)::DOUBLE)
+         |        * b.n2::DOUBLE / b.n1::DOUBLE, 0.0::DOUBLE)
+         |      ELSE 0.75::DOUBLE END AS ba,
+         |    CASE WHEN b.n1 > 0 AND b.n2 > 0 AND b.n3 > 0
+         |      THEN greatest(2.0::DOUBLE - 3.0::DOUBLE
+         |        * (b.n1::DOUBLE / (b.n1 + 2 * b.n2)::DOUBLE)
+         |        * b.n3::DOUBLE / b.n2::DOUBLE, 0.0::DOUBLE)
+         |      ELSE 0.75::DOUBLE END AS bb,
+         |    CASE WHEN b.n1 > 0 AND b.n2 > 0 AND b.n3 > 0
+         |      THEN greatest(3.0::DOUBLE - 4.0::DOUBLE
+         |        * (b.n1::DOUBLE / (b.n1 + 2 * b.n2)::DOUBLE)
+         |        * b.n4::DOUBLE / b.n3::DOUBLE, 0.0::DOUBLE)
+         |      ELSE 0.75::DOUBLE END AS bcd
+         |  FROM tst t, bst b),
+         |p0 AS (
+         |  SELECT o.doc_id, o.u, o.v, o.w,
+         |    coalesce(r.n1r, 0)::DOUBLE / (SELECT b FROM bt) AS pcont,
+         |    c2.cv2, c2.m1c, c2.m2c, c2.m3pc, b2.bc2,
+         |    c3.cv3, c3.n1c, c3.n2c, c3.n3pc, t.tc
+         |  FROM occ o
+         |  LEFT JOIN nr r ON o.w = r.w
+         |  LEFT JOIN ctx2 c2 ON o.v = c2.v
+         |  LEFT JOIN bc b2 ON o.v = b2.v AND o.w = b2.w
+         |  LEFT JOIN ctx3 c3 ON o.u = c3.u AND o.v = c3.v
+         |  LEFT JOIN tri t ON o.u = t.u AND o.v = t.v AND o.w = t.w),
+         |p2 AS (
+         |  SELECT p0.*,
+         |    CASE WHEN cv2 IS NULL THEN pcont
+         |      ELSE coalesce(bc2::DOUBLE
+         |          - CASE WHEN bc2 = 1 THEN d.ba WHEN bc2 = 2 THEN d.bb
+         |                 ELSE d.bcd END, 0.0::DOUBLE)
+         |        / cv2::DOUBLE
+         |        + (d.ba * m1c::DOUBLE + d.bb * m2c::DOUBLE
+         |           + d.bcd * m3pc::DOUBLE) / cv2::DOUBLE * pcont
+         |    END AS p2v
+         |  FROM p0, disc d),
+         |p AS (
+         |  SELECT doc_id, u, v, w,
+         |    CASE WHEN u = '' AND v = '' THEN pcont
+         |         WHEN u = '' THEN p2v
+         |         WHEN cv3 IS NULL THEN p2v
+         |         ELSE coalesce(tc::DOUBLE
+         |             - CASE WHEN tc = 1 THEN d.ta WHEN tc = 2 THEN d.tb
+         |                    ELSE d.tcd END, 0.0::DOUBLE)
+         |           / cv3::DOUBLE
+         |           + (d.ta * n1c::DOUBLE + d.tb * n2c::DOUBLE
+         |              + d.tcd * n3pc::DOUBLE) / cv3::DOUBLE * p2v
+         |    END AS ps
+         |  FROM p2, disc d)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  ${graft.functions.Rounding.floorRoundSql(
+              "list_sum(list(ps ORDER BY u, v, w)) / count(*)", 6)} AS lm_score_kn3
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ppl_buckets" ->

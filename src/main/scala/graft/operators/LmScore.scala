@@ -198,8 +198,7 @@ object LmScore {
     * broadcast-size) and one doc regroup. Linear — no n² term. */
   def lmScoreKn(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val occ = bigramOccurrences(df, idCol, textCol)
-    val bi = knBigramCounts(occ)
-    scoreKn(occ, bi, knPrevStats(bi), knCurStats(bi))
+    scoreKn(occ, knBigramCounts(occ), knPrevStats, knCurStats)
   }
 
   /** Score under STORED Kneser-Ney statistics — the recurring-ingest
@@ -211,7 +210,7 @@ object LmScore {
   def lmScoreKnWith(df: DataFrame, idCol: Column, textCol: Column,
       biCounts: DataFrame): DataFrame =
     scoreKn(bigramOccurrences(df, idCol, textCol), biCounts,
-      knPrevStats(biCounts), knCurStats(biCounts))
+      knPrevStats, knCurStats)
 
   /** The persistable KN model: the bigram count table
     * (prev, cur, _bc). Everything else derives from it. */
@@ -237,8 +236,16 @@ object LmScore {
   private def knCurStats(bi: DataFrame): DataFrame =
     bi.groupBy("cur").agg(count(lit(1)).as("_n1r"))
 
-  private def scoreKn(occ: DataFrame, bi: DataFrame, prevStats: DataFrame,
-      curStats: DataFrame): DataFrame = {
+  private def scoreKn(occ: DataFrame, biRaw: DataFrame,
+      prevStatsOf: DataFrame => DataFrame,
+      curStatsOf: DataFrame => DataFrame): DataFrame = {
+    // FOUR consumers derive from the bigram count table (prev/cur
+    // stats, the N1+(··) scalar, the scoring join) — checkpoint it so
+    // the corpus is tokenized and count-shuffled once (the scoreKn3
+    // rule, one order down)
+    val bi = Dedup.checkpointed(biRaw)
+    val prevStats = prevStatsOf(bi)
+    val curStats = curStatsOf(bi)
     // N1+(··): bigram-type total — one driver scalar (the unigramProbs
     // head() rule), exact as a long sum of the type counts. sum() is
     // NULL over an empty bigram table (single-token-only corpus, or a
@@ -269,6 +276,182 @@ object LmScore {
         aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("ps"))
           / col("n_tokens")))
       .select(col("doc_id"), col("n_tokens"), col("lm_score_kn"))
+  }
+
+  // ---- trigram MODIFIED Kneser-Ney ----------------------------------------
+
+  /** Trigram LM score with MODIFIED Kneser-Ney smoothing — the actual
+    * shipped KenLM configuration (Heafield 2011 trains modified KN;
+    * Chen & Goodman 1999 §3 define it): order-specific discounts
+    * D1/D2/D3+ estimated from the count-of-counts instead of the single
+    * D = 3/4, one more order than [[lmScoreKn]]:
+    *
+    *   P(w|u,v) = (c(uvw) − D₃(c)) / c(uv·) + γ(uv) · P(w|v)
+    *   P(w|v)   = (N1+(·vw) − D₂(N1+)) / N1+(·v·) + γ(v) · Pcont(w)
+    *   Pcont(w) = N1+(·w) / N1+(··)
+    *   γ(ctx)   = (D1·N1(ctx·) + D2·N2(ctx·) + D3+·N3+(ctx·)) / c(ctx·)
+    *   Dk       = k − (k+1)·Y·n_{k+1}/n_k,  Y = n1/(n1 + 2·n2)
+    *
+    * per Chen & Goodman's closed form, with n_k the count-of-counts of
+    * THAT order's table (raw trigram counts for D₃; continuation counts
+    * for D₂ — the KenLM adjusted-counts convention: every lower-order
+    * table derives from the trigram type table). Doc-initial positions
+    * back down the orders: p=0 scores Pcont(w), p=1 scores P(w|v);
+    * an unseen trigram context falls to P(w|v), an unseen bigram
+    * context to Pcont(w). Σ_w P(w|u,v) = 1 for every seen context at
+    * BOTH orders (LmScoreSpec re-derives it independently): each Dk ≤ k
+    * by construction (clamped at 0), so the bucketed numerator never
+    * goes negative and γ returns exactly the discounted mass.
+    *
+    * Cross-engine exactness: the discounts are fixed trees of exact
+    * long→double casts and IEEE ops (division is exactly rounded), so
+    * DuckDB replays them bit-equal; when any of n1..n3 is zero the
+    * closed form is undefined (a saturated/replicated corpus has no
+    * singletons) and the discounts fall back to the interpolated-KN
+    * 3/4 — same CASE in the oracle. Per-doc mean folds in
+    * (u, v, w)-sorted order — hash-oracled as `q_lm_score_kn3`.
+    *
+    * Scale shape: ALL model tables derive from the trigram count table
+    * — ONE uniform (u, v, w) count shuffle over the corpus, then
+    * vocabulary-sized regroups (context stats, continuation counts,
+    * their stats); the count-of-count scalars are two bounded
+    * aggregates (the unigramProbs head() rule); scoring is five
+    * shuffle joins back onto occurrences (a 100 TB vocabulary is not
+    * broadcast-size) and one doc regroup. Linear — no n² term. The
+    * count table is ADDITIVE across batches →
+    * [[graft.streaming.Streams.kn3Stream]] maintains it exactly-once. */
+  def lmScoreKn3(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val occ = trigramOccurrences(df, idCol, textCol)
+    scoreKn3(occ, kn3TrigramCounts(occ))
+  }
+
+  /** Score under STORED trigram counts — the recurring-ingest form:
+    * batches score under a reference corpus' persisted trigram count
+    * table ([[kn3TrigramCounts]]; every other model table re-derives
+    * from it, vocabulary-sized work). */
+  def lmScoreKn3With(df: DataFrame, idCol: Column, textCol: Column,
+      triCounts: DataFrame): DataFrame =
+    scoreKn3(trigramOccurrences(df, idCol, textCol), triCounts)
+
+  /** The persistable modified-KN model: the trigram count table
+    * (u, v, w, _tc). Everything else derives from it. */
+  def kn3TrigramCounts(occ: DataFrame): DataFrame =
+    occ.filter(col("u") =!= "")
+      .groupBy("u", "v", "w").agg(count(lit(1)).as("_tc"))
+
+  /** [[kn3TrigramCounts]] straight from a document frame — the
+    * per-batch maintainer form (counts are additive across batches). */
+  def kn3TrigramCountsOf(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame =
+    kn3TrigramCounts(trigramOccurrences(df, idCol, textCol))
+
+  /** (doc_id, u, v, w) per token position — u/v are '' (a value the
+    * empty-dropping tokenizer can never emit) at doc-initial positions:
+    * p=0 → ('', ''), p=1 → ('', tok₀). Map-side from the carried token
+    * array, no window. */
+  private def trigramOccurrences(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame =
+    Spread.forKernel(df.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"), tokens(col("_t")).as("_tk"))
+      .select(col("doc_id"), col("_tk"),
+        posexplode(col("_tk")).as(Seq("p", "w")))
+      .withColumn("v",
+        when(col("p") > 0, element_at(col("_tk"), col("p")))
+          .otherwise(lit("")))
+      .withColumn("u",
+        when(col("p") > 1, element_at(col("_tk"), col("p") - 1))
+          .otherwise(lit("")))
+      .select(col("doc_id"), col("u"), col("v"), col("w"))
+
+  /** Chen & Goodman's closed-form modified discounts from one order's
+    * count-of-counts, clamped at 0 (Dk ≤ k holds by construction);
+    * 3/4 fallback when the form is undefined. */
+  private[graft] def modKnDiscounts(n1: Long, n2: Long, n3: Long,
+      n4: Long): (Double, Double, Double) =
+    if (n1 > 0 && n2 > 0 && n3 > 0) {
+      val y = n1.toDouble / (n1 + 2 * n2).toDouble
+      (math.max(1.0 - 2.0 * y * n2.toDouble / n1.toDouble, 0.0),
+        math.max(2.0 - 3.0 * y * n3.toDouble / n2.toDouble, 0.0),
+        math.max(3.0 - 4.0 * y * n4.toDouble / n3.toDouble, 0.0))
+    } else (0.75, 0.75, 0.75)
+
+  private def scoreKn3(occ: DataFrame, triRaw: DataFrame): DataFrame = {
+    // SEVEN consumers derive from the trigram count table (bc, ctx3,
+    // ctx2, n1r, two count-of-count scalar jobs, the scoring join) —
+    // checkpoint it so the corpus is tokenized and count-shuffled ONCE;
+    // everything downstream is vocabulary-sized (measured 45 → 2.5 s at
+    // sf0.1 before/after)
+    val tri = Dedup.checkpointed(triRaw)
+    // continuation-bigram table: N1+(·vw) = #distinct u preceding (v,w)
+    // — one vocabulary-sized regroup of the trigram TYPE table
+    val bc = Dedup.checkpointed(
+      tri.groupBy("v", "w").agg(count(lit(1)).as("_bc2")))
+    // per-context stats at both orders: total mass + the count-of-count
+    // buckets γ needs
+    val ctx3 = tri.groupBy("u", "v").agg(sum("_tc").as("_cv3"),
+      count(when(col("_tc") === 1, 1)).as("_n1c"),
+      count(when(col("_tc") === 2, 1)).as("_n2c"),
+      count(when(col("_tc") >= 3, 1)).as("_n3pc"))
+    val ctx2 = bc.groupBy("v").agg(sum("_bc2").as("_cv2"),
+      count(when(col("_bc2") === 1, 1)).as("_m1c"),
+      count(when(col("_bc2") === 2, 1)).as("_m2c"),
+      count(when(col("_bc2") >= 3, 1)).as("_m3pc"))
+    val n1rT = bc.groupBy("w").agg(count(lit(1)).as("_n1r"))
+    // driver scalars (the unigramProbs head() rule): count-of-counts
+    // for the two discount triples + the bigram-type total
+    val tRow = tri.agg(
+      count(when(col("_tc") === 1, 1)), count(when(col("_tc") === 2, 1)),
+      count(when(col("_tc") === 3, 1)), count(when(col("_tc") === 4, 1)))
+      .head()
+    val (d31, d32, d33) = modKnDiscounts(tRow.getLong(0), tRow.getLong(1),
+      tRow.getLong(2), tRow.getLong(3))
+    val bRow = bc.agg(count(lit(1)),
+      count(when(col("_bc2") === 1, 1)), count(when(col("_bc2") === 2, 1)),
+      count(when(col("_bc2") === 3, 1)), count(when(col("_bc2") === 4, 1)))
+      .head()
+    val btypes = bRow.getLong(0).toDouble
+    val (d21, d22, d23) = modKnDiscounts(bRow.getLong(1), bRow.getLong(2),
+      bRow.getLong(3), bRow.getLong(4))
+    def dSel(c: Column, d1: Double, d2: Double, d3: Double): Column =
+      when(c === 1, lit(d1)).when(c === 2, lit(d2)).otherwise(lit(d3))
+    def gamma(d1: Double, n1: Column, d2: Double, n2: Column,
+        d3: Double, n3p: Column, cv: Column): Column =
+      (lit(d1) * n1.cast("double") + lit(d2) * n2.cast("double")
+        + lit(d3) * n3p.cast("double")) / cv.cast("double")
+    occ.join(n1rT, Seq("w"), "left")
+      .withColumn("_pcont",
+        if (btypes == 0.0) lit(0.0)
+        else coalesce(col("_n1r"), lit(0L)).cast("double") / lit(btypes))
+      .join(ctx2, Seq("v"), "left")
+      .join(bc, Seq("v", "w"), "left")
+      .withColumn("_p2",
+        when(col("_cv2").isNull, col("_pcont"))
+          .otherwise(
+            coalesce(col("_bc2").cast("double")
+                - dSel(col("_bc2"), d21, d22, d23), lit(0.0))
+              / col("_cv2").cast("double")
+              + gamma(d21, col("_m1c"), d22, col("_m2c"), d23,
+                  col("_m3pc"), col("_cv2")) * col("_pcont")))
+      .join(ctx3, Seq("u", "v"), "left")
+      .join(tri, Seq("u", "v", "w"), "left")
+      .withColumn("ps",
+        when(col("u") === "" && col("v") === "", col("_pcont"))
+          .when(col("u") === "", col("_p2"))
+          .when(col("_cv3").isNull, col("_p2"))
+          .otherwise(
+            coalesce(col("_tc").cast("double")
+                - dSel(col("_tc"), d31, d32, d33), lit(0.0))
+              / col("_cv3").cast("double")
+              + gamma(d31, col("_n1c"), d32, col("_n2c"), d33,
+                  col("_n3pc"), col("_cv3")) * col("_p2")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(
+          struct(col("u"), col("v"), col("w"), col("ps")))).as("arr"))
+      .withColumn("lm_score_kn3", floorRound6(
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("ps"))
+          / col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("lm_score_kn3"))
   }
 
   /** Collocation mining by LIFT — the association statistic phrase /

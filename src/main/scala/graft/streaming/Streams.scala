@@ -682,6 +682,59 @@ object Streams {
     compactPartials(spark, statsDir,
       _.groupBy("prev", "cur").agg(sum(col("_bc")).as("_bc")))
 
+  /** Streaming MODIFIED-Kneser-Ney model maintenance — [[knStream]]'s
+    * lifecycle one order up: the stored state is the exact trigram
+    * count table ([[graft.operators.LmScore.kn3TrigramCounts]], also
+    * additive across batches); every mKN quantity — context totals,
+    * continuation counts, count-of-counts, the D1/D2/D3+ discounts
+    * themselves — re-derives from it at read
+    * ([[readKn3Trigrams]] + [[graft.operators.LmScore.lmScoreKn3With]]),
+    * so the discounts always reflect the FULL accumulated corpus, never
+    * a stale batch's count-of-counts. */
+  def kn3Stream(spark: SparkSession, docs: DataFrame, statsDir: String,
+                checkpointDir: String, idCol: String = "doc_id",
+                textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.LmScore.kn3TrigramCountsOf(batch.toDF(),
+              col(idCol), col(textCol))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statsDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Merge-on-read over the partial trigram counts: one groupBy-sum,
+    * trigram-vocabulary-sized; the additive zero element before the
+    * first commit. */
+  def readKn3Trigrams(spark: SparkSession, statsDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, statsDir)
+    if (!hasCommittedPartials(fs, statsDir)) {
+      import spark.implicits._
+      return Seq.empty[(String, String, String, Long)]
+        .toDF("u", "v", "w", "_tc")
+    }
+    spark.read.parquet(statsDir)
+      .groupBy("u", "v", "w")
+      .agg(sum(col("_tc")).as("_tc"))
+  }
+
+  /** Fold accumulated trigram partials into one `batch_id=-1` baseline
+    * — the [[compactCms]] contract (stream stopped, whole-dir swap). */
+  def compactKn3(spark: SparkSession, statsDir: String): Unit =
+    compactPartials(spark, statsDir,
+      _.groupBy("u", "v", "w").agg(sum(col("_tc")).as("_tc")))
+
   /** Streaming Bloom-filter maintenance — the incremental form of
     * [[graft.operators.BloomJoin.buildBits]], with [[cmsStream]]'s
     * append-partials lifecycle: bloom words OR-merge exactly as CMS

@@ -174,6 +174,125 @@ class LmScoreSpec extends SparkSuite {
     assert(self === withOwn)
   }
 
+  test("lmScoreKn3: hand-computed modified KN on a 2-doc corpus " +
+      "(fallback D = 3/4 — no count variety)") {
+    // corpus "a b c", "a b d": trigrams (a,b,c):1, (a,b,d):1 → t2=t3=0
+    // → 3/4 fallback at both orders.
+    // doc "a b c": p0 'a' → pcont(a)=0 (a never a continuation w);
+    // p1 (v=a,w=b): context a unseen in bc → pcont(b)=0;
+    // p2 (a,b,c): (1−.75)/2 + ((.75·2)/2)·P2(c|b)
+    //   P2(c|b) = (1−.75)/2 + ((.75·2)/2)·pcont(c) = .125 + .75·.5 = .5
+    //   → .125 + .75·.5 = .5
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = LmScore.lmScoreKn3(docs, col("doc_id"), col("text"))
+      .select("doc_id", "lm_score_kn3").as[(Long, Double)].collect().toMap
+    assert(got(1L) === fr6((0.0 + 0.0 + 0.5) / 3.0))
+  }
+
+  test("modKnDiscounts: Chen & Goodman closed form at n1..n4 = 1 and " +
+      "the 3/4 fallback when undefined") {
+    val (d1, d2, d3) = LmScore.modKnDiscounts(1, 1, 1, 1)
+    // Y = 1/3: D1 = 1 − 2/3, D2 = 2 − 1, D3 = 3 − 4/3
+    assert(d1 === 1.0 - 2.0 * (1.0 / 3.0) * 1.0 / 1.0)
+    assert(d2 === 2.0 - 3.0 * (1.0 / 3.0) * 1.0 / 1.0)
+    assert(d3 === 3.0 - 4.0 * (1.0 / 3.0) * 1.0 / 1.0)
+    assert(LmScore.modKnDiscounts(5, 0, 2, 1) === ((0.75, 0.75, 0.75)))
+    assert(LmScore.modKnDiscounts(0, 0, 0, 0) === ((0.75, 0.75, 0.75)))
+  }
+
+  test("lmScoreKn3: a scrambled doc scores strictly below its twin") {
+    val natural = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog lazy the over jumps fox brown quick the"
+    val docs = ((1L to 10L).map(i => (i, natural)) :+ (11L, scrambled))
+      .toDF("doc_id", "text")
+    val got = LmScore.lmScoreKn3(docs, col("doc_id"), col("text"))
+      .select("doc_id", "lm_score_kn3").as[(Long, Double)].collect().toMap
+    assert(got(11L) < got(1L),
+      s"scrambled ${got(11L)} should score below natural ${got(1L)}")
+  }
+
+  test("lmScoreKn3: exactly normalized at BOTH orders — sum over the " +
+      "continuation vocabulary of P(w|u,v) and P(w|v) is 1 for every " +
+      "seen context, on the MODIFIED-discount path") {
+    // count variety at the trigram order (counts 1..4 present) so the
+    // closed-form discounts engage, and multiple distinct predecessors
+    // for (b,c) so continuation counts vary too
+    val docs = (
+      Seq((1L, "a b c")) ++
+      (2L to 3L).map(i => (i, "d e f")) ++
+      (4L to 6L).map(i => (i, "g h i")) ++
+      (7L to 10L).map(i => (i, "j k l")) ++
+      Seq((11L, "x b c"), (12L, "y b c"), (13L, "z b c x y"))
+    ).toDF("doc_id", "text")
+    // independent re-derivation from the persistable trigram table
+    val tri = LmScore.kn3TrigramCountsOf(docs, col("doc_id"), col("text"))
+      .as[(String, String, String, Long)].collect().toSeq
+    val bc = tri.groupBy(t => (t._2, t._3))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val n1r = bc.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size }
+    val bt = bc.size.toDouble
+    val tcc = (1 to 4).map(k => tri.count(_._4 == k).toLong)
+    val (t1, t2, t3) = LmScore.modKnDiscounts(tcc(0), tcc(1), tcc(2), tcc(3))
+    assert(Set(t1, t2, t3) !== Set(0.75),
+      s"fixture must exercise the modified path, got ($t1,$t2,$t3)")
+    val bcc = (1 to 4).map(k => bc.values.count(_ == k).toLong)
+    val (b1, b2, b3) = LmScore.modKnDiscounts(bcc(0), bcc(1), bcc(2), bcc(3))
+    def dSel(c: Long, d: (Double, Double, Double)): Double =
+      if (c == 1) d._1 else if (c == 2) d._2 else d._3
+    val vocab = n1r.keys.toSeq
+    def pcont(w: String): Double = n1r.getOrElse(w, 0).toDouble / bt
+    def p2(v: String, w: String): Double = {
+      val inCtx = bc.filter(_._1._1 == v)
+      if (inCtx.isEmpty) pcont(w)
+      else {
+        val cv2 = inCtx.values.sum.toDouble
+        val gamma = inCtx.values.map(c => dSel(c, (b1, b2, b3))).sum / cv2
+        val num = inCtx.getOrElse((v, w), 0L) match {
+          case 0L => 0.0
+          case c => (c.toDouble - dSel(c, (b1, b2, b3))) / cv2
+        }
+        num + gamma * pcont(w)
+      }
+    }
+    for (v <- bc.keys.map(_._1).toSeq.distinct) {
+      val s = vocab.map(w => p2(v, w)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"sum_w P2(w|$v) = $s")
+    }
+    for ((u, v) <- tri.map(t => (t._1, t._2)).distinct) {
+      val inCtx = tri.filter(t => t._1 == u && t._2 == v)
+      val cv3 = inCtx.map(_._4).sum.toDouble
+      val gamma = inCtx.map(t => dSel(t._4, (t1, t2, t3))).sum / cv3
+      val s = vocab.map { w =>
+        val num = inCtx.find(_._3 == w).map(_._4) match {
+          case None => 0.0
+          case Some(c) => (c.toDouble - dSel(c, (t1, t2, t3))) / cv3
+        }
+        num + gamma * p2(v, w)
+      }.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"sum_w P3(w|$u,$v) = $s")
+    }
+  }
+
+  test("lmScoreKn3With: stored-count serving equals self-scoring; an " +
+      "EMPTY trigram table scores everything 0") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "b c d a"))
+      .toDF("doc_id", "text")
+    val tri = LmScore.kn3TrigramCountsOf(docs, col("doc_id"), col("text"))
+    val self = LmScore.lmScoreKn3(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val served = LmScore.lmScoreKn3With(docs, col("doc_id"), col("text"),
+        tri)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(self === served)
+    val empty = Seq.empty[(String, String, String, Long)]
+      .toDF("u", "v", "w", "_tc")
+    val got = LmScore.lmScoreKn3With(
+        Seq((9L, "a b c")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), empty)
+      .select("lm_score_kn3").as[Double].collect()
+    assert(got.toSeq === Seq(0.0))
+  }
+
   test("lmScoreKnWith: an EMPTY bigram table (single-token docs, or a " +
       "serve before any stream batch) scores everything 0 — no NPE") {
     val stats = Seq.empty[(String, String, Long)].toDF("prev", "cur", "_bc")

@@ -1381,6 +1381,42 @@ class StreamsSpec extends SparkSuite {
       .as[Long].collect() === Array(-1L))
   }
 
+  test("kn3Stream: streamed trigram counts equal the union's; modified-" +
+      "KN scoring under them (discounts re-derived at read) equals the " +
+      "one-shot operator; compaction preserves totals") {
+    import graft.operators.LmScore
+    val dir = Files.createTempDirectory("graft-kn3-stream-").toString
+    val stats = s"$dir/stats"
+    val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+    val b2 = Seq((2L, "the quick dog sleeps over the brown fox"))
+    val b3 = Seq((3L, "a quick brown dog jumps a fence"))
+    val union = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.kn3Stream(spark,
+      input.toDF().toDF("doc_id", "text"), stats, s"$dir/chk")
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def cntMap(df: org.apache.spark.sql.DataFrame)
+        : Map[(String, String, String), Long] =
+      df.as[(String, String, String, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val streamed = cntMap(Streams.readKn3Trigrams(spark, stats))
+    val batch = cntMap(LmScore.kn3TrigramCountsOf(union,
+      col("doc_id"), col("text")))
+    assert(streamed === batch)
+    val viaStream = LmScore.lmScoreKn3With(union, col("doc_id"),
+        col("text"), Streams.readKn3Trigrams(spark, stats))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val oneShot = LmScore.lmScoreKn3(union, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(viaStream === oneShot)
+    Streams.compactKn3(spark, stats)
+    assert(cntMap(Streams.readKn3Trigrams(spark, stats)) === batch)
+  }
+
   test("readKnBigrams/readDsirMarginals: serve BEFORE the first stream " +
       "commit returns the additive zero element, not a parquet " +
       "schema-inference crash") {
