@@ -1519,6 +1519,16 @@ object ExtensionQueries {
           col("doc_id"), col("text"), col("lang") === "en")
         .orderBy("doc_id")),
 
+    // ---- DSIR over HASHED BIGRAMS — the paper's actual feature space
+    // (Xie et al. §3): adjacent-token pairs through the same md5 mod-B
+    // bucketing, making the weights word-ORDER-sensitive (a scrambled
+    // twin scores differently — DsirSpec direction gate). Same
+    // fixed-point BIGINT arithmetic, same additive marginals.
+    "q_dsir_weights2" -> ((s, d) =>
+      graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
+          col("doc_id"), col("text"), col("lang") === "en", gram = 2)
+        .orderBy("doc_id")),
+
     // ---- CCNet head/middle/tail split: per-language LM-quality
     // terciles, rank-based cuts (integer arithmetic — exact, no
     // interpolated percentiles). One window shuffle on lang; the 100 TB
@@ -3629,12 +3639,33 @@ object ExtensionQueries {
     * Spark side, same add-one-smoothed fixed-point ratio in HUGEINT
     * (`//` == Spark `div` on positives). Used by q_dsir_weights and
     * q_dsir_select. */
-  private def dsirCteSql: String =
+  private def dsirCteSql: String = dsirCteOf(
     s"""toks AS (
        |  SELECT doc_id, lang = 'en' AS is_target,
        |    unnest(list_filter(
        |      string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+       |  FROM documents)""".stripMargin)
+
+  /** The bigram-feature variant (Xie et al. §3's actual space):
+    * adjacent-token pairs via zip-unnest + lead() (the no-list-unnest
+    * memory rule), space-joined exactly as the Spark concat_ws. */
+  private def dsirBigramCteSql: String = dsirCteOf(
+    s"""tk AS (
+       |  SELECT doc_id, lang = 'en' AS is_target, list_filter(
+       |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
        |  FROM documents),
+       |ex AS (
+       |  SELECT doc_id, is_target, len(tk) AS sz, unnest(tk) AS tok,
+       |    unnest(generate_series(1, len(tk))) AS p
+       |  FROM tk),
+       |toks AS (
+       |  SELECT doc_id, is_target,
+       |    tok || ' ' || lead(tok, 1) OVER win AS term
+       |  FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+       |  QUALIFY p <= sz - 1)""".stripMargin)
+
+  private def dsirCteOf(termsCte: String): String =
+    s"""$termsCte,
        |bk AS (
        |  SELECT doc_id, is_target,
        |    ${hash16Sql("term")} % 256 AS bucket
@@ -5792,6 +5823,13 @@ object ExtensionQueries {
     // fixed-point ratio in HUGEINT (// == Spark div on positives)
     "q_dsir_weights" ->
       s"""WITH $dsirCteSql
+         |SELECT doc_id, dsir_weight, n_tokens FROM dw
+         |ORDER BY doc_id""".stripMargin,
+
+    // hashed-bigram DSIR replay: same profile/marginal/score chain over
+    // the adjacent-pair feature space
+    "q_dsir_weights2" ->
+      s"""WITH $dsirBigramCteSql
          |SELECT doc_id, dsir_weight, n_tokens FROM dw
          |ORDER BY doc_id""".stripMargin,
 

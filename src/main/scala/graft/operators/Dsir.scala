@@ -43,16 +43,36 @@ import graft.functions.TextFunctions
   */
 object Dsir {
 
-  /** Per-doc hashed-unigram profile: (doc_id, is_target, bucket, cnt).
-    * One corpus pass, map-side-combined. */
+  /** Per-doc hashed n-gram profile: (doc_id, is_target, bucket, cnt).
+    * One corpus pass, map-side-combined. `gram` = 1 hashes unigrams;
+    * `gram` = 2 hashes adjacent-token bigrams (space-joined through the
+    * same md5 hash) — the feature space the DSIR paper actually uses
+    * (Xie et al. §3: hashed bigrams), which makes the weights
+    * word-ORDER-sensitive where the unigram profile is not. Grams come
+    * from the carried token array (posexplode + element_at — map-side,
+    * no window). */
   def profile(df: DataFrame, idCol: Column, textCol: Column,
-      isTarget: Column, buckets: Int = 256): DataFrame =
-    df.select(idCol.as("doc_id"), isTarget.as("is_target"),
-        explode(TextFunctions.tokens(textCol)).as("term"))
+      isTarget: Column, buckets: Int = 256, gram: Int = 1): DataFrame = {
+    val terms =
+      if (gram <= 1)
+        df.select(idCol.as("doc_id"), isTarget.as("is_target"),
+          explode(TextFunctions.tokens(textCol)).as("term"))
+      else
+        df.select(idCol.as("doc_id"), isTarget.as("is_target"),
+            TextFunctions.tokens(textCol).as("_tk"))
+          .select(col("doc_id"), col("is_target"), col("_tk"),
+            posexplode(col("_tk")).as(Seq("p", "cur")))
+          .filter(col("p") >= gram - 1)
+          .select(col("doc_id"), col("is_target"),
+            concat_ws(" ", (gram - 1 to 1 by -1)
+              .map(j => element_at(col("_tk"), col("p") - j + 1))
+              :+ col("cur"): _*).as("term"))
+    terms
       .withColumn("bucket",
         pmod(TextFunctions.tokenHash16(col("term")), lit(buckets)))
       .groupBy("doc_id", "is_target", "bucket")
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Bucket marginals of a profile: (bucket, ct, cr) — ≤ B rows.
     * Additive across corpora/batches: marginals of a union are the
@@ -81,7 +101,7 @@ object Dsir {
     * doc with ≥ 1 token gets (doc_id, dsir_weight, n_tokens). */
   def weightsAgainst(candidates: DataFrame, idCol: Column,
       textCol: Column, marginals: DataFrame, buckets: Int = 256,
-      fixedPoint: Long = 10000L): DataFrame = {
+      fixedPoint: Long = 10000L, gram: Int = 1): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val marg = marginals.select(col("bucket").cast("long"),
@@ -95,7 +115,7 @@ object Dsir {
     val byBucket = marg.map(m => m._1 -> m).toMap
     val dense = (0L until buckets).map(b => byBucket.getOrElse(b, (b, 0L, 0L)))
     val scores = bucketScores(dense, buckets, fixedPoint)
-    profile(candidates, idCol, textCol, lit(false), buckets)
+    profile(candidates, idCol, textCol, lit(false), buckets, gram)
       .join(broadcast(scores.toDF("bucket", "s")), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("s")).as("dsir_weight"),
@@ -108,7 +128,7 @@ object Dsir {
     * favor. */
   def importanceWeights(df: DataFrame, idCol: Column, textCol: Column,
       isTarget: Column, buckets: Int = 256,
-      fixedPoint: Long = 10000L): DataFrame = {
+      fixedPoint: Long = 10000L, gram: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // the profile feeds TWO jobs (the marginals collect, then the
@@ -117,7 +137,7 @@ object Dsir {
     // the 100 TB option — else executor-local; the Dedup.checkpointed
     // seam; DsirSpec counts the corpus scans)
     val prof = Dedup.checkpointed(
-      profile(df, idCol, textCol, isTarget, buckets))
+      profile(df, idCol, textCol, isTarget, buckets, gram))
     // bucket marginals: ≤ B rows — driver-sized by construction
     val marg = bucketMarginals(prof)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

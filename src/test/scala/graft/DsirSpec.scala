@@ -38,6 +38,27 @@ class DsirSpec extends SparkSuite {
     assert(again === w)
   }
 
+  test("hashed-bigram features (gram = 2) are word-ORDER-sensitive: a " +
+      "scrambled twin of a target-like doc scores strictly lower, " +
+      "while the unigram profile cannot tell them apart") {
+    val natural = "alpha beta gamma alpha beta gamma alpha beta"
+    val scrambled = "beta alpha gamma beta alpha alpha gamma beta"
+    val docs = (
+      (1L to 5L).map(i => (i, natural, true)) ++
+      Seq((10L, natural, false), (11L, scrambled, false))
+    ).toDF("doc_id", "text", "is_en")
+    val bi = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+        col("is_en"), gram = 2)
+      .select("doc_id", "dsir_weight").as[(Long, Long)].collect().toMap
+    assert(bi(10L) > bi(11L),
+      s"bigram weights must prefer the order-preserving twin, got $bi")
+    val uni = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+        col("is_en"))
+      .select("doc_id", "dsir_weight").as[(Long, Long)].collect().toMap
+    // same token multiset ⇒ identical unigram profile ⇒ identical weight
+    assert(uni(10L) === uni(11L))
+  }
+
   test("the corpus is profiled ONCE per run: the checkpointed profile " +
       "feeds both the marginals collect and the weights job") {
     val acc = spark.sparkContext.longAccumulator("corpus-scans")
