@@ -173,6 +173,90 @@ object ExtensionQueries {
         stg)
     }
 
+  /** Sharded NSW graph index over L2-NORMALIZED embeddings — the COSINE
+    * serving tier: on unit vectors L2 order is cosine order (cos =
+    * 1 − ‖â−b̂‖²/2), so a beam search over this index retrieves by
+    * cosine similarity. Persisted beside [[graphIndexDir]]; serving
+    * re-ranks the candidates by the exact unnormalized cosine (see
+    * [[annCosRun]]), so normalization rounding never reaches a score. */
+  private def graphCosIndexDir(s: SparkSession, d: String): String =
+    persistedDir(s, "graft-graph-cos-index-v1", d) { stg =>
+      val unit = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") / norm(col("embedding"))).as("unit"))
+      GraphAnn.writeGraphIndex(
+        GraphAnn.buildGraph(unit, col("vec_id"), col("unit"),
+          numShards = 8, m = 16, efConstruction = 100),
+        stg)
+    }
+
+  /** [[queryVec]] scaled to unit length — the probe for the cosine
+    * graph tier. */
+  private def queryVecNorm(s: SparkSession, d: String): Seq[Double] = {
+    val q = queryVec(s, d)
+    val n = math.sqrt(q.map(x => x * x).sum)
+    q.map(_ / n)
+  }
+
+  /** The 4-way RRF spine (BM25 + Dirichlet QL + proximity + a caller-
+    * supplied cosine run, 1/(60 + rank) in a fixed run order — Cormack
+    * SIGIR'09), shared by the brute-force and ANN-served keys: runs are
+    * bounded top-20 retrievals (rank windows AFTER limit — 20-row
+    * frames); fusion joins four ≤20-row frames. `cosRun` must expose
+    * (vec_id, cos_sim). */
+  private def rrfFusion4With(s: SparkSession, d: String,
+      cosRun: DataFrame): DataFrame = {
+    val kRun = 20
+    val kws = Seq("join", "filter", "window", "scan")
+    def ranked(df: org.apache.spark.sql.DataFrame, id: Column,
+        ord: Seq[Column], as: String): org.apache.spark.sql.DataFrame =
+      df.orderBy(ord: _*).limit(kRun)
+        .withColumn(as, row_number().over(Window.orderBy(ord: _*)))
+        .select(id.as(s"${as}id"), col(as))
+    val bm = ranked(bm25Scores(s, d, kws), col("doc_id"),
+      Seq(col("score").desc, col("doc_id").asc), "br")
+    val ql = ranked(qlScores(s, d, kws), col("doc_id"),
+      Seq(col("score").desc, col("doc_id").asc), "qr")
+    val px = ranked(graft.operators.Proximity.minSpan(
+        Tables.documents(s, d), col("doc_id"), col("text"), kws),
+      col("doc_id"),
+      Seq(col("min_span").asc, col("doc_id").asc), "pr")
+    val cos = ranked(cosRun, col("vec_id"),
+      Seq(col("cos_sim").desc, col("vec_id").asc), "cr")
+    def rr(c: Column): Column =
+      coalesce(lit(1.0) / (lit(60) + c), lit(0.0))
+    bm.join(ql, col("brid") === col("qrid"), "full_outer")
+      .withColumn("_i1", coalesce(col("brid"), col("qrid")))
+      .join(px, col("_i1") === col("prid"), "full_outer")
+      .withColumn("_i2", coalesce(col("_i1"), col("prid")))
+      .join(cos, col("_i2") === col("crid"), "full_outer")
+      .select(coalesce(col("_i2"), col("crid")).as("id"),
+        floorRound6(rr(col("br")) + rr(col("qr")) + rr(col("pr"))
+          + rr(col("cr"))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(10)
+  }
+
+  /** Cosine top-`kRun` retrieval SERVED from the persisted cosine graph
+    * index: beam-search the unit-vector index for 2·kRun candidates
+    * (exchange-free resident serve), then exact-cosine re-rank the
+    * bounded candidate set with the IDENTICAL expression the brute-force
+    * run uses — ANN candidate generation + exact re-rank, the
+    * overfetch-then-refine serving shape (q_ann_pq's). At ef =
+    * corpus size the candidate beam is exhaustive and the run must
+    * EQUAL [[graft.operators.Knn.cosineTopK]] (the 2× overfetch
+    * absorbs rounded-tie rank jitter at the k-boundary between the
+    * L2 and cosine orderings). */
+  private def annCosRun(s: SparkSession, d: String, kRun: Int,
+      ef: Int): DataFrame = {
+    val cand = GraphAnn.graphTopKResident(s, graphCosIndexDir(s, d),
+      queryVecNorm(s, d), k = kRun * 2, ef = ef)
+    Knn.cosineTopK(
+      Tables.embeddings(s, d)
+        .join(broadcast(cand.select("vec_id")), "vec_id"),
+      col("embedding"), queryVec(s, d), k = kRun)
+  }
+
   /** Session-scoped PERSISTED IVF index over the embeddings table — the
     * cell-partitioned on-disk layout of [[Ann.buildIvfIndex]], with the
     * same deterministic-path + atomic-staging-rename publication contract
@@ -1282,37 +1366,30 @@ object ExtensionQueries {
     // an independently-oracled top-20 run, fused 1/(60 + rank) in a
     // fixed run order (Cormack SIGIR'09). Serving shape: runs are
     // bounded retrievals; the fusion joins four ≤20-row frames.
-    "q_rrf_fusion4" -> ((s, d) => {
-      val kRun = 20
-      val kws = Seq("join", "filter", "window", "scan")
-      def ranked(df: org.apache.spark.sql.DataFrame, id: Column,
-          ord: Seq[Column], as: String): org.apache.spark.sql.DataFrame =
-        df.orderBy(ord: _*).limit(kRun)
-          .withColumn(as, row_number().over(Window.orderBy(ord: _*)))
-          .select(id.as(s"${as}id"), col(as))
-      val bm = ranked(bm25Scores(s, d, kws), col("doc_id"),
-        Seq(col("score").desc, col("doc_id").asc), "br")
-      val ql = ranked(qlScores(s, d, kws), col("doc_id"),
-        Seq(col("score").desc, col("doc_id").asc), "qr")
-      val px = ranked(graft.operators.Proximity.minSpan(
-          Tables.documents(s, d), col("doc_id"), col("text"), kws),
-        col("doc_id"),
-        Seq(col("min_span").asc, col("doc_id").asc), "pr")
-      val cos = ranked(Knn.cosineTopK(Tables.embeddings(s, d),
-          col("embedding"), queryVec(s, d), k = kRun), col("vec_id"),
-        Seq(col("cos_sim").desc, col("vec_id").asc), "cr")
-      def rr(c: Column): Column =
-        coalesce(lit(1.0) / (lit(60) + c), lit(0.0))
-      bm.join(ql, col("brid") === col("qrid"), "full_outer")
-        .withColumn("_i1", coalesce(col("brid"), col("qrid")))
-        .join(px, col("_i1") === col("prid"), "full_outer")
-        .withColumn("_i2", coalesce(col("_i1"), col("prid")))
-        .join(cos, col("_i2") === col("crid"), "full_outer")
-        .select(coalesce(col("_i2"), col("crid")).as("id"),
-          floorRound6(rr(col("br")) + rr(col("qr")) + rr(col("pr"))
-            + rr(col("cr"))).as("rrf_score"))
-        .orderBy(col("rrf_score").desc, col("id").asc)
-        .limit(10)
+    "q_rrf_fusion4" -> ((s, d) =>
+      rrfFusion4With(s, d,
+        Knn.cosineTopK(Tables.embeddings(s, d), col("embedding"),
+          queryVec(s, d), k = 20))),
+
+    // ---- the SAME 4-way fusion with the vector leg SERVED from the
+    // persisted cosine graph index (the 100 TB swap the brute-force
+    // key's scaladoc promises): beam search over unit vectors →
+    // bounded exact-cosine re-rank → fuse. Approximate at ef=100 ⇒
+    // rows-only; the machinery is hash-PROVEN by the exhaustive
+    // companion below.
+    "q_rrf_fusion_ann" -> ((s, d) =>
+      rrfFusion4With(s, d, annCosRun(s, d, kRun = 20, ef = 100))),
+
+    // ---- the fused ANN serve HASH-PROVEN (the q_ann_graph_exhaustive
+    // pattern composed through the fusion): ef = corpus size makes
+    // every shard's layer-0 beam exhaustive and the 2k-candidate exact
+    // re-rank replays the brute-force cosine expression bit-for-bit,
+    // so the whole fused pipeline — persisted unit-vector index read,
+    // resident beam serve, candidate fetch, re-rank, 4-way fusion —
+    // must EQUAL q_rrf_fusion4: oracled against the IDENTICAL SQL.
+    "q_rrf_fusion_ann_exhaustive" -> ((s, d) => {
+      val n = Tables.embeddings(s, d).count().toInt
+      rrfFusion4With(s, d, annCosRun(s, d, kRun = 20, ef = n))
     }),
 
     // ---- exact-phrase search over the positional inverted index:
@@ -4140,6 +4217,56 @@ object ExtensionQueries {
        |FROM embeddings e, q
        |ORDER BY dist, vec_id LIMIT 10""".stripMargin
 
+  /** The q_rrf_fusion4 replay, shared verbatim with
+    * q_rrf_fusion_ann_exhaustive (exhaustive ANN serve == brute force
+    * == this SQL). */
+  private def rrfFusion4Sql: String =
+    s"""WITH $bm25ScoreCte,
+         |bm AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS br
+         |  FROM r QUALIFY br <= 20),
+         |$qlScoreCte,
+         |qlr AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS qr
+         |  FROM qls QUALIFY qr <= 20),
+         |$proxSpanCte,
+         |pxr AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY min_span ASC, doc_id) AS pr
+         |  FROM pxs QUALIFY pr <= 20),
+         |$qvCte,
+         |cv AS (
+         |  SELECT e.vec_id,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |        i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+         |    6) AS cos_sim
+         |  FROM embeddings e, q),
+         |cvr AS (
+         |  SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS cr
+         |  FROM cv QUALIFY cr <= 20),
+         |j1 AS (
+         |  SELECT coalesce(bm.id, qlr.id) AS id, br, qr
+         |  FROM bm FULL JOIN qlr ON bm.id = qlr.id),
+         |j2 AS (
+         |  SELECT coalesce(j1.id, pxr.id) AS id, br, qr, pr
+         |  FROM j1 FULL JOIN pxr ON j1.id = pxr.id),
+         |f AS (
+         |  SELECT coalesce(j2.id, cvr.id) AS id,
+         |    coalesce(1.0::DOUBLE / (60 + br), 0.0::DOUBLE)
+         |      + coalesce(1.0::DOUBLE / (60 + qr), 0.0::DOUBLE)
+         |      + coalesce(1.0::DOUBLE / (60 + pr), 0.0::DOUBLE)
+         |      + coalesce(1.0::DOUBLE / (60 + cr), 0.0::DOUBLE) AS rrf
+         |  FROM j2 FULL JOIN cvr ON j2.id = cvr.id)
+         |SELECT id, ${graft.functions.Rounding.floorRoundSql("rrf", 6)}
+         |    AS rrf_score
+         |FROM f ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // PQ with iters=0: codebooks = the 16 seed rows (smallest
     // md5('seed:'||id) — the trainCodebooks rule), so DuckDB can recompute
@@ -6865,52 +6992,12 @@ object ExtensionQueries {
     // 4-way fusion replay: the three text runs from their shared CTE
     // chunks, the cosine run from the q_rrf_fusion shape; chained FULL
     // JOINs on the running coalesce mirror the Spark join tree
-    "q_rrf_fusion4" ->
-      s"""WITH $bm25ScoreCte,
-         |bm AS (
-         |  SELECT doc_id AS id,
-         |    row_number() OVER (ORDER BY score DESC, doc_id) AS br
-         |  FROM r QUALIFY br <= 20),
-         |$qlScoreCte,
-         |qlr AS (
-         |  SELECT doc_id AS id,
-         |    row_number() OVER (ORDER BY score DESC, doc_id) AS qr
-         |  FROM qls QUALIFY qr <= 20),
-         |$proxSpanCte,
-         |pxr AS (
-         |  SELECT doc_id AS id,
-         |    row_number() OVER (ORDER BY min_span ASC, doc_id) AS pr
-         |  FROM pxs QUALIFY pr <= 20),
-         |$qvCte,
-         |cv AS (
-         |  SELECT e.vec_id,
-         |    round(
-         |      list_sum(list_transform(generate_series(1, len(e.embedding)),
-         |        i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
-         |      / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
-         |       * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
-         |    6) AS cos_sim
-         |  FROM embeddings e, q),
-         |cvr AS (
-         |  SELECT vec_id AS id,
-         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS cr
-         |  FROM cv QUALIFY cr <= 20),
-         |j1 AS (
-         |  SELECT coalesce(bm.id, qlr.id) AS id, br, qr
-         |  FROM bm FULL JOIN qlr ON bm.id = qlr.id),
-         |j2 AS (
-         |  SELECT coalesce(j1.id, pxr.id) AS id, br, qr, pr
-         |  FROM j1 FULL JOIN pxr ON j1.id = pxr.id),
-         |f AS (
-         |  SELECT coalesce(j2.id, cvr.id) AS id,
-         |    coalesce(1.0::DOUBLE / (60 + br), 0.0::DOUBLE)
-         |      + coalesce(1.0::DOUBLE / (60 + qr), 0.0::DOUBLE)
-         |      + coalesce(1.0::DOUBLE / (60 + pr), 0.0::DOUBLE)
-         |      + coalesce(1.0::DOUBLE / (60 + cr), 0.0::DOUBLE) AS rrf
-         |  FROM j2 FULL JOIN cvr ON j2.id = cvr.id)
-         |SELECT id, ${graft.functions.Rounding.floorRoundSql("rrf", 6)}
-         |    AS rrf_score
-         |FROM f ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+    "q_rrf_fusion4" -> rrfFusion4Sql,
+
+    // the exhaustive ANN-served fusion must EQUAL the brute-force
+    // fusion — IDENTICAL oracle SQL (the q_graph_join_exhaustive proof
+    // pattern composed through the fusion)
+    "q_rrf_fusion_ann_exhaustive" -> rrfFusion4Sql,
 
     "q_outlier_iqr" ->
       s"""WITH h AS (

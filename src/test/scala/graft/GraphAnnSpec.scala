@@ -168,6 +168,20 @@ class GraphAnnSpec extends SparkSuite {
       "q_ann_graph must not re-distribute a driver-collected graph")
   }
 
+  test("q_rrf_fusion_ann: the ANN-served fusion at serving ef recalls " +
+      "the brute-force fusion's result set (machinery equality at " +
+      "exhaustive ef is hash-proven by the oracle)") {
+    val d = "/root/testdata/sf0.001"
+    def ids(key: String): Seq[Long] =
+      SparkEntry.queries(key)(spark, d)
+        .select(col("id").cast("long")).as[Long].collect().toSeq
+    val exact = ids("q_rrf_fusion4")
+    val ann = ids("q_rrf_fusion_ann")
+    val overlap = ann.toSet.intersect(exact.toSet).size
+    assert(overlap >= 8,
+      s"fusion recall@10 = $overlap/10 (ann=$ann exact=$exact)")
+  }
+
   /** Count shuffle exchanges STRUCTURALLY in the final adaptive plan,
     * recursing through query stages (whose subtrees are invisible to
     * both `collect` and — in Spark 4's ResultQueryStage printing — the

@@ -499,6 +499,8 @@ class PlanSpec extends SparkSuite {
       "q_knn_binary", // 1-row query-sketch broadcast, same shape
       "q_ql_dirichlet", // |q|-row term broadcast + 1-row total, same shape
       "q_rrf_fusion4", // composes the bm25/ql bounded-broadcast shapes
+      // same composition, vector leg from the persisted cosine index
+      "q_rrf_fusion_ann", "q_rrf_fusion_ann_exhaustive",
       "q_graph_triangles", // 1-row wedge-total broadcast, same shape
       "q_snapshot_diff", "q_snapshot_diff_inc", "q_semantic_dedup_exhaustive")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
