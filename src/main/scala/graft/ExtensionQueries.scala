@@ -198,6 +198,30 @@ object ExtensionQueries {
     q.map(_ / n)
   }
 
+  /** The synthetic multi-line page q_c4_filters and q_release_funnel
+    * cleanse: corpus text carries no newlines, so the driver-testdata
+    * page interleaves its token segments with boilerplate / junk lines,
+    * drop markers injected on doc_id moduli so every C4 rule fires. */
+  private def c4Page: Column = {
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    def seg(from: Int, n: Int): Column =
+      array_join(slice(tk, from, n), " ")
+    concat_ws("\n",
+      concat(lit("about the "), col("source"), lit(" network.")),
+      concat(seg(1, 12), lit(".")),
+      seg(13, 4),
+      when(col("doc_id") % 7 === 0,
+        lit("please enable javascript to continue."))
+        .otherwise(concat(seg(17, 8), lit("?"))),
+      when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet."))
+        .otherwise(concat(lit("copyright "), col("lang"),
+          lit(" all rights reserved."))),
+      when(col("doc_id") % 13 === 0, lit("function() { return; }"))
+        .otherwise(concat(seg(25, 2), lit("!"))),
+      lit("subscribe"),
+      concat(seg(30, 6), lit(".")))
+  }
+
   /** The 4-way RRF spine (BM25 + Dirichlet QL + proximity + a caller-
     * supplied cosine run, 1/(60 + rank) in a fixed run order — Cormack
     * SIGIR'09), shared by the brute-force and ANN-served keys: runs are
@@ -1985,33 +2009,15 @@ object ExtensionQueries {
     // drop markers injected on doc_id moduli so every rule fires. The
     // whole cleanse is ONE higher-order-function projection over the
     // line array — zero shuffles, scan-speed at 100 TB.
-    "q_c4_filters" -> ((s, d) => {
-      val tk = graft.functions.TextFunctions.tokens(col("text"))
-      def seg(from: Int, n: Int): Column =
-        array_join(slice(tk, from, n), " ")
-      val page = concat_ws("\n",
-        concat(lit("about the "), col("source"), lit(" network.")),
-        concat(seg(1, 12), lit(".")),
-        seg(13, 4),
-        when(col("doc_id") % 7 === 0,
-          lit("please enable javascript to continue."))
-          .otherwise(concat(seg(17, 8), lit("?"))),
-        when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet."))
-          .otherwise(concat(lit("copyright "), col("lang"),
-            lit(" all rights reserved."))),
-        when(col("doc_id") % 13 === 0, lit("function() { return; }"))
-          .otherwise(concat(seg(25, 2), lit("!"))),
-        lit("subscribe"),
-        concat(seg(30, 6), lit(".")))
+    "q_c4_filters" -> ((s, d) =>
       // spread the scan: the line predicates are interpreted HOFs fused
       // onto a 1-row-group source — single-task without the barrier
       // (40.2 s → 9.7 s at sf10, measured)
       graft.operators.C4Filters.clean(
           graft.operators.Spread.forKernel(Tables.documents(s, d))
-            .withColumn("_pg", page),
+            .withColumn("_pg", c4Page),
           col("doc_id"), col("_pg"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // ---- cross-doc LINE-level dedup (the CCNet/RefinedWeb line scrub):
     // lines shared by >= 2 docs are boilerplate and removed from every
@@ -2837,6 +2843,118 @@ object ExtensionQueries {
         .orderBy("stage_idx")
     }),
 
+    // ---- the FULL corpus-release recipe as ONE declared plan — every
+    // stage an individually-oracled operator, composed end to end the
+    // way a real release runs (round-14 verdict item 6): C4 page
+    // cleanse → langid+quality floor → exact dedup → near-dup
+    // KEEP-BEST survivorship → benchmark decontamination → DSIR
+    // selection (keep the target domain + importance-accepted raw) →
+    // leakage-safe train split (hash keyed on the near-dup COMPONENT,
+    // so twins co-assign) → token-budget shard packing. Output: the
+    // per-stage audit table a release publishes — (stage_idx, stage,
+    // n_docs, n_tokens, n_shards); n_shards is 0 except on the final
+    // pack row. ONE checkpointed frame feeds each stage's aggregate;
+    // the LSH pair table is checkpointed once and reused by both the
+    // representative argmax AND the split components.
+    "q_release_funnel" -> ((s, d) => {
+      val rawDocs = graft.operators.Spread.forKernel(Tables.documents(s, d))
+      val rawTok = rawDocs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("ntok"))
+      // stage 1: C4 cleanse of the synthetic page; downstream stages
+      // operate on the CLEANED text
+      val cleaned = rawDocs.withColumn("_pg", c4Page)
+        .withColumn("_ct", graft.operators.C4Filters.cleanText(col("_pg")))
+        .filter(col("_ct").isNotNull)
+        .select(col("doc_id"), col("lang"), col("_ct").as("text"))
+      // stage 2: langid + quality floor on the cleaned text (the
+      // q_clean_pipeline checkpoint barrier: scoring must not re-inline)
+      val scored = Dedup.checkpointed(withLangId(
+        withQualityScore(cleaned, col("text")), col("text"))
+        .withColumn("ntok",
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long")))
+      val f = scored
+        .filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
+      // stage 3: exact dedup, min doc_id per content digest
+      val kept = f
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("_rn") === 1).drop("_rn")
+      // stage 4: near-dup survivorship — quality-argmax representative
+      // per LSH cluster (pairs checkpointed: reused for the split)
+      val pairs = Dedup.checkpointed(
+        Dedup.lshCandidatePairs(kept, col("doc_id"), col("text")))
+      val repIds = Dedup.clusterRepresentatives(kept, col("doc_id"),
+          col("quality"), pairs)
+        .filter(col("is_rep") === 1).select("doc_id")
+      val nd = Dedup.checkpointed(kept.join(repIds, "doc_id"))
+      // stage 5: decontamination — drop the benchmark slice itself and
+      // every survivor sharing a 3-gram shingle with it
+      val heldout = Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+      val decon = Dedup.checkpointed(
+        nd.filter(col("doc_id") % 97 =!= 0)
+          .join(Dedup.contaminatedDocs(
+              nd.filter(col("doc_id") % 97 =!= 0), col("doc_id"),
+              col("text"), heldout, col("text"), n = 3)
+            .select("doc_id"), Seq("doc_id"), "left_anti"))
+      // stage 6: DSIR selection — keep the whole target domain plus
+      // importance-accepted raw docs (weights from the survivors)
+      val w = graft.operators.Dsir.importanceWeights(decon,
+        col("doc_id"), col("text"), col("lang") === "en")
+      val maxW = Option(w.agg(max("dsir_weight")).head().get(0))
+        .map(_.asInstanceOf[Long])
+      val accepted = maxW match {
+        case None => w.select("doc_id").limit(0)
+        case Some(m) => Sampling.weightedSample(w, col("doc_id"),
+            col("dsir_weight").cast("double") / lit(m.toDouble))
+          .select("doc_id")
+      }
+      val sel = Dedup.checkpointed(
+        decon.filter(col("lang") === "en")
+          .unionByName(decon.join(accepted, "doc_id")))
+      // stage 7: leakage-safe train split — hash keyed on the near-dup
+      // component (cluster members co-assign by construction)
+      val comp = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val train = Dedup.checkpointed(
+        Sampling.assignSplit(
+            sel.join(comp, Seq("doc_id"), "left")
+              .withColumn("component",
+                coalesce(col("component"), col("doc_id"))),
+            col("component"))
+          .filter(col("split") === "train"))
+      // stage 8: token-budget shard packing in epoch-shuffle order (the
+      // q_train_shards machinery: balanced two-pass cum-sum, no
+      // single-partition window)
+      val packed = graft.sources.Maintenance.withGroupedCumSum(s,
+          Sampling.epochShuffle(s, train.withColumn("_s", lit("train")),
+            col("doc_id"), epoch = 0),
+          col("_s"), col("pos"), col("ntok"), "cum_tokens")
+        .withColumn("shard",
+          floor((col("cum_tokens") - col("ntok")) / lit(1000L))
+            .cast("bigint"))
+      def stage(idx: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"), lit(0L).as("n_shards"))
+      stage(0, "raw", rawTok)
+        .unionByName(stage(1, "c4_cleanse", scored))
+        .unionByName(stage(2, "lang_quality", f))
+        .unionByName(stage(3, "exact_dedup", kept))
+        .unionByName(stage(4, "near_dedup", nd))
+        .unionByName(stage(5, "decontaminate", decon))
+        .unionByName(stage(6, "dsir_select", sel))
+        .unionByName(stage(7, "train_split", train))
+        .unionByName(packed.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("ntok"), lit(0L)).as("n_tokens"),
+            countDistinct("shard").as("n_shards"))
+          .select(lit(8).as("stage_idx"), lit("pack_shards").as("stage"),
+            col("n_docs"), col("n_tokens"), col("n_shards")))
+        .orderBy("stage_idx")
+    }),
+
     // ---- blocked edit-distance fuzzy join (record linkage): customer
     // names one typo apart, pairs formed only within a 16-char-prefix
     // block (the quadratic term bounded by block size; fixed-N pin on
@@ -3280,7 +3398,51 @@ object ExtensionQueries {
     * exact-dedup survivors `kept`, and the LSH near-dup drop set
     * `drops` (pairs computed over the FILTERED survivors, not the raw
     * corpus — the funnel stages compose exactly like the Spark side). */
-  private def cleanPipelineCtes: String = {
+  /** Near-dup survivorship replay over the clean-pipeline chunk's
+    * `kept`: recursive min-label components over the LSH band pairs
+    * (`comp`), quality-argmax representative per cluster, survivors as
+    * `nd`. Shared by q_curation_funnel and q_release_funnel. */
+  private val ndSurvivorCtes: String =
+    """pairs2 AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands2 a JOIN bands2 b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT id1 AS a, id2 AS b FROM pairs2
+      |  UNION SELECT id2, id1 FROM pairs2),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e
+      |    ON r.b = e.a AND e.b <> r.a),
+      |comp AS MATERIALIZED (
+      |  SELECT a AS id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a),
+      |jq AS (
+      |  SELECT k.doc_id, coalesce(c.component, k.doc_id) AS component,
+      |    k.quality
+      |  FROM kept k LEFT JOIN comp c ON k.doc_id = c.id),
+      |ndids AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, first_value(doc_id) OVER (
+      |        PARTITION BY component
+      |        ORDER BY quality DESC, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING
+      |          AND UNBOUNDED FOLLOWING) AS rep_id
+      |    FROM jq)
+      |  WHERE doc_id = rep_id),
+      |nd AS MATERIALIZED (SELECT k2.* FROM kept k2 JOIN ndids USING (doc_id))""".stripMargin
+
+  private def cleanPipelineCtes: String = cleanPipelineCtesFrom("documents")
+
+  /** The q_clean_pipeline CTE chain over an arbitrary (doc_id, text)
+    * source CTE: quality score, langid, the lang+quality floor (`f`),
+    * exact dedup (`kept`), LSH bands (`bands2`) and the pair-drop set
+    * (`drops`). Shared by q_clean_pipeline / q_curation_funnel
+    * (src = documents) and q_release_funnel (src = the C4-cleansed
+    * corpus). */
+  private def cleanPipelineCtesFrom(src: String): String = {
     val scores = langMarkers.map { case (l, ms) =>
       s"${langScoreSql(ms)} AS s_$l"
     }.mkString(", ")
@@ -3289,11 +3451,11 @@ object ExtensionQueries {
     val cascade = langMarkers.map { case (l, _) =>
       s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
     }.mkString(" ")
-    s"""toks0 AS (
+    s"""toks0 AS MATERIALIZED (
          |  SELECT doc_id, text,
          |    list_filter(string_split_regex(lower(text), '\\s+'),
          |      x -> x != '') AS toks
-         |  FROM documents),
+         |  FROM $src),
          |qual AS (
          |  SELECT doc_id, text,
          |    floor((least(len(text)::DOUBLE / 500.0, 1.0) * 0.25
@@ -3309,7 +3471,7 @@ object ExtensionQueries {
          |  FROM toks0),
          |pads AS (
          |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded
-         |  FROM documents),
+         |  FROM $src),
          |scs AS (SELECT doc_id, text, $scores FROM pads),
          |lid AS (
          |  SELECT doc_id,
@@ -3317,12 +3479,12 @@ object ExtensionQueries {
          |           '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
          |         $cascade ELSE 'und' END AS pred_lang
          |  FROM (SELECT *, $bestSql AS best FROM scs)),
-         |f AS (
+         |f AS MATERIALIZED (
          |  SELECT q.doc_id, q.text, q.quality, l.pred_lang
          |  FROM qual q JOIN lid l USING (doc_id)
          |  WHERE l.pred_lang != 'und' AND q.quality >= 0.5),
          |k AS (SELECT min(doc_id) AS keep_id FROM f GROUP BY md5(text)),
-         |kept AS (SELECT * FROM f WHERE doc_id IN (SELECT keep_id FROM k)),
+         |kept AS MATERIALIZED (SELECT * FROM f WHERE doc_id IN (SELECT keep_id FROM k)),
          |tk2 AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
          |    x -> x != '') AS tk FROM kept),
@@ -3339,7 +3501,7 @@ object ExtensionQueries {
          |    list_aggregate(list_transform(hv,
          |      h -> ((37*j + 101) * h + (1009*j + 9176)) % 1000000007),
          |      'min')) AS sig FROM hv2),
-         |bands2 AS (
+         |bands2 AS MATERIALIZED (
          |  SELECT doc_id, b AS band_idx,
          |    (sig[b*2+1] % 2147483647) * 2000000011 + sig[b*2+2] AS band_key
          |  FROM sig2, generate_series(0, 3) t(b)),
@@ -3716,6 +3878,49 @@ object ExtensionQueries {
     * Spark side, same add-one-smoothed fixed-point ratio in HUGEINT
     * (`//` == Spark `div` on positives). Used by q_dsir_weights and
     * q_dsir_select. */
+  /** The synthetic-page construction replay shared by q_c4_filters and
+    * q_release_funnel (`tkx` + `pg`, page column named `page`). */
+  private val c4PageCtes: String =
+    """tkx AS (
+      |  SELECT doc_id, lang, source, list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x != '') AS tk
+      |  FROM documents),
+      |pg AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    'about the ' || source || ' network.',
+      |    coalesce(array_to_string(tk[1:12], ' '), '') || '.',
+      |    coalesce(array_to_string(tk[13:16], ' '), ''),
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN 'please enable javascript to continue.'
+      |         ELSE coalesce(array_to_string(tk[17:24], ' '), '') || '?' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+      |         ELSE 'copyright ' || lang || ' all rights reserved.' END,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'function() { return; }'
+      |         ELSE coalesce(array_to_string(tk[25:26], ' '), '') || '!' END,
+      |    'subscribe',
+      |    coalesce(array_to_string(tk[30:35], ' '), '') || '.') AS page
+      |  FROM tkx)""".stripMargin
+
+  /** The C4 cleanse stage of q_release_funnel: the page chunk + the
+    * kept-line/page-drop rules, surfacing the surviving docs as
+    * `c4src` (doc_id, text = the cleaned page). */
+  private def releaseC4Ctes: String =
+    s"$c4PageCtes,\n" +
+    """c4k AS (
+      |  SELECT doc_id, page,
+      |    list_filter(string_split(page, chr(10)), l ->
+      |      right(l, 1) IN ('.', '!', '?', '"')
+      |      AND len(list_filter(string_split_regex(lower(l), '\s+'),
+      |              x -> x != '')) >= 3
+      |      AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM pg),
+      |c4src AS MATERIALIZED (
+      |  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+      |  FROM c4k
+      |  WHERE NOT (contains(lower(page), 'lorem ipsum')
+      |             OR contains(lower(page), '{'))
+      |    AND len(kept) >= 5)""".stripMargin
+
   private def dsirCteSql: String = dsirCteOf(
     s"""toks AS (
        |  SELECT doc_id, lang = 'en' AS is_target,
@@ -3742,12 +3947,18 @@ object ExtensionQueries {
        |  QUALIFY p <= sz - 1)""".stripMargin)
 
   private def dsirCteOf(termsCte: String): String =
-    s"""$termsCte,
-       |bk AS (
+    s"$termsCte,\n" + dsirProfileChunk
+
+  /** The profile→marginals→scores→weights chain over a `toks` CTE
+    * exposing (doc_id, is_target, term) — the embeddable half of
+    * [[dsirCteOf]] (q_release_funnel supplies its own survivor-scoped
+    * `toks`). */
+  private def dsirProfileChunk: String =
+    s"""bk AS MATERIALIZED (
        |  SELECT doc_id, is_target,
        |    ${hash16Sql("term")} % 256 AS bucket
        |  FROM toks),
-       |prof AS (
+       |prof AS MATERIALIZED (
        |  SELECT doc_id, is_target, bucket, count(*)::BIGINT AS cnt
        |  FROM bk GROUP BY 1, 2, 3),
        |marg AS (
@@ -3762,7 +3973,7 @@ object ExtensionQueries {
        |    ((10000::HUGEINT * (ct + 1) * (crt + 256))
        |      // ((cr + 1)::HUGEINT * (ctt + 256)))::BIGINT AS s
        |  FROM marg, tot),
-       |dw AS (
+       |dw AS MATERIALIZED (
        |  SELECT p.doc_id, sum(p.cnt * s.s)::BIGINT AS dsir_weight,
        |    sum(p.cnt)::BIGINT AS n_tokens
        |  FROM prof p JOIN sc s USING (bucket)
@@ -5139,26 +5350,8 @@ object ExtensionQueries {
     // empty lines compare equal; list slices are 1-based inclusive =
     // slice(tk, from, n))
     "q_c4_filters" ->
-      s"""WITH tkx AS (
-         |  SELECT doc_id, lang, source, list_filter(
-         |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
-         |  FROM documents),
-         |pg AS (
-         |  SELECT doc_id, concat_ws(chr(10),
-         |    'about the ' || source || ' network.',
-         |    coalesce(array_to_string(tk[1:12], ' '), '') || '.',
-         |    coalesce(array_to_string(tk[13:16], ' '), ''),
-         |    CASE WHEN doc_id % 7 = 0
-         |         THEN 'please enable javascript to continue.'
-         |         ELSE coalesce(array_to_string(tk[17:24], ' '), '') || '?' END,
-         |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
-         |         ELSE 'copyright ' || lang || ' all rights reserved.' END,
-         |    CASE WHEN doc_id % 13 = 0 THEN 'function() { return; }'
-         |         ELSE coalesce(array_to_string(tk[25:26], ' '), '') || '!' END,
-         |    'subscribe',
-         |    coalesce(array_to_string(tk[30:35], ' '), '') || '.') AS page
-         |  FROM tkx),
-         |k AS (
+      (s"WITH $c4PageCtes,\n" +
+      s"""k AS (
          |  SELECT doc_id, page, string_split(page, chr(10)) AS ls,
          |    list_filter(string_split(page, chr(10)), l ->
          |      right(l, 1) IN ('.', '!', '?', '"')
@@ -5176,7 +5369,7 @@ object ExtensionQueries {
          |SELECT doc_id, n_lines, n_kept_lines,
          |  clean IS NOT NULL AS page_kept,
          |  length(clean) AS clean_len, md5(clean) AS clean_md5
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |FROM c ORDER BY doc_id""".stripMargin),
 
     // line dedup: the oracle groups RAW lines (the raw-shingle pattern —
     // a Spark-side xxhash64 collision would surface as a mismatch);
@@ -5683,36 +5876,8 @@ object ExtensionQueries {
     // with the smaller-id tiebreak
     "q_curation_funnel" ->
       (s"WITH RECURSIVE $cleanPipelineCtes,\n" +
-        """pairs2 AS (
-          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          |  FROM bands2 a JOIN bands2 b
-          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-          |   AND a.doc_id < b.doc_id),
-          |edges AS (
-          |  SELECT id1 AS a, id2 AS b FROM pairs2
-          |  UNION SELECT id2, id1 FROM pairs2),
-          |reach AS (
-          |  SELECT a, b FROM edges
-          |  UNION
-          |  SELECT r.a, e.b FROM reach r JOIN edges e
-          |    ON r.b = e.a AND e.b <> r.a),
-          |comp AS (
-          |  SELECT a AS id, least(a, min(b)) AS component
-          |  FROM reach GROUP BY a),
-          |jq AS (
-          |  SELECT k.doc_id, coalesce(c.component, k.doc_id) AS component,
-          |    k.quality
-          |  FROM kept k LEFT JOIN comp c ON k.doc_id = c.id),
-          |ndids AS (
-          |  SELECT doc_id FROM (
-          |    SELECT doc_id, first_value(doc_id) OVER (
-          |        PARTITION BY component
-          |        ORDER BY quality DESC, doc_id
-          |        ROWS BETWEEN UNBOUNDED PRECEDING
-          |          AND UNBOUNDED FOLLOWING) AS rep_id
-          |    FROM jq)
-          |  WHERE doc_id = rep_id),
-          |nd AS (SELECT k2.* FROM kept k2 JOIN ndids USING (doc_id)),
+        s"$ndSurvivorCtes,\n" +
+        """
           |rb AS (
           |  SELECT doc_id, row_number() OVER (PARTITION BY pred_lang
           |      ORDER BY quality DESC, doc_id) AS rnk,
@@ -5733,6 +5898,108 @@ object ExtensionQueries {
           |  UNION ALL SELECT 4, 'quality_head_middle', count(*)::BIGINT,
           |    sum(ntok)::BIGINT FROM fin JOIN tl USING (doc_id))
           |ORDER BY stage_idx""".stripMargin),
+
+    // the full release-recipe replay: C4 page cleanse (the q_c4_filters
+    // chunk), then the clean-pipeline + nd-survivor chunks over the
+    // CLEANED text, decontamination grams vs the raw heldout slice, the
+    // DSIR chain over the survivors (dsirCteOf), the component-keyed
+    // train split, and the q_train_shards packing arithmetic — every
+    // chunk the one its standalone key already hash-proves
+    "q_release_funnel" ->
+      (s"WITH RECURSIVE $releaseC4Ctes,\n" +
+        s"${cleanPipelineCtesFrom("c4src")},\n" +
+        s"$ndSurvivorCtes,\n" +
+        s"""hgr AS (
+           |  SELECT doc_id, list_filter(
+           |    string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+           |  FROM documents WHERE doc_id % 97 = 0),
+           |hsh AS (
+           |  SELECT DISTINCT unnest(list_distinct(list_transform(
+           |    CASE WHEN len(tk) >= 3 THEN
+           |      list_transform(generate_series(1, len(tk) - 2),
+           |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+           |    ELSE [array_to_string(tk, ' ')] END,
+           |    s -> ${hash32Sql("s")}))) AS sh
+           |  FROM hgr),
+           |ngr AS (
+           |  SELECT n.doc_id, list_filter(
+           |    string_split_regex(lower(n.text), '\\s+'), x -> x != '') AS tk
+           |  FROM nd n WHERE n.doc_id % 97 <> 0),
+           |nex AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    CASE WHEN len(tk) >= 3 THEN
+           |      list_transform(generate_series(1, len(tk) - 2),
+           |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+           |    ELSE [array_to_string(tk, ' ')] END,
+           |    s -> ${hash32Sql("s")}))) AS sh
+           |  FROM ngr),
+           |cont AS (
+           |  SELECT DISTINCT e.doc_id FROM nex e JOIN hsh USING (sh)),
+           |decon AS MATERIALIZED (
+           |  SELECT n.*, d.lang FROM nd n JOIN documents d USING (doc_id)
+           |  WHERE n.doc_id % 97 <> 0
+           |    AND n.doc_id NOT IN (SELECT doc_id FROM cont)),
+           |toks AS MATERIALIZED (
+           |  SELECT doc_id, lang = 'en' AS is_target,
+           |    unnest(list_filter(
+           |      string_split_regex(lower(text), '\\s+'), x -> x != ''))
+           |      AS term
+           |  FROM decon),\n""".stripMargin +
+        s"$dsirProfileChunk,\n" +
+        s"""sel AS MATERIALIZED (
+           |  SELECT doc_id FROM decon WHERE lang = 'en'
+           |  UNION ALL
+           |  SELECT dw.doc_id FROM dw
+           |  WHERE ${hash16Sql("doc_id::VARCHAR")}
+           |        < floor(dsir_weight::DOUBLE
+           |                / (SELECT max(dsir_weight) FROM dw)::DOUBLE
+           |                * 65536.0)::BIGINT),
+           |spl AS (
+           |  SELECT s2.doc_id,
+           |    coalesce(c.component, s2.doc_id) AS skey
+           |  FROM sel s2 LEFT JOIN comp c ON s2.doc_id = c.id),
+           |tr AS (
+           |  SELECT doc_id FROM spl
+           |  WHERE ${hash16Sql("skey::VARCHAR")} % 100 >= 20),
+           |tl AS MATERIALIZED (SELECT doc_id, len(toks)::BIGINT AS ntok FROM toks0),
+           |rtl AS (
+           |  SELECT doc_id, len(list_filter(
+           |    string_split_regex(lower(text), '\\s+'), x -> x != ''))::BIGINT
+           |    AS ntok
+           |  FROM documents),
+           |pk AS (
+           |  SELECT t.doc_id, tl.ntok,
+           |    ${hash32Sql("'0:' || t.doc_id::VARCHAR")} AS eh
+           |  FROM tr t JOIN tl ON t.doc_id = tl.doc_id),
+           |pc AS (
+           |  SELECT doc_id, ntok,
+           |    (sum(ntok) OVER (ORDER BY eh, doc_id
+           |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+           |  FROM pk),
+           |shx AS (SELECT doc_id, ntok,
+           |  ((cum - ntok) // 1000)::BIGINT AS shard FROM pc)
+           |SELECT * FROM (
+           |  SELECT 0 AS stage_idx, 'raw' AS stage,
+           |    count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+           |    0::BIGINT AS n_shards
+           |  FROM rtl
+           |  UNION ALL SELECT 1, 'c4_cleanse', count(*)::BIGINT,
+           |    sum(ntok)::BIGINT, 0::BIGINT FROM tl
+           |  UNION ALL SELECT 2, 'lang_quality', count(*)::BIGINT,
+           |    sum(ntok)::BIGINT, 0::BIGINT FROM f JOIN tl USING (doc_id)
+           |  UNION ALL SELECT 3, 'exact_dedup', count(*)::BIGINT,
+           |    sum(ntok)::BIGINT, 0::BIGINT FROM kept JOIN tl USING (doc_id)
+           |  UNION ALL SELECT 4, 'near_dedup', count(*)::BIGINT,
+           |    sum(ntok)::BIGINT, 0::BIGINT FROM nd JOIN tl USING (doc_id)
+           |  UNION ALL SELECT 5, 'decontaminate', count(*)::BIGINT,
+           |    sum(ntok)::BIGINT, 0::BIGINT FROM decon JOIN tl USING (doc_id)
+           |  UNION ALL SELECT 6, 'dsir_select', count(*)::BIGINT,
+           |    sum(ntok)::BIGINT, 0::BIGINT FROM sel JOIN tl USING (doc_id)
+           |  UNION ALL SELECT 7, 'train_split', count(*)::BIGINT,
+           |    sum(ntok)::BIGINT, 0::BIGINT FROM tr JOIN tl USING (doc_id)
+           |  UNION ALL SELECT 8, 'pack_shards', count(*)::BIGINT,
+           |    sum(ntok)::BIGINT, count(DISTINCT shard)::BIGINT FROM shx)
+           |ORDER BY stage_idx""".stripMargin),
 
     // fuzzy join: identical prefix-block + unit-cost Levenshtein DP in
     // both engines

@@ -157,6 +157,34 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("release funnel: stage docs are monotone past the cleanse, every " +
+      "stage survives, and the pack row is consistent with the train row") {
+    val rows = SparkEntry.queries("q_release_funnel")(spark,
+        "/root/testdata/sf0.001")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._2) === Seq("raw", "c4_cleanse", "lang_quality",
+      "exact_dedup", "near_dedup", "decontaminate", "dsir_select",
+      "train_split", "pack_shards"))
+    assert(rows.head._3 ===
+      Tables.documents(spark, "/root/testdata/sf0.001").count())
+    // monotone non-increasing doc/token counts stage to stage
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"$a -> $b not monotone")
+    }
+    // no stage collapses the release to zero (the composition must be
+    // non-vacuous — a threshold change that empties a stage should fail
+    // here, not silently hash-match an empty release)
+    rows.foreach(r => assert(r._3 > 0, s"stage ${r._2} kept 0 docs"))
+    val train = rows(7); val pack = rows(8)
+    assert(pack._3 === train._3 && pack._4 === train._4,
+      "packing must cover exactly the train docs")
+    // every shard holds ≥ 1 doc and the count is within the budget
+    // packing bound: ceil(tokens/budget) shards minimum, one per doc max
+    val minShards = (pack._4 + 999L) / 1000L
+    assert(pack._5 >= minShards && pack._5 <= pack._3,
+      s"n_shards ${pack._5} outside [$minShards, ${pack._3}]")
+  }
+
   test("wordShingles: n-grams of the token stream; short text collapses") {
     val sh = one("a b c d").select(Dedup.wordShingles(col("t"), 3).as("s"))
       .as[Seq[String]].head()
