@@ -370,6 +370,39 @@ object Scratch {
       println(s"[scratch] graphupserts final rows after split storm = " +
         s"$total2 (expect ${n + 100 + 2000})")
     } finally q2.stop()
+    // ---- size-triggered sibling MERGE after a bulk delete (round-14
+    // verdict item 7): a third stream armed with minShardRows just
+    // above the pre-split shard size — tombstoning the storm's 2000
+    // adds drops every split pair back under it, so the storm's splits
+    // cascade back in ONE batched rebuild job per round
+    var mergeCount = 0
+    val minRows = capRows + capRows / 10
+    val input3 = MemoryStream[(Long, Seq[Double], Boolean)](spark)
+    val q3 = graft.streaming.Streams.graphUpsertStream(spark,
+      input3.toDF().toDF("vec_id", "embedding", "del"), idx, s"$base/chk3",
+      numShards = shards, m = 16, efConstruction = 100,
+      deleteCol = Some("del"),
+      minShardRows = minRows,
+      onMerge = (_, ms) => mergeCount += ms.size)
+    try {
+      val dels = (0 until 2000).map(i =>
+        (n + 1000 + i, null: Seq[Double], true))
+      time(s"graphupserts MERGE storm (2000 tombstones, " +
+          s"min=$minRows rows/pair)") {
+        input3.addData(dels); q3.processAllAvailable()
+      }
+      println(s"[scratch] graphupserts merges fired = $mergeCount " +
+        s"(dirs now ${graft.operators.GraphAnn.listShardDirIds(
+          org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration), idx).size})")
+      serve(400) // first post-merge serve (re-plan + reloads)
+      val warm4 = (401 to 405).map(serve).sorted.apply(2)
+      println(f"[scratch] graphupserts post-MERGE warm grouped " +
+        f"(g=$group): median-of-5 $warm4%.2f s")
+      val total3 = GraphAnn.readGraphIndex(spark, idx).count()
+      println(s"[scratch] graphupserts final rows after merge storm = " +
+        s"$total3 (expect ${n + 100})")
+    } finally q3.stop()
   }
 
   /** 256-shard graph-ANN serve (VERDICT r10 item 7): the merge-bound

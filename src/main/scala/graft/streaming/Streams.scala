@@ -935,6 +935,72 @@ object Streams {
     new org.apache.hadoop.fs.Path(s"$base/.${part}_${b}_old") // hidden
   private[streaming] def pendingShardPath(base: String, s: Int) =
     new org.apache.hadoop.fs.Path(s"$base/.shard_${s}_pending") // hidden
+  private[streaming] def mergePendingPath(base: String, s: Int) =
+    new org.apache.hadoop.fs.Path(s"$base/.shard_${s}_mergepending")
+  private[streaming] def mergeDropPath(base: String, s: Int) =
+    new org.apache.hadoop.fs.Path(s"$base/.shard_${s}_mergedrop")
+
+  /** The parent a dir named `n ≥ numShards` was split from (the sibling
+    * name determines its parent uniquely — the split-recovery rule). */
+  private def shardParentOf(n: Int, numShards: Int): Int =
+    n - (numShards <<
+      (graft.operators.GraphAnn.minShardDepth(n, numShards) - 1))
+
+  /** Crash recovery for the graph-shard MERGE protocol — the split
+    * protocol reversed. A merge publishes in this order: fresh merged
+    * parent parked hidden (`.shard_<p>_mergepending`), the two child
+    * dirs hidden (`.shard_<n>_mergedrop`, high sibling first), then the
+    * pending parent renamed onto `shard=<p>` (the COMMIT point), drops
+    * deleted. Every crash window rolls back to the intact children or
+    * forward to the merged parent; rows never vanish or duplicate:
+    *   - pending + live `shard=<p>`: pre-commit — restore any hidden
+    *     high sibling, delete the pending parent (rollback);
+    *   - pending + `shard=<p>` missing: both children are hidden —
+    *     commit the pending parent (roll forward);
+    *   - leftover drops with no pending: post-commit cleanup. */
+  private[streaming] def recoverShardMerges(
+      fs: org.apache.hadoop.fs.FileSystem, base: String,
+      numShards: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(root)) return
+    val pendPat = """\.shard_(\d+)_mergepending""".r
+    val dropPat = """\.shard_(\d+)_mergedrop""".r
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    val drops = names.collect { case dropPat(x) => x.toInt }.toSet
+    names.foreach {
+      case pendPat(pStr) =>
+        val p = pStr.toInt
+        if (fs.exists(bucketPath(base, p, part = "shard"))) {
+          // pre-commit: the low child is still live — roll back
+          drops.filter(x => x >= numShards && x != p &&
+              shardParentOf(x, numShards) == p)
+            .foreach { x =>
+              if (!fs.exists(bucketPath(base, x, part = "shard")))
+                renameOrThrow(fs, mergeDropPath(base, x),
+                  bucketPath(base, x, part = "shard"))
+              else fs.delete(mergeDropPath(base, x), true)
+            }
+          fs.delete(mergePendingPath(base, p), true)
+        } else {
+          // both children hidden: roll forward to the merged parent
+          renameOrThrow(fs, mergePendingPath(base, p),
+            bucketPath(base, p, part = "shard"))
+        }
+      case _ => ()
+    }
+    // post-commit leftovers (and drops stranded by the rollbacks above)
+    fs.listStatus(root).map(_.getPath.getName).foreach {
+      case dropPat(xStr) =>
+        val x = xStr.toInt
+        val live = fs.exists(bucketPath(base, x, part = "shard"))
+        val parentLive = x >= numShards &&
+          fs.exists(bucketPath(base, shardParentOf(x, numShards),
+            part = "shard")) &&
+          !fs.exists(mergePendingPath(base, shardParentOf(x, numShards)))
+        if (live || parentLive) fs.delete(mergeDropPath(base, x), true)
+      case _ => ()
+    }
+  }
 
   /** Crash recovery for the graph-shard SPLIT protocol. A split moves
     * rows ACROSS dirs, so the plain per-dir aside swap is not enough —
@@ -1567,7 +1633,20 @@ object Streams {
     * or moved; serving fans out over whatever `shard=*` dirs exist, so
     * splits need no reader-side coordination. Children still over the
     * limit split again within the same batch (log-bounded).
-    * `onSplit(batchId, splits)` reports each (parent, newSibling). */
+    * `onSplit(batchId, splits)` reports each (parent, newSibling).
+    *
+    * Shard SHRINK (round-14 verdict item 7): the inverse lifecycle.
+    * After a heavy dedup/TTL delete pass the dir set would otherwise
+    * stay fragmented at its high-water mark — warm-serve cost is
+    * O(dirs), not O(rows). `minShardRows` arms a size-triggered sibling
+    * MERGE: two same-depth sibling LEAVES whose combined rows fit under
+    * the limit rebuild as ONE parent (the split protocol reversed —
+    * per-parent commit via [[recoverShardMerges]], touched dirs only,
+    * crash-safe), and the extendible-hash depth collapses by one.
+    * Merged parents re-candidate within the batch, so a bulk delete
+    * cascades the tree back down (log-bounded). Set `minShardRows` well
+    * below `maxShardRows` for split/merge hysteresis.
+    * `onMerge(batchId, merges)` reports each (parent, absorbedSibling). */
   def graphUpsertStream(spark: SparkSession, src: DataFrame,
                         indexDir: String, checkpointDir: String,
                         idCol: String = "vec_id",
@@ -1579,6 +1658,9 @@ object Streams {
                         deleteCol: Option[String] = None,
                         maxShardRows: Long = Long.MaxValue,
                         onSplit: (Long, Seq[(Int, Int)]) => Unit =
+                          (_, _) => (),
+                        minShardRows: Long = 0L,
+                        onMerge: (Long, Seq[(Int, Int)]) => Unit =
                           (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{GraphAnn, GraphNode}
@@ -1592,6 +1674,7 @@ object Streams {
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
           val base = indexDir.stripSuffix("/")
+          recoverShardMerges(fs, base, numShards) // own hidden namespace
           recoverShardSplits(fs, base, numShards) // before the aside pass
           recoverAsideBuckets(fs, base, part = "shard")
           // a key is EITHER an upsert or a tombstone after the dedup;
@@ -1752,6 +1835,119 @@ object Streams {
               }
             }
             if (splits.nonEmpty) onSplit(batchId, splits.toSeq)
+          }
+          // ---- size-triggered sibling MERGE (the split reversed) -------
+          // After a heavy delete pass the shard set would otherwise stay
+          // fragmented at its high-water mark — warm-serve cost O(dirs),
+          // not O(rows). Two sibling LEAVES at the same depth whose
+          // combined rows fit under `minShardRows` rebuild as ONE parent
+          // under the extendible-hash dir naming (depth collapses by
+          // one; routing and serving read the dir set, so no reader-side
+          // coordination). Touched shards seed the candidates; merged
+          // parents re-candidate within the batch (cascade, log-bounded).
+          // Set minShardRows well under maxShardRows for hysteresis.
+          if (minShardRows > 0L) {
+            val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            var cand: Seq[Int] = touched
+            var continue = true
+            while (continue) {
+              val dirSet = GraphAnn.listShardDirIds(fs, base)
+              // candidate pairs: a touched leaf at depth j ≥ 1 plus its
+              // same-depth sibling — both must be LEAVES (neither split
+              // deeper), else their own children must merge first
+              val pairs = cand.flatMap { t =>
+                if (!dirSet.contains(t)) None
+                else {
+                  val j = GraphAnn.shardDepth(t, numShards, dirSet)
+                  if (j == 0) None
+                  else {
+                    val cmodP = numShards << (j - 1)
+                    val p = t % cmodP
+                    val high = p + cmodP
+                    if (dirSet.contains(p) && dirSet.contains(high) &&
+                        GraphAnn.shardDepth(p, numShards, dirSet) == j &&
+                        GraphAnn.shardDepth(high, numShards, dirSet) == j)
+                      Some((p, high))
+                    else None
+                  }
+                }
+              }.distinct
+              if (pairs.isEmpty) continue = false
+              else {
+                val members = pairs.flatMap(pr => Seq(pr._1, pr._2))
+                val counts = spark.read.parquet(base)
+                  .filter(col("shard").isin(members.map(Int.box): _*))
+                  .groupBy("shard").count()
+                  .collect()
+                  .map(r => r.getInt(0) -> r.getLong(1)).toMap
+                val toMerge = pairs.filter { case (p, h) =>
+                  counts.getOrElse(p, 0L) + counts.getOrElse(h, 0L) <=
+                    minShardRows }
+                if (toMerge.isEmpty) continue = false
+                else {
+                  // ALL of a round's merges rebuild in ONE job (the
+                  // split-job rule): child rows regroup under the parent
+                  // name, each parent rebuilt executor-side with the
+                  // deterministic from-scratch discipline
+                  val mergeTmp = new Path(base + "__merging")
+                  fs.delete(mergeTmp, true)
+                  val pmap = toMerge.flatMap { case (p, h) =>
+                    Seq((p, p), (h, p)) }
+                  spark.read.parquet(base)
+                    .filter(col("shard").isin(
+                      pmap.map(x => Int.box(x._1)): _*))
+                    .select(col("shard").cast("int").as("child"),
+                      col("id"), col("vec"))
+                    .join(broadcast(pmap.toDF("child", "parent")), "child")
+                    .select(col("id"), col("vec"),
+                      col("parent").cast("int").as("shard"))
+                    .repartition(toMerge.size, col("shard"))
+                    .as[(Long, Seq[Double], Int)]
+                    .mapPartitions { it =>
+                      it.toArray.groupBy(_._3).iterator.flatMap {
+                        case (sh, rows) =>
+                          GraphAnn.buildShard(sh,
+                            rows.map(r => (r._1, r._2.toArray)),
+                            m, efConstruction, maxLevel)
+                      }
+                    }
+                    .toDF()
+                    .write.mode("overwrite").partitionBy("shard")
+                    .parquet(mergeTmp.toString)
+                  // per-pair commit protocol (see [[recoverShardMerges]]):
+                  // fresh parent parks hidden, both children hide (high
+                  // first), the parent rename is the commit point
+                  val done =
+                    scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+                  toMerge.foreach { case (p, h) =>
+                    val fresh = new Path(s"$mergeTmp/shard=$p")
+                    if (fs.exists(fresh)) {
+                      val pend = mergePendingPath(base, p)
+                      fs.delete(pend, true)
+                      renameOrThrow(fs, fresh, pend)
+                      val dropH = mergeDropPath(base, h)
+                      fs.delete(dropH, true)
+                      renameOrThrow(fs,
+                        bucketPath(base, h, part = "shard"), dropH)
+                      val dropP = mergeDropPath(base, p)
+                      fs.delete(dropP, true)
+                      renameOrThrow(fs,
+                        bucketPath(base, p, part = "shard"), dropP)
+                      renameOrThrow(fs, pend,
+                        bucketPath(base, p, part = "shard")) // commit point
+                      fs.delete(dropH, true)
+                      fs.delete(dropP, true)
+                      done += ((p, h))
+                    }
+                  }
+                  fs.delete(mergeTmp, true)
+                  merges ++= done
+                  cand = done.toSeq.map(_._1)
+                  if (done.isEmpty) continue = false
+                }
+              }
+            }
+            if (merges.nonEmpty) onMerge(batchId, merges.toSeq)
           }
           onBatch(batchId, nAdds, rebuilt)
         }

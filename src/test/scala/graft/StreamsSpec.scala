@@ -1548,6 +1548,192 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("graphUpsertStream: size-triggered sibling MERGE after a bulk " +
+      "delete — the split reversed: depth cascades back down, node set " +
+      "preserved, untouched shards byte-identical, routing collapses") {
+    // Round-14 verdict item 7: the graph tier's SHRINK lifecycle. After
+    // a heavy delete pass, same-depth sibling leaves whose combined
+    // rows fit under minShardRows rebuild as one parent; merged parents
+    // re-candidate in the same batch, so the extendible tree cascades
+    // back toward the base layout.
+    import graft.operators.GraphAnn
+    val dir = Files.createTempDirectory("graft-graph-merge-").toString
+    val idx = s"$dir/idx"
+    val mods = spark.range(0, 4000)
+      .select(col("id"), pmod(hash(col("id")), lit(4)).cast("int"),
+        pmod(hash(col("id")), lit(8)).cast("int"))
+      .as[(Long, Int, Int)].collect()
+    val m4 = mods.map(r => r._1 -> r._2).toMap
+    val m8 = mods.map(r => r._1 -> r._3).toMap
+    def snapshot(tFamily: Int): Map[String, Map[String, Long]] = {
+      val d = new java.io.File(idx)
+      d.listFiles().filter { f =>
+        f.isDirectory && f.getName.startsWith("shard=") &&
+          f.getName.stripPrefix("shard=").toInt % 4 != tFamily
+      }.map(s => s.getName -> s.listFiles().filter(_.isFile)
+        .map(f => f.getName -> f.lastModified()).toMap).toMap
+    }
+    var splitLog = Vector.empty[(Int, Int)]
+    var mergeLog = Vector.empty[(Int, Int)]
+    var metrics = Vector.empty[(Long, Long, Seq[Int])]
+    val base = (0L until 32L)
+    val t = base.groupBy(m4).view.mapValues(_.size).maxBy(_._2)._1
+    val cap = base.count(i => m4(i) == t).toLong
+    val input = MemoryStream[(Long, Seq[Double], Boolean)](spark)
+    val q = Streams.graphUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding", "del"), idx, s"$dir/chk",
+      numShards = 4, m = 4, efConstruction = 16,
+      onBatch = (b, n, r) => metrics :+= ((b, n, r)),
+      deleteCol = Some("del"),
+      maxShardRows = cap,
+      onSplit = (_, s) => splitLog ++= s,
+      // hysteresis: merge only when the pair fits back in ONE pre-split
+      // shard — a freshly split pair (cap+adds rows) never re-merges
+      minShardRows = cap,
+      onMerge = (_, s) => mergeLog ++= s)
+    try {
+      // grow to depth 2 exactly as the split test does
+      input.addData(base.map(i => (i, Seq(i.toDouble, 0.0), false)))
+      q.processAllAvailable()
+      val adds2 = (100L until 4000L).filter(i => m4(i) == t).take(2)
+      input.addData(adds2.map(i => (i, Seq(i.toDouble, 0.0), false)))
+      q.processAllAvailable()
+      assert(splitLog === Vector((t, t + 4)))
+      assert(mergeLog.isEmpty,
+        "a freshly split pair is over minShardRows — no merge yet")
+      val nT = GraphAnn.readGraphIndex(spark, idx)
+        .filter(col("shard") === t).count().toInt
+      val adds4 = (100L until 4000L)
+        .filter(i => m8(i) == t && !adds2.contains(i))
+        .take(cap.toInt + 1 - nT)
+      input.addData(adds4.map(i => (i, Seq(i.toDouble, 0.0), false)))
+      q.processAllAvailable()
+      assert(splitLog === Vector((t, t + 4), (t, t + 8)))
+      val others = snapshot(tFamily = t)
+      // BULK DELETE every added row: family t shrinks back to its base
+      // rows → (t, t+8) merges at depth 2, then the merged t
+      // re-candidates and (t, t+4) merges at depth 1 — one batch
+      input.addData((adds2 ++ adds4).map(i => (i, null, true)))
+      q.processAllAvailable()
+      assert(mergeLog === Vector((t, t + 8), (t, t + 4)),
+        s"expected the cascade back to depth 0, saw $mergeLog")
+      assert(!new java.io.File(s"$idx/shard=${t + 4}").exists)
+      assert(!new java.io.File(s"$idx/shard=${t + 8}").exists)
+      // node set preserved exactly: the base rows survive, nothing
+      // vanished or duplicated
+      val g = GraphAnn.readGraphIndex(spark, idx)
+      assert(g.select("id").as[Long].collect().sorted === base.toArray)
+      // no hidden merge debris
+      assert(new java.io.File(idx).listFiles()
+        .forall(f => !f.getName.contains("merge")))
+      // untouched families never read, rewritten, or moved
+      assert(snapshot(tFamily = t) === others,
+        "shards outside the merge family must stay byte-identical")
+      // search still exact over the merged layout
+      assert(GraphAnn.graphTopK(g, Seq(5.2, 0.0), k = 3, ef = 256)
+        .select("vec_id").as[Long].collect() === Array(5L, 6L, 4L))
+      // routing collapsed with the depth: replacing an id whose OLD
+      // leaf was the absorbed sibling must rebuild the base shard t
+      val replId = base.find(i => m8(i) == t + 4).get
+      input.addData(Seq((replId, Seq(3000.0, 0.0), false)))
+      q.processAllAvailable()
+      assert(metrics.last._3 === Seq(t),
+        "post-merge routing must land on the depth-0 parent")
+      // resident serving re-plans over the merged dir set
+      val viaResident = GraphAnn.graphTopKResident(spark, idx,
+        Seq(3000.0, 0.0), k = 1, ef = 256).as[(Long, Double)].collect()
+      assert(viaResident.map(_._1) === Array(replId))
+    } finally q.stop()
+  }
+
+  test("graphUpsertStream: merge crash recovery — every crash window " +
+      "rolls back to the intact children or forward to the merged " +
+      "parent; rows never vanish or duplicate") {
+    // recoverShardMerges decides each window from dir existence:
+    // pending + live parent dir → roll back (restore any hidden high
+    // sibling, drop the pending); pending + parent dir missing → both
+    // children are hidden — roll forward (commit the merged parent);
+    // leftover drops with no pending → post-commit cleanup.
+    import graft.operators.GraphAnn
+    val dir = Files.createTempDirectory("graft-graph-mergecrash-").toString
+    val idx = s"$dir/idx"
+    def ids: Array[Long] = GraphAnn.readGraphIndex(spark, idx)
+      .select("id").as[Long].collect().sorted
+    def dirOf(s: Int) = new java.io.File(s"$idx/shard=$s")
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    // split-armed so a real split state exists to rewind from
+    var splitLog = Vector.empty[(Int, Int)]
+    val base = (0L until 64L)
+    val q = Streams.graphUpsertStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), idx, s"$dir/chk",
+      numShards = 4, m = 4, efConstruction = 16,
+      maxShardRows = 8, onSplit = (_, s) => splitLog ++= s)
+    try {
+      input.addData(base.map(i => (i, Seq(i.toDouble, 0.0))))
+      q.processAllAvailable()
+      assert(splitLog.nonEmpty, "the cap-8 build must split something")
+      val (p, sib) = splitLog.head
+      // window adds must NOT route into p's family, or the end-of-batch
+      // split pass could split the (fat) merged parent and confuse the
+      // window assertions
+      val safe = spark.range(1990, 3000)
+        .select(col("id"), pmod(hash(col("id")), lit(4)).cast("int"))
+        .as[(Long, Int)].collect()
+        .filter(_._2 != p % 4).map(_._1)
+      val all0 = ids
+      // --- window A: pending parent exists, both children live (crash
+      // before any child was hidden) → roll back: pending dropped
+      val pend = new java.io.File(s"$idx/.shard_${p}_mergepending")
+      copyDir(dirOf(p), pend)
+      input.addData(Seq((safe(0), Seq(2000.0, 0.0))))
+      q.processAllAvailable()
+      assert(!pend.exists, "window A: the pending parent must be dropped")
+      assert(dirOf(p).exists && dirOf(sib).exists,
+        "window A: both children stay live")
+      assert(ids === (all0 :+ safe(0)).sorted)
+      // --- window B: pending + hidden high sibling, parent (low child)
+      // still live → roll back: sibling restored, pending dropped
+      val all1 = ids
+      copyDir(dirOf(p), pend)
+      assert(dirOf(sib).renameTo(
+        new java.io.File(s"$idx/.shard_${sib}_mergedrop")))
+      input.addData(Seq((safe(1), Seq(2001.0, 0.0))))
+      q.processAllAvailable()
+      assert(!pend.exists, "window B: the pending parent must be dropped")
+      assert(dirOf(sib).exists, "window B: the sibling must be restored")
+      assert(ids === (all1 :+ safe(1)).sorted,
+        "window B: no rows lost, none duplicated")
+      // --- window C: pending exists, BOTH children hidden (crash after
+      // the low child went aside, before the commit rename) → roll
+      // FORWARD: merged parent committed, drops deleted. Build the real
+      // merged-parent content by unioning the two children's rows.
+      val all2 = ids
+      val mergedRows = spark.read.parquet(idx)
+        .filter(col("shard").isin(p, sib))
+        .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
+      val rebuilt = GraphAnn.buildShard(p,
+        mergedRows.map(r => (r._1, r._2.toArray)), m = 4,
+        efConstruction = 16, maxLevel = 3).toSeq
+      val tmpParent = s"$dir/fresh"
+      rebuilt.toDF().drop("shard").coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmpParent/shard=$p")
+      assert(new java.io.File(s"$tmpParent/shard=$p").renameTo(pend))
+      assert(dirOf(sib).renameTo(
+        new java.io.File(s"$idx/.shard_${sib}_mergedrop")))
+      assert(dirOf(p).renameTo(
+        new java.io.File(s"$idx/.shard_${p}_mergedrop")))
+      input.addData(Seq((safe(2), Seq(2002.0, 0.0))))
+      q.processAllAvailable()
+      assert(dirOf(p).exists, "window C: the merged parent must commit")
+      assert(!dirOf(sib).exists, "window C: the sibling stays absorbed")
+      assert(new java.io.File(idx).listFiles()
+        .forall(f => !f.getName.contains("merge")),
+        "window C: all merge debris cleaned")
+      assert(ids === (all2 :+ safe(2)).sorted,
+        "window C: no rows lost, none duplicated")
+    } finally q.stop()
+  }
+
   test("graphUpsertStream: split crash recovery — every crash window " +
       "rolls back to the intact parent or forward to both children; " +
       "rows never vanish or duplicate") {
