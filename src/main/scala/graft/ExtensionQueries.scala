@@ -5980,25 +5980,25 @@ object ExtensionQueries {
            |  ((cum - ntok) // 1000)::BIGINT AS shard FROM pc)
            |SELECT * FROM (
            |  SELECT 0 AS stage_idx, 'raw' AS stage,
-           |    count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+           |    count(*)::BIGINT AS n_docs, coalesce(sum(ntok), 0)::BIGINT AS n_tokens,
            |    0::BIGINT AS n_shards
            |  FROM rtl
            |  UNION ALL SELECT 1, 'c4_cleanse', count(*)::BIGINT,
-           |    sum(ntok)::BIGINT, 0::BIGINT FROM tl
+           |    coalesce(sum(ntok), 0)::BIGINT, 0::BIGINT FROM tl
            |  UNION ALL SELECT 2, 'lang_quality', count(*)::BIGINT,
-           |    sum(ntok)::BIGINT, 0::BIGINT FROM f JOIN tl USING (doc_id)
+           |    coalesce(sum(ntok), 0)::BIGINT, 0::BIGINT FROM f JOIN tl USING (doc_id)
            |  UNION ALL SELECT 3, 'exact_dedup', count(*)::BIGINT,
-           |    sum(ntok)::BIGINT, 0::BIGINT FROM kept JOIN tl USING (doc_id)
+           |    coalesce(sum(ntok), 0)::BIGINT, 0::BIGINT FROM kept JOIN tl USING (doc_id)
            |  UNION ALL SELECT 4, 'near_dedup', count(*)::BIGINT,
-           |    sum(ntok)::BIGINT, 0::BIGINT FROM nd JOIN tl USING (doc_id)
+           |    coalesce(sum(ntok), 0)::BIGINT, 0::BIGINT FROM nd JOIN tl USING (doc_id)
            |  UNION ALL SELECT 5, 'decontaminate', count(*)::BIGINT,
-           |    sum(ntok)::BIGINT, 0::BIGINT FROM decon JOIN tl USING (doc_id)
+           |    coalesce(sum(ntok), 0)::BIGINT, 0::BIGINT FROM decon JOIN tl USING (doc_id)
            |  UNION ALL SELECT 6, 'dsir_select', count(*)::BIGINT,
-           |    sum(ntok)::BIGINT, 0::BIGINT FROM sel JOIN tl USING (doc_id)
+           |    coalesce(sum(ntok), 0)::BIGINT, 0::BIGINT FROM sel JOIN tl USING (doc_id)
            |  UNION ALL SELECT 7, 'train_split', count(*)::BIGINT,
-           |    sum(ntok)::BIGINT, 0::BIGINT FROM tr JOIN tl USING (doc_id)
+           |    coalesce(sum(ntok), 0)::BIGINT, 0::BIGINT FROM tr JOIN tl USING (doc_id)
            |  UNION ALL SELECT 8, 'pack_shards', count(*)::BIGINT,
-           |    sum(ntok)::BIGINT, count(DISTINCT shard)::BIGINT FROM shx)
+           |    coalesce(sum(ntok), 0)::BIGINT, count(DISTINCT shard)::BIGINT FROM shx)
            |ORDER BY stage_idx""".stripMargin),
 
     // fuzzy join: identical prefix-block + unit-cost Levenshtein DP in
