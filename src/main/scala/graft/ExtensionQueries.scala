@@ -80,10 +80,12 @@ object ExtensionQueries {
     * fast on a missing or unlistable source: a silent empty fingerprint
     * would mint a deterministic-looking cache path whose build then dies
     * later with a far more confusing error (ADVICE round 7). */
-  private def embFingerprint(d: String): String = {
-    val root = new java.io.File(s"${d.stripSuffix("/")}/embeddings.parquet")
+  private def embFingerprint(d: String): String =
+    srcFingerprint(d, "embeddings.parquet")
+  private def srcFingerprint(d: String, src: String): String = {
+    val root = new java.io.File(s"${d.stripSuffix("/")}/$src")
     require(root.exists,
-      s"embeddings source missing: $root — bad data dir '$d'?")
+      s"$src source missing: $root — bad data dir '$d'?")
     val files =
       if (root.isDirectory) {
         val listed = root.listFiles()
@@ -114,7 +116,8 @@ object ExtensionQueries {
   private val persistDirCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]())
-  private def persistedDir(s: SparkSession, prefix: String, d: String)
+  private def persistedDir(s: SparkSession, prefix: String, d: String,
+                           src: String = "embeddings.parquet")
       (build: String => Unit): String = {
     val perSession = persistDirCache.synchronized {
       persistDirCache.computeIfAbsent(s, _ =>
@@ -132,7 +135,7 @@ object ExtensionQueries {
     if (cached != null) cached
     else {
       val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(embFingerprint(d).getBytes("UTF-8"))
+        .digest(srcFingerprint(d, src).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"$prefix-$tag")
@@ -291,6 +294,21 @@ object ExtensionQueries {
     * of centroids. Trained with the same parameters as the in-session
     * [[ivfIndex]] (k=8, iters=3, deterministic k-means), so both paths
     * produce identical assignments and identical query results. */
+  /** Persisted BM25 corpus-statistics table in the
+    * [[graft.streaming.Streams.bm25Stream]] PARTIAL layout (one
+    * `batch_id=0` partition), so the declared q_bm25_served key reads
+    * through the streaming lifecycle's own merge-on-read path —
+    * serving and stream maintenance share one format. Fingerprints
+    * documents.parquet (its actual source), not embeddings. */
+  private def bm25StatsDir(s: SparkSession, d: String): String =
+    persistedDir(s, "graft-bm25-stats-v1", d, src = "documents.parquet") {
+      stg =>
+        graft.operators.Bm25.statsPartial(Tables.documents(s, d),
+            col("doc_id"), col("text"))
+          .withColumn("batch_id", lit(0L))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(stg)
+    }
+
   private def ivfIndexDir(s: SparkSession, d: String): String =
     // v3: farthest-first k-means seeding changed cell assignments
     persistedDir(s, "graft-ivf-index-v3", d) { stg =>
@@ -1322,6 +1340,34 @@ object ExtensionQueries {
       bm25Scores(s, d, Seq("join", "filter", "window", "scan"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(15)),
+
+    // ---- top-k BM25 under term-upper-bound pruning (MaxScore /
+    // WAND family — Turtle & Flood 1995, Broder et al. 2003): docs
+    // whose summed per-term score bounds cannot reach the seeded
+    // threshold θ never enter the per-doc scoring regroup. A PHYSICAL
+    // rewrite proven bit-identical: held to q_bm25_rank's EXACT oracle
+    // SQL (the q_bloom_join / q_skew_join / q_host_cap proof family).
+    "q_bm25_maxscore" -> ((s, d) =>
+      graft.operators.Bm25.topKMaxScore(Tables.documents(s, d),
+        col("doc_id"), col("text"),
+        Seq("join", "filter", "window", "scan"), docCount(s, d), 15)),
+
+    // ---- BM25 served under MAINTAINED corpus statistics (the
+    // bm25Stream merge-on-read state, persisted in the partial-
+    // partition layout): candidates re-tokenize, df/avgdl/N come from
+    // the statistics table — a query never re-aggregates the corpus
+    // (the q_rrf_fusion_ann persisted-serving pattern for the
+    // full-text leg). Exact statistics ⇒ held to q_bm25_rank's EXACT
+    // oracle SQL.
+    "q_bm25_served" -> ((s, d) => {
+      val (dfreq, stats) = graft.streaming.Streams.readBm25Stats(s,
+        bm25StatsDir(s, d))
+      graft.operators.Bm25.scoresWith(Tables.documents(s, d),
+          col("doc_id"), col("text"),
+          Seq("join", "filter", "window", "scan"), dfreq, stats)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(15)
+    }),
 
     // ---- Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001,
     // SIGIR): the language-model retrieval family beside BM25 —
@@ -3185,6 +3231,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- synchronous label-propagation communities over the link
+    // graph (Raghavan et al. 2007; the GraphX/GraphFrames LPA
+    // contract) — deterministic min-tie-break form, 4 rounds, each
+    // round one |E|-linear join + count + struct-max argmax (no
+    // per-node window sort). Oracle = the unrolled round chain (the
+    // q_pagerank proof shape), each round's labels MATERIALIZED (they
+    // are referenced twice per round — the round-10 re-expansion
+    // rule).
+    "q_label_prop" -> ((s, d) => {
+      val (ids, e) = linkGraph(s, d)
+      val lp = graft.operators.GraphAlgos.labelPropagation(
+        ids.select(col("ridx")), col("ridx"),
+        e, col("src"), col("dst"), iters = 4)
+      lp.join(ids, lp("node") === ids("ridx"))
+        .select(col("doc_id"), col("community"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact triangle census on the link graph (degree-oriented
     // node-iterator, Schank & Wagner 2005): orientation by (deg, id)
     // bounds every oriented out-degree by O(√m), so the wedge
@@ -3775,6 +3839,41 @@ object ExtensionQueries {
        |  FROM ids s, (VALUES (1),(2),(3),(4)) j(ord), nn)""".stripMargin
   }
 
+  /** Unrolled synchronous-LPA replay (the pagerank proof shape): one
+    * (counts, argmax, labels) CTE triple per round over the
+    * symmetrized simple link graph. Each round's label table is
+    * referenced twice (the counts join and the keep-old left join) —
+    * MATERIALIZED per the round-10 re-expansion rule; argmax =
+    * QUALIFY row_number (count DESC, label ASC), the min-tie-break. */
+  private lazy val labelPropOracleSql: String = {
+    val iters = 4
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT adj.node AS node, p.lbl AS lbl, count(*) AS cnt
+         |  FROM adj JOIN l${i - 1} p ON adj.nbr = p.node
+         |  GROUP BY adj.node, p.lbl),
+         |b$i AS (
+         |  SELECT node, lbl AS new_lbl FROM c$i
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |    ORDER BY cnt DESC, lbl ASC) = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT p.node, coalesce(b$i.new_lbl, p.lbl) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN b$i ON p.node = b$i.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdgeCteSql,
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |adj AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM und
+       |  UNION ALL SELECT b AS node, a AS nbr FROM und),
+       |l0 AS MATERIALIZED (SELECT ridx AS node, ridx AS lbl FROM ids),
+       |$steps
+       |SELECT ids.doc_id, l$iters.lbl AS community
+       |FROM ids JOIN l$iters ON ids.ridx = l$iters.node""".stripMargin
+  }
+
   private lazy val pagerankOracleSql: String = {
     val iters = 5
     val steps = (1 to iters).map { i =>
@@ -4126,51 +4225,13 @@ object ExtensionQueries {
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** BM25 keyword scores over the documents table (Robertson k1=1.2,
-    * b=0.75, the +0.5 idf smoothing kept RATIONAL — no ln(), which
-    * would be libm-divergent cross-engine; log only rescales the
-    * ranking). Per-doc score folds term-contributions in TERM-SORTED
-    * order so float accumulation is cross-engine deterministic. Scale
-    * shape: tokenization map-side; tf/df are keyword-filtered (tiny)
-    * aggregates; df and the 1-row avgdl stats broadcast; the only
-    * corpus shuffles are the doc-length groupBy and the per-doc score
-    * regroup — linear. Shared by q_bm25_rank and q_rrf_fusion. */
+  /** BM25 keyword scores over the documents table — delegates to
+    * [[graft.operators.Bm25.scores]] (formula, determinism, and scale
+    * notes there). Shared by q_bm25_rank and q_rrf_fusion. */
   private def bm25Scores(s: SparkSession, d: String,
-                         kws: Seq[String]): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val nDocs = docCount(s, d)
-    val terms = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val dls = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    // avgdl as a lazy 1-row broadcast aggregate (scalar-subquery shape,
-    // one double division = the oracle's sum(dl)::DOUBLE / count(*)):
-    // the query stays single-action instead of paying an eager
-    // agg().head() before the measured dataflow builds
-    val stats = dls.agg(
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = terms.filter(col("term").isin(kws: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.filter(col("term").isin(kws: _*))
-      .select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dfD = col("df").cast("double")
-    val tfD = col("tf").cast("double")
-    val dlD = col("dl").cast("double")
-    val termScore =
-      ((lit(nDocs.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5))) *
-        (tfD * lit(2.2)) /
-        (tfD + lit(1.2) *
-          (lit(1.0) - lit(0.75) + lit(0.75) * dlD / col("avgdl")))
-    tf.join(broadcast(dfreq), "term").join(dls, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("ts", termScore)
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("term"), col("ts"))))
-        .as("arr"))
-      .withColumn("score", floorRound6(aggregate(col("arr"), lit(0.0),
-        (a, x) => a + x.getField("ts"))))
-      .select(col("doc_id"), col("score"))
-  }
+                         kws: Seq[String]): DataFrame =
+    graft.operators.Bm25.scores(Tables.documents(s, d), col("doc_id"),
+      col("text"), kws, docCount(s, d))
 
   /** Dirichlet-smoothed query-likelihood scores (Zhai & Lafferty 2001)
     * over the documents table — see the q_ql_dirichlet comment for the
@@ -4412,6 +4473,15 @@ object ExtensionQueries {
        |  SELECT doc_id, ${graft.functions.Rounding.floorRoundSql(
             "list_sum(list(s ORDER BY term))", 6)} AS score
        |  FROM ts GROUP BY doc_id)""".stripMargin
+
+  /** The q_bm25_rank replay, shared verbatim with q_bm25_maxscore
+    * (upper-bound pruning is a physical rewrite — pruned docs provably
+    * cannot enter the top-k) and q_bm25_served (exact maintained
+    * statistics == batch-derived statistics). */
+  private lazy val bm25Top15OracleSql: String =
+    s"""WITH $bm25ScoreCte
+       |SELECT doc_id, score FROM r
+       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
   /** Shared by every `q_ann_*_exhaustive` serving proof: with
     * exhaustive parameters (all cells probed / corpus-sized beam /
@@ -7070,10 +7140,17 @@ object ExtensionQueries {
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
 
-    "q_bm25_rank" ->
-      s"""WITH $bm25ScoreCte
-         |SELECT doc_id, score FROM r
-         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q_bm25_rank" -> bm25Top15OracleSql,
+
+    // MaxScore pruning is a physical rewrite (term-bound pruned docs
+    // provably cannot enter the top-k) — bit-identical contract, the
+    // q_bloom_join proof pattern
+    "q_bm25_maxscore" -> bm25Top15OracleSql,
+
+    // serving under the persisted EXACT statistics == batch scoring —
+    // identical contract, different physics (statistics maintained,
+    // never re-aggregated)
+    "q_bm25_served" -> bm25Top15OracleSql,
 
     // Dirichlet query-likelihood replay: per-(doc, query-term) smoothed
     // values in the identical operation tree, term-ordered list_reduce
@@ -7394,6 +7471,8 @@ object ExtensionQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pagerankOracleSql,
+
+    "q_label_prop" -> labelPropOracleSql,
 
     // triangle census: same edge replay, degree orientation via tuple
     // comparison, wedge pairs joined against the (unique) up-rank

@@ -83,6 +83,10 @@ object Scratch {
     // streaming Kneser-Ney maintenance at corpus scale: per-batch
     // partial walls, merge-on-read + serving walls, compaction
     if (only.contains("knscale")) runKnScale(spark, args.drop(1))
+    // `runMain graft.Scratch bm25scale [--sf dir] [--batches N]` —
+    // streaming BM25 statistics maintenance + MaxScore pruning at
+    // corpus scale
+    if (only.contains("bm25scale")) runBm25Scale(spark, args.drop(1))
     spark.stop()
   }
 
@@ -148,6 +152,89 @@ object Scratch {
       f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     require(types == types2, s"compaction changed the type count: " +
       s"$types -> $types2")
+  }
+
+  /** Streaming BM25 statistics maintenance at corpus scale — the
+    * [[runKnScale]] harness for the full-text leg: the corpus streamed
+    * through [[graft.streaming.Streams.bm25Stream]] in N micro-batches
+    * (vocabulary-sized df/length/count partials), then merge-on-read,
+    * serving candidates under the streamed statistics
+    * ([[graft.operators.Bm25.scoresWith]]), the MaxScore-pruned top-k
+    * beside the exhaustive ranking on the same corpus, and
+    * compaction. */
+  private def runBm25Scale(spark: SparkSession,
+      args: Array[String]): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    import graft.operators.Bm25
+    import spark.implicits._
+    val opts = args.sliding(2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v }.toMap
+    val dir = opts.getOrElse("--sf", "/tmp/graft-sf1")
+    val nb = opts.getOrElse("--batches", "10").toInt
+    val kws = Seq("join", "filter", "window", "scan")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25scale-").toString
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    println(s"[scratch] bm25scale corpus = ${rows.length} docs " +
+      s"in $nb batches ($dir)")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.bm25Stream(spark, input.toDF().toDF("doc_id", "text"),
+      s"$base/stats", s"$base/chk")
+    val per = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      rows.grouped(math.max(1, (rows.length + nb - 1) / nb)).foreach { b =>
+        val t0 = System.nanoTime()
+        input.addData(b.toSeq); q.processAllAvailable()
+        per += (System.nanoTime() - t0) / 1e9
+      }
+    } finally q.stop()
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    println(f"[scratch] bm25scale ingest: ${per.length} batches, " +
+      f"first ${per.head}%.2f s, median ${med(per.toSeq)}%.2f s, " +
+      f"last ${per.last}%.2f s, total ${per.sum}%.2f s")
+    var t0 = System.nanoTime()
+    val (dfreq, st) = Streams.readBm25Stats(spark, s"$base/stats")
+    val vocab = dfreq.count()
+    println(f"[scratch] bm25scale merge-on-read: $vocab term types " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val candDir = opts.getOrElse("--cand", dir)
+    val cand = Tables.documents(spark, candDir)
+    t0 = System.nanoTime()
+    Bm25.scoresWith(cand, col("doc_id"), col("text"), kws,
+        dfreq, st)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[scratch] bm25scale serve ($candDir candidates): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // MaxScore pruning vs exhaustive on the full corpus (batch form —
+    // the q_bm25_maxscore vs q_bm25_rank physics at scale), with the
+    // survivor fraction the pruning bought
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    t0 = System.nanoTime()
+    Bm25.scores(docs, col("doc_id"), col("text"), kws, n)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(15)
+      .write.format("noop").mode("overwrite").save()
+    val exhaustiveWall = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val (ubDoc, surv, topk) = Bm25.maxScoreParts(docs, col("doc_id"),
+      col("text"), kws, n, 15)
+    topk.write.format("noop").mode("overwrite").save()
+    val maxscoreWall = (System.nanoTime() - t0) / 1e9
+    println(f"[scratch] bm25scale top-15: exhaustive $exhaustiveWall%.2f s, " +
+      f"maxscore $maxscoreWall%.2f s, " +
+      f"survivors ${surv.count()} of ${ubDoc.count()} matched")
+    t0 = System.nanoTime()
+    Streams.compactBm25(spark, s"$base/stats")
+    val compactWall = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val vocab2 = Streams.readBm25Stats(spark, s"$base/stats")._1.count()
+    println(f"[scratch] bm25scale compact: $compactWall%.2f s, " +
+      f"post-compact read $vocab2 types " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    require(vocab == vocab2, s"compaction changed the type count: " +
+      s"$vocab -> $vocab2")
   }
 
   /** Unigram-LM at realistic vocabulary scale (round-12 verdict item 5):

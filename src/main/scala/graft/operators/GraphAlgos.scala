@@ -61,4 +61,55 @@ object GraphAlgos {
           .otherwise((col("n_triangles") * 3).cast("double") /
             col("n_wedges").cast("double")).as("global_cc"))
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan, Albert & Kumara 2007 —
+    * the near-linear community-detection baseline; the GraphX/GraphFrames
+    * LPA contract): label(v, 0) = v; each round every node adopts the
+    * most frequent label among its neighbors' PREVIOUS-round labels,
+    * ties broken by the SMALLEST label. The async/random variants the
+    * paper prefers are order-dependent — the synchronous min-tie-break
+    * form is the deterministic one (bit-reproducible, oracle-able as an
+    * unrolled CTE chain, the PageRank proof shape), at the cost of the
+    * paper's documented label oscillation on bipartite-ish structure;
+    * a fixed iteration count makes that a bounded, deterministic
+    * artifact rather than a termination hazard.
+    *
+    * Scale shape: per round one join of the (node-keyed) label frame
+    * against the symmetrized edge list + one (node, label) count
+    * groupBy + one per-node argmax — all linear in |E|; the argmax is
+    * a single map-side-combinable max over a (cnt, -label) struct, so
+    * no per-node window sort. Isolated nodes keep their own label via
+    * the left join. Edges are collapsed to the undirected simple graph
+    * first (parallel/self edges dropped), matching [[triangleStats]].
+    * Lineage stays lazy across the fixed rounds (the [[PageRank]]
+    * pattern — at 100 TB with many rounds, checkpoint per round via
+    * [[Dedup.checkpointed]] instead). */
+  def labelPropagation(nodes: DataFrame, nodeCol: Column,
+                       edges: DataFrame, srcCol: Column, dstCol: Column,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges
+      .select(least(srcCol, dstCol).as("a"), greatest(srcCol, dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    var labels = nodes.select(nodeCol.as("node"))
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val counts = adj
+        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      // argmax(count, then min label) as ONE struct max: lexicographic
+      // (cnt, -lbl) max = highest count, smallest label — partial-agg
+      // friendly, no per-node window
+      val best = counts.groupBy(col("node"))
+        .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl")))
+          .as("m"))
+        .select(col("node"), (-col("m.nl")).as("new_lbl"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

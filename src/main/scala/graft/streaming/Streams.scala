@@ -735,6 +735,74 @@ object Streams {
     compactPartials(spark, statsDir,
       _.groupBy("u", "v", "w").agg(sum(col("_tc")).as("_tc")))
 
+  /** Streaming BM25 corpus-statistics maintenance — the [[knStream]]
+    * lifecycle for the FULL-TEXT retrieval leg: the stored state is
+    * the exact (term → df) table plus total-token/doc-count scalars
+    * ([[graft.operators.Bm25.statsPartial]]), all additive across
+    * doc-disjoint append batches, so each micro-batch writes one
+    * vocabulary-sized partial into a `batch_id` partition with dynamic
+    * overwrite (exactly-once under replay) and a query NEVER
+    * re-aggregates the corpus: [[readBm25Stats]] +
+    * [[graft.operators.Bm25.scoresWith]] serve candidates under the
+    * accumulated statistics, equal to batch [[graft.operators.Bm25.scores]]
+    * over everything ingested (StreamsSpec-proven). */
+  def bm25Stream(spark: SparkSession, docs: DataFrame, statsDir: String,
+                 checkpointDir: String, idCol: String = "doc_id",
+                 textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Bm25.statsPartial(batch.toDF(),
+              col(idCol), col(textCol))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statsDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Merge-on-read over the partial BM25 statistics: one groupBy-sum
+    * (vocabulary-sized), split into the `(term, df)` frame and the
+    * 1-row `(avgdl, nd)` stats frame [[graft.operators.Bm25.scoresWith]]
+    * takes. Before the first commit both frames are empty — serving
+    * yields no scores (nothing ingested), not a schema error. */
+  def readBm25Stats(spark: SparkSession, statsDir: String)
+      : (DataFrame, DataFrame) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, statsDir)
+    if (!hasCommittedPartials(fs, statsDir)) {
+      import spark.implicits._
+      return (Seq.empty[(String, Long)].toDF("term", "df"),
+        Seq.empty[(Double, Double)].toDF("avgdl", "nd"))
+    }
+    val merged = spark.read.parquet(statsDir)
+      .groupBy("term")
+      .agg(sum(col("_df")).as("_df"), sum(col("_dl")).as("_dl"),
+        sum(col("_n")).as("_n"))
+    val dfreq = merged.filter(col("term") =!= "")
+      .select(col("term"), col("_df").as("df"))
+    val stats = merged.filter(col("term") === "")
+      .select(
+        (col("_dl").cast("double") / col("_n").cast("double")).as("avgdl"),
+        col("_n").cast("double").as("nd"))
+    (dfreq, stats)
+  }
+
+  /** Fold accumulated statistics partials into one `batch_id=-1`
+    * baseline — the [[compactCms]] contract (stream stopped, whole-dir
+    * swap). */
+  def compactBm25(spark: SparkSession, statsDir: String): Unit =
+    compactPartials(spark, statsDir,
+      _.groupBy("term").agg(sum(col("_df")).as("_df"),
+        sum(col("_dl")).as("_dl"), sum(col("_n")).as("_n")))
+
   /** Streaming Bloom-filter maintenance — the incremental form of
     * [[graft.operators.BloomJoin.buildBits]], with [[cmsStream]]'s
     * append-partials lifecycle: bloom words OR-merge exactly as CMS

@@ -34,4 +34,41 @@ class GraphAlgosSpec extends SparkSuite {
     val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))
     assert(stats(g) === ((2L, 8L, 0.75)))
   }
+
+  private def lpa(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                  iters: Int): Map[Long, Long] =
+    GraphAlgos.labelPropagation(nodes.toDF("n"), col("n"),
+        edges.toDF("s", "t"), col("s"), col("t"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: two disjoint triangles converge to their " +
+      "min labels; an isolated node keeps its own") {
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L, 99L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+    assert(lpa(nodes, edges, 4) ===
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("labelPropagation: synchronous min-tie-break rounds are exactly " +
+      "the hand-computed sequence on a path (incl. the documented " +
+      "period-2 oscillation on bipartite structure)") {
+    val nodes = Seq(0L, 1L, 2L)
+    val edges = Seq((0L, 1L), (1L, 2L))
+    // l1 = (1, 0, 1): ends adopt the middle's label, middle tie-breaks
+    // to min(0, 2) = 0; l2 = (0, 1, 0); the pair then oscillates
+    assert(lpa(nodes, edges, 1) === Map(0L -> 1L, 1L -> 0L, 2L -> 1L))
+    assert(lpa(nodes, edges, 2) === Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+    assert(lpa(nodes, edges, 4) === Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("labelPropagation: parallel/reversed/self edges collapse before " +
+      "neighbor-label counting") {
+    // collapsed, node 0 sees {5, 3} once each -> tie -> min label 3;
+    // counted with multiplicity the doubled 0-5 edge would win
+    val nodes = Seq(0L, 3L, 5L)
+    val edges = Seq((0L, 5L), (5L, 0L), (0L, 5L), (0L, 3L), (0L, 0L))
+    assert(lpa(nodes, edges, 1)(0L) === 3L)
+  }
 }

@@ -1417,6 +1417,63 @@ class StreamsSpec extends SparkSuite {
     assert(cntMap(Streams.readKn3Trigrams(spark, stats)) === batch)
   }
 
+  test("bm25Stream: streamed df/length/count statistics equal the " +
+      "union's; serving under them equals batch scoring; replay " +
+      "overwrites its own partition; compaction preserves; empty " +
+      "state serves no scores") {
+    import graft.operators.Bm25
+    val dir = Files.createTempDirectory("graft-bm25-stream-").toString
+    val stats = s"$dir/stats"
+    val kws = Seq("quick", "brown", "fence")
+    // serve-before-first-commit: empty statistics, empty scores —
+    // not a schema-inference error
+    val (dfreq0, stats0) = Streams.readBm25Stats(spark, stats)
+    assert(dfreq0.count() === 0L && stats0.count() === 0L)
+    // pre-seed batch 0's partial as if a crashed run committed output
+    // but not the checkpoint — the replaying batch must OVERWRITE it
+    Seq(("stale", 999999L, 0L, 0L)).toDF("term", "_df", "_dl", "_n")
+      .write.parquet(s"$stats/batch_id=0")
+    val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+    val b2 = Seq((2L, "the quick dog sleeps over the brown fox"))
+    val b3 = Seq((3L, "a quick brown dog jumps a fence"))
+    val union = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.bm25Stream(spark,
+      input.toDF().toDF("doc_id", "text"), stats, s"$dir/chk")
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def statMap(dir: String): Map[String, (Long, Long, Long)] =
+      spark.read.parquet(dir).groupBy("term")
+        .agg(sum(col("_df")).as("_df"), sum(col("_dl")).as("_dl"),
+          sum(col("_n")).as("_n"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val batchStats = Bm25.statsPartial(union, col("doc_id"), col("text"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(statMap(stats) === batchStats,
+      "merged partials must equal the union's statistics (and the " +
+        "stale pre-seeded partial must have been overwritten)")
+    // serving candidates under the STREAMED statistics == the batch
+    // operator over the union
+    val (dfreq, st) = Streams.readBm25Stats(spark, stats)
+    val viaStream = Bm25.scoresWith(union, col("doc_id"), col("text"),
+        kws, dfreq, st)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val oneShot = Bm25.scores(union, col("doc_id"), col("text"), kws,
+        union.count())
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaStream === oneShot)
+    // compaction (stream stopped): one baseline partition, same totals
+    Streams.compactBm25(spark, stats)
+    assert(statMap(stats) === batchStats)
+    assert(spark.read.parquet(stats).select("batch_id").distinct()
+      .as[Long].collect() === Array(-1L))
+  }
+
   test("readKnBigrams/readDsirMarginals: serve BEFORE the first stream " +
       "commit returns the additive zero element, not a parquet " +
       "schema-inference crash") {
