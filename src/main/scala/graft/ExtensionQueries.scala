@@ -1082,6 +1082,18 @@ object ExtensionQueries {
         .select(col("vec_id"), col("label"), col("cos_sim"))
     }),
 
+    // ---- Johnson–Lindenstrauss ±1 random projection (Achlioptas
+    // 2003): 64 → 8 dims as m codegen ±element chains, md5-parity
+    // signs the oracle re-derives (hash16Sql % 2), left-assoc sum ==
+    // DuckDB's i-ordered list_reduce fold. The model-free reduction
+    // tier beside the matryoshka prefix (model-cooperative), SQ8/PQ
+    // (trained) and the binary sketch (Hamming-only); entirely
+    // map-side — the 100 TB cost is the scan.
+    "q_jl_project" -> ((s, d) =>
+      graft.operators.RandomProjection.project(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), d = 64, m = 8)
+        .orderBy("id", "j")),
+
     // ---- binary-quantized retrieval: 64 hyperplane sign bits per
     // embedding packed into two 32-bit halves (the phash convention —
     // bit 63 weights wrap under HUGEINT sums), Hamming top-50 via
@@ -4949,6 +4961,26 @@ object ExtensionQueries {
          |  6) AS cos_sim
          |FROM cand c, q
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // JL replay: md5-parity signs re-derived in SQL, term list folded
+    // in i order (first-element-seeded list_reduce == Spark's
+    // left-assoc ± chain); ±1.0 literals ::DOUBLE (the decimal trap)
+    "q_jl_project" ->
+      s"""WITH signs AS (
+         |  SELECT j, i,
+         |    CASE WHEN ${hash16Sql(
+                 "'jl:' || j::VARCHAR || ':' || i::VARCHAR")} % 2 = 0
+         |      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS s
+         |  FROM (SELECT unnest(range(0, 8)) AS j),
+         |       (SELECT unnest(range(0, 64)) AS i)),
+         |terms AS (
+         |  SELECT e.vec_id AS id, s.j, s.i,
+         |    s.s * e.embedding[s.i + 1]::DOUBLE AS t
+         |  FROM embeddings e, signs s)
+         |SELECT id, j::INTEGER AS j,
+         |  ${graft.functions.Rounding.floorRoundSql(
+              "list_reduce(list(t ORDER BY i), (a, b) -> a + b)", 6)} AS y
+         |FROM terms GROUP BY id, j""".stripMargin,
 
     // LSH blocking (same CTE as q_dedup_minhash) + exact Jaccard scoring
     // over 32-bit shingle hashes (same scorer as q_ngram_jaccard)
