@@ -3261,6 +3261,39 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- community labeling: top-3 terms per LPA community by
+    // class-based TF-IDF (the BERTopic c-TF-IDF shape, Grootendorst
+    // 2022 — tf at the CLASS grain, idf over classes, rational N/df
+    // like q_tfidf_top_terms). The "name the clusters" op a corpus
+    // exploration needs once communities exist; composes the
+    // q_label_prop chain with the text family. Community count rides
+    // a lazy 1-row broadcast (the bm25 avgdl shape).
+    "q_community_terms" -> ((s, d) => {
+      val (ids, e) = linkGraph(s, d)
+      val lp = graft.operators.GraphAlgos.labelPropagation(
+        ids.select(col("ridx")), col("ridx"),
+        e, col("src"), col("dst"), iters = 4)
+      val comm = ids.join(lp, ids("ridx") === lp("node"))
+        .select(col("doc_id"), col("community"))
+      val terms = Tables.documents(s, d).join(comm, "doc_id")
+        .select(col("community"), explode(tokens(col("text"))).as("term"))
+      val ctf = terms.groupBy(col("community"), col("term"))
+        .agg(count(lit(1)).as("ctf"))
+      val cdfreq = ctf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+      val nc = comm.select(col("community")).distinct()
+        .agg(count(lit(1)).as("nc"))
+      ctf.join(cdfreq, "term")
+        .crossJoin(broadcast(nc))
+        .withColumn("score", floorRound6(
+          col("ctf") * col("nc").cast("double") / col("cdf")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("community"))
+            .orderBy(col("score").desc, col("term").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("community"), col("term"), col("score"), col("rn"))
+        .orderBy("community", "rn")
+    }),
+
     // ---- exact triangle census on the link graph (degree-oriented
     // node-iterator, Schank & Wagner 2005): orientation by (deg, id)
     // bounds every oriented out-degree by O(√m), so the wedge
@@ -3857,7 +3890,10 @@ object ExtensionQueries {
     * referenced twice (the counts join and the keep-old left join) —
     * MATERIALIZED per the round-10 re-expansion rule; argmax =
     * QUALIFY row_number (count DESC, label ASC), the min-tie-break. */
-  private lazy val labelPropOracleSql: String = {
+  /** CTE chunk: the unrolled LPA chain ending in `comm(doc_id,
+    * community)` — shared by q_label_prop and the community-labeling
+    * composition. */
+  private lazy val labelPropCteSql: String = {
     val iters = 4
     val steps = (1 to iters).map { i =>
       s"""c$i AS (
@@ -3873,7 +3909,7 @@ object ExtensionQueries {
          |  FROM l${i - 1} p LEFT JOIN b$i ON p.node = b$i.node)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH $linkEdgeCteSql,
+    s"""$linkEdgeCteSql,
        |und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM e WHERE src <> dst),
@@ -3881,10 +3917,15 @@ object ExtensionQueries {
        |  SELECT a AS node, b AS nbr FROM und
        |  UNION ALL SELECT b AS node, a AS nbr FROM und),
        |l0 AS MATERIALIZED (SELECT ridx AS node, ridx AS lbl FROM ids),
-       |$steps
-       |SELECT ids.doc_id, l$iters.lbl AS community
-       |FROM ids JOIN l$iters ON ids.ridx = l$iters.node""".stripMargin
+       |$steps,
+       |comm AS MATERIALIZED (
+       |  SELECT ids.doc_id, l$iters.lbl AS community
+       |  FROM ids JOIN l$iters ON ids.ridx = l$iters.node)""".stripMargin
   }
+
+  private lazy val labelPropOracleSql: String =
+    s"""WITH $labelPropCteSql
+       |SELECT doc_id, community FROM comm""".stripMargin
 
   private lazy val pagerankOracleSql: String = {
     val iters = 5
@@ -7505,6 +7546,34 @@ object ExtensionQueries {
     "q_pagerank" -> pagerankOracleSql,
 
     "q_label_prop" -> labelPropOracleSql,
+
+    // c-TF-IDF labeling over the SAME unrolled LPA chain; score =
+    // ctf · C / cdf rational (the q_tfidf_top_terms form at the
+    // community grain)
+    "q_community_terms" ->
+      s"""WITH $labelPropCteSql,
+         |ctoks AS (
+         |  SELECT c.community, unnest(list_filter(
+         |    string_split_regex(lower(d.text), '\\s+'), x -> x != ''))
+         |    AS term
+         |  FROM documents d JOIN comm c USING (doc_id)),
+         |ctf AS (
+         |  SELECT community, term, count(*) AS ctf FROM ctoks
+         |  GROUP BY community, term),
+         |cdfreq AS (
+         |  SELECT term, count(*) AS cdf FROM ctf GROUP BY term),
+         |ncc AS (SELECT count(DISTINCT community) AS nc FROM comm),
+         |scored AS (
+         |  SELECT t.community, t.term,
+         |    ${graft.functions.Rounding.floorRoundSql(
+              "t.ctf * (SELECT nc FROM ncc)::DOUBLE / f.cdf", 6)} AS score
+         |  FROM ctf t JOIN cdfreq f USING (term)),
+         |r AS (
+         |  SELECT community, term, score,
+         |    row_number() OVER (PARTITION BY community
+         |      ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |SELECT community, term, score, rn FROM r WHERE rn <= 3""".stripMargin,
 
     // triangle census: same edge replay, degree orientation via tuple
     // comparison, wedge pairs joined against the (unique) up-rank

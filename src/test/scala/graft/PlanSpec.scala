@@ -497,6 +497,7 @@ class PlanSpec extends SparkSuite {
       "q_hard_negatives_cos", "q_sketch_kmv_setops", "q_bm25_rank",
       // bm25's 1-row avgdl/N broadcast; maxscore adds the 1-row θ
       "q_bm25_maxscore", "q_bm25_served",
+      "q_community_terms", // 1-row community-count broadcast, same shape
       "q_rrf_fusion", "q_mmr_join", "q_decayed_count", "q_query_expand",
       "q_knn_binary", // 1-row query-sketch broadcast, same shape
       "q_ql_dirichlet", // |q|-row term broadcast + 1-row total, same shape
