@@ -81,6 +81,9 @@ object ScaleGen {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // the local-mode heartbeat guard (see SparkSuite for the rationale)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       // keep the source tables' TIMESTAMP(MICROS) physical type — INT96
       // would change what DuckDB reads back
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -11,6 +11,13 @@ object Smoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local mode has no executor liveness to protect: a host stall or
+      // full-GC pause past the 120 s default makes HeartbeatReceiver
+      // remove the DRIVER executor, which strands every in-flight AQE
+      // stage (observed killing a full test run mid-suite after a 156 s
+      // stall). Generous timeouts are strictly better here.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,13 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
       // read as epoch-nanos LONG (oracle side uses epoch arithmetic too).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local mode has no executor liveness to protect: a host stall or
+      // full-GC pause past the 120 s default makes HeartbeatReceiver
+      // remove the DRIVER executor, which strands every in-flight AQE
+      // stage (observed killing a full test run mid-suite after a 156 s
+      // stall). Generous timeouts are strictly better here.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
