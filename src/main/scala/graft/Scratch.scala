@@ -57,6 +57,7 @@ object Scratch {
     // formatted physical plan of any SparkEntry query (plan-audit loop)
     if (only.contains("explain")) runExplain(spark, args.drop(1))
     if (only.contains("spanprobe")) runSpanProbe(spark)
+    if (only.contains("gopherprobe")) runGopherProbe(spark, noop)
     if (only.contains("time")) runTime(spark, args.drop(1), noop)
     if (only.contains("hostcap")) runHostCap(spark, noop)
     if (only.contains("graph256")) runGraph256(spark)
@@ -758,6 +759,36 @@ object Scratch {
       .queryExecution.executedPlan.execute().count())
     time("full query 2nd")(SparkEntry.queries("q_dedup_substring")(spark, d)
       .queryExecution.executedPlan.execute().count())
+  }
+
+  /** Stage-by-stage probe of q_gopher_repetition's kernel form — where
+    * does a map-only query spend 4 s at sf0.1? */
+  private def runGopherProbe(spark: SparkSession,
+      noop: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.1"
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[gopherprobe] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // pure JVM kernel cost, single-threaded, driver-side
+    val texts = Tables.documents(spark, d).select("text")
+      .collect().map(_.getString(0))
+    time("kernel 1-thread driver")(
+      texts.foreach(t => graft.plans.GopherRepStats.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))))
+    val base = graft.operators.Spread.forKernel(
+      Tables.documents(spark, d)
+        .select(col("doc_id"), col("text").as("_t")))
+    time("scan+spread only")(noop(base))
+    val ex = base.select(col("doc_id"),
+      explode(graft.plans.GopherRepStats.repStats(col("_t"))).as("st"))
+    time("kernel+explode")(noop(ex))
+    time("kernel+explode 2nd")(noop(ex))
+    val q = graft.operators.QualityRules.gopherRepetition(
+      Tables.documents(spark, d), col("doc_id"), col("text"))
+    time("full no-order")(noop(q))
+    time("full with orderBy")(noop(q.orderBy("doc_id")))
   }
 
   private def runExplain(spark: SparkSession, args: Array[String]): Unit = {

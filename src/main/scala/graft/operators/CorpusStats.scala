@@ -53,11 +53,12 @@ object CorpusStats {
     * actually consumes). Deciles cut the doc-ID RANGE (0..maxId), so
     * the curve is a pure function of the data, not of partitioning.
     *
-    * Scale shape: grams via the codegen lead-window shingling (the
-    * gopher/spanShingles rule — the transform-over-array HOF form is
-    * interpreted per token), one doc-partitioned window shuffle; each
-    * type's FIRST document is one min-aggregate shuffle on the gram
-    * (map-side partials); the curve itself is a 10-row frame.
+    * Scale shape: grams via the native [[graft.plans.ShingleStrings]]
+    * kernel — a scan projection (the former lead-window shingling paid
+    * a posexplode + doc-partitioned window shuffle-and-sort for a pure
+    * per-document function); each type's FIRST document is one
+    * min-aggregate shuffle on the gram (map-side partials); the curve
+    * itself is a 10-row frame.
     * Output: (decile 1..10, new_types, cum_types). */
   def vocabGrowth(df: DataFrame, idCol: Column, textCol: Column,
       n: Int = 3): DataFrame = {
@@ -73,15 +74,11 @@ object CorpusStats {
         return Seq.empty[(Int, Long, Long)]
           .toDF("decile", "new_types", "cum_types")
     }
-    val byPos = Window.partitionBy("doc_id").orderBy("p")
     val terms = Spread.forKernel(
-        df.select(idCol.as("doc_id"), tokens(textCol).as("tk")))
-      .select(col("doc_id"), size(col("tk")).as("sz"),
-        posexplode(col("tk")).as(Seq("p", "t")))
-      .withColumn("term", concat_ws(" ",
-        col("t") +: (1 until n).map(j => lead(col("t"), j).over(byPos)): _*))
-      .where(col("p") <= col("sz") - n)
-      .select(col("doc_id"), col("term"))
+        df.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleStrings.shingleStrings(col("_t"), n))
+          .as("term"))
     val firstDoc = terms.groupBy("term").agg(min(col("doc_id")).as("fd"))
     // fd*10/(maxId+1) floored: the double quotient of two exact longs
     // sits ≥ 1/(maxId+1) below the next integer whenever the true

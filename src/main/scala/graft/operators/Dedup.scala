@@ -878,10 +878,16 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
       n: Int = 10): DataFrame = {
     val toks = spanToks(df, idCol, textCol)
-    val flat = spanShingles(toks, n)
-    val dups = flat.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("h")
-    val covered = flat.join(dups, "h")
+    val flat = spanShingles(df, idCol, textCol, n)
+    // duplicate detection as ONE h-partitioned window count instead of
+    // groupBy + join-back: the join colocated every hot hash's rows into
+    // one task anyway, so the skew exposure is unchanged while the data
+    // crosses the exchange once and the shingle subtree runs once (the
+    // star-CC window-vs-regroup rule, round 5)
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val covered = flat
+      .withColumn("_c", count(lit(1)).over(byH))
+      .filter(col("_c") > 1)
       .groupBy("doc_id")
       .agg(collect_list(col("start")).as("starts"))
     rebuildWithoutSpans(toks, covered, n)
@@ -912,9 +918,9 @@ object Dedup {
     // corpus shuffle on h — the exact plan shape this operator exists
     // to avoid (PlanSpec asserts no corpus exchange on the hash)
     val bad = broadcast(
-      spanShingles(spanToks(benchmark, bIdCol, bTextCol), n)
+      spanShingles(benchmark, bIdCol, bTextCol, n)
         .select("h").distinct())
-    val covered = spanShingles(toks, n)
+    val covered = spanShingles(df, idCol, textCol, n)
       .join(bad, Seq("h"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_list(col("start")).as("starts"))
@@ -930,12 +936,27 @@ object Dedup {
       textCol.as("_t"))).select(col("doc_id"), tokens(col("_t")).as("tk"))
 
   /** (doc_id, start, h): every full `n`-token window's 64-bit hash, via
-    * posexplode + lead windows — NOT a transform-into-explode HOF chain:
-    * the window/concat/xxhash path stays in whole-stage codegen, where
-    * the interpreted generator-over-struct-array form cost ~5 s of pure
-    * overhead at sf0.1 (spanprobe). One doc_id-partitioned window
-    * shuffle; docs shorter than n emit no full windows. */
-  private def spanShingles(toks: DataFrame, n: Int): DataFrame = {
+    * the native [[graft.plans.SpanShingleHashes]] kernel — a pure
+    * per-document function emitted from the scan projection, where the
+    * lead-window form paid a posexplode + doc_id window shuffle-and-sort
+    * per corpus side (guide §2.4). Docs shorter than n emit no windows. */
+  private def spanShingles(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int): DataFrame =
+    Spread.forKernel(df.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"),
+        explode(graft.plans.SpanShingleHashes.spanHashes(col("_t"), n))
+          .as("s"))
+      .select(col("doc_id"), col("s.start").as("start"), col("s.h").as("h"))
+
+  /** The former lead-window formulation of [[spanShingles]] — kept as
+    * the declarative reference the native kernel is parity-tested
+    * against (DedupSpec; the [[graft.plans.HashedShingles]] contract
+    * pattern); not on any declared query path. NOT a
+    * transform-into-explode HOF chain: the window/concat/xxhash path
+    * stays in whole-stage codegen, where the interpreted
+    * generator-over-struct-array form cost ~5 s of pure overhead at
+    * sf0.1 (spanprobe). */
+  private[graft] def spanShinglesWindowed(toks: DataFrame, n: Int): DataFrame = {
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
     toks

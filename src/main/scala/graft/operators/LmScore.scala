@@ -37,8 +37,12 @@ object LmScore {
     * vocabulary-sized and stays distributed). */
   def unigramProbs(df: DataFrame, idCol: Column,
       textCol: Column): DataFrame = {
-    val counts = docTerms(df, idCol, textCol)
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // vocabulary-sized checkpoint: the count table feeds BOTH the
+    // total-tokens scalar job and the scoring join — without the
+    // barrier each consumer re-tokenizes and re-shuffles the corpus
+    // (the scoreKn bigram-table rule, one order down)
+    val counts = Dedup.checkpointed(docTerms(df, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("cnt")))
     val total = counts.agg(sum("cnt")).head().getLong(0)
     counts.select(col("term"),
       (col("cnt").cast("double") / lit(total.toDouble)).as("p"))
@@ -83,13 +87,37 @@ object LmScore {
     * hash-oracled as `q_lm_score2`.
     *
     * Scale shape: one map-side occurrence pass (prev comes from
-    * `element_at` on the carried token array — no window shuffle), a
-    * term-keyed and a (prev, cur)-keyed count shuffle, two shuffle
-    * joins back (the vocab/bigram tables of a 100 TB corpus are not
+    * `element_at` on the carried token array — no window shuffle), ONE
+    * (prev, cur)-keyed count shuffle from which every model table
+    * derives (cur-marginals of the checkpointed bigram table ARE the
+    * term counts — the scoreKn rule; the former formulation re-tokenized
+    * and re-shuffled the corpus once per table plus once for the total
+    * scalar, five passes where two are fundamental), two shuffle joins
+    * back (the vocab/bigram tables of a 100 TB corpus are not
     * broadcast-size), one doc regroup. Linear — no n² term. */
-  def lmScore2(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
-    scoreBigrams(bigramOccurrences(df, idCol, textCol),
-      unigramProbs(df, idCol, textCol), bigramProbs(df, idCol, textCol))
+  def lmScore2(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+    // the FULL (prev, cur) count table including the position-0 ''-prev
+    // rows: bigram-vocabulary-sized, checkpointed because four consumers
+    // derive from it (term probs, prev counts, bigram probs, the total
+    // scalar job)
+    val biAll = Dedup.checkpointed(
+      occ.groupBy("prev", "cur").agg(count(lit(1)).as("_c")))
+    // every token occurs as `cur` exactly once, so cur-marginals ARE the
+    // term counts [[unigramProbs]] derives from the corpus
+    val termCnt = biAll.groupBy(col("cur").as("term"))
+      .agg(sum("_c").as("cnt"))
+    val total = Option(termCnt.agg(sum("cnt")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val termProbs = termCnt.select(col("term"),
+      (col("cnt").cast("double") / lit(total.toDouble)).as("p"))
+    val biProbs = biAll.filter(col("prev") =!= "")
+      .join(termCnt.select(col("term").as("prev"), col("cnt").as("_pc")),
+        "prev")
+      .select(col("prev"), col("cur"),
+        (col("_c").cast("double") / col("_pc").cast("double")).as("pbi"))
+    scoreBigrams(occ, termProbs, biProbs)
+  }
 
   /** Score under STORED statistics — the recurring-ingest form of
     * [[lmScore2]]: new batches score under the reference corpus' tables
@@ -107,13 +135,15 @@ object LmScore {
     * recurring-ingest scoring. */
   def bigramProbs(df: DataFrame, idCol: Column,
       textCol: Column): DataFrame = {
-    val occ = bigramOccurrences(df, idCol, textCol)
-    // every token occurs as `cur` exactly once, so cur-counts ARE the
-    // term counts — the same table [[unigramProbs]] derives from
-    val termCnt = occ.groupBy(col("cur").as("prev"))
-      .agg(count(lit(1)).as("_pc"))
-    occ.filter(col("prev") =!= "")
+    // ONE (prev, cur) count shuffle; the prev-denominators are
+    // cur-marginals of the same table (every token occurs as `cur`
+    // exactly once, so they ARE [[unigramProbs]]'s term counts) — the
+    // former per-table corpus regroups re-tokenized the corpus twice
+    val biAll = bigramOccurrences(df, idCol, textCol)
       .groupBy("prev", "cur").agg(count(lit(1)).as("_bc"))
+    val termCnt = biAll.groupBy(col("cur").as("prev"))
+      .agg(sum("_bc").as("_pc"))
+    biAll.filter(col("prev") =!= "")
       .join(termCnt, "prev")
       .select(col("prev"), col("cur"),
         (col("_bc").cast("double") / col("_pc").cast("double")).as("pbi"))
@@ -474,17 +504,24 @@ object LmScore {
   def collocations(df: DataFrame, idCol: Column, textCol: Column,
                    minCount: Int = 5, topK: Int = 100): DataFrame = {
     val occ = bigramOccurrences(df, idCol, textCol)
-    // one pass for both totals: tokens T and bigrams B (driver scalars —
-    // the unigramProbs head() rule)
-    val tot = occ.agg(count(lit(1)).as("t"),
-      count(when(col("prev") =!= "", 1)).as("b")).head()
+    // ONE corpus count shuffle (the lmScore2 rule): totals, unigram
+    // counts and pair counts all derive vocabulary-sized from the
+    // checkpointed (prev, cur) table — the former formulation
+    // re-tokenized the corpus once per aggregate (three passes + the
+    // scalar job)
+    val biAll = Dedup.checkpointed(
+      occ.groupBy("prev", "cur").agg(count(lit(1)).as("_c")))
+    val tot = biAll.agg(
+      coalesce(sum("_c"), lit(0L)).as("t"),
+      coalesce(sum(when(col("prev") =!= "", col("_c"))), lit(0L)).as("b"))
+      .head()
     val tT = tot.getLong(0).toDouble
     val tB = tot.getLong(1).toDouble
-    val uc = occ.groupBy(col("cur").as("w"))
-      .agg(count(lit(1)).as("c"))
-    val bc = occ.filter(col("prev") =!= "")
-      .groupBy(col("prev").as("w1"), col("cur").as("w2"))
-      .agg(count(lit(1)).as("pair_cnt"))
+    val uc = biAll.groupBy(col("cur").as("w"))
+      .agg(sum("_c").as("c"))
+    val bc = biAll.filter(col("prev") =!= "")
+      .select(col("prev").as("w1"), col("cur").as("w2"),
+        col("_c").as("pair_cnt"))
       .filter(col("pair_cnt") >= minCount)
     val scored = bc
       .join(uc.select(col("w").as("w1"), col("c").as("_c1")), "w1")

@@ -92,14 +92,36 @@ object QualityRules {
     * Dolma/NeMo-Curator convention), so degenerate loop-text can score
     * above 1; the coverage-based dup_5gram fraction is always ≤ 1.
     *
-    * Scale shape: ONE doc-partitioned window pass computes every gram
-    * size (codegen'd lead windows — the spanShingles shape, not an
-    * interpreted HOF chain); all gram grains union into one frame, so
-    * duplicate counting is ONE uniform (doc, n, hash) shuffle with
-    * map-side partials; per-doc reduction is one more doc_id shuffle and
-    * the 5-gram coverage is in-row array math. Per-doc state is bounded
-    * by document length — linear at any corpus size. */
+    * Scale shape: every aggregate is grouped by the document, so the
+    * whole measure is a pure per-document function — ONE
+    * [[graft.plans.GopherRepStats]] kernel call per row (whole-stage
+    * codegen), zero shuffles, scan-speed at any corpus size. The
+    * explode over the kernel's 0/1-element array reproduces the
+    * zero-token-document drop of the former join formulation (kept as
+    * [[gopherRepetitionWindowed]], parity-asserted in SamplingSpec).
+    * Fractions stay exact int/int divisions of the kernel's integer
+    * products, so the hash contract is unchanged. */
   def gopherRepetition(df: DataFrame, idCol: Column,
+                       textCol: Column): DataFrame =
+    Spread.forKernel(df.select(idCol.as("doc_id"), textCol.as("_t")))
+      .select(col("doc_id"),
+        explode(graft.plans.GopherRepStats.repStats(col("_t"))).as("st"))
+      .select(col("doc_id"),
+        col("st.total_chars").as("n_token_chars"),
+        (col("st.top2").cast("double") /
+          col("st.total_chars").cast("double")).as("top_2gram_char_frac"),
+        (col("st.top3").cast("double") /
+          col("st.total_chars").cast("double")).as("top_3gram_char_frac"),
+        (col("st.dup5").cast("double") /
+          col("st.total_chars").cast("double")).as("dup_5gram_char_frac"))
+
+  /** The former window/shuffle formulation of [[gopherRepetition]] —
+    * one doc-partitioned lead-window pass per gram grain, a
+    * (doc, n, hash) count shuffle, a doc regroup and a tokenizing join
+    * back. Kept as the declarative reference the native kernel is
+    * parity-tested against (the [[graft.plans.HashedShingles]]
+    * contract pattern); not on any declared query path. */
+  private[graft] def gopherRepetitionWindowed(df: DataFrame, idCol: Column,
                        textCol: Column): DataFrame = {
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")

@@ -96,6 +96,27 @@ class DedupSpec extends SparkSuite {
       (4L, "tiny", 1L, 0L)))
   }
 
+  test("spanShingles: native kernel is bit-identical to the lead-window " +
+      "formulation on the sf0.001 corpus (incl. short and empty docs)") {
+    import graft.functions.TextFunctions.tokens
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100001L, ""), (100002L, "nine eight seven six " +
+        "five four three two one"), (100003L, "just three tokens"))
+        .toDF("doc_id", "text"))
+    val kernel = graft.operators.Spread.forKernel(
+        base.select(col("doc_id"), col("text").as("_t")))
+      .select(col("doc_id"),
+        explode(graft.plans.SpanShingleHashes.spanHashes(col("_t"), 10))
+          .as("s"))
+      .select(col("doc_id"), col("s.start").as("start"), col("s.h").as("h"))
+    val toks = base.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val windowed = Dedup.spanShinglesWindowed(toks, 10)
+    assert(kernel.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(kernel).isEmpty,
+      "kernel and windowed span shingles diverge")
+  }
+
   test("dedupLines: cross-doc boilerplate lines removed from every doc; " +
       "a within-doc repeat survives; a fully-boilerplate doc empties") {
     val d = Seq(

@@ -100,6 +100,31 @@ class SamplingSpec extends SparkSuite {
       (3L, 4L, 1.0, 0.0, 0.0)))
   }
 
+  test("gopherRepetition: native kernel is bit-identical to the windowed " +
+      "declarative formulation on the sf0.001 corpus (incl. zero-token " +
+      "and short-doc edges)") {
+    import graft.operators.QualityRules
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      // edge rows the shaped corpus lacks: zero tokens (dropped by both
+      // forms), whitespace-only, single-token, and a 4-token doc (no
+      // 5-grams)
+      .unionByName(Seq((100001L, ""), (100002L, "  \t "), (100003L, "one"),
+        (100004L, "a b a b")).toDF("doc_id", "text"))
+    val kernel = QualityRules.gopherRepetition(base, col("doc_id"),
+      col("text"))
+    val windowed = QualityRules.gopherRepetitionWindowed(base, col("doc_id"),
+      col("text"))
+    assert(kernel.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(kernel).isEmpty,
+      "kernel and windowed forms diverge")
+    // the plan is shuffle-free past the kernel spread: no exchange other
+    // than the forKernel round-robin, no join, no window
+    val plan = kernel.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"kernel plan regained a window/join:\n$plan")
+  }
+
   test("gopherRepetition: top-gram is the MOST FREQUENT gram (not the " +
       "max count×chars product); count ties break to the longer gram") {
     import graft.operators.QualityRules
