@@ -2870,10 +2870,13 @@ object ExtensionQueries {
             .cast("long")))
       val f = scored
         .filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
-      val kept = f
+      // exact-dedup survivors feed THREE consumers (the stage
+      // aggregate, the LSH pair generation and the representative
+      // join) — checkpoint so the md5 window runs once per invocation
+      val kept = Dedup.checkpointed(f
         .withColumn("_rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .filter(col("_rn") === 1).drop("_rn")
+        .filter(col("_rn") === 1).drop("_rn"))
       // pairs over the SURVIVORS, not componentsFromTable's corpus-level
       // labels: corpus labels would merge clusters through documents the
       // lang/quality/exact-dedup stages already dropped, changing which
@@ -2935,16 +2938,27 @@ object ExtensionQueries {
       val f = scored
         .filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
       // stage 3: exact dedup, min doc_id per content digest
-      val kept = f
+      // (checkpointed — the q_curation_funnel kept rule: the stage
+      // aggregate, the pair generation and the representative join all
+      // consume it)
+      val kept = Dedup.checkpointed(f
         .withColumn("_rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .filter(col("_rn") === 1).drop("_rn")
+        .filter(col("_rn") === 1).drop("_rn"))
       // stage 4: near-dup survivorship — quality-argmax representative
-      // per LSH cluster (pairs checkpointed: reused for the split)
+      // per LSH cluster. Component labels are computed ONCE (star
+      // contraction, checkpointed) and shared with the stage-7 split:
+      // the former form ran a SECOND full connected-components pass
+      // (min-label) over the same pair table for the split — the two
+      // algorithms produce bit-identical labels (DedupSpec), so one
+      // iterative run serves both consumers
       val pairs = Dedup.checkpointed(
         Dedup.lshCandidatePairs(kept, col("doc_id"), col("text")))
-      val repIds = Dedup.clusterRepresentatives(kept, col("doc_id"),
-          col("quality"), pairs)
+      val comp = Dedup.checkpointed(
+        Dedup.connectedComponentsStar(pairs)
+          .withColumnRenamed("id", "doc_id"))
+      val repIds = Dedup.clusterRepresentativesFromComponents(kept,
+          col("doc_id"), col("quality"), comp)
         .filter(col("is_rep") === 1).select("doc_id")
       val nd = Dedup.checkpointed(kept.join(repIds, "doc_id"))
       // stage 5: decontamination — drop the benchmark slice itself and
@@ -2972,9 +2986,8 @@ object ExtensionQueries {
         decon.filter(col("lang") === "en")
           .unionByName(decon.join(accepted, "doc_id")))
       // stage 7: leakage-safe train split — hash keyed on the near-dup
-      // component (cluster members co-assign by construction)
-      val comp = Dedup.connectedComponents(pairs)
-        .withColumnRenamed("id", "doc_id")
+      // component (cluster members co-assign by construction; `comp`
+      // reused from stage 4)
       val train = Dedup.checkpointed(
         Sampling.assignSplit(
             sel.join(comp, Seq("doc_id"), "left")
@@ -3273,8 +3286,13 @@ object ExtensionQueries {
       val lp = graft.operators.GraphAlgos.labelPropagation(
         ids.select(col("ridx")), col("ridx"),
         e, col("src"), col("dst"), iters = 4)
-      val comm = ids.join(lp, ids("ridx") === lp("node"))
-        .select(col("doc_id"), col("community"))
+      // the 4-round LPA lineage feeds TWO consumers (the term join and
+      // the community-count scalar) — checkpoint the narrow label frame
+      // so label propagation runs once per invocation (the Dsir profile
+      // rule)
+      val comm = graft.operators.Dedup.checkpointed(
+        ids.join(lp, ids("ridx") === lp("node"))
+          .select(col("doc_id"), col("community")))
       val terms = Tables.documents(s, d).join(comm, "doc_id")
         .select(col("community"), explode(tokens(col("text"))).as("term"))
       val ctf = terms.groupBy(col("community"), col("term"))

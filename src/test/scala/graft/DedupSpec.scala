@@ -330,6 +330,32 @@ class DedupSpec extends SparkSuite {
     assert(audit.count() === 4L) // the 4 quote shingles shared by 1 and 2
   }
 
+  test("containmentPairs: count-bound prune never drops a true survivor " +
+      "when part of the overlap rides VALVED shingles") {
+    // "hot hot hot" is a shingle shared by 5 docs -> valved at maxDf=4;
+    // docs 1 and 2 overlap on it PLUS unvalved shingles. The candidate
+    // stage only sees the unvalved overlap, so a prune ignoring the
+    // valved slack would drop the pair; the exact score counts the
+    // valved shingle too.
+    val quote = "alpha beta gamma delta epsilon"
+    val cdocs = Seq(
+      (1L, s"hot hot hot $quote"),
+      (2L, s"hot hot hot $quote tail1 tail2"),
+      (3L, "hot hot hot pad31 pad32 pad33 pad34 pad35 pad36"),
+      (4L, "hot hot hot pad41 pad42 pad43 pad44 pad45 pad46"),
+      (5L, "hot hot hot pad51 pad52 pad53 pad54 pad55 pad56"))
+      .toDF("doc_id", "text")
+    // threshold 0.9: the unvalved overlap alone is 5/6 ~= 0.83 — a
+    // prune that ignored the valved slack would drop the pair here
+    val got = Dedup.containmentPairs(cdocs, col("doc_id"), col("text"),
+        n = 3, maxDf = 4, threshold = 0.9)
+      .select("id1", "id2", "overlap").as[(Long, Long, Double)]
+      .collect().toSet
+    // brute-force expectation over FULL shingle sets (incl. valved):
+    // doc1 has 6 distinct shingles, all contained in doc2 -> overlap 1.0
+    assert(got === Set((1L, 2L, 1.0)))
+  }
+
   test("hammingPairs: pigeonhole blocking finds EXACTLY the brute-force " +
       "pairs within maxHamming") {
     // prints chosen to hit every block layout case: agree-on-block-0 only,
