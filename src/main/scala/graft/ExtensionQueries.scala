@@ -1240,8 +1240,11 @@ object ExtensionQueries {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df straight off tf — one row per (doc, term) already, so this
+      // is count(*), not count(distinct) (the SimJoin rule): the former
+      // explicit distinct re-tokenized the corpus and paid its own
+      // exchange; here both consumers share tf's reused exchange
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "term")
         .withColumn("score",
           floorRound6(col("tf") * lit(n.toDouble) / col("df")))
@@ -1572,11 +1575,14 @@ object ExtensionQueries {
         .select("doc_id")
       val terms = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      // totals derive from the count tables (Σ cn / Σ fn) instead of
+      // re-tokenizing the corpus per scalar — two corpus passes saved,
+      // and both consumers of each count table share one reused exchange
       val corpusCnt = terms.groupBy("term").agg(count(lit(1)).as("cn"))
-      val corpusTot = terms.agg(count(lit(1)).as("ct"))
+      val corpusTot = corpusCnt.agg(sum("cn").as("ct"))
       val fbTerms = terms.join(broadcast(fbDocs), "doc_id")
       val fbCnt = fbTerms.groupBy("term").agg(count(lit(1)).as("fn"))
-      val fbTot = fbTerms.agg(count(lit(1)).as("ft"))
+      val fbTot = fbCnt.agg(sum("fn").as("ft"))
       fbCnt.filter(col("fn") >= 3 && !col("term").isin(kws: _*))
         .join(corpusCnt, "term")
         .crossJoin(broadcast(corpusTot))

@@ -811,7 +811,13 @@ object Dedup {
         .filter((col("c") === 1 && col("l") === 1) || col("ln") > 1)
         .isEmpty
     var it = 0
-    var converged = isStarForest(edges)
+    // no PRE-loop forest check: star forests are exactly the
+    // contraction's fixpoints (Kiveris et al.), so a round over an
+    // already-converged forest re-emits it unchanged and the post-round
+    // check exits — one harmless extra round in that (rare) case, where
+    // the pre-check cost a full node-keyed aggregate job on EVERY
+    // invocation of every component-consuming key
+    var converged = false
     val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (!converged && it < maxIters) {
       // each star's per-node min comes from a WINDOW over the node's

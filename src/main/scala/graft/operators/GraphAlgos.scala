@@ -109,14 +109,26 @@ object GraphAlgos {
     var labels = base.join(adj.select(col("node")), Seq("node"),
         "left_semi")
       .withColumn("lbl", col("node"))
+    // per round ONE node-keyed exchange carries both the (node, label)
+    // count and the argmax: the label-count window's (node, lbl)
+    // clustering is satisfied by the node repartition, and so is the
+    // argmax grouping (the round-10 window-satisfies-grouping rule) —
+    // the former groupBy(node, lbl) → groupBy(node) chain paid a second
+    // exchange per round for the same values
+    val nPart = nodes.sparkSession.sessionState.conf.numShufflePartitions
+    val byNodeLbl = org.apache.spark.sql.expressions.Window
+      .partitionBy("node", "lbl")
     for (_ <- 1 to iters) {
-      val counts = adj
+      val counted = adj
         .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
-        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .select(col("node"), col("lbl"))
+        .repartition(nPart, col("node"))
+        .withColumn("cnt", count(lit(1)).over(byNodeLbl))
       // argmax(count, then min label) as ONE struct max: lexicographic
-      // (cnt, -lbl) max = highest count, smallest label — partial-agg
-      // friendly, no per-node window
-      labels = counts.groupBy(col("node"))
+      // (cnt, -lbl) max = highest count, smallest label — exchange-free
+      // over the node partitioning (max over the duplicated window rows
+      // equals max over the distinct counts)
+      labels = counted.groupBy(col("node"))
         .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl")))
           .as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))

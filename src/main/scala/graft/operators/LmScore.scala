@@ -548,16 +548,23 @@ object LmScore {
     * Output: (doc_id, n_tokens, oov_cnt, oov_rate). */
   def oovRate(df: DataFrame, idCol: Column, textCol: Column,
               vocabSize: Int = 50): DataFrame = {
-    val occ = bigramOccurrences(df, idCol, textCol)
-      .select(col("doc_id"), col("cur").as("term"))
-    val vocab = occ.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // ONE corpus tokenize + count shuffle (the lmScore2 rule): the
+    // (doc, term) count table feeds both the vocab top-k side and the
+    // per-doc scoring regroup through ONE reused exchange — the former
+    // formulation re-tokenized the corpus per consumer (no checkpoint
+    // needed: both consumers live in one query execution)
+    val dtc = bigramOccurrences(df, idCol, textCol)
+      .groupBy(col("doc_id"), col("cur").as("term"))
+      .agg(count(lit(1)).as("_c"))
+    val vocab = dtc.groupBy("term").agg(sum("_c").as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
       .limit(vocabSize)
       .select(col("term"), lit(1).as("_in"))
-    occ.join(broadcast(vocab), Seq("term"), "left")
+    dtc.join(broadcast(vocab), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("_in").isNull, 1)).as("oov_cnt"))
+      .agg(sum("_c").as("n_tokens"),
+        coalesce(sum(when(col("_in").isNull, col("_c"))), lit(0L))
+          .as("oov_cnt"))
       .select(col("doc_id"), col("n_tokens"), col("oov_cnt"),
         (col("oov_cnt").cast("double") / col("n_tokens").cast("double"))
           .as("oov_rate"))

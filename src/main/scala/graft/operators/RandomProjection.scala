@@ -37,9 +37,28 @@ object RandomProjection {
   }
 
   /** Project `vecCol` (length `d`) to `m` dims; long output
-    * `(id, j INT, y DOUBLE)`, y floor-rounded at 6 digits. */
+    * `(id, j INT, y DOUBLE)`, y floor-rounded at 6 digits. Rides the
+    * native [[graft.plans.JlProjectExpr]] kernel: the declarative
+    * m·(2d−1)-node ±chain projection was plan-size-bound — its
+    * analysis/optimizer/codegen cost dominated the query at every SF
+    * (kept as [[projectChained]], parity-asserted in
+    * RandomProjectionSpec). */
   def project(df: DataFrame, idCol: Column, vecCol: Column,
               d: Int, m: Int): DataFrame = {
+    require(d >= 1 && m >= 1, s"need d, m >= 1; got d=$d m=$m")
+    df.select(idCol.as("id"),
+        posexplode(graft.plans.JlProjectExpr.jlProject(vecCol, d, m))
+          .as(Seq("j", "y")))
+      .select(col("id"), col("j"),
+        graft.functions.Rounding.floorRound6(col("y")).as("y"))
+  }
+
+  /** The former declarative ±element_at chain formulation — kept as
+    * the reference the native kernel is parity-tested against (the
+    * HashedShingles contract pattern); not on any declared query
+    * path. */
+  private[graft] def projectChained(df: DataFrame, idCol: Column,
+              vecCol: Column, d: Int, m: Int): DataFrame = {
     require(d >= 1 && m >= 1, s"need d, m >= 1; got d=$d m=$m")
     def term(j: Int, i: Int): Column = {
       val x = element_at(vecCol, i + 1).cast("double")

@@ -37,6 +37,17 @@ class RandomProjectionSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("native kernel is bit-identical to the declarative ±chain " +
+      "formulation on the full sf0.001 corpus") {
+    val kernel = RandomProjection.project(corpus, col("vec_id"),
+      col("embedding"), dIn, mOut)
+    val chained = RandomProjection.projectChained(corpus, col("vec_id"),
+      col("embedding"), dIn, mOut)
+    assert(kernel.exceptAll(chained).isEmpty &&
+      chained.exceptAll(kernel).isEmpty,
+      "kernel and chained JL projections diverge")
+  }
+
   test("signs are balanced enough to be a projection, not a sum") {
     val pos = (for (j <- 0 until mOut; i <- 0 until dIn)
       yield RandomProjection.sign(j, i)).count(_ > 0)
