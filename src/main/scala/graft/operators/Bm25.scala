@@ -17,9 +17,10 @@ import graft.functions.TextFunctions.tokens
   * order so float accumulation is cross-engine deterministic.
   *
   * Scale shape: tokenization map-side; tf/df are keyword-filtered
-  * (tiny) aggregates; df and the 1-row avgdl/N stats broadcast; the
-  * only corpus shuffles are the doc-length groupBy and the per-doc
-  * score regroup — linear.
+  * (tiny) aggregates sharing one Exchange; doc length is the token-
+  * array size computed in the scan projection (no corpus shuffle); df
+  * and the 1-row avgdl/N stats broadcast; the only corpus shuffle left
+  * is the per-doc score regroup over MATCHED docs — linear.
   *
   * Three entry points:
   *  - [[scores]]: batch — corpus statistics derived from the scored
@@ -72,12 +73,37 @@ object Bm25 {
                       textCol: Column): DataFrame =
     docs.select(idCol.as("doc_id"), explode(tokens(textCol)).as("term"))
 
+  /** Per-doc length WITHOUT the corpus shuffle: dl = the token-array
+    * size, computed in the scan projection — the former
+    * `terms.groupBy(doc_id).count()` exploded every occurrence and paid
+    * a full corpus doc-keyed exchange for a value the array already
+    * knows. The `dl > 0` filter keeps the doc set identical to the
+    * explode-derived form (zero-token docs never produced occurrence
+    * rows), so avgdl's numerator AND denominator are unchanged. */
+  private def docLens(docs: DataFrame, idCol: Column,
+                      textCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"),
+        size(tokens(textCol)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+
+  /** The keyword-filtered (doc_id, term, tf) table — keyword-sized, so
+    * its count shuffle is tiny. df(term) is its per-term row count:
+    * deriving df FROM this aggregate (instead of the former
+    * distinct+regroup over a separate explode) makes the df subtree
+    * identical to the tf subtree, so one Exchange serves both
+    * (ReusedExchange — the former shape's filter pushdown split the
+    * trees and re-tokenized the corpus per consumer, a measured 36-scan
+    * plan for MaxScore: plans/r16/q_bm25_maxscore_before.txt). */
+  private def kwTf(docs: DataFrame, idCol: Column, textCol: Column,
+                   kws: Seq[String]): DataFrame =
+    termsOf(docs, idCol, textCol).filter(col("term").isin(kws: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
   /** Batch BM25: corpus statistics derived from `docs` itself. Emits
     * one `(doc_id, score)` row per doc matching ≥ 1 keyword. */
   def scores(docs: DataFrame, idCol: Column, textCol: Column,
              kws: Seq[String], nDocs: Long): DataFrame = {
-    val terms = termsOf(docs, idCol, textCol)
-    val dls = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dls = docLens(docs, idCol, textCol)
     // avgdl as a lazy 1-row broadcast aggregate (scalar-subquery shape,
     // one double division = the oracle's sum(dl)::DOUBLE / count(*)):
     // the query stays single-action instead of paying an eager
@@ -87,11 +113,9 @@ object Bm25 {
     val stats = dls.agg(
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       .withColumn("nd", lit(nDocs.toDouble))
-    val tf = terms.filter(col("term").isin(kws: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.filter(col("term").isin(kws: _*))
-      .select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = kwTf(docs, idCol, textCol, kws)
+    // df = docs containing the term = the term's (doc, term) row count
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     foldScores(contributions(tf, dfreq, dls, stats))
   }
 
@@ -107,10 +131,10 @@ object Bm25 {
   def scoresWith(cands: DataFrame, idCol: Column, textCol: Column,
                  kws: Seq[String], dfreq: DataFrame,
                  stats: DataFrame): DataFrame = {
-    val terms = termsOf(cands, idCol, textCol)
-    val dls = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val tf = terms.filter(col("term").isin(kws: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // dl map-side from the token array ([[docLens]] — no corpus
+    // shuffle), tf from the keyword-filtered count ([[kwTf]])
+    val dls = docLens(cands, idCol, textCol)
+    val tf = kwTf(cands, idCol, textCol, kws)
     val kf = dfreq.filter(col("term").isin(kws: _*))
       .select(col("term"), col("df"))
     foldScores(contributions(tf, kf, dls, stats))
@@ -176,16 +200,21 @@ object Bm25 {
                                    textCol: Column, kws: Seq[String],
                                    nDocs: Long, k: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val terms = termsOf(docs, idCol, textCol)
-    val dls = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl map-side from the token array ([[docLens]] — the former
+    // occurrence groupBy paid a full corpus exchange), tf/df one
+    // keyword-filtered count shuffle sharing one Exchange ([[kwTf]]).
+    // The contribution tree below is referenced THREE times (upper
+    // bounds, the theta seed fold, the survivor fold); its copies are
+    // now identical subtrees over the same tiny exchange, so
+    // ReusedExchange collapses them where the former per-consumer
+    // re-derivation produced a measured 36-scan plan
+    // (plans/r16/q_bm25_maxscore_before.txt).
+    val dls = docLens(docs, idCol, textCol)
     val stats = dls.agg(
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       .withColumn("nd", lit(nDocs.toDouble))
-    val tf = terms.filter(col("term").isin(kws: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.filter(col("term").isin(kws: _*))
-      .select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = kwTf(docs, idCol, textCol, kws)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = contributions(tf, dfreq, dls, stats)
 
     // per-term upper bounds (≤ |q| rows) and per-doc bound sums — the
