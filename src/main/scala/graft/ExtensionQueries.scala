@@ -442,9 +442,16 @@ object ExtensionQueries {
     // would silently build NULL dst edges instead of failing loudly
     require(nn >= 2,
       s"linkGraph needs >= 2 documents to synthesize edges, got $nn")
-    val ids = graft.sources.Maintenance.withDenseIds(s,
-        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
-      .select(col("doc_id"), col("label_id").as("ridx"))
+    // CHECKPOINT the dense-id map (nn rows × 2 longs — tiny): every
+    // consumer of the graph (the per-round loop bodies, the final
+    // label join-back, PageRank's node count) otherwise re-expands the
+    // withDenseIds two-pass cum-sum lineage per reference — the
+    // before-plans carried 17–19 copies of its window subtree
+    // (plans/r16/q_pagerank_before.txt, q_label_prop_before.txt).
+    val ids = graft.operators.Dedup.checkpointed(
+      graft.sources.Maintenance.withDenseIds(s,
+          Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
+        .select(col("doc_id"), col("label_id").as("ridx")))
     val e = ids
       .select(col("ridx").as("src"),
         explode(sequence(lit(1), lit(4))).as("ord"))

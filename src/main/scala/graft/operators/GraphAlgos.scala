@@ -110,24 +110,31 @@ object GraphAlgos {
         "left_semi")
       .withColumn("lbl", col("node"))
     // per round ONE node-keyed exchange carries both the (node, label)
-    // count and the argmax: the label-count window's (node, lbl)
-    // clustering is satisfied by the node repartition, and so is the
-    // argmax grouping (the round-10 window-satisfies-grouping rule) —
-    // the former groupBy(node, lbl) → groupBy(node) chain paid a second
-    // exchange per round for the same values
+    // count and the argmax: HashPartitioning(node) satisfies BOTH the
+    // (node, lbl) count grouping and the node argmax grouping (the
+    // round-10 window-satisfies-grouping rule), so the two chained
+    // hash aggregates plan with NO further exchange — and, against the
+    // former window-count formulation, NO per-partition (node, lbl)
+    // SORT either: the count runs as a hash aggregate over the same
+    // rows (WindowExec sorted every joined edge row per round).
+    // Degree-skew note (ADVICE r15): the node repartition ships every
+    // joined edge row un-reduced — a power-law hot node's full
+    // duplicated row set lands on one reducer, and the fixed partition
+    // count opts this exchange out of AQE skew splitting. Map-side
+    // partial aggregation would need the exchange keyed (node, lbl)
+    // (the pre-r15 two-exchange form — measured slower at bench scale);
+    // at a 100 TB power-law graph prefer that form, or salt the hot
+    // nodes, over this one.
     val nPart = nodes.sparkSession.sessionState.conf.numShufflePartitions
-    val byNodeLbl = org.apache.spark.sql.expressions.Window
-      .partitionBy("node", "lbl")
     for (_ <- 1 to iters) {
       val counted = adj
         .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
         .select(col("node"), col("lbl"))
         .repartition(nPart, col("node"))
-        .withColumn("cnt", count(lit(1)).over(byNodeLbl))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
       // argmax(count, then min label) as ONE struct max: lexicographic
-      // (cnt, -lbl) max = highest count, smallest label — exchange-free
-      // over the node partitioning (max over the duplicated window rows
-      // equals max over the distinct counts)
+      // (cnt, -lbl) max = highest count, smallest label
       labels = counted.groupBy(col("node"))
         .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl")))
           .as("m"))
