@@ -1825,10 +1825,15 @@ object ExtensionQueries {
     // decision for near-dup clusters — every member labeled with the
     // component min (drop-id2 over-keeps on chains banding didn't close).
     // Min-label propagation, one join + one min-groupBy per iteration.
+    // pair input CHECKPOINTED (the q_release_funnel rule): the
+    // component operators consume their pair frame twice (both edge
+    // orientations / the id universe) — un-checkpointed, the whole LSH
+    // band pipeline evaluated once per reference
     "q_dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
-          Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
-            col("text"), maxBucket = LshMaxBucket))
+          Dedup.checkpointed(
+            Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
+              col("text"), maxBucket = LshMaxBucket)))
         .orderBy("id")),
 
     // ---- the same labeling via large-star/small-star contraction —
@@ -1858,14 +1863,19 @@ object ExtensionQueries {
     "q_cluster_rep" -> ((s, d) =>
       Dedup.clusterRepresentatives(Tables.documents(s, d), col("doc_id"),
           length(col("text")),
-          Dedup.lshPairsFromBandTable(s, bandTable(s, d),
-            maxBucket = LshMaxBucket))
+          // checkpointed: the q_dedup_components pair-input rule (the
+          // star contraction inside reads the pair frame twice)
+          Dedup.checkpointed(
+            Dedup.lshPairsFromBandTable(s, bandTable(s, d),
+              maxBucket = LshMaxBucket)))
         .orderBy("doc_id")),
 
     "q_dedup_components_star" -> ((s, d) =>
       Dedup.connectedComponentsStar(
-          Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
-            col("text"), maxBucket = LshMaxBucket))
+          // checkpointed: the q_dedup_components pair-input rule
+          Dedup.checkpointed(
+            Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
+              col("text"), maxBucket = LshMaxBucket)))
         .orderBy("id")),
 
     // ---- SimHash fingerprints (near-identical token multisets ⇒ small
@@ -2893,10 +2903,15 @@ object ExtensionQueries {
       // pairs over the SURVIVORS, not componentsFromTable's corpus-level
       // labels: corpus labels would merge clusters through documents the
       // lang/quality/exact-dedup stages already dropped, changing which
-      // survivor wins the quality argmax
+      // survivor wins the quality argmax. CHECKPOINTED (the
+      // q_release_funnel rule): connectedComponentsStar consumes its
+      // pair input twice (the edge canonicalization AND the final
+      // labels' id universe) — un-checkpointed, the whole LSH band
+      // pipeline ran a second time for the id derivation
       val repIds = Dedup.clusterRepresentatives(kept, col("doc_id"),
           col("quality"),
-          Dedup.lshCandidatePairs(kept, col("doc_id"), col("text")))
+          Dedup.checkpointed(
+            Dedup.lshCandidatePairs(kept, col("doc_id"), col("text"))))
         .filter(col("is_rep") === 1).select("doc_id")
       val nd = Dedup.checkpointed(kept.join(repIds, "doc_id"))
       val byLang = Window.partitionBy("pred_lang")
