@@ -42,7 +42,18 @@ object RandomProjection {
     * m·(2d−1)-node ±chain projection was plan-size-bound — its
     * analysis/optimizer/codegen cost dominated the query at every SF
     * (kept as [[projectChained]], parity-asserted in
-    * RandomProjectionSpec). */
+    * RandomProjectionSpec).
+    *
+    * INPUT CONTRACT (the kernel and the chained reference diverge
+    * outside it — ADVICE r15): `vecCol` must be NON-NULL with at least
+    * `d` elements. A NULL vector emits 0 rows (null-intolerant kernel
+    * expression under posexplode), where the ±element_at chain emitted
+    * m rows with null y; a shorter-than-`d` vector throws
+    * (`JlProjectExpr.compute` requires length ≥ d), where the chain
+    * returned null y under non-ANSI element_at. The kernel behavior is
+    * the deliberate one — a missing/truncated embedding should drop or
+    * fail loudly, not fabricate m null sketch rows; both degenerate
+    * behaviors are pinned in RandomProjectionSpec. */
   def project(df: DataFrame, idCol: Column, vecCol: Column,
               d: Int, m: Int): DataFrame = {
     require(d >= 1 && m >= 1, s"need d, m >= 1; got d=$d m=$m")

@@ -48,6 +48,29 @@ class RandomProjectionSpec extends SparkSuite {
       "kernel and chained JL projections diverge")
   }
 
+  test("degenerate inputs follow the documented project() contract: " +
+      "NULL vector emits 0 rows, shorter-than-d vector fails loudly") {
+    // NULL vector: the null-intolerant kernel expression yields a null
+    // array, posexplode of which emits no rows (the chained reference
+    // emitted m null-y rows — the contract pins the kernel's drop)
+    val withNull = Seq((1L, Some(Array.fill(4)(1.0f))), (2L, None))
+      .toDF("vec_id", "embedding").repartition(2)
+    val projected = RandomProjection.project(withNull, col("vec_id"),
+      col("embedding"), d = 4, m = 3)
+    assert(projected.filter(col("id") === 2L).count() === 0,
+      "NULL vector must emit 0 sketch rows")
+    assert(projected.filter(col("id") === 1L).count() === 3,
+      "non-null vector must emit m rows")
+    // short vector: fails loudly instead of fabricating null sketch rows
+    val short = Seq((3L, Array.fill(2)(1.0f)))
+      .toDF("vec_id", "embedding").repartition(2)
+    val ex = intercept[org.apache.spark.SparkException] {
+      RandomProjection.project(short, col("vec_id"), col("embedding"),
+        d = 4, m = 3).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("signs are balanced enough to be a projection, not a sum") {
     val pos = (for (j <- 0 until mOut; i <- 0 until dIn)
       yield RandomProjection.sign(j, i)).count(_ > 0)
