@@ -2191,9 +2191,16 @@ object ExtensionQueries {
       val w = Dedup.checkpointed(
         graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
           col("doc_id"), col("text"), col("lang") === "en"))
-      val maxW = w.agg(max("dsir_weight")).collect()(0).getLong(0)
-      graft.operators.Sampling.weightedSample(w, col("doc_id"),
-          col("dsir_weight").cast("double") / lit(maxW.toDouble))
+      // max_w rides a LAZY 1-row broadcast crossJoin (the bm25 avgdl
+      // shape) instead of an eager driver collect — one sequential job
+      // fewer per invocation; long→double cast and the division are the
+      // identical IEEE ops, and an empty weights frame yields a NULL
+      // max ⇒ the sample filter drops every row (the former empty-case
+      // behavior, minus the collect()(0) NPE hazard)
+      val mx = w.agg(max("dsir_weight").as("_mx"))
+      graft.operators.Sampling.weightedSample(
+          w.crossJoin(broadcast(mx)), col("doc_id"),
+          col("dsir_weight").cast("double") / col("_mx").cast("double"))
         .select("doc_id", "dsir_weight")
         .orderBy("doc_id")
     }),
@@ -2950,6 +2957,11 @@ object ExtensionQueries {
       val rawTok = rawDocs.select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long").as("ntok"))
+      def stage(idx: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"), lit(0L).as("n_shards"))
       // stage 1: C4 cleanse of the synthetic page; downstream stages
       // operate on the CLEANED text
       val cleaned = rawDocs.withColumn("_pg", c4Page)
@@ -3002,14 +3014,15 @@ object ExtensionQueries {
       // importance-accepted raw docs (weights from the survivors)
       val w = graft.operators.Dsir.importanceWeights(decon,
         col("doc_id"), col("text"), col("lang") === "en")
-      val maxW = Option(w.agg(max("dsir_weight")).head().get(0))
-        .map(_.asInstanceOf[Long])
-      val accepted = maxW match {
-        case None => w.select("doc_id").limit(0)
-        case Some(m) => Sampling.weightedSample(w, col("doc_id"),
-            col("dsir_weight").cast("double") / lit(m.toDouble))
-          .select("doc_id")
-      }
+      // max_w as a lazy 1-row broadcast (the q_dsir_select shape): one
+      // sequential job fewer in the funnel chain; an empty weights
+      // frame yields NULL max ⇒ the sample filter drops every row —
+      // exactly the former None ⇒ limit(0) branch
+      val mx = w.agg(max("dsir_weight").as("_mx"))
+      val accepted = Sampling.weightedSample(
+          w.crossJoin(broadcast(mx)), col("doc_id"),
+          col("dsir_weight").cast("double") / col("_mx").cast("double"))
+        .select("doc_id")
       val sel = Dedup.checkpointed(
         decon.filter(col("lang") === "en")
           .unionByName(decon.join(accepted, "doc_id")))
@@ -3033,11 +3046,6 @@ object ExtensionQueries {
         .withColumn("shard",
           floor((col("cum_tokens") - col("ntok")) / lit(1000L))
             .cast("bigint"))
-      def stage(idx: Int, name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
-          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
-            col("n_docs"), col("n_tokens"), lit(0L).as("n_shards"))
       stage(0, "raw", rawTok)
         .unionByName(stage(1, "c4_cleanse", scored))
         .unionByName(stage(2, "lang_quality", f))

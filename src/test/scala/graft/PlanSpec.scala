@@ -505,6 +505,9 @@ class PlanSpec extends SparkSuite {
       // same composition, vector leg from the persisted cosine index
       "q_rrf_fusion_ann", "q_rrf_fusion_ann_exhaustive",
       "q_graph_triangles", // 1-row wedge-total broadcast, same shape
+      // 1-row max-weight broadcast (the avgdl shape, r16: replaced the
+      // eager driver collect)
+      "q_dsir_select", "q_release_funnel",
       "q_snapshot_diff", "q_snapshot_diff_inc", "q_semantic_dedup_exhaustive")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
