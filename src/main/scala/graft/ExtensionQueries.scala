@@ -3208,9 +3208,18 @@ object ExtensionQueries {
     // integer-hash threshold per ROW — the q_sample_mix pattern with a
     // per-row rate; quality itself is already oracled (q_text_quality),
     // so the whole chain hash-matches.
+    // the scored frame is CHECKPOINTED (pruned to (doc_id, quality))
+    // before the sample filter: the acceptance predicate references the
+    // computed quality, so pushdown inlined the ENTIRE scoring
+    // expression into the scan filter — with the token-split HOF
+    // subexpressions duplicated ~4× inside the condition — and the
+    // projection evaluated it again (the q_clean_pipeline barrier rule;
+    // plans/r16/q_sample_weighted_before.txt)
     "q_sample_weighted" -> ((s, d) =>
       Sampling.weightedSample(
-          withQualityScore(Tables.documents(s, d), col("text")),
+          Dedup.checkpointed(
+            withQualityScore(Tables.documents(s, d), col("text"))
+              .select(col("doc_id"), col("quality"))),
           col("doc_id"), col("quality"))
         .select(col("doc_id"), col("quality"))
         .orderBy("doc_id")),
